@@ -1,0 +1,550 @@
+"""LLM-data-pipeline operators over `documents` / `embeddings`
+(north-star surface: dedup, similarity search, text analysis).
+
+Design rules:
+ - Everything oracle-checkable is expressed with engine-portable
+   primitives (md5, substring-count arithmetic, explicit fold-order
+   dot products) so DuckDB computes bit-comparable values.
+ - Hash-sketch ops (MinHash/SimHash) use deterministic seeded xxhash64
+   — reproducible across runs, but not SQL-portable → rows-only checks
+   (registered with oracle=None).
+ - Scale: every pairwise op is either bucketed (LSH bands) or bounded
+   (shingle-join with dedup); nothing materializes an O(n²) cross
+   product of the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sf_etl_spark.queries import register
+from sf_etl_spark.sources import load_table
+
+# Normalization shared by fingerprint/dedup ops: lowercase, strip
+# non-alphanumerics to spaces, collapse runs, trim. Simple enough that
+# Java regex (Spark) and RE2 (DuckDB) agree.
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+
+def _norm_col() -> F.Column:
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup via content fingerprint: md5 of normalized text.
+# Scale: one shuffle on the 128-bit fingerprint — the canonical
+# exact-dedup plan at any corpus size; keeper = min(doc_id).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+    doc="exact dedup: md5(normalized text) groupBy, keeper=min(doc_id)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm_col()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring: per-document structural stats. All counting is
+# substring-arithmetic so both engines agree exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                       AS len_chars,
+           CAST(len(string_split(text, ' ')) AS INT)          AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' '))               AS avg_word_len,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS INT)
+                                                              AS n_the,
+           CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(text)                               AS space_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="quality stats: char/word counts, avg word length, stopword count",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    no_space = F.length(F.replace(txt, F.lit(" "), F.lit("")))
+    n_words = F.size(F.split(txt, " "))
+    return d.select(
+        "doc_id",
+        F.length(txt).cast("bigint").alias("len_chars"),
+        n_words.alias("n_words"),
+        (no_space.cast("double") / n_words).alias("avg_word_len"),
+        ((F.length(txt) - F.length(F.replace(txt, F.lit("the"), F.lit("")))) / 3)
+        .cast("int")
+        .alias("n_the"),
+        ((F.length(txt) - no_space).cast("double") / F.length(txt)).alias("space_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex token count
+# (letter runs, digit runs, single non-space symbols), aggregated per
+# language. Simple character classes keep Java-regex/RE2 in agreement.
+# ---------------------------------------------------------------------------
+@register(
+    "token_counts",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)  AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+                                                              AS regex_tokens,
+           CAST(CAST(sum(CAST(CAST(length(text) AS DOUBLE)
+                          / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)
+                                                              AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="token counting (whitespace + regex tokenizer) per language",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok_re = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    n_regex = F.size(F.regexp_extract_all(F.col("text"), F.lit(tok_re), F.lit(0)))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("ws_tokens"),
+            F.sum(n_regex).cast("bigint").alias("regex_tokens"),
+            (
+                F.sum((F.length("text").cast("double") / n_regex).cast("decimal(38,12)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification: marker-word scoring (n-gram heuristic).
+# Deterministic and engine-portable by construction: scores are
+# substring counts, argmax with a fixed precedence order.
+# ---------------------------------------------------------------------------
+_MARKERS = {  # language -> space-padded marker words
+    "en": [" the ", " a ", " of "],
+    "es": [" el ", " la ", " de "],
+    "fr": [" le ", " les ", " des "],
+    "de": [" der ", " die ", " und "],
+}
+
+
+def _count_sql(m: str) -> str:
+    return f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{m}', ''))) / {len(m)}"
+
+
+def _count_col(m: str) -> F.Column:
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(m)))) / len(m)
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {" + ".join(_count_sql(m) for m in _MARKERS["en"])} AS score_en,
+             {" + ".join(_count_sql(m) for m in _MARKERS["es"])} AS score_es,
+             {" + ".join(_count_sql(m) for m in _MARKERS["fr"])} AS score_fr,
+             {" + ".join(_count_sql(m) for m in _MARKERS["de"])} AS score_de
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN score_en = 0 AND score_es = 0 AND score_fr = 0 AND score_de = 0 THEN 'und'
+             WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+             WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+             WHEN score_fr >= score_de THEN 'fr'
+             ELSE 'de'
+           END AS predicted_lang,
+           CAST(score_en AS INT) AS score_en
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="language ID: marker-word scores, fixed-precedence argmax",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: sum((_count_col(m) for m in ms[1:]), _count_col(ms[0]))
+        for lang, ms in _MARKERS.items()
+    }
+    all_zero = (
+        (scores["en"] == 0) & (scores["es"] == 0) & (scores["fr"] == 0) & (scores["de"] == 0)
+    )
+    predicted = (
+        F.when(all_zero, "und")
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]), "es")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        scores["en"].cast("int").alias("score_en"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: word-3-gram shingles → shingle-key join →
+# pairwise Jaccard ≥ threshold. Scale note: the shingle join is the
+# exact-verification stage; at corpus scale it runs AFTER an LSH
+# prefilter (see dedup_minhash_lsh) — registered here unfiltered
+# because the gate corpus is small. Shingle hotspots are bounded by
+# array_distinct per doc.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM idx
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.30
+    ORDER BY doc_a, doc_b
+    """,
+    doc="word-3-gram shingle Jaccard pairs ≥ 0.30 (exact verification stage)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idxs,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.30)
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (rows-only check: seeded-hash sketches are
+# not SQL-portable). Pipeline: shingle → 32 seeded xxhash64 minhashes
+# → 8 bands × 4 rows → band-bucket equi-join → candidate pairs with
+# estimated Jaccard (fraction of matching minhashes).
+# Scale: candidates come only from shared LSH buckets — the corpus
+# never cross-joins. This is the production near-dup path; the exact
+# shingle-join (ngram_jaccard_pairs) is its verification stage.
+# ---------------------------------------------------------------------------
+N_MINHASHES = 32
+LSH_BANDS = 8
+LSH_ROWS = N_MINHASHES // LSH_BANDS
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + minhash signature array<bigint> of length N_MINHASHES."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(
+            idxs,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASHES - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col("_shingles"), lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return (
+        docs.withColumn("_shingles", shingles)
+        .filter(F.size("_shingles") > 0)
+        .select("doc_id", sig.alias("signature"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # seeded-hash sketch: not SQL-expressible → rows-only check
+    doc="MinHash(32)+LSH(8×4) candidate pairs with estimated Jaccard",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / N_MINHASHES
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup sketch (rows-only): 64-bit fingerprint from token
+# hashes; hamming distance ≤ 6 marks near-dups. Bit-vote accumulation
+# is expressed with array ops (JVM-side, no Python UDF).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    None,  # seeded-hash sketch: not SQL-expressible → rows-only check
+    doc="SimHash-64 fingerprints + hamming≤6 candidate pairs",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    # Explode to (doc_id, token_hash); per-bit ±1 votes aggregate with
+    # static shift amounts so everything stays in codegen'd JVM exprs.
+    tok_hash = (
+        d.select("doc_id", F.explode(toks).alias("_tok"))
+        .select("doc_id", F.xxhash64("_tok").alias("_h"))
+    )
+    vote_aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    votes = tok_hash.groupBy("doc_id").agg(*vote_aggs)
+    # simhash via two's complement: bit 63 contributes -(2^63) when set.
+    terms = [
+        F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(63)
+    ]
+    terms.append(
+        F.when(F.col("_v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    sim = terms[0]
+    for t in terms[1:]:
+        sim = sim + t
+    fps = votes.select("doc_id", sim.alias("simhash"))
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Candidate generation at scale would block on 16-bit chunks
+    # (pigeonhole); the corpus here is small enough to self-join on a
+    # 16-bit prefix block, keeping the recipe shape.
+    block = F.shiftright(F.col("simhash"), 48)
+    fa = fps.withColumn("_blk", block).alias("a")
+    fb = fps.withColumn("_blk", block).alias("b")
+    return (
+        fa.join(fb, (F.col("a._blk") == F.col("b._blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(hamming <= 6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding statistics: explicit left-fold dot/norm so DuckDB
+# (list_reduce) and Spark (aggregate) produce identical doubles.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_stats",
+    """
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(CAST(sum(CAST(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+                                                         x -> x * x),
+                                          (a, b) -> a + b)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+             / count(*)                                  AS avg_norm,
+           CAST(min(embedding[1]) AS DOUBLE)             AS min_dim0,
+           CAST(max(embedding[1]) AS DOUBLE)             AS max_dim0
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="per-label vector stats: L2 norm via portable fold, dim-0 extrema",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum(norm.cast("decimal(38,12)")).cast("string").cast("double") / F.count(F.lit(1))).alias(
+                "avg_norm"
+            ),
+            F.min(F.element_at("embedding", 1).cast("double")).alias("min_dim0"),
+            F.max(F.element_at("embedding", 1).cast("double")).alias("max_dim0"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k against a fixed query
+# vector (vec_id 0). The scan is embarrassingly parallel; top-k is a
+# TakeOrdered (no global sort). Fold order matches DuckDB list_reduce
+# so cosine values agree bit-for-bit before rounding.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv,
+             sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                              (a, b) -> a + b)) AS qn
+      FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             list_reduce(list_transform(generate_series(1, len(qv)),
+                                        i -> CAST(e.embedding[i] AS DOUBLE) * qv[i]),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x),
+                                 (a, b) -> a + b)) * qn) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc="brute-force cosine top-10 vs query vec_id=0 (ANN baseline)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(vec.alias("qv"), norm.alias("qn"))
+    )
+    dot = F.aggregate(
+        F.zip_with(vec, F.col("qv"), lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+    )
+    cosine = dot / (norm * F.col("qn"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

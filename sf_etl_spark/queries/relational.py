@@ -1,0 +1,925 @@
+"""Relational operator suite — SURVEY.md §2.2 made executable.
+
+Each query is a (DataFrame plan, DuckDB oracle SQL) pair registered in
+the global registry. The reference forwards these semantics opaquely
+inside SOQL strings evaluated server-side by Salesforce
+(`oxidized-force/src/client.rs:199-205,217`); here they are
+first-class, locally-executed Spark plans.
+
+Numeric parity rules (the correctness gate hashes values after
+sorting columns by name):
+ - Per-row double arithmetic is left UNROUNDED: both engines evaluate
+   the same IEEE-754 ops on the same inputs → bit-identical results.
+   (Rounding would *break* parity: Spark's round() is HALF_UP on the
+   shortest decimal representation, DuckDB rounds the true binary
+   value — `round(8285.42499..., 2)` gives .43 vs .42.)
+ - SUM/AVG over doubles is order-dependent in both engines, so sums
+   go through an exact decimal: ``CAST(sum(CAST(x AS DECIMAL(38,10)))
+   AS DOUBLE)``. The per-row cast rounds identical doubles
+   identically, decimal addition is exact and order-free, and the
+   final cast is deterministic — bit-equal across engines at any
+   parallelism. AVG = decimal-sum / count.
+ - DuckDB type mismatches are cast away: SUM(BIGINT)→HUGEINT,
+   year()/length()→BIGINT.
+
+Scale notes per query are inline — the guiding rule: dims broadcast,
+facts shuffle at most once per key change, and nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sf_etl_spark.queries import register
+from sf_etl_spark.sources import load_table
+
+DEC = "decimal(38,10)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent (exact decimal) sum of a double column,
+    returned as double — see module docstring."""
+    c = F.col(col) if isinstance(col, str) else col
+    # decimal → string → double: both engines' string parsers round
+    # correctly, whereas DuckDB's direct decimal→double cast can be
+    # off by 1 ulp (int128 → double, then ÷10^scale double-rounds).
+    return F.sum(c.cast(DEC)).cast("string").cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+def SUMD(expr: str) -> str:
+    """Oracle-side twin of :func:`dsum`."""
+    return f"CAST(CAST(sum(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+def AVGD(expr: str) -> str:
+    return f"{SUMD(expr)} / count({expr})"
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary: scan → filter → hash agg (TPC-H Q1 shape).
+# Scale: partial aggregation map-side (Catalyst does this for hash
+# aggregates), only |groups| rows shuffle. Filter pushes to parquet.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {SUMD('l_quantity')}                                   AS sum_qty,
+           {SUMD('l_extendedprice')}                              AS sum_base_price,
+           {SUMD('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
+           {SUMD('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {AVGD('l_quantity')}                                   AS avg_qty,
+           {AVGD('l_extendedprice')}                              AS avg_price,
+           {AVGD('l_discount')}                                   AS avg_disc,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="scan→filter→groupBy.agg with map-side partial aggregation",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority: 3-way join → agg → top-k.
+# Scale: customer filter first (selectivity ~1/5) then join; orders and
+# lineitem join on their natural keys (one shuffle each); top-10 via
+# orderBy+limit = distributed TakeOrdered, no global sort materialized.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {SUMD('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="multi-join → agg → deterministic top-k (tie-broken)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, l = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o.filter(F.col("o_orderdate") < cutoff), c.c_custkey == o.o_custkey)
+        .join(l.filter(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — revenue by nation (flagship): 5-way join through the dim chain.
+# Scale: region/nation are tiny → broadcast (no shuffle for them);
+# customer→orders→lineitem shuffles on join keys; AQE picks the final
+# strategy at runtime. This is the entry() smoke query.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_revenue_by_nation",
+    f"""
+    SELECT n_name,
+           {SUMD('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="flagship: fact-fact shuffle joins + broadcast dims + agg",
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c, n, r = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    dims = F.broadcast(
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(dims, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter + projection: predicate pushdown showcase (reference R4's
+# field-list SELECT, `client.rs:217`, plus the WHERE it never had).
+# Per-row arithmetic stays unrounded — bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="projection+filter; both push into the parquet scan",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate breadth: min/max/count distinct/conditional counts.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_stats_by_status",
+    f"""
+    SELECT o_orderstatus,
+           count(*)                                        AS n_orders,
+           count(DISTINCT o_custkey)                       AS n_customers,
+           min(o_totalprice)                               AS min_price,
+           max(o_totalprice)                               AS max_price,
+           {AVGD('o_totalprice')}                          AS avg_price,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT)
+                                                           AS n_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="agg suite incl. count-distinct (two-phase shuffle) + conditional agg",
+)
+def agg_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice").alias("avg_price"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING — post-aggregation filter.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_having",
+    f"""
+    SELECT o_custkey, count(*) AS n_orders, {SUMD('o_totalprice')} AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    ORDER BY total_spent DESC, o_custkey
+    """,
+    doc="groupBy + HAVING (filter over aggregates)",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy(F.col("total_spent").desc(), "o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join types: left outer with null-producing side aggregated.
+# ---------------------------------------------------------------------------
+@register(
+    "join_left_outer",
+    f"""
+    SELECT n_name,
+           CAST(count(c_custkey) AS BIGINT)            AS n_customers,
+           coalesce({SUMD('c_acctbal')}, 0)            AS total_balance
+    FROM nation
+    LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="left outer join keeping unmatched dim rows; count(col) null-skipping",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, c = _t(spark, sf_dir, "nation", "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(dsum("c_acctbal"), F.lit(0.0)).alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi + anti joins (the reference's FK declaration surface,
+# `sql-builder/src/main.rs:89`, turned into executable integrity ops).
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+    doc="left semi join = EXISTS; no row multiplication",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="left anti join = NOT EXISTS; customers with no orders",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FK integrity sweep: every declared FK from FIXTURES.md checked via
+# anti-join orphan counts — the executable version of the reference's
+# `Reference → foreign(...)` declarations (`sql-builder/src/main.rs:89`,
+# `sql/types.rs:230-233`). Scale: six independent anti-joins, each a
+# broadcast or shuffle join on its own key; no driver collect.
+# ---------------------------------------------------------------------------
+@register(
+    "fk_integrity",
+    """
+    SELECT fk, orphans FROM (
+      SELECT 'lineitem.l_orderkey' AS fk,
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT) AS orphans
+      UNION ALL
+      SELECT 'lineitem.l_partkey',
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey',
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'orders.o_custkey',
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'customer.c_nationkey',
+             CAST((SELECT count(*) FROM customer c
+                   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'nation.n_regionkey',
+             CAST((SELECT count(*) FROM nation n
+                   WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)
+    ) ORDER BY fk
+    """,
+    doc="anti-join FK orphan counts for every declared FK",
+)
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.joins import fk_orphan_counts
+
+    l, o, c, n, r, p, s = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "part", "supplier"
+    )
+    return fk_orphan_counts(
+        spark,
+        [
+            ("lineitem.l_orderkey", l, "l_orderkey", o, "o_orderkey"),
+            ("lineitem.l_partkey", l, "l_partkey", p, "p_partkey"),
+            ("lineitem.l_suppkey", l, "l_suppkey", s, "s_suppkey"),
+            ("orders.o_custkey", o, "o_custkey", c, "c_custkey"),
+            ("customer.c_nationkey", c, "c_nationkey", n, "n_nationkey"),
+            ("nation.n_regionkey", n, "n_regionkey", r, "r_regionkey"),
+        ],
+    ).orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranking + offsets + running frame in one pass.
+# Scale: ONE shuffle on o_custkey serves every window function below
+# (same partitioning); ordering inside partitions is local sort. The
+# running sum goes through the exact-decimal lane because engines may
+# use different accumulation trees (segment tree vs running) even for
+# an ordered frame.
+# ---------------------------------------------------------------------------
+@register(
+    "window_suite",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS INT)    AS rn,
+           CAST(rank()       OVER w AS INT)    AS rnk,
+           CAST(dense_rank() OVER w AS INT)    AS drnk,
+           lag(o_totalprice)  OVER w           AS prev_price,
+           lead(o_totalprice) OVER w           AS next_price,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+                                               AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+    doc="row_number/rank/dense_rank/lag/lead/running sum over one shuffle",
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wrun).cast("string").cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group: the window+filter recipe (no per-group sort-all).
+# ---------------------------------------------------------------------------
+@register(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice AS total_price
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    ORDER BY c_mktsegment, total_price DESC, o_orderkey
+    """,
+    doc="top-3 orders per market segment via row_number window",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.col("o_totalprice").alias("total_price"))
+        .orderBy("c_mktsegment", F.col("total_price").desc(), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: union / intersect / except with distinct semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops",
+    """
+    SELECT 'union' AS op,
+           CAST((SELECT count(*) FROM (SELECT c_nationkey FROM customer
+                                       UNION SELECT s_nationkey FROM supplier)) AS BIGINT) AS n
+    UNION ALL
+    SELECT 'intersect',
+           CAST((SELECT count(*) FROM (SELECT c_nationkey FROM customer
+                                       INTERSECT SELECT s_nationkey FROM supplier)) AS BIGINT)
+    UNION ALL
+    SELECT 'except',
+           CAST((SELECT count(*) FROM (SELECT c_nationkey FROM customer
+                                       EXCEPT SELECT s_nationkey FROM supplier)) AS BIGINT)
+    ORDER BY op
+    """,
+    doc="union/intersect/except (distinct set semantics) as labeled counts",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _t(spark, sf_dir, "customer", "supplier")
+    cn = c.select(F.col("c_nationkey").alias("k"))
+    sn = s.select(F.col("s_nationkey").alias("k"))
+
+    def count1(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(label).alias("op"), "n")
+
+    return (
+        count1(cn.union(sn).distinct(), "union")
+        .unionByName(count1(cn.intersect(sn), "intersect"))
+        .unionByName(count1(cn.subtract(sn), "except"))
+        .orderBy("op")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct projection.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_flags",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="DISTINCT = shuffle on all projected columns",
+)
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (hierarchical grouping sets).
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_flags",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {SUMD('l_quantity')} AS sum_qty,
+           count(*)             AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP grouping sets incl. grand total row",
+)
+def rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube (full grouping sets) over two dims.
+# ---------------------------------------------------------------------------
+@register(
+    "cube_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {SUMD('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE = all 2^k grouping sets",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: groupBy.pivot with explicit value list (explicit list keeps
+# the plan single-pass; without it Spark runs a distinct-values job).
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_returnflag",
+    f"""
+    SELECT l_returnflag,
+           {SUMD("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+           {SUMD("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="pivot on l_linestatus with explicit value list",
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    piv = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery without collect(): mean-threshold filter via a
+# broadcast cross-join of a 1-row aggregate (distributed-safe pattern).
+# The threshold itself uses the exact-decimal average so both engines
+# compare against the same double.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_subquery",
+    f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_above_avg
+    FROM customer
+    WHERE c_acctbal > (SELECT {AVGD('c_acctbal')} FROM customer)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="scalar subquery as broadcast 1-row cross join (no driver collect)",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (c,) = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(davg("c_acctbal").alias("_avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-per-group join-back (TPC-H Q2 shape): cheapest part per brand.
+# ---------------------------------------------------------------------------
+@register(
+    "min_per_group_joinback",
+    """
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice AS retail_price
+    FROM part p
+    JOIN (SELECT p_brand AS mb_brand, min(p_retailprice) AS min_price
+          FROM part GROUP BY p_brand) m
+      ON p.p_brand = m.mb_brand AND p.p_retailprice = m.min_price
+    ORDER BY p.p_brand, p.p_partkey
+    """,
+    doc="agg-then-joinback: rows achieving the per-group minimum",
+)
+def min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (p,) = _t(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_brand").alias("mb_brand")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_brand == F.col("mb_brand")) & (p.p_retailprice == F.col("min_price")),
+        )
+        .select("p_brand", "p_partkey", F.col("p_retailprice").alias("retail_price"))
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function breadth: strings. (DuckDB length() returns BIGINT —
+# Spark side casts to match.)
+# ---------------------------------------------------------------------------
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           lower(p_brand)                                  AS brand_lower,
+           substr(p_type, 1, 6)                            AS type_prefix,
+           CAST(length(p_name) AS BIGINT)                  AS name_len,
+           concat(p_brand, ':', p_type)                    AS brand_type,
+           replace(p_name, ' ', '_')                       AS name_snake,
+           trim(p_name)                                    AS name_trim,
+           CAST(strpos(p_type, 'STEEL') AS INT)            AS steel_pos,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+           reverse(p_brand)                                AS brand_rev
+    FROM part
+    WHERE p_partkey <= 200
+    ORDER BY p_partkey
+    """,
+    doc="string function coverage: case/substr/len/concat/replace/pad/pos",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (p,) = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.substring("p_type", 1, 6).alias("type_prefix"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.trim("p_name").alias("name_trim"),
+            F.instr(F.col("p_type"), "STEEL").alias("steel_pos"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.reverse("p_brand").alias("brand_rev"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function breadth: dates. (DuckDB year() returns BIGINT; Spark
+# returns INT — cast oracle side down.)
+# ---------------------------------------------------------------------------
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)      AS order_year,
+           CAST(month(o_orderdate) AS INT)     AS order_month,
+           CAST(day(o_orderdate) AS INT)       AS order_day,
+           CAST(dayofweek(o_orderdate) AS INT) AS order_dow,
+           CAST(quarter(o_orderdate) AS INT)   AS order_quarter,
+           date_trunc('month', o_orderdate)    AS month_start,
+           o_orderdate + INTERVAL 30 DAY       AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+                                               AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey <= 100
+    ORDER BY o_orderkey
+    """,
+    doc="date/time function coverage: extract/trunc/interval/diff",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6 → Spark-1.
+    return (
+        o.filter(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("days_since_epoch_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math functions. Algebraic per-row ops stay raw (bit-identical);
+# libm-backed transcendentals (sqrt is exact; ln/pow are within 1 ulp)
+# get round(6), where a 1-ulp difference cannot straddle a decimal
+# rounding boundary in practice.
+# ---------------------------------------------------------------------------
+@register(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000)               AS abs_diff,
+           sqrt(l_quantity)                           AS qty_sqrt,
+           round(pow(1 + l_discount, 2), 6)           AS disc_sq,
+           round(ln(l_extendedprice), 6)              AS price_ln,
+           CAST(floor(l_quantity) AS BIGINT)          AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT)           AS qty_ceil,
+           CAST(l_orderkey % 7 AS BIGINT)             AS key_mod7,
+           greatest(l_discount, l_tax)                AS max_rate,
+           least(l_discount, l_tax)                   AS min_rate,
+           CAST(sign(l_discount - l_tax) AS INT)      AS rate_sign
+    FROM lineitem
+    WHERE l_orderkey <= 60
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="math function coverage: abs/sqrt/pow/ln/floor/ceil/mod/least/greatest",
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_orderkey") <= 60)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 50000).alias("abs_diff"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+            F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            (F.col("l_orderkey") % 7).alias("key_mod7"),
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.least("l_discount", "l_tax").alias("min_rate"),
+            F.signum(F.col("l_discount") - F.col("l_tax")).cast("int").alias("rate_sign"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CASE / conditional expressions + IN / BETWEEN / LIKE predicates.
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_predicates",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END                           AS price_band,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH'))   AS is_priority,
+           (o_totalprice BETWEEN 50000 AND 150000)       AS is_mid_range,
+           (o_orderpriority LIKE '%URGENT%')             AS like_urgent,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')  AS status_decoded
+    FROM orders
+    WHERE o_orderkey <= 400
+    ORDER BY o_orderkey
+    """,
+    doc="CASE WHEN, IN, BETWEEN, LIKE, COALESCE/NULLIF",
+)
+def conditional_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") <= 400)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") >= 300000, "high")
+            .when(F.col("o_totalprice") >= 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_priority"),
+            F.col("o_totalprice").between(50000, 150000).alias("is_mid_range"),
+            F.col("o_orderpriority").like("%URGENT%").alias("like_urgent"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+                "status_decoded"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON lane — the reference's AnyType→Jsonb mapping
+# (`sql-builder/src/main.rs:91`, `sql/types.rs:41`) made executable:
+# schema-on-read extraction from a JSON text column.
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                                   AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)    AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON extraction (AnyType/Jsonb lane) + agg over extracted field",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort with mixed direction + global limit/offset.
+# ---------------------------------------------------------------------------
+@register(
+    "order_limit_offset",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS total_price
+    FROM orders
+    ORDER BY o_orderstatus ASC, total_price DESC, o_orderkey
+    LIMIT 25 OFFSET 10
+    """,
+    doc="multi-key sort + limit/offset (TakeOrdered path)",
+)
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("total_price"))
+        .orderBy(F.col("o_orderstatus").asc(), F.col("total_price").desc(), "o_orderkey")
+        .offset(10)
+        .limit(25)
+    )

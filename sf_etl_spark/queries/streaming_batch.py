@@ -1,0 +1,213 @@
+"""Time-series / event queries — the batch-checkable core of the
+streaming surface (SURVEY.md §2.2 "Streaming" row).
+
+Every windowed aggregation here uses the exact operators Structured
+Streaming uses (`F.window`, `F.session_window`); running them on a
+bounded DataFrame makes them oracle-checkable, and
+`sf_etl_spark.streaming` reuses the same plans under `readStream` with
+watermarks (tested in tests/test_streaming.py — stateful pieces are
+not SQL-expressible, so they stay out of the oracle gate).
+
+The as-of and range joins use the scale recipes from
+operators/joins.py: one equi-shuffle, no unbounded cross products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sf_etl_spark.operators.joins import asof_join, range_join_buckets
+from sf_etl_spark.queries import register
+from sf_etl_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "window_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)           AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="tumbling 1h window agg (streaming-identical operator, batch mode)",
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("string").cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window aggregation (1h window, 30m slide → every event in 2
+# windows). Oracle expands the membership explicitly.
+# ---------------------------------------------------------------------------
+@register(
+    "window_sliding",
+    """
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+             value
+      FROM events
+    )
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    doc="sliding window (1h size / 30m slide) agg",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("string").cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (5-minute inactivity gap) — gaps-and-islands in the
+# oracle; `F.session_window` (the streaming-stateful operator) in the
+# engine. Spark's session spans [first_ts, last_ts + gap).
+# ---------------------------------------------------------------------------
+@register(
+    "window_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '5 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + INTERVAL '5 minutes'  AS session_end,
+           CAST(count(*) AS BIGINT)        AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="session windows (5m gap): session_window ↔ gaps-and-islands oracle",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("string").cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent prior
+# (or simultaneous) click. Oracle uses DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts    AS asof_ts,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="as-of join via union+window recipe (one shuffle, no row blowup)",
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", right_payload=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.col("asof_value").alias("click_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Bounded range (interval) join: follow-on events within 10 minutes of
+# an error by the same user, via the bucketed-equi-join recipe.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_followups",
+    """
+    SELECT e1.event_id AS error_id,
+           CAST(count(*) AS BIGINT) AS n_followups,
+           CAST(CAST(sum(CAST(e2.value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS followup_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >  e1.ts
+     AND e2.ts <= e1.ts + INTERVAL '10 minutes'
+    GROUP BY e1.event_id
+    ORDER BY error_id
+    """,
+    doc="interval join (0,10m] via bucketed equi-join; no unbounded cross product",
+)
+def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    all_ev = e.select("user_id", F.col("ts").alias("ts2"), "value")
+    pairs = range_join_buckets(
+        errors,
+        all_ev,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts2",
+        lower=F.expr("INTERVAL 0 SECOND"),
+        upper=F.expr("INTERVAL 10 MINUTE"),
+        bucket_seconds=600,
+    )
+    return (
+        pairs.groupBy(F.col("event_id").alias("error_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_followups"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("string").cast("double").alias("followup_value"),
+        )
+        .orderBy("error_id")
+    )

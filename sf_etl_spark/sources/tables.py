@@ -1,0 +1,86 @@
+"""Parquet table sources for the synthetic star schema.
+
+The reference's only "source" is a remote Salesforce scan
+(`oxidized-force/src/client.rs:199-205`); here the equivalent surface
+is `spark.read.parquet` — columnar, predicate-pushdown-capable, and
+splittable across executors. At 100 TB these would be partitioned
+directories; a single file per table is just the test fixture shape.
+
+Scale notes:
+ - We never `.cache()` by default: at 100 TB caching a fact table is a
+   memory bomb. Callers opt in for small dims.
+ - No schema is *imposed* on read — parquet footers carry it — but
+   `TABLES` documents the expected schema so tests can assert drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: table name -> expected Spark DDL schema (see FIXTURES.md §B).
+TABLES: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+    ),
+    "events": (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Parquet scan ⇒ column pruning and
+    predicate pushdown are free once downstream ops are declarative."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {sorted(TABLES)}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the column
+    as raw nanos (legacy nanosAsLong) and rebuild a microsecond
+    TIMESTAMP_NTZ with exact integer floor-division — the same ns→us
+    truncation DuckDB applies, so oracle comparisons stay bit-equal.
+    UTC session tz pins the long→timestamp conversion regardless of
+    the host session's zone."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` works too."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
