@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a cheap terminal action
+(count) so the full plan runs but no result set serializes to the
+driver — what matters is engine throughput, not toPandas cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline set: one per operator family (scan+agg, join-heavy, window,
+# sessionization, as-of, interval join, dedup exact + sketch, ANN,
+# text analysis). ngram_jaccard is excluded: it is the exact
+# verification stage meant to run downstream of LSH candidates, not a
+# full-corpus headline op.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "agg_stats_by_status",
+    "window_suite",
+    "topk_per_group",
+    "window_tumbling",
+    "window_session",
+    "asof_purchase_click",
+    "range_join_followups",
+    "json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "token_counts",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from sf_etl_spark.queries import all_queries
+    from sf_etl_spark.session import get_spark
+
+    spark = get_spark("sf_etl_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footers once so timings measure steady
+    # state (the driver compares engine throughput, not JIT warmup).
+    specs["q5_revenue_by_nation"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
