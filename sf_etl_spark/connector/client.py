@@ -1,0 +1,342 @@
+"""Salesforce-style REST + Bulk API 2.0 client (pure stdlib, no pip deps).
+
+Re-expresses the reference's ``oxidized-force`` crate
+(`/root/reference/oxidized-force/src/client.rs`) with its two known
+gaps fixed:
+
+* **Pagination** — the reference fetches a single page per SOQL query
+  (``client.rs:199-205``; ``nextRecordsUrl`` is never followed,
+  ``response.rs:7-9``). :meth:`SfClient.query_pages` follows the
+  cursor to exhaustion.
+* **Bulk results download** — the reference creates/polls/aborts bulk
+  jobs but never downloads results (``client.rs:215-243``; no
+  ``/results`` call exists). :meth:`SfClient.download_results` walks
+  the ``Sforce-Locator`` chunk chain, and exposes offset-addressed
+  chunk fetch for parallel extraction (see ``datasource.py``).
+
+Transport is ``urllib`` with bounded exponential-backoff retries on
+transient failures — the retry policy the reference's typed error enum
+implies but never implements (``errors.rs:3-27``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+from sf_etl_spark.connector.errors import (
+    ClientBuilderError,
+    HttpError,
+    JobFailedError,
+    NotAuthenticatedError,
+    ResponseError,
+    TokenError,
+)
+from sf_etl_spark.schema.field_types import ObjectSchema
+
+DEFAULT_API_VERSION = "v49.0"  # reference default, client.rs:56
+_RETRYABLE_STATUSES = {429, 500, 502, 503, 504}
+
+
+class JobState(str, Enum):
+    """Bulk query job lifecycle (``response.rs:47-54``)."""
+
+    UPLOAD_COMPLETE = "UploadComplete"
+    IN_PROGRESS = "InProgress"
+    ABORTED = "Aborted"
+    JOB_COMPLETE = "JobComplete"
+    FAILED = "Failed"
+
+    @property
+    def terminal(self) -> bool:
+        return self in (JobState.ABORTED, JobState.JOB_COMPLETE, JobState.FAILED)
+
+
+@dataclass(frozen=True)
+class BulkJob:
+    """Bulk query job status (``response.rs:30-44``)."""
+
+    id: str
+    state: JobState
+    object: str | None = None
+    operation: str | None = None
+    content_type: str | None = None
+    line_ending: str | None = None
+    column_delimiter: str | None = None
+    number_records_processed: int | None = None
+    raw: dict[str, Any] = field(default_factory=dict, repr=False)
+
+    @classmethod
+    def from_json(cls, obj: dict[str, Any]) -> "BulkJob":
+        return cls(
+            id=obj["id"],
+            state=JobState(obj["state"]),
+            object=obj.get("object"),
+            operation=obj.get("operation"),
+            content_type=obj.get("contentType"),
+            line_ending=obj.get("lineEnding"),
+            column_delimiter=obj.get("columnDelimiter"),
+            number_records_processed=obj.get("numberRecordsProcessed"),
+            raw=obj,
+        )
+
+
+@dataclass(frozen=True)
+class QueryPage:
+    """One page of a SOQL result (``QueryResponse<T>``, ``response.rs:4-10``)."""
+
+    total_size: int
+    done: bool
+    records: list[dict[str, Any]]
+    next_records_url: str | None = None
+
+
+@dataclass(frozen=True)
+class ResultChunk:
+    """One CSV chunk of a bulk job's results."""
+
+    csv_text: str
+    locator: str | None  # next-chunk cursor (Sforce-Locator header); None = done
+    number_of_records: int | None = None
+
+
+class SfClient:
+    """Async-free, retrying Salesforce REST/Bulk client.
+
+    Construction validates required settings up front, like the
+    reference's builder (``client.rs:99-135`` → ``ClientBuilderError``).
+    """
+
+    def __init__(
+        self,
+        client_id: str,
+        client_secret: str,
+        login_url: str,
+        api_version: str = DEFAULT_API_VERSION,
+        timeout: float = 30.0,
+        max_retries: int = 3,
+        backoff_base: float = 0.2,
+    ):
+        if not client_id or not client_secret:
+            raise ClientBuilderError("client_id and client_secret are required")
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.login_url = login_url.rstrip("/")
+        self.api_version = api_version
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.backoff_base = backoff_base
+        self.access_token: str | None = None
+        self.instance_url: str | None = None
+
+    # -- transport ---------------------------------------------------------
+
+    def _base_path(self) -> str:
+        # base_path computation mirrors client.rs:175-179
+        if self.access_token is None or self.instance_url is None:
+            raise NotAuthenticatedError("call login() first")
+        return f"{self.instance_url}/services/data/{self.api_version}"
+
+    def _request(
+        self,
+        method: str,
+        url: str,
+        body: bytes | None = None,
+        headers: dict[str, str] | None = None,
+        want_headers: bool = False,
+    ) -> tuple[int, bytes, dict[str, str]]:
+        hdrs = {"Accept": "application/json"}
+        if self.access_token:
+            hdrs["Authorization"] = f"Bearer {self.access_token}"
+        if headers:
+            hdrs.update(headers)
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(url, data=body, headers=hdrs, method=method)
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return resp.status, resp.read(), dict(resp.headers.items())
+            except urllib.error.HTTPError as e:
+                payload = e.read()
+                if e.code in _RETRYABLE_STATUSES and attempt < self.max_retries:
+                    last_err = e
+                else:
+                    raise self._response_error(e.code, payload) from None
+            except urllib.error.URLError as e:
+                last_err = e
+            time.sleep(self.backoff_base * (2**attempt))
+        raise HttpError(f"{method} {url} failed after {self.max_retries + 1} attempts: {last_err}")
+
+    @staticmethod
+    def _response_error(status: int, payload: bytes) -> ResponseError:
+        # Error wire shape: [{"message": ..., "errorCode": ...}] (response.rs:88-94)
+        try:
+            parsed = json.loads(payload.decode("utf-8", "replace"))
+            if isinstance(parsed, list) and parsed:
+                parsed = parsed[0]
+            return ResponseError(
+                status, parsed.get("errorCode"), parsed.get("message", str(parsed))
+            )
+        except (ValueError, AttributeError):
+            return ResponseError(status, None, payload.decode("utf-8", "replace")[:500])
+
+    def _get_json(self, url: str) -> dict[str, Any]:
+        _, payload, _ = self._request("GET", url)
+        return json.loads(payload)
+
+    def _send_json(self, method: str, url: str, obj: dict[str, Any]) -> dict[str, Any]:
+        body = json.dumps(obj).encode()
+        _, payload, _ = self._request(
+            method, url, body=body, headers={"Content-Type": "application/json"}
+        )
+        return json.loads(payload)
+
+    # -- auth (R1, client.rs:144-188) --------------------------------------
+
+    def login(self, username: str, password: str) -> None:
+        """OAuth2 password-grant handshake; stores token + instance URL."""
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "password",
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+                "username": username,
+                "password": password,
+            }
+        ).encode()
+        try:
+            _, payload, _ = self._request(
+                "POST",
+                f"{self.login_url}/services/oauth2/token",
+                body=form,
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+        except ResponseError as e:
+            raise TokenError(f"token endpoint rejected credentials: {e}") from None
+        tok = json.loads(payload)
+        self.access_token = tok["access_token"]
+        self.instance_url = tok["instance_url"].rstrip("/")
+
+    # -- SOQL query scan (R2, client.rs:199-205) ---------------------------
+
+    def query_pages(self, soql: str) -> Iterator[QueryPage]:
+        """Yield every page of a SOQL query, following ``nextRecordsUrl``
+        until ``done`` (the pagination loop the reference lacks)."""
+        url = f"{self._base_path()}/query?{urllib.parse.urlencode({'q': soql})}"
+        while True:
+            obj = self._get_json(url)
+            page = QueryPage(
+                total_size=obj.get("totalSize", 0),
+                done=obj.get("done", True),
+                records=[
+                    {k: v for k, v in r.items() if k != "attributes"}
+                    for r in obj.get("records", [])
+                ],
+                next_records_url=obj.get("nextRecordsUrl"),
+            )
+            yield page
+            if page.done or not page.next_records_url:
+                return
+            assert self.instance_url is not None
+            url = f"{self.instance_url}{page.next_records_url}"
+
+    def query(self, soql: str) -> list[dict[str, Any]]:
+        """All records of a SOQL query (every page, flattened)."""
+        return [r for page in self.query_pages(soql) for r in page.records]
+
+    # -- schema introspection (R3, client.rs:208-212) ----------------------
+
+    def describe(self, object_name: str) -> ObjectSchema:
+        """GET ``/sobjects/{name}/describe`` → ordered :class:`ObjectSchema`."""
+        obj = self._get_json(f"{self._base_path()}/sobjects/{object_name}/describe")
+        return ObjectSchema.from_describe_json(obj)
+
+    # -- bulk extract lifecycle (R4-R7, client.rs:215-243) -----------------
+
+    def create_query_job(
+        self, from_object: str, fields: Sequence[str], where: str | None = None
+    ) -> BulkJob:
+        """POST ``/jobs/query`` with a field-list SELECT (R4's projection
+        builder, ``client.rs:217``), plus the WHERE pushdown the
+        partitioned reader uses for PK-range splits."""
+        soql = f"SELECT {', '.join(fields)} FROM {from_object}"
+        if where:
+            soql += f" WHERE {where}"
+        obj = self._send_json(
+            "POST", f"{self._base_path()}/jobs/query", {"operation": "query", "query": soql}
+        )
+        return BulkJob.from_json(obj)
+
+    def get_query_job_status(self, job_id: str) -> BulkJob:
+        return BulkJob.from_json(self._get_json(f"{self._base_path()}/jobs/query/{job_id}"))
+
+    def abort_query_job(self, job_id: str) -> BulkJob:
+        """PATCH state=Aborted; legal only from UploadComplete/InProgress
+        (``client.rs:236-243``)."""
+        obj = self._send_json(
+            "PATCH", f"{self._base_path()}/jobs/query/{job_id}", {"state": "Aborted"}
+        )
+        return BulkJob.from_json(obj)
+
+    def wait_for_job(
+        self, job_id: str, poll_interval: float = 0.2, timeout: float = 300.0
+    ) -> BulkJob:
+        """The poll loop the reference leaves to callers (SURVEY §3 E3.3),
+        with backoffed polling and a hard timeout."""
+        deadline = time.monotonic() + timeout
+        while True:
+            job = self.get_query_job_status(job_id)
+            if job.state == JobState.FAILED:
+                raise JobFailedError(f"bulk job {job_id} failed: {job.raw.get('errorMessage')}")
+            if job.state.terminal:
+                return job
+            if time.monotonic() > deadline:
+                raise HttpError(f"bulk job {job_id} not terminal after {timeout}s")
+            time.sleep(poll_interval)
+
+    def get_result_chunk(
+        self, job_id: str, locator: str | None = None, max_records: int | None = None
+    ) -> ResultChunk:
+        """Fetch one CSV chunk of a completed job's results.
+
+        ``locator`` is the opaque cursor from the previous chunk's
+        ``Sforce-Locator`` header (None = first chunk). This is the
+        results-download stage missing from the reference entirely.
+        """
+        params: dict[str, str] = {}
+        if locator:
+            params["locator"] = locator
+        if max_records:
+            params["maxRecords"] = str(max_records)
+        url = f"{self._base_path()}/jobs/query/{job_id}/results"
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        _, payload, headers = self._request("GET", url, headers={"Accept": "text/csv"})
+        loc = headers.get("Sforce-Locator")
+        if loc in (None, "", "null"):
+            loc = None
+        nrec = headers.get("Sforce-NumberOfRecords")
+        return ResultChunk(
+            csv_text=payload.decode("utf-8"),
+            locator=loc,
+            number_of_records=int(nrec) if nrec else None,
+        )
+
+    def download_results(
+        self, job_id: str, max_records: int | None = None
+    ) -> Iterator[ResultChunk]:
+        """Walk the full ``Sforce-Locator`` chunk chain of a completed job."""
+        locator: str | None = None
+        while True:
+            chunk = self.get_result_chunk(job_id, locator=locator, max_records=max_records)
+            yield chunk
+            if chunk.locator is None:
+                return
+            locator = chunk.locator

@@ -1,0 +1,199 @@
+"""Spark Python DataSource for the Salesforce-style connector.
+
+The reference's extraction is driver-shaped: one async client, one
+HTTP page (``client.rs:199-205``), no results download. Here the
+scan is a first-class Spark source: the driver plans **partitions**
+(bulk-result chunk ranges, or PK-range WHERE splits), and each
+executor task fetches its own slice over HTTP — extraction
+parallelism scales with the cluster, which is the only way E of ETL
+survives 100 TB.
+
+Two scan modes (option ``mode``):
+
+* ``bulk`` (default) — driver creates a Bulk 2.0 query job
+  (``client.rs:215-226``), polls to ``JobComplete``
+  (``response.rs:47-54``), then plans one partition per
+  ``chunk_size`` records. Executors fetch CSV chunks via the
+  offset-addressed results endpoint. With backends whose locators
+  are opaque (option ``offset_locators=false``), planning degrades
+  to a single partition that walks the ``Sforce-Locator`` chain
+  serially — correct, not parallel.
+* ``rest`` — JDBC-style predicate splits: ``partition_field`` +
+  ``lower``/``upper``/``num_partitions`` become per-partition
+  ``WHERE field >= lo AND field < hi`` SOQL clauses; executors run
+  the paginated ``/query`` scan per split.
+
+Rows are produced in the **wire schema** (every column a string, in
+describe order); callers get typed columns via
+:func:`sf_etl_spark.connector.read_object`, which applies the
+Catalyst cast lane (`schema/ingest.py`) — JVM-side, codegen'd, no
+Python in the hot path after the fetch itself.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+from sf_etl_spark.connector.client import SfClient
+from sf_etl_spark.connector.errors import ClientBuilderError
+
+FORMAT_NAME = "sfetl"
+
+
+def _client_from_options(options: dict[str, str]) -> SfClient:
+    required = ("login_url", "client_id", "client_secret", "username", "password")
+    missing = [k for k in required if not options.get(k)]
+    if missing:
+        raise ClientBuilderError(f"missing connector options: {missing}")
+    client = SfClient(
+        client_id=options["client_id"],
+        client_secret=options["client_secret"],
+        login_url=options["login_url"],
+        api_version=options.get("api_version", "v49.0"),
+    )
+    client.login(options["username"], options["password"])
+    return client
+
+
+@dataclass
+class ChunkPartition(InputPartition):
+    """One bulk-result chunk: ``locator`` is the chunk cursor (offset
+    string in offset-locator mode; None = walk the whole chain)."""
+
+    job_id: str
+    locator: str | None
+    max_records: int | None
+    serial_walk: bool = False
+
+
+@dataclass
+class RangePartition(InputPartition):
+    """One REST predicate split: SOQL with a range WHERE clause."""
+
+    soql: str
+
+
+class SfScanReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        self.wire_schema = schema
+        self.options = options
+        self.field_names = schema.fieldNames()
+
+    # -- planning (driver) -------------------------------------------------
+
+    def partitions(self) -> Sequence[InputPartition]:
+        mode = self.options.get("mode", "bulk")
+        client = _client_from_options(self.options)
+        obj = self.options["object"]
+        if mode == "rest":
+            return self._rest_partitions()
+        job = client.create_query_job(obj, self.field_names, where=self.options.get("where"))
+        job = client.wait_for_job(job.id)
+        chunk = int(self.options.get("chunk_size", "100000"))
+        if self.options.get("offset_locators", "true").lower() != "true":
+            return [ChunkPartition(job.id, None, chunk, serial_walk=True)]
+        total = job.number_records_processed or 0
+        offsets = range(0, total, chunk) if total else [0]
+        return [ChunkPartition(job.id, str(off) if off else None, chunk) for off in offsets]
+
+    def _rest_partitions(self) -> list[RangePartition]:
+        fld = self.options.get("partition_field")
+        base = f"SELECT {', '.join(self.field_names)} FROM {self.options['object']}"
+        extra = self.options.get("where")
+        if not fld:
+            return [RangePartition(base + (f" WHERE {extra}" if extra else ""))]
+        lo = int(self.options["lower"])
+        hi = int(self.options["upper"])
+        n = max(1, int(self.options.get("num_partitions", "8")))
+        step = max(1, (hi - lo + n) // n)
+        parts = []
+        for i in range(n):
+            a, b = lo + i * step, min(hi + 1, lo + (i + 1) * step)
+            if a > hi:
+                break
+            # first/last splits are open-ended so out-of-bounds keys are kept,
+            # matching spark.read.jdbc partitioning semantics
+            preds = []
+            if i > 0:
+                preds.append(f"{fld} >= {a}")
+            if b <= hi:
+                preds.append(f"{fld} < {b}")
+            if extra:
+                preds.append(f"({extra})")
+            parts.append(RangePartition(base + (f" WHERE {' AND '.join(preds)}" if preds else "")))
+        return parts
+
+    # -- execution (one task per partition) --------------------------------
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        client = _client_from_options(self.options)
+        if isinstance(partition, RangePartition):
+            for page in client.query_pages(partition.soql):
+                for rec in page.records:
+                    yield tuple(
+                        None if rec.get(n) is None else str(rec.get(n))
+                        for n in self.field_names
+                    )
+            return
+        assert isinstance(partition, ChunkPartition)
+        if partition.serial_walk:
+            chunks = client.download_results(partition.job_id, max_records=partition.max_records)
+        else:
+            chunks = [
+                client.get_result_chunk(
+                    partition.job_id,
+                    locator=partition.locator,
+                    max_records=partition.max_records,
+                )
+            ]
+        for chunk in chunks:
+            yield from self._parse_csv(chunk.csv_text)
+
+    def _parse_csv(self, text: str) -> Iterator[tuple]:
+        rows = csv.reader(io.StringIO(text))
+        header = next(rows, None)
+        if header is None:
+            return
+        idx = {name: i for i, name in enumerate(header)}
+        order = [idx.get(n) for n in self.field_names]
+        for row in rows:
+            yield tuple(
+                None if i is None or i >= len(row) or row[i] == "" else row[i] for i in order
+            )
+
+
+class SfEtlDataSource(DataSource):
+    """``spark.read.format("sfetl")`` front door.
+
+    Schema comes from live ``describe`` introspection (R3) unless the
+    caller supplies one — mirroring the reference's runtime-schema
+    model (SURVEY §1.1) but lifted into Spark's source API.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        client = _client_from_options(self.options)
+        obj_schema = client.describe(self.options["object"])
+        # Wire schema: all strings, describe order; typed casts are applied
+        # post-scan by read_object() so they run JVM-side.
+        return StructType(
+            [StructField(f.name, StringType(), True) for f in obj_schema.fields]
+        )
+
+    def reader(self, schema: StructType) -> SfScanReader:
+        return SfScanReader(schema, dict(self.options))
+
+
+def register(spark: Any) -> None:
+    """Register the ``sfetl`` format on a session (idempotent)."""
+    spark.dataSource.register(SfEtlDataSource)

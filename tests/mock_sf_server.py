@@ -1,0 +1,285 @@
+"""In-process mock of the Salesforce REST + Bulk 2.0 endpoints.
+
+Plays the role of the reference's ``mockito`` harness
+(`oxidized-force/src/client.rs:412-496`) but as a real HTTP server so
+Spark *executor tasks* can hit it concurrently — the canonical
+response shapes (token / query / describe / job) follow FIXTURES.md §A.
+
+The dataset is a deterministic fake ``Case`` table; query results
+paginate via ``nextRecordsUrl`` and bulk results chunk via
+offset-addressed ``Sforce-Locator`` headers, so both reference gaps
+(no pagination, no results download) are exercised.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+API = "/services/data/v49.0"
+
+CASE_FIELDS = [
+    # (name, type, length, extra)
+    {"name": "Id", "type": "id", "length": 18, "nillable": False, "unique": True},
+    {"name": "AccountId", "type": "reference", "length": 18, "relationshipName": "Account"},
+    {"name": "CaseNumber", "type": "string", "length": 30},
+    {"name": "Priority", "type": "picklist", "length": 20},
+    {"name": "Tags", "type": "multipicklist", "length": 200},
+    {"name": "Amount", "type": "currency", "precision": 10, "scale": 2},
+    {"name": "IsEscalated", "type": "boolean"},
+    {"name": "NumCalls", "type": "int"},
+    {"name": "CreatedDate", "type": "datetime"},
+    {"name": "Payload", "type": "anyType"},
+]
+
+
+def make_cases(n: int) -> list[dict]:
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "Id": f"500{i:015d}",
+                "AccountId": f"001{i % 7:015d}",
+                "CaseNumber": f"CASE-{i:06d}",
+                "Priority": ["Low", "Medium", "High"][i % 3],
+                "Tags": "red;blue" if i % 2 else "green",
+                "Amount": f"{(i * 3.5 + 0.25):.2f}",
+                "IsEscalated": "true" if i % 5 == 0 else "false",
+                "NumCalls": str(i % 11),
+                "CreatedDate": f"2024-01-{(i % 28) + 1:02d}T12:00:00.000Z",
+                "Payload": json.dumps({"k": i}),
+            }
+        )
+    return rows
+
+
+class MockSalesforce:
+    """Server state: auth expectations, dataset, bulk-job registry."""
+
+    def __init__(self, n_rows: int = 95, page_size: int = 20, fail_first_polls: int = 1):
+        self.n_rows = n_rows
+        self.page_size = page_size
+        self.fail_first_polls = fail_first_polls  # polls returning InProgress
+        self.rows = make_cases(n_rows)
+        self.jobs: dict[str, dict] = {}
+        self.cursors: dict[int, tuple[str, int]] = {}
+        self.lock = threading.Lock()
+        self.requests_seen: list[str] = []
+        self.server: ThreadingHTTPServer | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> str:
+        state = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # silence
+                pass
+
+            def _send(self, code, payload, headers=None, content_type="application/json"):
+                body = payload if isinstance(payload, bytes) else payload.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, code, obj, headers=None):
+                self._send(code, json.dumps(obj), headers)
+
+            def _record_and_route(self, method):
+                with state.lock:
+                    state.requests_seen.append(f"{method} {self.path}")
+                try:
+                    state.route(self, method)
+                except Exception as e:  # surface handler bugs as 500s
+                    self._json(500, [{"errorCode": "MOCK_BUG", "message": repr(e)}])
+
+            def do_GET(self):
+                self._record_and_route("GET")
+
+            def do_POST(self):
+                self._record_and_route("POST")
+
+            def do_PATCH(self):
+                self._record_and_route("PATCH")
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+        host, port = self.server.server_address
+        return f"http://{host}:{port}"
+
+    def stop(self):
+        if self.server:
+            self.server.shutdown()
+            self.server.server_close()
+
+    # -- routing -----------------------------------------------------------
+
+    def route(self, h, method: str):
+        parsed = urlparse(h.path)
+        path, qs = parsed.path, parse_qs(parsed.query)
+
+        if method == "POST" and path == "/services/oauth2/token":
+            body = h.rfile.read(int(h.headers.get("Content-Length", 0))).decode()
+            form = parse_qs(body)
+            if form.get("client_secret", [""])[0] != "shhh":
+                return h._json(400, {"error": "invalid_client", "error_description": "bad secret"})
+            return h._json(
+                200,
+                {
+                    "access_token": "MOCK_TOKEN",
+                    "instance_url": f"http://{h.headers['Host']}",
+                    "id": "https://login.salesforce.test/id/00D/005",
+                    "token_type": "Bearer",
+                    "issued_at": "1718000000000",
+                    "signature": "sig==",
+                },
+            )
+
+        # everything below requires the bearer token
+        if h.headers.get("Authorization") != "Bearer MOCK_TOKEN":
+            return h._json(401, [{"errorCode": "INVALID_SESSION_ID", "message": "no session"}])
+
+        if method == "GET" and path == f"{API}/query":
+            soql = qs.get("q", [""])[0]
+            return self.handle_query(h, soql, offset=0)
+
+        m = re.fullmatch(f"{API}/queryNext/(\\d+)", path)
+        if method == "GET" and m:
+            # continuation cursor: opaque id → (soql, offset), so concurrent
+            # paginating scans (one per executor task) never interfere
+            with self.lock:
+                soql, offset = self.cursors[int(m.group(1))]
+            return self.handle_query(h, soql, offset=offset)
+
+        m = re.fullmatch(f"{API}/sobjects/(\\w+)/describe", path)
+        if method == "GET" and m:
+            return h._json(200, {"name": m.group(1), "fields": CASE_FIELDS})
+
+        if method == "POST" and path == f"{API}/jobs/query":
+            body = json.loads(h.rfile.read(int(h.headers.get("Content-Length", 0))))
+            with self.lock:
+                job_id = f"750{len(self.jobs):012d}"
+                self.jobs[job_id] = {"query": body["query"], "polls": 0, "state": "UploadComplete"}
+            return h._json(200, self.job_json(job_id))
+
+        m = re.fullmatch(f"{API}/jobs/query/(\\w+)", path)
+        if m and method == "GET":
+            job_id = m.group(1)
+            with self.lock:
+                job = self.jobs[job_id]
+                if job["state"] in ("UploadComplete", "InProgress"):
+                    job["polls"] += 1
+                    job["state"] = (
+                        "InProgress" if job["polls"] <= self.fail_first_polls else "JobComplete"
+                    )
+            return h._json(200, self.job_json(job_id))
+        if m and method == "PATCH":
+            job_id = m.group(1)
+            with self.lock:
+                job = self.jobs[job_id]
+                if job["state"] in ("UploadComplete", "InProgress"):
+                    job["state"] = "Aborted"
+            return h._json(200, self.job_json(job_id))
+
+        m = re.fullmatch(f"{API}/jobs/query/(\\w+)/results", path)
+        if method == "GET" and m:
+            return self.handle_results(h, m.group(1), qs)
+
+        return h._json(404, [{"errorCode": "NOT_FOUND", "message": h.path}])
+
+    # -- endpoint behaviors ------------------------------------------------
+
+    def select_rows(self, soql: str) -> tuple[list[str], list[dict]]:
+        """Trivial SOQL evaluation: field list + optional integer range
+        WHERE on NumCalls (enough for the partitioned-reader tests)."""
+        m = re.match(r"SELECT (.+) FROM (\w+)(?: WHERE (.+))?$", soql, re.I)
+        fields = [f.strip() for f in m.group(1).split(",")]
+        rows = self.rows
+        where = m.group(3)
+        if where:
+            for cond in re.split(r"\s+AND\s+", where):
+                cm = re.match(r"\(?(\w+) (>=|<|<=|>|=) (\d+)\)?", cond.strip())
+                if not cm:
+                    continue
+                fld, op, val = cm.group(1), cm.group(2), int(cm.group(3))
+                ops = {
+                    ">=": lambda a, b: a >= b,
+                    "<": lambda a, b: a < b,
+                    "<=": lambda a, b: a <= b,
+                    ">": lambda a, b: a > b,
+                    "=": lambda a, b: a == b,
+                }[op]
+                rows = [r for r in rows if ops(int(r[fld]), val)]
+        return fields, rows
+
+    def handle_query(self, h, soql, offset):
+        fields, rows = self.select_rows(soql)
+        page = rows[offset : offset + self.page_size]
+        nxt = offset + self.page_size
+        done = nxt >= len(rows)
+        payload = {
+            "totalSize": len(rows),
+            "done": done,
+            "records": [
+                {
+                    "attributes": {"type": "Case", "url": f"/sobjects/Case/{r['Id']}"},
+                    **{f: r.get(f) for f in fields},
+                }
+                for r in page
+            ],
+        }
+        if not done:
+            with self.lock:
+                cursor_id = len(self.cursors)
+                self.cursors[cursor_id] = (soql, nxt)
+            payload["nextRecordsUrl"] = f"{API}/queryNext/{cursor_id}"
+        return h._json(200, payload)
+
+    def job_json(self, job_id: str) -> dict:
+        job = self.jobs[job_id]
+        done = job["state"] == "JobComplete"
+        _, rows = self.select_rows(job["query"])
+        return {
+            "id": job_id,
+            "operation": "query",
+            "object": "Case",
+            "createdById": "005000000000001",
+            "createdDate": "2024-06-01T00:00:00.000Z",
+            "systemModstamp": "2024-06-01T00:00:00.000Z",
+            "state": job["state"],
+            "concurrencyMode": "Parallel",
+            "contentType": "CSV",
+            "apiVersion": 49.0,
+            "lineEnding": "LF",
+            "columnDelimiter": "COMMA",
+            "numberRecordsProcessed": len(rows) if done else None,
+        }
+
+    def handle_results(self, h, job_id, qs):
+        job = self.jobs.get(job_id)
+        if job is None or job["state"] != "JobComplete":
+            return h._json(400, [{"errorCode": "JOB_NOT_COMPLETE", "message": job_id}])
+        fields, rows = self.select_rows(job["query"])
+        offset = int(qs.get("locator", ["0"])[0] or 0)
+        limit = int(qs.get("maxRecords", [str(self.page_size)])[0])
+        page = rows[offset : offset + limit]
+        buf = io.StringIO()
+        w = csv.writer(buf, lineterminator="\n")
+        w.writerow(fields)
+        for r in page:
+            w.writerow([r.get(f, "") for f in fields])
+        nxt = offset + limit
+        headers = {
+            "Sforce-NumberOfRecords": str(len(page)),
+            "Sforce-Locator": str(nxt) if nxt < len(rows) else "null",
+        }
+        return h._send(200, buf.getvalue(), headers, content_type="text/csv")

@@ -1,0 +1,200 @@
+"""Connector tests against the in-process mock Salesforce server.
+
+Covers every operator the reference implements (R1-R9, SURVEY §2.1)
+plus the two gaps the new engine fixes: query pagination (R2) and
+bulk results download (R6), and the partitioned Spark scan built on
+top of them.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+
+from sf_etl_spark.connector import (
+    JobState,
+    ResponseError,
+    SfClient,
+    TokenError,
+    generate_table_ddl,
+    read_object,
+)
+from sf_etl_spark.connector.errors import ClientBuilderError
+from tests.mock_sf_server import MockSalesforce
+
+
+@pytest.fixture(scope="module")
+def mock_sf():
+    server = MockSalesforce(n_rows=95, page_size=20)
+    url = server.start()
+    yield server, url
+    server.stop()
+
+
+@pytest.fixture()
+def client(mock_sf):
+    _, url = mock_sf
+    c = SfClient(client_id="app", client_secret="shhh", login_url=url, backoff_base=0.01)
+    c.login("user@test", "pw")
+    return c
+
+
+def sf_options(url: str) -> dict[str, str]:
+    return {
+        "login_url": url,
+        "client_id": "app",
+        "client_secret": "shhh",
+        "username": "user@test",
+        "password": "pw",
+    }
+
+
+# -- R1 auth ---------------------------------------------------------------
+
+
+def test_login_stores_token(client):
+    assert client.access_token == "MOCK_TOKEN"
+    assert client.instance_url.startswith("http://127.0.0.1")
+
+
+def test_login_bad_credentials(mock_sf):
+    _, url = mock_sf
+    c = SfClient(client_id="app", client_secret="wrong", login_url=url, backoff_base=0.01)
+    with pytest.raises(TokenError):
+        c.login("user@test", "pw")
+
+
+def test_builder_validation():
+    with pytest.raises(ClientBuilderError):
+        SfClient(client_id="", client_secret="x", login_url="http://x")
+
+
+def test_unauthenticated_call(mock_sf):
+    _, url = mock_sf
+    c = SfClient(client_id="app", client_secret="shhh", login_url=url)
+    from sf_etl_spark.connector import NotAuthenticatedError
+
+    with pytest.raises(NotAuthenticatedError):
+        c.query("SELECT Id FROM Case")
+
+
+# -- R2 query with pagination (reference gap #1) ---------------------------
+
+
+def test_query_single_page(client):
+    recs = client.query("SELECT Id, Priority FROM Case WHERE NumCalls < 1")
+    # NumCalls = i % 11 == 0 → i in {0, 11, 22, ...} → 9 of 95 rows
+    assert len(recs) == 9
+    assert set(recs[0]) == {"Id", "Priority"}  # attributes stripped
+
+
+def test_query_paginates_to_exhaustion(client, mock_sf):
+    server, _ = mock_sf
+    recs = client.query("SELECT Id FROM Case")
+    assert len(recs) == server.n_rows  # 95 rows @ page_size 20 → 5 pages
+    assert len({r["Id"] for r in recs}) == server.n_rows
+
+
+def test_query_error_payload(client):
+    with pytest.raises(ResponseError) as ei:
+        client._get_json(f"{client._base_path()}/nope")
+    assert ei.value.status == 404
+
+
+# -- R3 describe + R8 type mapping + R9 DDL --------------------------------
+
+
+def test_describe_schema(client):
+    schema = client.describe("Case")
+    assert schema.name == "Case"
+    assert schema.field_names()[:2] == ["Id", "AccountId"]
+    st = schema.to_struct_type()
+    by_name = {f.name: f for f in st.fields}
+    assert by_name["NumCalls"].dataType.typeName() == "integer"
+    assert by_name["Tags"].dataType.typeName() == "array"
+    assert by_name["Amount"].dataType.typeName().startswith("decimal")
+
+
+def test_generate_table_ddl(client, tmp_path):
+    out = tmp_path / "case.sql"
+    ddl = generate_table_ddl(client, "Case", dialect="postgres", output_path=str(out))
+    assert ddl.startswith('CREATE TABLE "Case"')
+    assert '"Id" VARCHAR(18) PRIMARY KEY' in ddl.replace("  ", " ")
+    assert out.read_text().strip() == ddl
+
+
+# -- R4-R7 bulk lifecycle + results download (reference gap #2) ------------
+
+
+def test_bulk_job_lifecycle(client, mock_sf):
+    server, _ = mock_sf
+    job = client.create_query_job("Case", ["Id", "CaseNumber", "Amount"])
+    assert job.state in (JobState.UPLOAD_COMPLETE, JobState.IN_PROGRESS)
+    done = client.wait_for_job(job.id, poll_interval=0.01)
+    assert done.state == JobState.JOB_COMPLETE
+    assert done.number_records_processed == server.n_rows
+
+    chunks = list(client.download_results(job.id, max_records=40))
+    assert len(chunks) == 3  # 95 rows @ 40/chunk
+    rows = [ln for c in chunks for ln in c.csv_text.strip().splitlines()[1:]]
+    assert len(rows) == server.n_rows
+
+
+def test_bulk_abort(client):
+    job = client.create_query_job("Case", ["Id"])
+    aborted = client.abort_query_job(job.id)
+    assert aborted.state == JobState.ABORTED
+
+
+# -- Spark DataSource scan -------------------------------------------------
+
+
+def test_spark_bulk_scan_partitioned(spark, mock_sf):
+    server, url = mock_sf
+    df = read_object(
+        spark,
+        {**sf_options(url), "chunk_size": "25"},
+        "Case",
+    )
+    assert df.count() == server.n_rows
+    # 95 rows @ chunk 25 → 4 partitions planned by the driver
+    raw = read_object(spark, {**sf_options(url), "chunk_size": "25"}, "Case", coerce=False)
+    assert raw.rdd.getNumPartitions() == 4
+
+    row = df.filter(df.Id == "500000000000000003").first()
+    assert row.NumCalls == 3
+    assert row.Tags == ["red", "blue"]
+    assert row.IsEscalated is False
+    assert row.Amount == decimal.Decimal("10.75")
+    assert row.CreatedDate is not None
+
+
+def test_spark_bulk_scan_serial_locator_walk(spark, mock_sf):
+    server, url = mock_sf
+    df = read_object(
+        spark,
+        {**sf_options(url), "chunk_size": "30", "offset_locators": "false"},
+        "Case",
+        coerce=False,
+    )
+    assert df.rdd.getNumPartitions() == 1  # opaque locators → serial chain
+    assert df.count() == server.n_rows
+
+
+def test_spark_rest_scan_range_partitioned(spark, mock_sf):
+    server, url = mock_sf
+    opts = {
+        **sf_options(url),
+        "mode": "rest",
+        "partition_field": "NumCalls",
+        "lower": "0",
+        "upper": "10",
+        "num_partitions": "4",
+    }
+    df = read_object(spark, opts, "Case", coerce=False)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == server.n_rows  # splits partition, not filter
+    # predicate pushdown into per-partition SOQL
+    df2 = read_object(spark, {**opts, "where": "NumCalls >= 5"}, "Case", coerce=False)
+    assert df2.count() == sum(1 for r in server.rows if int(r["NumCalls"]) >= 5)
