@@ -53,6 +53,11 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import all query modules and return the full registry."""
     # Imports are deferred so a syntax error in one module surfaces
     # at call time (driver-visible) instead of breaking package import.
-    from sf_etl_spark.queries import llm, relational, streaming_batch  # noqa: F401
+    from sf_etl_spark.queries import (  # noqa: F401
+        llm,
+        relational,
+        streaming_batch,
+        streaming_live,
+    )
 
     return dict(_REGISTRY)

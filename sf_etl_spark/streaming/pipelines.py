@@ -1,0 +1,276 @@
+"""Streaming pipelines over the ``events`` table.
+
+Design rules for 100 TB streams:
+
+* **Watermarks bound state.** Every stateful op (windowed agg, dedup,
+  custom state) declares ``withWatermark`` so the state store evicts;
+  unbounded state is the streaming equivalent of a driver collect.
+* **Same plan as batch.** ``F.window`` / ``F.session_window`` plans
+  are shared with the oracle-verified batch queries
+  (`queries/streaming_batch.py`); streaming correctness then reduces
+  to replay semantics, which the tests drive via ``availableNow``.
+* **File-source staging.** Tests replay the parquet ``events`` fixture
+  as a chunked file stream (``maxFilesPerTrigger=1`` → one micro-batch
+  per chunk). In production the same pipelines sit behind any
+  streaming source (Kafka, rate, files); nothing below depends on the
+  source beyond the schema.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from sf_etl_spark.sources import load_table
+
+# Watermarks require TIMESTAMP (LTZ), not TIMESTAMP_NTZ
+# ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); with the engine's session tz
+# pinned to UTC the NTZ→LTZ cast at staging time is value-preserving,
+# so streaming windows collect to the same naive datetimes as batch.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+# ---------------------------------------------------------------------------
+# Source staging
+# ---------------------------------------------------------------------------
+
+
+def stage_events_as_stream_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4, duplicate: bool = False
+) -> str:
+    """Write the batch ``events`` table as ``n_chunks`` parquet files in
+    time order, so a file stream replays it as ordered micro-batches.
+
+    ``duplicate=True`` appends a copy of every chunk (distinct file,
+    same rows) — the late-duplicate fixture for
+    ``dropDuplicatesWithinWatermark``.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .orderBy("ts")
+    )
+    n = e.count()
+    chunk_rows = math.ceil(n / n_chunks)
+    # Deterministic chunking by time rank (single window pass).
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    ranked = e.withColumn("_chunk", ((F.row_number().over(w) - 1) / chunk_rows).cast("int"))
+    for i in range(n_chunks):
+        part = ranked.filter(F.col("_chunk") == i).drop("_chunk")
+        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, f"_stage_{i}"))
+        # single ordered file per chunk → stable replay order
+        src = [
+            f
+            for f in os.listdir(os.path.join(out_dir, f"_stage_{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        os.replace(
+            os.path.join(out_dir, f"_stage_{i}", src),
+            os.path.join(out_dir, f"chunk_{i:04d}.parquet"),
+        )
+        if duplicate:
+            import shutil
+
+            shutil.copyfile(
+                os.path.join(out_dir, f"chunk_{i:04d}.parquet"),
+                os.path.join(out_dir, f"chunk_{i:04d}_dup.parquet"),
+            )
+    return out_dir
+
+
+def events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Unbounded ``events`` DataFrame over a staged file source."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful pipelines (each takes the unbounded df, returns the plan)
+# ---------------------------------------------------------------------------
+
+
+def stream_tumbling_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1h tumbling window counts/sums — the streaming twin of the
+    oracle-checked ``window_tumbling`` batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def stream_sliding_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1h window / 30m slide (streaming twin of ``window_sliding``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def stream_session_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (5m gap) — ``F.session_window`` is
+    inherently stateful; merging sessions across micro-batches is
+    exactly what the state store does (streaming twin of
+    ``window_session``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once by key under replay/at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` keeps key state only inside the
+    watermark horizon — bounded state at any scale, which plain
+    ``dropDuplicates`` on a stream does not give."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# -- custom stateful operator (applyInPandasWithState) ----------------------
+
+_USER_STATS_OUTPUT = "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+_USER_STATS_STATE = "n bigint, total double, last_us bigint"
+
+
+def _user_stats_fn(key, pdf_iter, state: GroupState):
+    """Running per-user (count, sum, last-seen) — state is three scalars
+    per key, the smallest possible footprint; emits one updated row per
+    key per micro-batch."""
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        }
+    )
+
+
+def stream_stateful_user_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful op via ``applyInPandasWithState`` (Arrow-batched;
+    the reference has no extension point like this at all)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_USER_STATS_OUTPUT,
+            stateStructType=_USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Execution helpers
+# ---------------------------------------------------------------------------
+
+
+def run_to_memory_table(
+    plan: DataFrame, output_mode: str, checkpoint_dir: str | None = None
+) -> tuple[str, object]:
+    """Run a streaming plan to completion (``availableNow``) into a
+    memory sink; returns (table_name, query). Memory sink is test/demo
+    only — production sinks are files/Kafka/foreachBatch."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name, q
+
+
+def foreach_batch_upsert_parquet(plan: DataFrame, key_cols: list[str], target_dir: str):
+    """``foreachBatch`` upsert sink: each micro-batch is merged into a
+    parquet target by key (delete-matching + append, the classic
+    no-ACID-table merge). Returns the started query.
+
+    At scale the same function body targets Delta/Iceberg ``MERGE``;
+    the batch-DataFrame shape of ``foreachBatch`` is what makes any
+    batch sink reusable from streaming.
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates(key_cols)
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            cur = spark.read.parquet(target_dir)
+            keep = cur.join(new.select(*key_cols), on=key_cols, how="left_anti")
+            merged = keep.unionByName(new)
+        else:
+            merged = new
+        # write-then-swap: parquet has no transactional overwrite-in-place
+        tmp = target_dir + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = batch_df.sparkSession.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(target_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    return (
+        plan.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,122 @@
+"""Structured Streaming tests: replay the events fixture as ordered
+micro-batches (availableNow) and check streaming results against the
+equivalent batch plans (which are themselves oracle-verified in
+test_queries_oracle.py) — the standard batch-parity harness for
+streaming engines.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_etl_spark.queries.streaming_batch import window_session, window_tumbling
+from sf_etl_spark.sources import load_table
+from sf_etl_spark.streaming import (
+    events_stream,
+    foreach_batch_upsert_parquet,
+    run_to_memory_table,
+    stage_events_as_stream_source,
+    stream_dedup_within_watermark,
+    stream_session_agg,
+    stream_stateful_user_counts,
+    stream_tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    return stage_events_as_stream_source(spark, sf_dir, str(d), n_chunks=4)
+
+
+@pytest.fixture(scope="module")
+def staged_dup(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream_dup")
+    return stage_events_as_stream_source(spark, sf_dir, str(d), n_chunks=4, duplicate=True)
+
+
+def rows_set(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, staged):
+    plan = stream_tumbling_agg(events_stream(spark, staged))
+    name, q = run_to_memory_table(plan, output_mode="complete")
+    got = spark.table(name)
+    want = window_tumbling(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+    assert q.lastProgress["sources"][0]["description"].startswith("FileStreamSource")
+
+
+def test_session_stream_matches_batch(spark, sf_dir, staged):
+    plan = stream_session_agg(events_stream(spark, staged))
+    name, _ = run_to_memory_table(plan, output_mode="complete")
+    got = spark.table(name)
+    want = window_session(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_append_mode_emits_closed_windows_only(spark, staged):
+    """Append mode + watermark: only windows older than the final
+    watermark are emitted — late-data discipline, not a bug."""
+    plan = stream_tumbling_agg(events_stream(spark, staged), watermark="10 minutes")
+    name, _ = run_to_memory_table(plan, output_mode="append")
+    got = spark.table(name)
+    # every emitted row is final (matches the complete-mode result)
+    complete_name, _ = run_to_memory_table(
+        stream_tumbling_agg(events_stream(spark, staged)), output_mode="complete"
+    )
+    complete = spark.table(complete_name)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert rows_set(got, cols) <= rows_set(complete, cols)
+    assert got.count() > 0
+
+
+def test_dedup_within_watermark(spark, sf_dir, staged_dup):
+    """Every chunk is delivered twice; watermarked dedup restores
+    exactly-once by event_id."""
+    plan = stream_dedup_within_watermark(events_stream(spark, staged_dup))
+    name, _ = run_to_memory_table(plan, output_mode="append")
+    got = spark.table(name)
+    n_unique = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stateful_user_counts(spark, sf_dir, staged):
+    """applyInPandasWithState: the final update per user equals the
+    batch per-user aggregate (counts are monotone, so max(n) is the
+    final state)."""
+    plan = stream_stateful_user_counts(events_stream(spark, staged))
+    name, _ = run_to_memory_table(plan, output_mode="update")
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert rows_set(final, ["user_id", "n_events"]) == rows_set(want, ["user_id", "n_events"])
+
+
+def test_foreach_batch_upsert(spark, sf_dir, staged, tmp_path):
+    """foreachBatch merge sink: after replaying all micro-batches the
+    parquet target holds exactly one row per key, the latest version."""
+    target = str(tmp_path / "user_stats")
+    plan = stream_stateful_user_counts(events_stream(spark, staged))
+    q = foreach_batch_upsert_parquet(plan, key_cols=["user_id"], target_dir=target)
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.count() == want.count()  # one row per user
+    assert rows_set(got, ["user_id", "n_events"]) == rows_set(want, ["user_id", "n_events"])
