@@ -1,0 +1,428 @@
+"""SOQL-subset → DataFrame compiler.
+
+The reference never evaluates SOQL — the string is built
+(``client.rs:217``) or passed through (``client.rs:199-205``) and
+Salesforce runs it server-side. A self-contained engine needs to run
+those queries itself; per SURVEY §4, the right Spark shape is a
+**pre-Catalyst string compiler**: parse SOQL, emit declarative
+DataFrame ops, and let Catalyst do all optimization (pushdown,
+pruning, join selection). No custom planner, no Catalyst rules.
+
+Supported subset (the SOQL SELECT grammar minus relationship
+traversal and subqueries):
+
+* ``SELECT`` field list, aggregates (``COUNT()``, ``COUNT(f)``,
+  ``COUNT_DISTINCT(f)``, ``SUM/AVG/MIN/MAX``) with optional aliases
+* ``WHERE`` — ``AND/OR/NOT``, comparisons, ``IN / NOT IN``,
+  ``LIKE``, ``INCLUDES/EXCLUDES`` (multipicklist membership on
+  ``;``-joined wire strings or ingested array columns),
+  ``= null`` / ``!= null``
+* SOQL date literals: ``TODAY``, ``YESTERDAY``, ``THIS_YEAR``,
+  ``LAST_N_DAYS:n``, ``NEXT_N_DAYS:n``
+* ``GROUP BY`` / ``HAVING`` (aggregate predicates) / ``ORDER BY ...
+  [ASC|DESC] [NULLS FIRST|LAST]`` / ``LIMIT`` / ``OFFSET``
+
+SOQL's documented default null ordering (NULLS FIRST) is applied
+explicitly so results are engine-stable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+
+class SoqlError(ValueError):
+    """Parse or compile failure, with position context."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>'(?:[^'\\]|\\.)*')
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<datelit>(?:LAST_N_DAYS|NEXT_N_DAYS):\d+)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<punct><=|>=|!=|<>|=|<|>|\(|\)|,)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "offset", "and", "or", "not", "in", "like", "asc", "desc", "nulls",
+    "first", "last", "null", "true", "false", "includes", "excludes",
+}
+
+_AGG_FNS = {"count", "count_distinct", "sum", "avg", "min", "max"}
+
+
+@dataclass
+class Tok:
+    kind: str  # 'string' | 'number' | 'datelit' | 'ident' | 'punct' | 'kw'
+    text: str
+    pos: int
+
+
+def _tokenize(soql: str) -> list[Tok]:
+    toks, i = [], 0
+    while i < len(soql):
+        m = _TOKEN_RE.match(soql, i)
+        if not m:
+            raise SoqlError(f"unexpected character {soql[i]!r} at position {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text.lower() in _KEYWORDS:
+            toks.append(Tok("kw", text.lower(), m.start()))
+        else:
+            toks.append(Tok(kind, text, m.start()))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Parser — emits Catalyst Columns directly; Catalyst's expression tree
+# IS the AST, which is the point of a pre-Catalyst front door.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _SelectItem:
+    col: Column
+    name: str
+    is_agg: bool
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok], df: DataFrame | None):
+        self.toks = toks
+        self.i = 0
+        self.df = df
+        # aggregates referenced by HAVING, hoisted into the agg step as
+        # hidden columns (Spark can't filter on an aggregate post-agg)
+        self.having_aggs: list[Column] = []
+        self.in_having = False
+
+    # -- token helpers -----------------------------------------------------
+
+    def peek(self, offset: int = 0) -> Tok | None:
+        j = self.i + offset
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        if self.i >= len(self.toks):
+            raise SoqlError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t and t.kind == kind and (text is None or t.text == text):
+            self.i += 1
+            return t
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            got = self.peek()
+            raise SoqlError(
+                f"expected {text or kind}, got {got.text if got else 'end of query'}"
+            )
+        return t
+
+    # -- select list -------------------------------------------------------
+
+    def parse_select_list(self) -> list[_SelectItem]:
+        items = [self.parse_select_item()]
+        while self.accept("punct", ","):
+            items.append(self.parse_select_item())
+        return items
+
+    def parse_select_item(self) -> _SelectItem:
+        if self._at_aggregate():
+            col, default_name = self.parse_aggregate()
+            is_agg = True
+        else:
+            t = self.expect("ident")
+            col, default_name, is_agg = F.col(t.text), t.text, False
+        alias = self.accept("ident")
+        name = alias.text if alias else default_name
+        return _SelectItem(col.alias(name), name, is_agg)
+
+    def _at_aggregate(self) -> bool:
+        t, nxt = self.peek(), self.peek(1)
+        return bool(
+            t
+            and t.kind == "ident"
+            and t.text.lower() in _AGG_FNS
+            and nxt
+            and nxt.kind == "punct"
+            and nxt.text == "("
+        )
+
+    def parse_aggregate(self) -> tuple[Column, str]:
+        fn = self.next().text.lower()
+        self.expect("punct", "(")
+        if fn == "count" and self.accept("punct", ")"):
+            return F.count(F.lit(1)), "expr0"  # SOQL COUNT(): row count
+        field = self.expect("ident").text
+        self.expect("punct", ")")
+        default = f"{fn}_{field.replace('.', '_')}".lower()
+        if fn == "count":
+            return F.count(field), default  # COUNT(field): non-null count
+        if fn == "count_distinct":
+            return F.count_distinct(field), default
+        return getattr(F, fn)(field), default
+
+    # -- boolean expressions ----------------------------------------------
+
+    def parse_bool_expr(self) -> Column:
+        left = self.parse_bool_term()
+        while self.accept("kw", "or"):
+            left = left | self.parse_bool_term()
+        return left
+
+    def parse_bool_term(self) -> Column:
+        left = self.parse_bool_factor()
+        while self.accept("kw", "and"):
+            left = left & self.parse_bool_factor()
+        return left
+
+    def parse_bool_factor(self) -> Column:
+        if self.accept("kw", "not"):
+            return ~self.parse_bool_factor()
+        if self.accept("punct", "("):
+            inner = self.parse_bool_expr()
+            self.expect("punct", ")")
+            return inner
+        return self.parse_predicate()
+
+    def _predicate_lhs(self) -> Column:
+        if self._at_aggregate():
+            if not self.in_having:
+                raise SoqlError("aggregates are only allowed in HAVING")
+            col, default = self.parse_aggregate()
+            hidden = f"_having_{len(self.having_aggs)}_{default}"
+            self.having_aggs.append(col.alias(hidden))
+            return F.col(hidden)
+        return F.col(self.expect("ident").text)
+
+    def parse_predicate(self) -> Column:
+        lhs = self._predicate_lhs()
+        if self.accept("kw", "like"):
+            return lhs.like(self._literal_text(self.expect("string")))
+        inc = self.accept("kw", "includes")
+        exc = None if inc else self.accept("kw", "excludes")
+        if inc or exc:
+            self.expect("punct", "(")
+            values = [self._literal_text(self.expect("string"))]
+            while self.accept("punct", ","):
+                values.append(self._literal_text(self.expect("string")))
+            self.expect("punct", ")")
+            cond = self._includes(lhs, values)
+            return ~cond if exc else cond
+        negate = bool(self.accept("kw", "not"))
+        if self.accept("kw", "in"):
+            self.expect("punct", "(")
+            vals = [self.parse_literal()]
+            while self.accept("punct", ","):
+                vals.append(self.parse_literal())
+            self.expect("punct", ")")
+            cond = lhs.isin(vals)
+            return ~cond if negate else cond
+        if negate:
+            raise SoqlError("NOT must be followed by IN here")
+        op = self.expect("punct").text
+        rhs = self.parse_rhs()
+        if rhs is None:  # null literal
+            if op == "=":
+                return lhs.isNull()
+            if op in ("!=", "<>"):
+                return lhs.isNotNull()
+            raise SoqlError(f"operator {op} not valid with null")
+        ops = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<>": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        if op not in ops:
+            raise SoqlError(f"unknown operator {op!r}")
+        return ops[op](lhs, rhs)
+
+    def _includes(self, lhs: Column, values: list[str]) -> Column:
+        """Multipicklist membership, on ``array<string>`` (post-ingest)
+        or raw ``;``-joined wire strings (SURVEY §1.2 MultiPicklist)."""
+        # column name via its alias-free string form, e.g. "Tags"
+        name = str(lhs).replace("Column<'", "").replace("'>", "")
+        is_array = self.df is not None and any(
+            f.name == name and isinstance(f.dataType, ArrayType)
+            for f in self.df.schema.fields
+        )
+        arr = lhs if is_array else F.split(lhs, ";")
+        out = F.array_contains(arr, values[0])
+        for v in values[1:]:
+            out = out | F.array_contains(arr, v)
+        return out
+
+    # -- literals ----------------------------------------------------------
+
+    def parse_rhs(self):
+        t = self.peek()
+        if t and t.kind == "datelit":
+            self.next()
+            kind, n = t.text.split(":")
+            days = int(n)
+            if kind == "LAST_N_DAYS":
+                return F.date_sub(F.current_date(), days)
+            return F.date_add(F.current_date(), days)
+        if t and t.kind == "ident" and t.text.upper() in ("TODAY", "YESTERDAY", "THIS_YEAR"):
+            self.next()
+            up = t.text.upper()
+            if up == "TODAY":
+                return F.current_date()
+            if up == "YESTERDAY":
+                return F.date_sub(F.current_date(), 1)
+            return F.trunc(F.current_date(), "year")
+        return self.parse_literal()
+
+    def parse_literal(self):
+        t = self.next()
+        if t.kind == "string":
+            return self._literal_text(t)
+        if t.kind == "number":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.kind == "kw" and t.text in ("true", "false"):
+            return t.text == "true"
+        if t.kind == "kw" and t.text == "null":
+            return None
+        raise SoqlError(f"expected literal at position {t.pos}, got {t.text!r}")
+
+    @staticmethod
+    def _literal_text(t: Tok) -> str:
+        return t.text[1:-1].replace("\\'", "'").replace("\\\\", "\\")
+
+    # -- order by ----------------------------------------------------------
+
+    def parse_order_item(self) -> Column:
+        col = F.col(self.expect("ident").text)
+        desc = bool(self.accept("kw", "desc"))
+        if not desc:
+            self.accept("kw", "asc")
+        nulls = None
+        if self.accept("kw", "nulls"):
+            nulls = "first" if self.accept("kw", "first") else "last"
+            if nulls == "last":
+                self.expect("kw", "last")
+        if desc:
+            return col.desc_nulls_first() if nulls == "first" else col.desc_nulls_last() if nulls == "last" else col.desc_nulls_first()
+        return col.asc_nulls_last() if nulls == "last" else col.asc_nulls_first()
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+
+def soql_to_df(soql: str, resolve) -> DataFrame:
+    """Compile a SOQL string against ``resolve(object_name) -> DataFrame``.
+
+    The output is an ordinary DataFrame: Catalyst sees the whole
+    declarative plan, so filter pushdown and column pruning into the
+    underlying source come for free.
+    """
+    toks = _tokenize(soql)
+    if not toks or not (toks[0].kind == "kw" and toks[0].text == "select"):
+        raise SoqlError("query must start with SELECT")
+
+    # locate depth-0 FROM to bind the source before parsing SELECT items
+    depth, from_idx = 0, None
+    for j, t in enumerate(toks):
+        if t.kind == "punct" and t.text == "(":
+            depth += 1
+        elif t.kind == "punct" and t.text == ")":
+            depth -= 1
+        elif t.kind == "kw" and t.text == "from" and depth == 0:
+            from_idx = j
+            break
+    if from_idx is None or from_idx + 1 >= len(toks) or toks[from_idx + 1].kind != "ident":
+        raise SoqlError("missing or malformed FROM clause")
+    df = resolve(toks[from_idx + 1].text)
+
+    p = _Parser(toks, df)
+    p.expect("kw", "select")
+    select_items = p.parse_select_list()
+    if p.i != from_idx:
+        raise SoqlError(f"unparsed tokens in select list near {toks[p.i].text!r}")
+    p.i = from_idx + 2
+
+    where_col = p.parse_bool_expr() if p.accept("kw", "where") else None
+
+    group_cols: list[str] = []
+    if p.accept("kw", "group"):
+        p.expect("kw", "by")
+        group_cols.append(p.expect("ident").text)
+        while p.accept("punct", ","):
+            group_cols.append(p.expect("ident").text)
+
+    having_col = None
+    if p.accept("kw", "having"):
+        p.in_having = True
+        having_col = p.parse_bool_expr()
+        p.in_having = False
+
+    order_cols: list[Column] = []
+    if p.accept("kw", "order"):
+        p.expect("kw", "by")
+        order_cols.append(p.parse_order_item())
+        while p.accept("punct", ","):
+            order_cols.append(p.parse_order_item())
+
+    limit_n = offset_n = None
+    if p.accept("kw", "limit"):
+        limit_n = int(p.expect("number").text)
+    if p.accept("kw", "offset"):
+        offset_n = int(p.expect("number").text)
+    if p.peek() is not None:
+        raise SoqlError(f"unparsed trailing tokens near {p.peek().text!r}")
+
+    # -- assemble ----------------------------------------------------------
+    has_agg = any(it.is_agg for it in select_items) or bool(p.having_aggs)
+    out = df
+    if where_col is not None:
+        out = out.filter(where_col)
+    if group_cols or has_agg:
+        aggs = [it.col for it in select_items if it.is_agg] + p.having_aggs
+        if group_cols and aggs:
+            out = out.groupBy(*group_cols).agg(*aggs)
+        elif group_cols:
+            out = out.select(*group_cols).distinct()  # GROUP BY, no aggregates
+        else:
+            out = out.agg(*aggs)
+        if having_col is not None:
+            out = out.filter(having_col)
+        out = out.select(*[it.name for it in select_items])  # drop hidden aggs
+    else:
+        out = out.select(*[it.col for it in select_items])
+    if order_cols:
+        out = out.orderBy(*order_cols)
+    if offset_n:
+        out = out.offset(offset_n)
+    if limit_n is not None:
+        out = out.limit(limit_n)
+    return out

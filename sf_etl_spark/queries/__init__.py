@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from sf_etl_spark.queries import (  # noqa: F401
         llm,
         relational,
+        soql_front,
         streaming_batch,
         streaming_live,
     )

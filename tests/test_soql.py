@@ -1,0 +1,140 @@
+"""SOQL front-door tests: every compiled query is checked against the
+equivalent spark.sql / expected rows on the synthetic tables plus a
+Case-shaped fixture (multipicklist, date literals)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_etl_spark.plans import SoqlError, soql_to_df
+from sf_etl_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def resolve(spark, sf_dir):
+    def _resolve(name: str):
+        if name == "Case":
+            return spark.createDataFrame(
+                [
+                    ("1", "High", "red;blue", 10.0, None),
+                    ("2", "Low", "green", 5.0, "2020-01-01"),
+                    ("3", "High", "blue", None, "2020-06-01"),
+                    ("4", None, "red", 7.5, "2021-01-01"),
+                ],
+                "Id string, Priority string, Tags string, Amount double, Closed string",
+            ).withColumn("Closed", F.col("Closed").cast("date"))
+        return load_table(spark, sf_dir, name)
+
+    return _resolve
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_projection_and_filter(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 100000 ORDER BY o_orderkey",
+        resolve,
+    )
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+    assert rows(got) == rows(want)
+    assert got.count() > 0
+
+
+def test_in_like_null_predicates(resolve):
+    got = soql_to_df("SELECT Id FROM Case WHERE Priority IN ('High', 'Low') ORDER BY Id", resolve)
+    assert [r.Id for r in got.collect()] == ["1", "2", "3"]
+    got = soql_to_df("SELECT Id FROM Case WHERE Priority = null", resolve)
+    assert [r.Id for r in got.collect()] == ["4"]
+    got = soql_to_df("SELECT Id FROM Case WHERE Id LIKE '%3'", resolve)
+    assert [r.Id for r in got.collect()] == ["3"]
+    got = soql_to_df("SELECT Id FROM Case WHERE Priority NOT IN ('Low') ORDER BY Id", resolve)
+    assert [r.Id for r in got.collect()] == ["1", "3"]  # SQL semantics: null excluded
+
+
+def test_includes_excludes_multipicklist(resolve):
+    got = soql_to_df("SELECT Id FROM Case WHERE Tags INCLUDES ('red') ORDER BY Id", resolve)
+    assert [r.Id for r in got.collect()] == ["1", "4"]
+    got = soql_to_df(
+        "SELECT Id FROM Case WHERE Tags EXCLUDES ('red', 'green') ORDER BY Id", resolve
+    )
+    assert [r.Id for r in got.collect()] == ["3"]
+
+
+def test_date_literals(resolve):
+    got = soql_to_df("SELECT Id FROM Case WHERE Closed < TODAY ORDER BY Id", resolve)
+    assert [r.Id for r in got.collect()] == ["2", "3", "4"]
+    got = soql_to_df("SELECT Id FROM Case WHERE Closed >= LAST_N_DAYS:36500", resolve)
+    assert len(got.collect()) == 3
+
+
+def test_aggregates_group_having(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT o_orderstatus, COUNT() n, SUM(o_totalprice) total FROM orders "
+        "GROUP BY o_orderstatus HAVING COUNT(o_orderkey) > 10 ORDER BY o_orderstatus",
+        resolve,
+    )
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .filter(F.col("n") > 10)
+        .orderBy("o_orderstatus")
+    )
+    assert rows(got) == rows(want)
+    assert got.columns == ["o_orderstatus", "n", "total"]
+
+
+def test_global_aggregate(spark, resolve, sf_dir):
+    got = soql_to_df("SELECT COUNT() FROM lineitem", resolve)
+    assert got.collect()[0][0] == load_table(spark, sf_dir, "lineitem").count()
+    got = soql_to_df("SELECT COUNT_DISTINCT(o_custkey) nc FROM orders", resolve)
+    want = load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert got.collect()[0].nc == want
+
+
+def test_order_limit_offset(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5 OFFSET 2", resolve
+    )
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc_nulls_last())
+        .select("o_orderkey")
+        .offset(2)
+        .limit(5)
+    )
+    assert rows(got) == rows(want)
+    assert got.count() == 5
+
+
+def test_parse_errors(resolve):
+    for bad in [
+        "UPDATE Case SET x = 1",
+        "SELECT FROM Case",
+        "SELECT Id Case",
+        "SELECT Id FROM Case WHERE",
+        "SELECT Id FROM Case WHERE Priority ~ 'x'",
+        "SELECT SUM(Amount) FROM Case WHERE SUM(Amount) > 1",
+        "SELECT Id FROM Case LIMIT 5 garbage",
+    ]:
+        with pytest.raises(SoqlError):
+            soql_to_df(bad, resolve)
+
+
+def test_pushdown_reaches_parquet_scan(spark, resolve, sf_dir):
+    """The compiled plan is declarative → Catalyst pushes the SOQL WHERE
+    into the parquet scan (the 100 TB requirement)."""
+    df = soql_to_df(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 100000", resolve
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
