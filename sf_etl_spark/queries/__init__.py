@@ -55,7 +55,9 @@ def all_queries() -> dict[str, QuerySpec]:
     # at call time (driver-visible) instead of breaking package import.
     from sf_etl_spark.queries import (  # noqa: F401
         llm,
+        multimodal,
         relational,
+        similarity,
         soql_front,
         streaming_batch,
         streaming_live,

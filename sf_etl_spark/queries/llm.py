@@ -468,6 +468,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document fingerprinting: polynomial rolling hash over normalized
+# word tokens + winnowing-style minimum window hash (k=4 windows,
+# base 257, mod 1e9+7). Pure integer arithmetic in a fixed fold order
+# → engine-portable. Scale: per-row narrow transform, no shuffle; the
+# fingerprint column then feeds exact-dedup groupBys downstream.
+# ---------------------------------------------------------------------------
+_FP_BASE = 257
+_FP_MOD = 1_000_000_007
+_FP_K = 4  # window width in tokens
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> length(x) > 0) AS t
+      FROM documents
+    ), vals AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             list_transform(t, x -> CAST(length(x) * 131 + ascii(x) AS BIGINT)) AS v
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE list_reduce(v, (a, b) -> (a * {_FP_BASE} + b) % {_FP_MOD})
+             END AS full_hash,
+             list_transform(generate_series(1, greatest(n_tokens - {_FP_K - 1}, 0)),
+               i -> (((v[i] * {_FP_BASE} + v[i+1]) * {_FP_BASE} + v[i+2]) * {_FP_BASE}
+                      + v[i+3]) % {_FP_MOD}) AS wh
+      FROM vals
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(full_hash AS BIGINT) AS full_hash,
+           CAST(list_min(wh) AS BIGINT) AS winnow_fp,
+           CAST(len(wh) AS INT) AS n_windows
+    FROM hashed
+    ORDER BY doc_id
+    """,
+    doc="rolling-hash doc fingerprint: full-doc poly hash + winnowing min window hash",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(_norm_col(), " "), lambda x: F.length(x) > 0)
+    vals = F.transform(toks, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("bigint"))
+    v = d.select("doc_id", F.size(toks).alias("n_tokens"), vals.alias("v"))
+    full_hash = F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            "v",
+            F.lit(0).cast("bigint"),
+            lambda a, b: (a * _FP_BASE + b) % _FP_MOD,
+        )
+    )
+    wh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - (_FP_K - 1), F.lit(0))),
+        lambda i: (
+            (
+                (F.element_at("v", i) * _FP_BASE + F.element_at("v", i + 1)) * _FP_BASE
+                + F.element_at("v", i + 2)
+            )
+            * _FP_BASE
+            + F.element_at("v", i + 3)
+        )
+        % _FP_MOD,
+    )
+    return (
+        v.withColumn("full_hash", full_hash)
+        .withColumn("wh", wh)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("full_hash").cast("bigint").alias("full_hash"),
+            F.array_min("wh").cast("bigint").alias("winnow_fp"),
+            F.size("wh").cast("int").alias("n_windows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding statistics: explicit left-fold dot/norm so DuckDB
 # (list_reduce) and Spark (aggregate) produce identical doubles.
 # ---------------------------------------------------------------------------

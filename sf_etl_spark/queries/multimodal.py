@@ -1,0 +1,131 @@
+"""Multimodal-column queries: the media-lake surface exercised as
+registry entries (binary payload + typed metadata conventions from
+``sf_etl_spark.operators.multimodal``).
+
+The media fixture derives deterministically from ``documents``
+(utf-8 payload bytes, format/width/height metadata), so the DuckDB
+oracle can replay the construction and check the metadata/frame
+plumbing exactly; only the Arrow-batched byte-feature extraction is
+rows-only (numpy inside mapInPandas is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sf_etl_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
+from sf_etl_spark.queries import register
+from sf_etl_spark.sources import load_table
+
+# DuckDB replay of media_from_documents (list literals are 1-indexed).
+_MEDIA_SQL = """
+    SELECT doc_id AS media_id,
+           encode(text) AS payload,
+           (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+           CAST(n_chars % 640 + 16 AS INT) AS width,
+           CAST(n_chars % 480 + 16 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Metadata rollup: the "what's in the lake" query — per-format counts,
+# byte volume, dimension stats. Scale: pure metadata aggregation; the
+# binary payload column is pruned from the scan entirely (check
+# ReadSchema — payload must not appear).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_meta_stats",
+    f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT format,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(avg(width) AS DOUBLE) AS avg_width,
+           CAST(max(height) AS INT) AS max_height
+    FROM media
+    GROUP BY format
+    ORDER BY format
+    """,
+    doc="media-lake metadata rollup per format (payload column pruned)",
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        media.groupBy(F.col("meta.format").alias("format"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
+            F.avg("meta.width").alias("avg_width"),
+            F.max("meta.height").cast("int").alias("max_height"),
+        )
+        .orderBy("format")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: per-media frame fan-out (sequence+explode, JVM-side)
+# aggregated back to per-media frame counts. Scale: the explode is the
+# map side of a frame-processing pipeline — no UDF, no driver loop.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH media AS ({_MEDIA_SQL}),
+    frames AS (
+      SELECT media_id, format,
+             unnest(generate_series(0, greatest(CAST(ceil(n_bytes / 1024) AS INT), 1) - 1))
+               AS frame_no
+      FROM media
+    )
+    SELECT media_id, format,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(max(frame_no) * 1024 AS BIGINT) AS last_offset
+    FROM frames
+    GROUP BY media_id, format
+    ORDER BY media_id
+    """,
+    doc="frame-sample fan-out (explode) + per-media frame counts",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        frame_sample_plan(media, every_n_bytes=1024)
+        .groupBy("media_id", "format")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            (F.max("frame_no") * 1024).cast("bigint").alias("last_offset"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level feature extraction via Arrow-batched mapInPandas
+# (deterministic decode stand-in — see operators.multimodal). Format
+# rollup keeps the output small and order-stable. Rows-only: numpy
+# entropy is not SQL-expressible.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    None,  # mapInPandas numpy features: not SQL-expressible → rows-only
+    doc="Arrow-batched payload feature extraction (mean/std/entropy) per format",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return (
+        feats.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+            F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+        )
+        .orderBy("format")
+    )

@@ -1,0 +1,318 @@
+"""Similarity search & embedding-based dedup over `embeddings`
+(`vec_id bigint, embedding array<float>, label int`, 64-dim).
+
+Three tiers of the same capability, mirroring a production ANN stack:
+
+ - ``dedup_embedding_cosine`` — exact pairwise cosine (the
+   *verification* stage; at corpus scale it only ever runs on LSH/IVF
+   candidate pairs, never the full cross product).
+ - ``ann_ivf_topk`` — IVF coarse quantization: assign every vector to
+   its nearest centroid, probe the query's ``nprobe`` nearest cells.
+   Centroid "training" is deterministic seed selection so the DuckDB
+   oracle can replay it; swap in k-means at deployment without
+   changing the probe plan.
+ - ``ann_srp_lsh_pairs`` — signed-random-projection LSH: 16 fixed
+   hyperplanes → 4 bands × 4 sign bits → band-bucket equi-join →
+   exact-cosine verification. The hyperplane matrix is a compile-time
+   constant (sha256-derived ±1), so the oracle replays it exactly.
+
+Float discipline: every dot/norm is a fixed left-to-right fold over
+doubles (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so cosines are
+bit-identical across engines and threshold comparisons agree.
+
+Reference parity note: the reference (nater540/sf-etl) has no vector
+ops at all — this is north-star surface per SURVEY.md §2.2 last row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sf_etl_spark.queries import register
+from sf_etl_spark.sources import load_table
+
+DIM = 64
+COS_THRESHOLD = 0.40  # near-dup bar (synthetic corpus max pair ≈ 0.51)
+
+# -- shared fold-order-stable vector math ----------------------------------
+
+
+def _vec() -> F.Column:
+    return F.transform("embedding", lambda x: x.cast("double"))
+
+
+def _norm(vec: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+
+
+def _dot(u: F.Column, v: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+
+
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform(CAST({e} AS DOUBLE[]), x -> x * x), (a, b) -> a + b))"
+)
+_SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, {dim}), i -> {u}[i] * {v}[i]),"
+    " (a, b) -> a + b)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact embedding-cosine near-dup (verification stage).
+# Scale: O(n²) as written — correct ONLY as the verify stage. The
+# production pipeline is candidates-from(ann_srp_lsh_pairs | ann_ivf
+# cells) → this exact check; both candidate generators are bucketed
+# equi-joins that never materialize the cross product.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           {_SQL_DOT.format(dim=DIM, u='a.v', v='b.v')} / (a.nm * b.nm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(dim=DIM, u='a.v', v='b.v')} / (a.nm * b.nm) >= {COS_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    doc=f"exact pairwise cosine ≥ {COS_THRESHOLD} near-dup pairs (verification stage)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", _vec().alias("v"), _norm(_vec()).alias("nm"))
+    a, b = n.alias("a"), n.alias("b")
+    cosine = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nm") * F.col("b.nm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine >= COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            cosine.alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize to K centroid cells, probe
+# the query's NPROBE nearest cells, exact top-k inside them.
+# Scale: the assignment pass is one broadcast(centroids)+map (no
+# shuffle beyond the write of cell ids); the probe touches NPROBE/K of
+# the corpus. Deterministic seed "training" (vec_id 1..K) keeps the
+# oracle replayable — production would k-means the centroids and store
+# cell id as a partition column for cell-pruned scans.
+# ---------------------------------------------------------------------------
+IVF_K = 8
+IVF_NPROBE = 2
+_QUERY_VEC = 0
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id BETWEEN 1 AND {IVF_K}
+    ), scored AS (
+      SELECT n.vec_id, n.label, n.v, n.nm, cents.cid,
+             {_SQL_DOT.format(dim=DIM, u='n.v', v='cents.cv')} / (n.nm * cents.cn) AS ccos,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='cents.cv')} / (n.nm * cents.cn) DESC,
+                        cents.cid
+             ) AS rn
+      FROM n CROSS JOIN cents
+    ), assign AS (
+      SELECT vec_id, label, v, nm, cid FROM scored WHERE rn = 1
+    ), probe AS (
+      SELECT cid FROM scored WHERE vec_id = {_QUERY_VEC} AND rn <= {IVF_NPROBE}
+    ), q AS (
+      SELECT v AS qv, nm AS qn FROM n WHERE vec_id = {_QUERY_VEC}
+    )
+    SELECT a.vec_id, a.label, a.cid,
+           {_SQL_DOT.format(dim=DIM, u='a.v', v='q.qv')} / (a.nm * q.qn) AS cosine
+    FROM assign a JOIN probe p ON a.cid = p.cid CROSS JOIN q
+    WHERE a.vec_id <> {_QUERY_VEC}
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc=f"IVF ANN: {IVF_K} seed centroids, nprobe={IVF_NPROBE}, exact top-10 in probed cells",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", _vec().alias("v"), _norm(_vec()).alias("nm"))
+    cents = (
+        n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nm").alias("cn"))
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cn"))
+    scored = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+            ),
+        )
+    )
+    assign = scored.filter(F.col("rn") == 1).select("vec_id", "label", "v", "nm", "cid")
+    probe = (
+        scored.filter((F.col("vec_id") == _QUERY_VEC) & (F.col("rn") <= IVF_NPROBE))
+        .select("cid")
+    )
+    q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
+    cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    return (
+        assign.join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _QUERY_VEC)
+        .select("vec_id", "label", "cid", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH: 16 fixed ±1 hyperplanes (sha256-seeded
+# so both engines share them as literals) → 4 bands × 4 sign bits →
+# candidates share any band bucket → exact-cosine verify ≥ threshold.
+# Scale: per-band bucket equi-join; corpus never cross-joins. Recall
+# for cosine≈0.4 with 4×4 banding ≈ 1-(1-p^4)^4, p=1-θ/π ≈ 0.63 →
+# ~0.5 per the SRP-LSH bound — tune bands/rows at deployment.
+# ---------------------------------------------------------------------------
+SRP_PLANES = 16
+SRP_BANDS = 4
+SRP_ROWS = SRP_PLANES // SRP_BANDS
+
+
+def _srp_matrix() -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix [SRP_PLANES][DIM] from sha256."""
+    return [
+        [
+            1 if hashlib.sha256(f"srp:{h}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(DIM)
+        ]
+        for h in range(SRP_PLANES)
+    ]
+
+
+def _srp_sql_literal() -> str:
+    rows = ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in _srp_matrix())
+    return f"[{rows}]"
+
+
+@register(
+    "ann_srp_lsh_pairs",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), planes AS (SELECT {_srp_sql_literal()} AS pm
+    ), bits AS (
+      SELECT vec_id, v, nm,
+             list_transform(generate_series(1, {SRP_PLANES}),
+               h -> CASE WHEN {_SQL_DOT.format(dim=DIM, u='v', v='pm[h]')} >= 0
+                         THEN 1 ELSE 0 END) AS b
+      FROM n CROSS JOIN planes
+    ), banded AS (
+      SELECT vec_id, v, nm, band,
+             b[band * {SRP_ROWS} + 1] * 8 + b[band * {SRP_ROWS} + 2] * 4
+               + b[band * {SRP_ROWS} + 3] * 2 + b[band * {SRP_ROWS} + 4] AS bucket
+      FROM bits CROSS JOIN (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.v AS va, a.nm AS na, b.v AS vb, b.nm AS nb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           {_SQL_DOT.format(dim=DIM, u='va', v='vb')} / (na * nb) AS cosine
+    FROM cand
+    WHERE {_SQL_DOT.format(dim=DIM, u='va', v='vb')} / (na * nb) >= {COS_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    doc=f"SRP-LSH {SRP_BANDS}×{SRP_ROWS} bucketed candidates, exact-cosine verify ≥ {COS_THRESHOLD}",
+)
+def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in _srp_matrix()]
+    )
+    n = e.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nm")).withColumn(
+        "pm", planes
+    )
+    # sign bit per hyperplane: fold-order-stable dot against the literal matrix
+    bits = n.withColumn(
+        "b",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(SRP_PLANES)),
+            lambda h: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.element_at("pm", h),
+                        lambda x, y: x * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b_: a + b_,
+                )
+                >= 0,
+                1,
+            ).otherwise(0),
+        ),
+    ).drop("pm")
+    banded = (
+        bits.crossJoin(
+            spark.range(SRP_BANDS).select(F.col("id").cast("int").alias("band"))
+        )
+        .withColumn(
+            "bucket",
+            F.element_at("b", F.col("band") * SRP_ROWS + 1) * 8
+            + F.element_at("b", F.col("band") * SRP_ROWS + 2) * 4
+            + F.element_at("b", F.col("band") * SRP_ROWS + 3) * 2
+            + F.element_at("b", F.col("band") * SRP_ROWS + 4),
+        )
+        .select("vec_id", "v", "nm", "band", "bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("a.nm").alias("na"),
+            F.col("b.v").alias("vb"),
+            F.col("b.nm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.filter(cosine >= COS_THRESHOLD)
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
