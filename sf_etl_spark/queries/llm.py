@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sf_etl_spark.queries import register
-from sf_etl_spark.sources import load_table
+from sf_etl_spark.sources import ensure_parallelism, load_table
 
 # Normalization shared by fingerprint/dedup ops: lowercase, strip
 # non-alphanumerics to spaces, collapse runs, trim. Simple enough that
@@ -274,7 +274,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sh = d.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    sh = ensure_parallelism(d, key="doc_id").select("doc_id", F.explode(shingle_arr).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -336,8 +336,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
-    tok_hash = docs.select("doc_id", F.explode(shingles).alias("_sh")).select(
-        "doc_id", F.xxhash64("_sh").alias("_h")
+    tok_hash = (
+        ensure_parallelism(docs, key="doc_id")
+        .select("doc_id", F.explode(shingles).alias("_sh"))
+        .select("doc_id", F.xxhash64("_sh").alias("_h"))
     )
     min_aggs = [
         F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(N_MINHASHES)
@@ -424,7 +426,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explode to (doc_id, token_hash); per-bit ±1 votes aggregate with
     # static shift amounts so everything stays in codegen'd JVM exprs.
     tok_hash = (
-        d.select("doc_id", F.explode(toks).alias("_tok"))
+        ensure_parallelism(d, key="doc_id")
+        .select("doc_id", F.explode(toks).alias("_tok"))
         .select("doc_id", F.xxhash64("_tok").alias("_h"))
     )
     vote_aggs = [

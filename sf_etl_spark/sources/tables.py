@@ -80,6 +80,38 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_parallelism(
+    df: DataFrame, key: str | None = None, min_partitions: int | None = None
+) -> DataFrame:
+    """Hash-repartition on `key` ONLY when the plan is under-parallel.
+
+    A small parquet fixture (one file, one row group) scans as a single
+    partition, serializing any compute-heavy narrow stage downstream
+    (e.g. MinHash: ~10k hash evals per doc). On a real cluster the scan
+    already has file-level parallelism and this is a no-op — the guard
+    keeps us from paying an always-on shuffle at 100 TB just to fix a
+    test-fixture artifact.
+
+    Two deliberate choices (A/B-measured on the minhash pipeline):
+     - HASH partitioning on the downstream grouping key, not round
+       robin: round-robin exchanges are non-deterministic, which stops
+       Catalyst reusing the exchange when the result self-joins (LSH
+       candidate join) — the whole signature subtree recomputed, 3.5x
+       slower. Hash-by-key is deterministic AND pre-aligns the
+       follow-up groupBy(key) shuffle.
+     - Target defaults to half the scheduler parallelism: the hashing
+       stage is memory-bandwidth-bound, and saturating every vCPU with
+       it just thrashes (32-way measured slower than 16-way on 32
+       vCPUs); the guard only fires on under-parallel fixture scans,
+       so cluster-scale inputs are untouched.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or max(2, sc.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key) if key else df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so `spark.sql` works too."""
     for name in TABLES:
