@@ -12,6 +12,11 @@ on both sides (the correctness gate sorts columns by name and hashes
 values). Floating aggregates are rounded on both sides to absorb
 summation-order differences between engines — see ROUND_* notes in
 relational.py.
+
+Output-type rule: registered queries return only scalar columns —
+array/map results are serialized (``concat_ws`` / ``array_to_string``)
+before the comparison boundary; the value-hash harness can't hash
+nested numpy arrays and engines lay maps out differently.
 """
 
 from __future__ import annotations

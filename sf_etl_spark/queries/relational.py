@@ -923,3 +923,141 @@ def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct-count (HLL++ sketch) cross-checked against the
+# exact count. Spark's HLL and DuckDB's HLL disagree numerically, so
+# the oracle-compared columns are the exact count plus a boolean
+# "sketch within 2% rsd" — the sketch value itself stays engine-local.
+# Scale: approx_count_distinct is THE cardinality op at 100 TB: fixed
+# ~1.5 KB sketch per group merges map-side, vs countDistinct's
+# per-value expand+reshuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_custkeys",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           TRUE AS sketch_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="approx_count_distinct (HLL) vs exact, per order priority",
+)
+def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custkeys"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custkeys",
+            (
+                F.abs(F.col("_approx") - F.col("exact_custkeys"))
+                <= F.greatest(F.col("exact_custkeys") * 0.06, F.lit(2.0))
+            ).alias("sketch_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array functions: collect per-group arrays (sorted for determinism),
+# then slice/index/contains/aggregate over them. DuckDB's list() +
+# list_sort mirror collect_list + array_sort; element access is
+# 1-based on both sides.
+# Scale: collect_list bounds memory per group (≤7 lineitems/order
+# here); unbounded-group collects would be the anti-pattern.
+# ---------------------------------------------------------------------------
+@register(
+    "array_functions",
+    """
+    WITH g AS (
+      SELECT l_orderkey,
+             list_sort(list(l_linenumber)) AS lines,
+             list_sort(list(l_quantity)) AS qtys
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(lines) AS INT) AS n_lines,
+           lines[1] AS first_line,
+           lines[-1] AS last_line,
+           list_contains(lines, 3) AS has_line3,
+           array_to_string(lines[1:2], ',') AS first_two,
+           CAST(list_reduce(qtys, (a, b) -> a + b) AS DOUBLE) AS qty_total
+    FROM g
+    ORDER BY l_orderkey
+    LIMIT 100
+    """,
+    doc="collect_list/array_sort/slice/element_at/contains/fold over per-order arrays",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines"),
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys"),
+    )
+    return (
+        g.select(
+            "l_orderkey",
+            F.size("lines").alias("n_lines"),
+            F.element_at("lines", 1).alias("first_line"),
+            F.element_at("lines", -1).alias("last_line"),
+            F.array_contains("lines", 3).alias("has_line3"),
+            F.concat_ws(",", F.slice("lines", 1, 2)).alias("first_two"),
+            F.aggregate("qtys", F.lit(0.0), lambda a, b: a + b).alias("qty_total"),
+        )
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map functions: build a map column (status → decimal-exact revenue),
+# then key-lookup, cardinality, and key-set extraction. The oracle
+# replays the *semantics* with conditional aggregation — map columns
+# themselves never cross the comparison boundary (engines hash map
+# layouts differently); extracted scalars do.
+# ---------------------------------------------------------------------------
+@register(
+    "map_functions",
+    f"""
+    WITH per AS (
+      SELECT o_orderpriority, o_orderstatus,
+             {SUMD('o_totalprice')} AS rev
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS INT) AS n_statuses,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS status_keys,
+           CAST(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN rev END) AS VARCHAR) AS DOUBLE)
+             AS open_rev
+    FROM per
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="map_from_entries/element_at/map_keys over status→revenue maps",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        dsum("o_totalprice").alias("rev")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "rev")))
+        ).alias("rev_by_status")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.size("rev_by_status").alias("n_statuses"),
+        F.concat_ws(",", F.array_sort(F.map_keys("rev_by_status"))).alias("status_keys"),
+        F.element_at("rev_by_status", "O").alias("open_rev"),
+    ).orderBy("o_orderpriority")

@@ -1,0 +1,82 @@
+"""Sink surface: partitioned parquet round-trip with pruned read-back,
+CSV/JSON round-trips, JDBC gating, and DDL pre-creation parity."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_etl_spark.schema.ddl import create_table_ddl
+from sf_etl_spark.sinks import write_csv, write_jdbc, write_json, write_parquet
+from sf_etl_spark.sources import load_table
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, orders, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+
+    # hive-style partition dirs exist
+    dirs = sorted(os.path.basename(p) for p in glob.glob(path + "/o_orderstatus=*"))
+    assert dirs and all(d.startswith("o_orderstatus=") for d in dirs)
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+    # partition pruning: the filtered scan must carry a PartitionFilters
+    # entry on the partition column (no full-data scan).
+    pruned = back.filter(F.col("o_orderstatus") == "O")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    expect = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert pruned.count() == expect
+
+
+def test_parquet_compression_default_zstd(spark, orders, tmp_path):
+    path = str(tmp_path / "zstd_out")
+    write_parquet(orders.limit(100), path)
+    files = glob.glob(path + "/*.zstd.parquet") + glob.glob(path + "/*.parquet")
+    assert files
+    assert any(".zstd." in f for f in files)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    back = spark.read.option("header", True).schema(nation.schema).csv(path)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in nation.collect()
+    )
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_json")
+    write_json(region, path)
+    back = spark.read.schema(region.schema).json(path)
+    assert back.count() == region.count()
+
+
+def test_jdbc_gated_without_driver(spark, orders):
+    with pytest.raises(Exception, match="(?i)driver|class|jdbc"):
+        write_jdbc(
+            orders.limit(1),
+            url="jdbc:postgresql://localhost:5432/nope",
+            table="orders_sink",
+        )
+
+
+def test_ddl_precreates_jdbc_target(orders):
+    ddl = create_table_ddl("orders_sink", orders.schema, dialect="postgres")
+    assert ddl.startswith('CREATE TABLE "orders_sink"')
+    for col in orders.columns:
+        assert f'"{col}"' in ddl
