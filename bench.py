@@ -17,10 +17,11 @@ import sys
 import time
 
 # Headline set: one per operator family (scan+agg, join-heavy, window,
-# sessionization, as-of, interval join, dedup exact + sketch, ANN,
-# text analysis). ngram_jaccard is excluded: it is the exact
-# verification stage meant to run downstream of LSH candidates, not a
-# full-corpus headline op.
+# sessionization, as-of, interval join, dedup exact + sketch, ANN
+# brute/IVF/LSH, fingerprinting, text analysis, multimodal metadata).
+# ngram_jaccard and dedup_embedding_cosine are excluded: they are the
+# exact O(n²) verification stages meant to run downstream of LSH
+# candidates, not full-corpus headline ops.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -36,8 +37,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_srp_lsh_pairs",
+    "doc_fingerprint",
     "token_counts",
     "text_quality",
+    "multimodal_meta_stats",
 ]
 
 

@@ -260,7 +260,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # token array materialized pre-lambda — see minhash_signatures note
+    toks = F.col("_toks")
     n = F.size(toks)
     idxs = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
     shingle_arr = F.array_distinct(
@@ -274,7 +275,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sh = ensure_parallelism(d, key="doc_id").select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    sh = (
+        ensure_parallelism(d, key="doc_id")
+        .withColumn("_toks", F.split("text", " "))
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -321,8 +326,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     map-side-combined by the partial hash aggregate, so rows never
     amplify across the shuffle; this is the shape that survives a
     100 TB corpus.
+
+    The token array is MATERIALIZED as a column before the window
+    lambda: expressions in a higher-order-function body re-evaluate
+    per element, so inlining ``split(text)`` into ``element_at(...)``
+    re-splits the whole document ~3x per shingle position
+    (UTF8String.split dominated stack samples, ~10x wall). A column
+    reference splits once per row; CollapseProject keeps it
+    materialized because it is referenced many times.
     """
-    toks = F.split(text_col, " ")
+    toks = F.col("_toks")
     n = F.size(toks)
     idxs = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
     shingles = F.array_distinct(
@@ -338,6 +351,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     tok_hash = (
         ensure_parallelism(docs, key="doc_id")
+        .withColumn("_toks", F.split(text_col, " "))
         .select("doc_id", F.explode(shingles).alias("_sh"))
         .select("doc_id", F.xxhash64("_sh").alias("_h"))
     )

@@ -13,8 +13,9 @@ Three tiers of the same capability, mirroring a production ANN stack:
    changing the probe plan.
  - ``ann_srp_lsh_pairs`` — signed-random-projection LSH: 16 fixed
    hyperplanes → 4 bands × 4 sign bits → band-bucket equi-join →
-   exact-cosine verification. The hyperplane matrix is a compile-time
-   constant (sha256-derived ±1), so the oracle replays it exactly.
+   exact-cosine verification. The ±1 hyperplane matrix regenerates
+   deterministically inside each engine (md5-parity), so the oracle
+   replays it exactly with no literals or driver-shipped data.
 
 Float discipline: every dot/norm is a fixed left-to-right fold over
 doubles (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so cosines are
@@ -25,8 +26,6 @@ ops at all — this is north-star surface per SURVEY.md §2.2 last row.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -202,20 +201,11 @@ SRP_BANDS = 4
 SRP_ROWS = SRP_PLANES // SRP_BANDS
 
 
-def _srp_matrix() -> list[list[int]]:
-    """Deterministic ±1 hyperplane matrix [SRP_PLANES][DIM] from sha256."""
-    return [
-        [
-            1 if hashlib.sha256(f"srp:{h}:{j}".encode()).digest()[0] % 2 == 0 else -1
-            for j in range(DIM)
-        ]
-        for h in range(SRP_PLANES)
-    ]
-
-
-def _srp_sql_literal() -> str:
-    rows = ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in _srp_matrix())
-    return f"[{rows}]"
+# Hyperplane (plane h, dim j) = ±1 from the parity of md5's first hex
+# digit — md5 is the one keyed hash BOTH engines implement identically,
+# so the matrix regenerates inside each engine (no literals in the
+# plan, no driver-shipped data, no Python on the executor path).
+_EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
 
 
 @register(
@@ -225,18 +215,32 @@ def _srp_sql_literal() -> str:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              {_SQL_NORM.format(e='embedding')} AS nm
       FROM embeddings
-    ), planes AS (SELECT {_srp_sql_literal()} AS pm
+    ), planes AS (
+      SELECT CAST(h AS INT) AS plane,
+             list_transform(generate_series(0, {DIM - 1}),
+               j -> CASE WHEN substring(md5('srp:' || h || ':' || j), 1, 1)
+                         IN {_EVEN_HEX} THEN 1.0 ELSE -1.0 END) AS pvec
+      FROM generate_series(0, {SRP_PLANES - 1}) t(h)
     ), bits AS (
-      SELECT vec_id, v, nm,
-             list_transform(generate_series(1, {SRP_PLANES}),
-               h -> CASE WHEN {_SQL_DOT.format(dim=DIM, u='v', v='pm[h]')} >= 0
-                         THEN 1 ELSE 0 END) AS b
+      SELECT vec_id, v, nm, plane,
+             CASE WHEN {_SQL_DOT.format(dim=DIM, u='v', v='pvec')} >= 0
+                  THEN 1 ELSE 0 END AS bit
       FROM n CROSS JOIN planes
+    ), per_vec AS (
+      SELECT vec_id, any_value(v) AS v, any_value(nm) AS nm,
+             CAST(sum(CASE WHEN plane // {SRP_ROWS} = 0
+                      THEN bit * 2 ** ({SRP_ROWS - 1} - plane % {SRP_ROWS}) END) AS INT) AS b0,
+             CAST(sum(CASE WHEN plane // {SRP_ROWS} = 1
+                      THEN bit * 2 ** ({SRP_ROWS - 1} - plane % {SRP_ROWS}) END) AS INT) AS b1,
+             CAST(sum(CASE WHEN plane // {SRP_ROWS} = 2
+                      THEN bit * 2 ** ({SRP_ROWS - 1} - plane % {SRP_ROWS}) END) AS INT) AS b2,
+             CAST(sum(CASE WHEN plane // {SRP_ROWS} = 3
+                      THEN bit * 2 ** ({SRP_ROWS - 1} - plane % {SRP_ROWS}) END) AS INT) AS b3
+      FROM bits GROUP BY vec_id
     ), banded AS (
       SELECT vec_id, v, nm, band,
-             b[band * {SRP_ROWS} + 1] * 8 + b[band * {SRP_ROWS} + 2] * 4
-               + b[band * {SRP_ROWS} + 3] * 2 + b[band * {SRP_ROWS} + 4] AS bucket
-      FROM bits CROSS JOIN (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band)
+             CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bucket
+      FROM per_vec CROSS JOIN (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band)
     ), cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
              a.v AS va, a.nm AS na, b.v AS vb, b.nm AS nb
@@ -253,45 +257,62 @@ def _srp_sql_literal() -> str:
 )
 def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    planes = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in _srp_matrix()]
-    )
-    n = e.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nm")).withColumn(
-        "pm", planes
-    )
-    # sign bit per hyperplane: fold-order-stable dot against the literal matrix
-    bits = n.withColumn(
-        "b",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(SRP_PLANES)),
-            lambda h: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.element_at("pm", h),
-                        lambda x, y: x * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda a, b_: a + b_,
-                )
-                >= 0,
+    # The hyperplane matrix is GENERATED JVM-side (md5-parity over
+    # spark.range), not embedded as literals and not createDataFrame'd:
+    # 16x64 F.lit()s made Janino compile a multi-minute generated class
+    # (every task blocked on the codegen-cache KeyLock), and a local
+    # createDataFrame put Python-worker spawning on the executor path.
+    # Data belongs in relations computed by the engine, not in code.
+    pvec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("srp:"),
+                        F.col("plane").cast("string"),
+                        F.lit(":"),
+                        j.cast("string"),
+                    )
+                ),
                 1,
-            ).otherwise(0),
-        ),
-    ).drop("pm")
-    banded = (
-        bits.crossJoin(
-            spark.range(SRP_BANDS).select(F.col("id").cast("int").alias("band"))
-        )
-        .withColumn(
-            "bucket",
-            F.element_at("b", F.col("band") * SRP_ROWS + 1) * 8
-            + F.element_at("b", F.col("band") * SRP_ROWS + 2) * 4
-            + F.element_at("b", F.col("band") * SRP_ROWS + 3) * 2
-            + F.element_at("b", F.col("band") * SRP_ROWS + 4),
-        )
-        .select("vec_id", "v", "nm", "band", "bucket")
+                1,
+            ).isin(*_EVEN_HEX),
+            1.0,
+        ).otherwise(-1.0),
     )
+    planes_df = (
+        spark.range(SRP_PLANES)
+        .select(F.col("id").cast("int").alias("plane"))
+        .select("plane", pvec.alias("pvec"))
+    )
+    n = e.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nm"))
+    # sign bit per (vector, plane): fold-order-stable dot, 16 rows/vec
+    bit = (
+        F.when(_dot(F.col("v"), F.col("pvec")) >= 0, 1).otherwise(0).alias("bit")
+    )
+    bits = n.crossJoin(F.broadcast(planes_df)).select("vec_id", "v", "nm", "plane", bit)
+    # fold the 4 sign bits of each band into its bucket code, then
+    # unpivot to (vec_id, band, bucket) rows for the candidate join
+    band_cols = [
+        F.sum(
+            F.when(
+                (F.col("plane") >= b * SRP_ROWS) & (F.col("plane") < (b + 1) * SRP_ROWS),
+                F.col("bit")
+                * F.pow(F.lit(2.0), (SRP_ROWS - 1) - (F.col("plane") - b * SRP_ROWS)),
+            )
+        )
+        .cast("int")
+        .alias(f"b{b}")
+        for b in range(SRP_BANDS)
+    ]
+    per_vec = bits.groupBy("vec_id").agg(
+        F.first("v").alias("v"), F.first("nm").alias("nm"), *band_cols
+    )
+    stack_expr = "stack({}, {}) as (band, bucket)".format(
+        SRP_BANDS, ", ".join(f"{b}, b{b}" for b in range(SRP_BANDS))
+    )
+    banded = per_vec.select("vec_id", "v", "nm", F.expr(stack_expr))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the scale properties we rely on must be
+visible in the plan, not just hoped for — broadcast joins for dims,
+parquet filter pushdown, column pruning, no cartesian products, and
+whole-stage codegen in the hot path.
+
+These guard against regressions that correctness tests can't see:
+a dropped broadcast hint or a pruning-blocking expression produces
+identical rows but a plan that dies at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sf_etl_spark.queries import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q5_revenue_by_nation", "q3_shipping_priority", "join_left_outer", "ann_ivf_topk"],
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    # customer/nation/region are dims: every join should be broadcast,
+    # none should fall back to a full shuffle (SortMergeJoin).
+    plan = _plan(spark, sf_dir, "q5_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_pushes_filters_to_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    # selective predicates must reach the scan as data filters, not
+    # post-scan Filter-only evaluation.
+    assert "c_mktsegment" in plan and "= BUILDING" in plan.replace("(", " ").replace(")", " ")
+    assert plan.count("PushedFilters: [In") + plan.count("PushedFilters: [Is") + plan.count(
+        "PushedFilters: [Eq"
+    ) + plan.count("PushedFilters: [Gr") + plan.count("PushedFilters: [Le") > 0
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # Q1 touches 7 of 11 lineitem columns; join keys must not be read.
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "l_returnflag" in scan
+    assert "l_orderkey" not in scan and "l_partkey" not in scan and "l_suppkey" not in scan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # '*(n)' prefixes mark codegen'd operators; under AQE they appear
+    # in the finalized plan, so execute first.
+    df = all_queries()["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # count() spawns a separate execution; collect finalizes THIS one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_multimodal_rollup_never_reads_payload_source(spark, sf_dir):
+    # The metadata rollup must not drag full document text through the
+    # aggregate: n_chars/doc_id/text feed the derived meta only.
+    plan = _plan(spark, sf_dir, "multimodal_meta_stats")
+    assert "HashAggregate" in plan
+
+
+def test_minhash_partial_aggregates_before_shuffle(spark, sf_dir):
+    # The 32 min() sketches must partial-aggregate map-side (two
+    # HashAggregate levels), so exploded shingle rows never shuffle.
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan
