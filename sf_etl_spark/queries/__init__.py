@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so a syntax error in one module surfaces
     # at call time (driver-visible) instead of breaking package import.
     from sf_etl_spark.queries import (  # noqa: F401
+        extensions,
         llm,
         multimodal,
         relational,

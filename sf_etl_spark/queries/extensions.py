@@ -1,0 +1,183 @@
+"""Extension-point surface: UDF/UDAF/UDTF lanes, each oracle-checked.
+
+The reference's only extension hook is a raw-SQL type escape
+(`Custom(&'static str)`, `sql-builder/src/sql/types.rs:31,226-228`);
+Spark's lanes are real code. Three demos, one per lane:
+
+ - ``udtf_bigrams`` — a Python UDTF (Spark 4 table function) exploding
+   documents into positioned word bigrams: the row→table extension.
+ - ``pandas_udf_zscore`` — an Arrow-batched scalar pandas UDF: the
+   vectorized scalar extension.
+ - ``dispersion_stats`` — no UDF at all: sample stddev/variance via
+   the exact-decimal lane, the "you probably don't need a UDAF" case.
+
+Scale notes: UDTF/pandas-UDF rows stream through Arrow batches with
+no driver collect; still, both are the *slow path* — every built-in
+stays JVM-side, and these lanes exist for logic Catalyst can't
+express (see PLANS.md). The UDTF declares its analyze-time schema
+statically so Catalyst can prune/plan around it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from sf_etl_spark.queries import register
+from sf_etl_spark.queries.relational import AVGD, davg
+from sf_etl_spark.sources import load_table
+
+# Sum of squares of a MONEY column, engine-exact. The naive
+# SUMD('x * x') lane diverges: x² ≈ 1e10 needs 21 significant decimal
+# digits at scale 10 — beyond double's 17 — so Spark (shortest-repr
+# HALF_UP) and DuckDB (true-binary) round the decimal cast apart by
+# 1 ulp. Money is exact at scale 2, so cast FIRST (exact on both
+# engines), then square in decimal ((18,2)² → scale 4, precision 37:
+# no overflow, no rounding anywhere until the final cast out.
+
+
+def dsumsq_money(col: F.Column) -> F.Column:
+    d = col.cast("decimal(18,2)")
+    return F.sum(d * d).cast("string").cast("double")
+
+
+def SUMSQ_MONEY(expr: str) -> str:
+    d = f"CAST({expr} AS DECIMAL(18,2))"
+    return f"CAST(CAST(sum({d} * {d}) AS VARCHAR) AS DOUBLE)"
+
+
+def SUMD_MONEY(expr: str) -> str:
+    return f"CAST(CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: text → (pos, bigram) rows, lateral-joined per document.
+# (Decorated lazily inside the query fn: UDF registration needs an
+# active SparkSession, and registry modules import session-free.)
+# ---------------------------------------------------------------------------
+class BigramUDTF:
+    """Word-bigram table function (whitespace tokens, 0-based pos)."""
+
+    def eval(self, text: str):  # noqa: D102 - UDTF contract
+        if text is None:
+            return
+        toks = text.split(" ")
+        for i in range(len(toks) - 1):
+            yield i, toks[i] + " " + toks[i + 1]
+
+
+@register(
+    "udtf_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE lang = 'en'
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg
+    GROUP BY bigram
+    HAVING count(*) >= 8
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="Python UDTF lateral join: top word bigrams in English docs",
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    bigrams = udtf(BigramUDTF, returnType="pos int, bigram string")
+    rows = d.lateralJoin(bigrams(F.col("text").outer()))
+    return (
+        rows.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 8)
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched scalar pandas UDF: z-score of order totals against
+# broadcast per-status moments (two-pass: exact-decimal moments via
+# built-ins, normalization vectorized in Arrow batches).
+# ---------------------------------------------------------------------------
+def _zscore_fn(total: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
+    return (total - mean) / std
+
+
+@register(
+    "pandas_udf_zscore",
+    f"""
+    WITH m AS (
+      SELECT o_orderstatus,
+             {AVGD('o_totalprice')} AS mu,
+             sqrt(({SUMSQ_MONEY('o_totalprice')}
+                   - {SUMD_MONEY('o_totalprice')} * {SUMD_MONEY('o_totalprice')} / count(*))
+                  / (count(*) - 1)) AS sigma
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, (o.o_totalprice - m.mu) / m.sigma AS zscore
+    FROM orders o JOIN m USING (o_orderstatus)
+    ORDER BY o.o_orderkey
+    LIMIT 500
+    """,
+    doc="Arrow-batched pandas UDF: per-status z-score of order totals",
+)
+def pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    sum_lin = F.sum(tp.cast("decimal(18,2)")).cast("string").cast("double")
+    m = o.groupBy("o_orderstatus").agg(
+        davg("o_totalprice").alias("mu"),
+        F.sqrt(
+            (dsumsq_money(tp) - sum_lin * sum_lin / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma"),
+    )
+    zscore = pandas_udf(_zscore_fn, "double")
+    return (
+        o.join(F.broadcast(m), "o_orderstatus")
+        .select("o_orderkey", zscore("o_totalprice", "mu", "sigma").alias("zscore"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispersion without any UDF: sample variance/stddev through the
+# exact-decimal sum lane (sum-order-free, engine-portable) — built-in
+# stddev_samp would be Welford-ordered and diverge across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "dispersion_stats",
+    f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           ({SUMSQ_MONEY('l_extendedprice')}
+             - {SUMD_MONEY('l_extendedprice')} * {SUMD_MONEY('l_extendedprice')} / count(*))
+             / (count(*) - 1) AS var_price,
+           sqrt(({SUMSQ_MONEY('l_extendedprice')}
+             - {SUMD_MONEY('l_extendedprice')} * {SUMD_MONEY('l_extendedprice')} / count(*))
+             / (count(*) - 1)) AS std_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="sample variance/stddev via exact-decimal moments (order-free)",
+)
+def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sum_lin = F.sum(ep.cast("decimal(18,2)")).cast("string").cast("double")
+    var = (dsumsq_money(ep) - sum_lin * sum_lin / n) / (n - 1)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(n.alias("n"), var.alias("var_price"), F.sqrt(var).alias("std_price"))
+        .orderBy("l_returnflag")
+    )
