@@ -1061,3 +1061,42 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.map_keys("rev_by_status"))).alias("status_keys"),
         F.element_at("rev_by_status", "O").alias("open_rev"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Salted skew-join: the explicit hot-key remedy (operators/skew.py)
+# proven equivalent to the plain join — the oracle runs the UNSALTED
+# join, so a value match certifies the rewrite changes the shuffle
+# layout and nothing else. Scale: each hot l_orderkey spreads over 8
+# salt buckets; the orders build side replicates 8x map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_join_revenue",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {SUMD('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="salting-based skew join ≡ plain join (oracle runs unsalted)",
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.skew import salted_join
+
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    joined = salted_join(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
+        on=["l_orderkey"],
+        n=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
