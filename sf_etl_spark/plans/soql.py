@@ -8,19 +8,29 @@ those queries itself; per SURVEY §4, the right Spark shape is a
 DataFrame ops, and let Catalyst do all optimization (pushdown,
 pruning, join selection). No custom planner, no Catalyst rules.
 
-Supported subset (the SOQL SELECT grammar minus relationship
-traversal and subqueries):
+Supported subset (the SOQL SELECT grammar minus parent-to-child
+nested subqueries):
 
 * ``SELECT`` field list, aggregates (``COUNT()``, ``COUNT(f)``,
   ``COUNT_DISTINCT(f)``, ``SUM/AVG/MIN/MAX``) with optional aliases
+* **Child-to-parent relationship traversal** (``Rel.Field`` dotted
+  paths, single hop): each referenced relationship compiles to a LEFT
+  join against the parent object — dims broadcast under the session
+  threshold, exactly how Salesforce's ``Reference`` fields
+  (``relationship_name``, SURVEY §1.2) should execute locally.
+  Output columns are named ``rel_field``.
 * ``WHERE`` — ``AND/OR/NOT``, comparisons, ``IN / NOT IN``,
   ``LIKE``, ``INCLUDES/EXCLUDES`` (multipicklist membership on
   ``;``-joined wire strings or ingested array columns),
   ``= null`` / ``!= null``
-* SOQL date literals: ``TODAY``, ``YESTERDAY``, ``THIS_YEAR``,
-  ``LAST_N_DAYS:n``, ``NEXT_N_DAYS:n``
-* ``GROUP BY`` / ``HAVING`` (aggregate predicates) / ``ORDER BY ...
-  [ASC|DESC] [NULLS FIRST|LAST]`` / ``LIMIT`` / ``OFFSET``
+* SOQL date literals with Salesforce **range semantics** (a literal
+  denotes a day/month/year span, not an instant: ``f = TODAY`` ⇔
+  within today; ``f > LAST_MONTH`` ⇔ after that month's end):
+  ``TODAY``, ``YESTERDAY``, ``THIS_MONTH``, ``LAST_MONTH``,
+  ``THIS_YEAR``, ``LAST_N_DAYS:n``, ``NEXT_N_DAYS:n``
+* ``GROUP BY`` [``ROLLUP(...)``] / ``HAVING`` (aggregate predicates)
+  / ``ORDER BY ... [ASC|DESC] [NULLS FIRST|LAST]`` / ``LIMIT`` /
+  ``OFFSET``
 
 SOQL's documented default null ordering (NULLS FIRST) is applied
 explicitly so results are engine-stable.
@@ -38,6 +48,11 @@ from pyspark.sql.types import ArrayType
 
 class SoqlError(ValueError):
     """Parse or compile failure, with position context."""
+
+
+def _norm(name: str) -> str:
+    """Flat output name for a (possibly dotted) SOQL field path."""
+    return name.replace(".", "_").lower() if "." in name else name
 
 
 # ---------------------------------------------------------------------------
@@ -101,6 +116,7 @@ class _SelectItem:
     col: Column
     name: str
     is_agg: bool
+    src: str | None = None  # raw field path for non-aggregates
 
 
 class _Parser:
@@ -151,15 +167,17 @@ class _Parser:
         return items
 
     def parse_select_item(self) -> _SelectItem:
+        src = None
         if self._at_aggregate():
             col, default_name = self.parse_aggregate()
             is_agg = True
         else:
             t = self.expect("ident")
-            col, default_name, is_agg = F.col(t.text), t.text, False
+            col, default_name, is_agg = F.col(t.text), _norm(t.text), False
+            src = t.text
         alias = self.accept("ident")
         name = alias.text if alias else default_name
-        return _SelectItem(col.alias(name), name, is_agg)
+        return _SelectItem(col.alias(name), name, is_agg, src)
 
     def _at_aggregate(self) -> bool:
         t, nxt = self.peek(), self.peek(1)
@@ -246,6 +264,23 @@ class _Parser:
             raise SoqlError("NOT must be followed by IN here")
         op = self.expect("punct").text
         rhs = self.parse_rhs()
+        if isinstance(rhs, tuple) and rhs[0] == "range":
+            # Salesforce date-literal range semantics: the literal is a
+            # half-open [start, end) span of days/months/years.
+            _, start, end = rhs
+            if op == "=":
+                return (lhs >= start) & (lhs < end)
+            if op in ("!=", "<>"):
+                return (lhs < start) | (lhs >= end)
+            if op == "<":
+                return lhs < start
+            if op == "<=":
+                return lhs < end
+            if op == ">":
+                return lhs >= end
+            if op == ">=":
+                return lhs >= start
+            raise SoqlError(f"operator {op} not valid with a date literal")
         if rhs is None:  # null literal
             if op == "=":
                 return lhs.isNull()
@@ -282,23 +317,36 @@ class _Parser:
 
     # -- literals ----------------------------------------------------------
 
+    _DATE_LITERALS = ("TODAY", "YESTERDAY", "THIS_MONTH", "LAST_MONTH", "THIS_YEAR")
+
     def parse_rhs(self):
+        """Literal, or a ('range', start, end) half-open day span for
+        SOQL date literals (per the Salesforce date-literal table:
+        LAST_N_DAYS includes today; NEXT_N_DAYS starts tomorrow)."""
+        cd = F.current_date()
         t = self.peek()
         if t and t.kind == "datelit":
             self.next()
             kind, n = t.text.split(":")
             days = int(n)
             if kind == "LAST_N_DAYS":
-                return F.date_sub(F.current_date(), days)
-            return F.date_add(F.current_date(), days)
-        if t and t.kind == "ident" and t.text.upper() in ("TODAY", "YESTERDAY", "THIS_YEAR"):
+                return ("range", F.date_sub(cd, days), F.date_add(cd, 1))
+            return ("range", F.date_add(cd, 1), F.date_add(cd, days + 1))
+        if t and t.kind == "ident" and t.text.upper() in self._DATE_LITERALS:
             self.next()
             up = t.text.upper()
             if up == "TODAY":
-                return F.current_date()
+                return ("range", cd, F.date_add(cd, 1))
             if up == "YESTERDAY":
-                return F.date_sub(F.current_date(), 1)
-            return F.trunc(F.current_date(), "year")
+                return ("range", F.date_sub(cd, 1), cd)
+            if up == "THIS_MONTH":
+                start = F.trunc(cd, "month")
+                return ("range", start, F.add_months(start, 1))
+            if up == "LAST_MONTH":
+                start = F.add_months(F.trunc(cd, "month"), -1)
+                return ("range", start, F.trunc(cd, "month"))
+            start = F.trunc(cd, "year")
+            return ("range", start, F.add_months(start, 12))
         return self.parse_literal()
 
     def parse_literal(self):
@@ -320,7 +368,10 @@ class _Parser:
     # -- order by ----------------------------------------------------------
 
     def parse_order_item(self) -> Column:
-        col = F.col(self.expect("ident").text)
+        # dotted paths must be selected (they order by the flat output
+        # column); plain fields order by the source column directly
+        txt = self.expect("ident").text
+        col = F.col(_norm(txt))
         desc = bool(self.accept("kw", "desc"))
         if not desc:
             self.accept("kw", "asc")
@@ -339,12 +390,20 @@ class _Parser:
 # ---------------------------------------------------------------------------
 
 
-def soql_to_df(soql: str, resolve) -> DataFrame:
+def soql_to_df(soql: str, resolve, relationships: dict | None = None) -> DataFrame:
     """Compile a SOQL string against ``resolve(object_name) -> DataFrame``.
 
+    ``relationships`` maps a relationship name (the prefix of dotted
+    ``Rel.Field`` paths) to ``(parent_object, fk_col, parent_pk_col)``
+    — the local analog of the Salesforce ``Reference`` field's
+    ``relationship_name`` (SURVEY §1.2; the reference declares these
+    as FKs in DDL, ``sql-builder/src/main.rs:89``). Each relationship
+    used by the query becomes ONE left join, added only when
+    referenced — unused relationships cost nothing.
+
     The output is an ordinary DataFrame: Catalyst sees the whole
-    declarative plan, so filter pushdown and column pruning into the
-    underlying source come for free.
+    declarative plan, so filter pushdown, column pruning, and
+    broadcast selection for the parent joins come for free.
     """
     toks = _tokenize(soql)
     if not toks or not (toks[0].kind == "kw" and toks[0].text == "select"):
@@ -364,6 +423,23 @@ def soql_to_df(soql: str, resolve) -> DataFrame:
         raise SoqlError("missing or malformed FROM clause")
     df = resolve(toks[from_idx + 1].text)
 
+    # bind child-to-parent traversals: every distinct Rel.* prefix in
+    # the token stream joins its parent object once, aliased as the
+    # relationship name so qualified column refs resolve naturally
+    used_rels = {
+        t.text.split(".", 1)[0]
+        for t in toks
+        if t.kind == "ident" and "." in t.text and t.text.lower() not in _KEYWORDS
+    }
+    for rel in sorted(used_rels):
+        if not relationships or rel not in relationships:
+            raise SoqlError(
+                f"unknown relationship {rel!r}; declare it in `relationships`"
+            )
+        parent_obj, fk_col, pk_col = relationships[rel]
+        parent = resolve(parent_obj).alias(rel)
+        df = df.join(parent, F.col(fk_col) == F.col(f"{rel}.{pk_col}"), "left")
+
     p = _Parser(toks, df)
     p.expect("kw", "select")
     select_items = p.parse_select_list()
@@ -373,12 +449,29 @@ def soql_to_df(soql: str, resolve) -> DataFrame:
 
     where_col = p.parse_bool_expr() if p.accept("kw", "where") else None
 
-    group_cols: list[str] = []
+    group_texts: list[str] = []
+    rollup = False
     if p.accept("kw", "group"):
         p.expect("kw", "by")
-        group_cols.append(p.expect("ident").text)
-        while p.accept("punct", ","):
-            group_cols.append(p.expect("ident").text)
+        nxt = p.peek()
+        if (
+            nxt
+            and nxt.kind == "ident"
+            and nxt.text.lower() == "rollup"
+            and p.peek(1)
+            and p.peek(1).text == "("
+        ):
+            rollup = True
+            p.next()
+            p.expect("punct", "(")
+            group_texts.append(p.expect("ident").text)
+            while p.accept("punct", ","):
+                group_texts.append(p.expect("ident").text)
+            p.expect("punct", ")")
+        else:
+            group_texts.append(p.expect("ident").text)
+            while p.accept("punct", ","):
+                group_texts.append(p.expect("ident").text)
 
     having_col = None
     if p.accept("kw", "having"):
@@ -406,10 +499,16 @@ def soql_to_df(soql: str, resolve) -> DataFrame:
     out = df
     if where_col is not None:
         out = out.filter(where_col)
+    # grouped outputs take the SELECT alias of the matching field path
+    alias_by_src = {it.src: it.name for it in select_items if it.src}
+    group_cols = [F.col(t).alias(alias_by_src.get(t, _norm(t))) for t in group_texts]
     if group_cols or has_agg:
         aggs = [it.col for it in select_items if it.is_agg] + p.having_aggs
+        if rollup and not aggs:
+            raise SoqlError("GROUP BY ROLLUP requires at least one aggregate")
         if group_cols and aggs:
-            out = out.groupBy(*group_cols).agg(*aggs)
+            grouped = out.rollup(*group_cols) if rollup else out.groupBy(*group_cols)
+            out = grouped.agg(*aggs)
         elif group_cols:
             out = out.select(*group_cols).distinct()  # GROUP BY, no aggregates
         else:

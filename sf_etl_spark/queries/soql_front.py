@@ -66,3 +66,59 @@ def soql_documents_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE lang IN ('en', 'de') AND n_chars > 500 ORDER BY doc_id LIMIT 100",
         _resolver(spark, sf_dir),
     )
+
+
+#: relationship registry for the synthetic star schema — the local
+#: analog of Salesforce `Reference.relationship_name` (SURVEY §1.2):
+#: rel name -> (parent object, fk on child, pk on parent)
+RELATIONSHIPS = {
+    "customer": ("customer", "o_custkey", "c_custkey"),
+    "order": ("orders", "l_orderkey", "o_orderkey"),
+    "nation": ("nation", "c_nationkey", "n_nationkey"),
+}
+
+
+@register(
+    "soql_parent_traversal",
+    """
+    SELECT o.o_orderkey, c.c_name AS customer_c_name,
+           c.c_mktsegment AS customer_c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 5000 AND o.o_totalprice > 200000
+    ORDER BY o.o_orderkey
+    LIMIT 50
+    """,
+    doc="SOQL child-to-parent dotted traversal → left join (broadcast dim)",
+)
+def soql_parent_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return soql_to_df(
+        "SELECT o_orderkey, customer.c_name, customer.c_mktsegment "
+        "FROM orders "
+        "WHERE customer.c_acctbal > 5000 AND o_totalprice > 200000 "
+        "ORDER BY o_orderkey LIMIT 50",
+        _resolver(spark, sf_dir),
+        relationships=RELATIONSHIPS,
+    )
+
+
+@register(
+    "soql_rollup_traversal",
+    """
+    SELECT c.c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o.o_totalprice) AS max_price
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP(c.c_mktsegment)
+    ORDER BY seg NULLS FIRST
+    """,
+    doc="SOQL GROUP BY ROLLUP over a traversed parent field",
+)
+def soql_rollup_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return soql_to_df(
+        "SELECT customer.c_mktsegment seg, COUNT() n_orders, "
+        "MAX(o_totalprice) max_price "
+        "FROM orders GROUP BY ROLLUP(customer.c_mktsegment) "
+        "ORDER BY seg NULLS FIRST",
+        _resolver(spark, sf_dir),
+        relationships=RELATIONSHIPS,
+    )

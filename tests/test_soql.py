@@ -138,3 +138,67 @@ def test_pushdown_reaches_parquet_scan(spark, resolve, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_parent_traversal_equals_join(spark, resolve, sf_dir):
+    rels = {"customer": ("customer", "o_custkey", "c_custkey")}
+    got = soql_to_df(
+        "SELECT o_orderkey, customer.c_name FROM orders "
+        "WHERE customer.c_acctbal > 9000 ORDER BY o_orderkey",
+        resolve,
+        relationships=rels,
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    want = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("o_orderkey", F.col("c_name").alias("customer_c_name"))
+        .orderBy("o_orderkey")
+    )
+    assert rows(got) == rows(want)
+    assert got.columns == ["o_orderkey", "customer_c_name"]
+
+
+def test_unknown_relationship_raises(resolve):
+    with pytest.raises(SoqlError, match="unknown relationship"):
+        soql_to_df("SELECT account.Name FROM orders", resolve)
+
+
+def test_group_by_rollup(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT o_orderstatus, COUNT() n FROM orders "
+        "GROUP BY ROLLUP(o_orderstatus) ORDER BY o_orderstatus NULLS FIRST",
+        resolve,
+    )
+    o = load_table(spark, sf_dir, "orders")
+    n_status = o.select("o_orderstatus").distinct().count()
+    assert got.count() == n_status + 1  # grand-total row
+    first = got.collect()[0]
+    assert first["o_orderstatus"] is None and first["n"] == o.count()
+
+
+def test_date_literal_range_semantics(spark):
+    import datetime
+
+    today = datetime.date.today()
+    rows_in = [
+        ("today", today),
+        ("yesterday", today - datetime.timedelta(days=1)),
+        ("past40", today - datetime.timedelta(days=40)),
+        ("future5", today + datetime.timedelta(days=5)),
+    ]
+    df = spark.createDataFrame(rows_in, "tag string, d date")
+    res = {"t": df}
+
+    def q(soql):
+        return sorted(
+            r["tag"] for r in soql_to_df(soql, lambda n: res[n]).collect()
+        )
+
+    assert q("SELECT tag FROM t WHERE d = TODAY") == ["today"]
+    assert q("SELECT tag FROM t WHERE d = YESTERDAY") == ["yesterday"]
+    assert q("SELECT tag FROM t WHERE d = LAST_N_DAYS:7") == ["today", "yesterday"]
+    assert q("SELECT tag FROM t WHERE d = NEXT_N_DAYS:7") == ["future5"]
+    assert q("SELECT tag FROM t WHERE d > YESTERDAY") == ["future5", "today"]
+    assert q("SELECT tag FROM t WHERE d < LAST_N_DAYS:7") == ["past40"]
