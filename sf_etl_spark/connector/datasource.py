@@ -38,7 +38,21 @@ from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 from typing import Any
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 from sf_etl_spark.connector.client import SfClient
@@ -80,6 +94,47 @@ class RangePartition(InputPartition):
     soql: str
 
 
+def _soql_value(v: Any) -> str | None:
+    """Render a pushed-filter value as a SOQL literal (None = can't)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
+def _filter_to_soql(f: Filter) -> str | None:
+    """Best-effort Filter → SOQL WHERE fragment (None = not expressible)."""
+    col = getattr(f, "attribute", None)
+    if not col or len(col) != 1:  # nested paths not supported on the wire
+        return None
+    name = col[0]
+    if isinstance(f, IsNull):
+        return f"{name} = null"
+    if isinstance(f, IsNotNull):
+        return f"{name} != null"
+    if isinstance(f, In):
+        vals = [_soql_value(v) for v in f.value]
+        return f"{name} IN ({', '.join(vals)})" if vals and all(vals) else None
+    if isinstance(f, StringStartsWith):
+        v = _soql_value(f.value + "%")
+        return f"{name} LIKE {v}" if v else None
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    op = ops.get(type(f))
+    if op is None:
+        return None
+    v = _soql_value(f.value)
+    return f"{name} {op} {v}" if v is not None else None
+
+
 class SfScanReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict[str, str]):
         self.wire_schema = schema
@@ -87,6 +142,24 @@ class SfScanReader(DataSourceReader):
         self.field_names = schema.fieldNames()
 
     # -- planning (driver) -------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Push Catalyst filters into the remote SOQL WHERE.
+
+        At 100 TB the filter belongs on the wire: the backend ships
+        only matching rows instead of the whole object. Pushdown is
+        BEST-EFFORT by contract — every filter is also returned to
+        Spark for re-evaluation post-scan, so a backend that ignores
+        (or mis-evaluates) WHERE cannot produce wrong results; the
+        pushed clause is purely a transfer-volume optimization, which
+        is the safe stance for a remote API we don't control.
+        """
+        clauses = [c for c in (_filter_to_soql(f) for f in filters) if c]
+        if clauses:
+            pushed = " AND ".join(clauses)
+            prev = self.options.get("where")
+            self.options["where"] = f"({prev}) AND {pushed}" if prev else pushed
+        yield from filters  # Spark re-applies everything (see above)
 
     def partitions(self) -> Sequence[InputPartition]:
         mode = self.options.get("mode", "bulk")
@@ -196,4 +269,7 @@ class SfEtlDataSource(DataSource):
 
 def register(spark: Any) -> None:
     """Register the ``sfetl`` format on a session (idempotent)."""
+    # required whenever a reader implements pushFilters(); set here so
+    # sessions we don't construct (the verification driver's) work too
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SfEtlDataSource)

@@ -29,6 +29,7 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.python.filterPushdown.enabled": "true",  # connector pushFilters
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.cbo.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

@@ -198,3 +198,44 @@ def test_spark_rest_scan_range_partitioned(spark, mock_sf):
     # predicate pushdown into per-partition SOQL
     df2 = read_object(spark, {**opts, "where": "NumCalls >= 5"}, "Case", coerce=False)
     assert df2.count() == sum(1 for r in server.rows if int(r["NumCalls"]) >= 5)
+
+
+def test_catalyst_filter_pushdown_to_soql(spark, mock_sf):
+    """A Spark .filter() on the scan must reach the remote SOQL WHERE
+    (transfer-volume pushdown), while Spark still re-applies the
+    predicate post-scan (best-effort contract)."""
+    server, url = mock_sf
+    opts = {**sf_options(url), "mode": "rest"}
+    n_before = len(server.requests_seen)
+    df = read_object(spark, opts, "Case", coerce=False).filter("NumCalls >= 7")
+    expect = sum(1 for r in server.rows if int(r["NumCalls"]) >= 7)
+    assert df.count() == expect
+    pushed = [
+        r
+        for r in server.requests_seen[n_before:]
+        if "query" in r and ("WHERE" in r or "WHERE%20" in r or "+WHERE+" in r)
+    ]
+    assert pushed, "no WHERE clause reached the mock server"
+    assert any("NumCalls" in r for r in pushed)
+
+
+def test_filter_to_soql_rendering():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNull,
+        StringStartsWith,
+    )
+
+    from sf_etl_spark.connector.datasource import _filter_to_soql
+
+    assert _filter_to_soql(EqualTo(("Status",), "Closed")) == "Status = 'Closed'"
+    assert _filter_to_soql(GreaterThan(("NumCalls",), 5)) == "NumCalls > 5"
+    assert _filter_to_soql(In(("Priority",), ("P1", "P2"))) == "Priority IN ('P1', 'P2')"
+    assert _filter_to_soql(IsNull(("Owner",))) == "Owner = null"
+    assert _filter_to_soql(StringStartsWith(("Subject",), "Re:")) == "Subject LIKE 'Re:%'"
+    # quotes escaped the SOQL way
+    assert _filter_to_soql(EqualTo(("Name",), "O'Brien")) == "Name = 'O\\'Brien'"
+    # nested column paths stay Spark-side
+    assert _filter_to_soql(EqualTo(("a", "b"), 1)) is None
