@@ -13,6 +13,8 @@ Spark data source plus a schema pipeline.
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import DataFrame, SparkSession
 
 from sf_etl_spark.connector.client import (
@@ -78,6 +80,13 @@ def read_object(
     if not coerce:
         return raw
     schema = _client_from_options(options).describe(object_name)
+    if options.get("fields"):
+        # projected read: coerce only the selected fields (otherwise the
+        # cast lane would re-add dropped columns as typed nulls)
+        keep = {f.strip() for f in options["fields"].split(",")}
+        schema = replace(
+            schema, fields=tuple(f for f in schema.fields if f.name in keep)
+        )
     return coerce_dataframe(raw, schema)
 
 

@@ -259,9 +259,18 @@ class SfEtlDataSource(DataSource):
         obj_schema = client.describe(self.options["object"])
         # Wire schema: all strings, describe order; typed casts are applied
         # post-scan by read_object() so they run JVM-side.
-        return StructType(
-            [StructField(f.name, StringType(), True) for f in obj_schema.fields]
-        )
+        names = [f.name for f in obj_schema.fields]
+        # Projection pushdown (reference R4, `client.rs:217`): the Python
+        # DataSource API has no pruneColumns hook (4.1), so the `fields`
+        # option narrows the wire schema — and with it the SOQL SELECT
+        # list — explicitly. Transfer volume scales with |fields|.
+        if self.options.get("fields"):
+            keep = [f.strip() for f in self.options["fields"].split(",") if f.strip()]
+            unknown = sorted(set(keep) - set(names))
+            if unknown:
+                raise ClientBuilderError(f"unknown fields for projection: {unknown}")
+            names = [n for n in names if n in keep]
+        return StructType([StructField(n, StringType(), True) for n in names])
 
     def reader(self, schema: StructType) -> SfScanReader:
         return SfScanReader(schema, dict(self.options))

@@ -239,3 +239,27 @@ def test_filter_to_soql_rendering():
     assert _filter_to_soql(EqualTo(("Name",), "O'Brien")) == "Name = 'O\\'Brien'"
     # nested column paths stay Spark-side
     assert _filter_to_soql(EqualTo(("a", "b"), 1)) is None
+
+
+def test_projection_pushdown_via_fields_option(spark, mock_sf):
+    """`fields` narrows the wire schema AND the remote SELECT list
+    (R4 projection pushdown — `client.rs:217` done scan-side)."""
+    server, url = mock_sf
+    n_before = len(server.requests_seen)
+    df = read_object(
+        spark,
+        {**sf_options(url), "mode": "rest", "fields": "Id,NumCalls"},
+        "Case",
+    )
+    assert df.columns == ["Id", "NumCalls"]
+    assert df.count() == server.n_rows
+    reqs = [r for r in server.requests_seen[n_before:] if "/query" in r]
+    assert reqs and all("Subject" not in r for r in reqs)  # non-selected col not on the wire
+
+    with pytest.raises(Exception, match="unknown fields"):
+        read_object(
+            spark,
+            {**sf_options(url), "mode": "rest", "fields": "Id,Nope"},
+            "Case",
+            coerce=False,
+        ).count()
