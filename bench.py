@@ -43,6 +43,10 @@ HEADLINE = [
     "token_counts",
     "text_quality",
     "multimodal_meta_stats",
+    "salted_join_revenue",
+    "soql_parent_traversal",
+    "pandas_udf_zscore",
+    "udtf_bigrams",
 ]
 
 

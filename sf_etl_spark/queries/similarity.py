@@ -313,24 +313,29 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SRP_BANDS, ", ".join(f"{b}, b{b}" for b in range(SRP_BANDS))
     )
     banded = per_vec.select("vec_id", "v", "nm", F.expr(stack_expr))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # candidate pairs carry BARE IDs through the bucket join + dedup
+    # (a pair sharing k bands appears k times pre-dedup; shipping the
+    # two 64-double payloads through that shuffle measured ~2x the
+    # whole query) — vectors re-attach afterwards, once per survivor
+    bkeys = banded.select("vec_id", "band", "bucket")
+    a, b = bkeys.alias("a"), bkeys.alias("b")
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("a.nm").alias("na"),
-            F.col("b.v").alias("vb"),
-            F.col("b.nm").alias("nb"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    va = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na")
+    )
+    vb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb")
+    )
+    cand = cand_ids.join(va, "vec_a").join(vb, "vec_b")
     cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.filter(cosine >= COS_THRESHOLD)
