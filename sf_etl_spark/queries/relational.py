@@ -1100,3 +1100,38 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (linear interpolation): Spark percentile() ≡
+# DuckDB quantile_cont() bit-for-bit (same sort + same a+f*(b-a)
+# interpolation on doubles). Scale note: exact percentile re-sorts
+# per group; at 100 TB the approx_percentile sketch (t-digest-style,
+# map-side mergeable) replaces it — same call shape, bounded memory.
+# ---------------------------------------------------------------------------
+@register(
+    "percentiles_by_flag",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)       AS med_qty,
+           quantile_cont(l_quantity, 0.9)       AS p90_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="exact percentiles (median/p90/p25/p99) per return flag",
+)
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("med_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+            F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
