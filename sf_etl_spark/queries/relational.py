@@ -1135,3 +1135,41 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS / NOT EXISTS through the SQL API: Catalyst
+# decorrelates both into semi/anti joins (no per-row subquery
+# execution — check the plan: LeftSemi/LeftAnti, not a nested loop).
+# Customers with ≥1 urgent order but no F-status order.
+# ---------------------------------------------------------------------------
+@register(
+    "exists_correlated",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    ORDER BY c.c_custkey
+    LIMIT 200
+    """,
+    doc="correlated EXISTS/NOT EXISTS → decorrelated semi/anti joins",
+)
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    c.createOrReplaceTempView("_ex_customer")
+    o.createOrReplaceTempView("_ex_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM _ex_customer c
+        WHERE EXISTS (SELECT 1 FROM _ex_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM _ex_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        ORDER BY c.c_custkey
+        LIMIT 200
+        """
+    )

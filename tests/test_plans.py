@@ -77,3 +77,10 @@ def test_minhash_partial_aggregates_before_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
     assert plan.count("HashAggregate") >= 2
     assert "partial_min" in plan
+
+
+def test_exists_decorrelates_to_semi_anti(spark, sf_dir):
+    # correlated EXISTS must not execute per-row: Catalyst rewrites to
+    # one semi + one anti join
+    plan = _plan(spark, sf_dir, "exists_correlated")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
