@@ -18,6 +18,7 @@ from sf_etl_spark.streaming.pipelines import (
     stream_session_agg,
     stream_sliding_agg,
     stream_stateful_user_counts,
+    stream_tws_user_counts,
     stream_tumbling_agg,
 )
 
@@ -30,5 +31,6 @@ __all__ = [
     "stream_session_agg",
     "stream_sliding_agg",
     "stream_stateful_user_counts",
+    "stream_tws_user_counts",
     "stream_tumbling_agg",
 ]

@@ -120,3 +120,43 @@ def test_foreach_batch_upsert(spark, sf_dir, staged, tmp_path):
     )
     assert got.count() == want.count()  # one row per user
     assert rows_set(got, ["user_id", "n_events"]) == rows_set(want, ["user_id", "n_events"])
+
+
+def test_transform_with_state_user_counts(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas lane (skip-gated: the TWS
+    state protocol needs the protobuf package)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from sf_etl_spark.sources import load_table
+    from sf_etl_spark.streaming import (
+        events_stream,
+        run_to_memory_table,
+        stream_tws_user_counts,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "events_src")
+    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(src)
+    name, _ = run_to_memory_table(
+        stream_tws_user_counts(events_stream(spark, src)), output_mode="update"
+    )
+    got = spark.table(name).groupBy("user_id").agg(F.max("n_events").alias("n"))
+    want = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    assert sorted((r[0], r[1]) for r in got.collect()) == sorted(
+        (r[0], r[1]) for r in want.collect()
+    )
+
+
+def test_tws_plan_constructs_without_execution(spark, sf_dir, tmp_path):
+    """Even without protobuf, the transformWithState PLAN must build
+    (schema/grouping wiring is environment-independent)."""
+    from sf_etl_spark.sources import load_table
+    from sf_etl_spark.streaming import events_stream, stream_tws_user_counts
+
+    src = str(tmp_path / "events_src2")
+    load_table(spark, sf_dir, "events").limit(10).coalesce(1).write.parquet(src)
+    plan = stream_tws_user_counts(events_stream(spark, src))
+    assert plan.isStreaming
+    assert set(plan.columns) == {"user_id", "n_events", "total_value", "last_ts"}
