@@ -1173,3 +1173,37 @@ def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 200
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-on-read JSON: from_json with a declared struct (the
+# AnyType→Jsonb lane parsed into typed columns, not just extracted),
+# plus a compact to_json round-trip. At scale the declared schema
+# beats schema_of_json sampling: one pass, no inference job.
+# ---------------------------------------------------------------------------
+@register(
+    "json_schema_on_read",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS props_norm
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 40 AND 60
+    ORDER BY event_id
+    LIMIT 200
+    """,
+    doc="from_json into typed struct + compact to_json round-trip",
+)
+def json_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    return (
+        e.select(
+            "event_id",
+            parsed.getField("k").alias("k"),
+            F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("props_norm"),
+        )
+        .filter(F.col("k").between(40, 60))
+        .orderBy("event_id")
+        .limit(200)
+    )
