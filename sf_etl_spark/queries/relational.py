@@ -1207,3 +1207,43 @@ def json_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-preserving set ops (ALL variants): unionAll / intersectAll
+# / exceptAll keep multiplicity — semantics distinct from the
+# set-variants in `set_ops`. Counted per branch for a stable result.
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_all",
+    """
+    WITH c AS (SELECT c_nationkey AS k FROM customer),
+         s AS (SELECT s_nationkey AS k FROM supplier)
+    SELECT 'union_all' AS op, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT k FROM c UNION ALL SELECT k FROM s)
+    UNION ALL
+    SELECT 'intersect_all', CAST(count(*) AS BIGINT)
+      FROM (SELECT k FROM c INTERSECT ALL SELECT k FROM s)
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT)
+      FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s)
+    ORDER BY op
+    """,
+    doc="duplicate-preserving set ops: unionAll/intersectAll/exceptAll counts",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _t(spark, sf_dir, "customer", "supplier")
+    ck = c.select(F.col("c_nationkey").alias("k"))
+    sk = s.select(F.col("s_nationkey").alias("k"))
+
+    def count1(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        count1(ck.unionAll(sk), "union_all")
+        .unionByName(count1(ck.intersectAll(sk), "intersect_all"))
+        .unionByName(count1(ck.exceptAll(sk), "except_all"))
+        .orderBy("op")
+    )

@@ -80,3 +80,18 @@ def test_ddl_precreates_jdbc_target(orders):
     assert ddl.startswith('CREATE TABLE "orders_sink"')
     for col in orders.columns:
         assert f'"{col}"' in ddl
+
+
+def test_save_as_managed_table_roundtrip(spark, orders):
+    """saveAsTable → catalog-managed table → spark.sql round-trip
+    (the metastore sink lane; warehouse dir is session-local)."""
+    name = "orders_managed_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    orders.limit(500).write.mode("overwrite").format("parquet").saveAsTable(name)
+    try:
+        assert spark.catalog.tableExists(name)
+        back = spark.sql(f"SELECT count(*) AS n FROM {name}").first()
+        assert back["n"] == 500
+        assert set(spark.table(name).columns) == set(orders.columns)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
