@@ -145,3 +145,67 @@ def range_join_buckets(
         .filter(cond)
         .drop("_bkt", "_probe")
     )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """As-of join via cogrouped ``applyInPandas`` + ``pd.merge_asof``
+    — the Arrow-batched alternative to :func:`asof_join` for when the
+    match rule outgrows window semantics (tolerance windows,
+    direction='nearest', multi-column by-keys: all pandas one-liners,
+    all painful as window recipes).
+
+    Scale: cogroup shuffles BOTH sides once on the key — same shuffle
+    count as the union+window recipe — then per-key work happens in
+    Arrow batches. The cost difference is Python/Arrow transfer, so
+    prefer :func:`asof_join` when plain backward-match semantics
+    suffice (it stays fully JVM-side); this lane exists for the
+    semantics built-ins can't express. Skew caveat: one giant key
+    lands one task — salt first (`operators.skew`) if keys are hot.
+
+    Inclusive backward match (``right_ts <= left_ts``), identical to
+    :func:`asof_join` and DuckDB ``ASOF JOIN``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    right_schema = {f.name: f for f in right.schema.fields}
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField("asof_ts", right_schema[right_ts].dataType, True)]
+        + [
+            StructField(f"asof_{c}", right_schema[c].dataType, True)
+            for c in right_payload
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    # Pre-rename the right side: when both inputs derive from the same
+    # source, left.ts and right.ts share an attribute id and the
+    # cogroup deduplicates the column away (the right pdf arrives
+    # without it). Distinct names also make the pandas merge collision-
+    # free by construction.
+    r_renamed = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("asof_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_payload],
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(l_pdf):
+            return pd.DataFrame(columns=out_cols)
+        l_sorted = l_pdf.sort_values(left_ts)
+        r_sorted = r_pdf.drop(columns=[on]).sort_values("asof_ts")
+        merged = pd.merge_asof(
+            l_sorted, r_sorted, left_on=left_ts, right_on="asof_ts", direction="backward"
+        )
+        return merged[out_cols]
+
+    return (
+        left.groupBy(on).cogroup(r_renamed.groupBy(on)).applyInPandas(merge, out_schema)
+    )

@@ -211,3 +211,36 @@ def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Same as-of semantics through the Arrow/pandas lane: cogrouped
+# applyInPandas + pd.merge_asof, oracle-matched against DuckDB's
+# native ASOF JOIN — proving the two implementations (union+window
+# and merge_asof) agree row-for-row.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_pandas_merge",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts    AS asof_ts,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="as-of join via cogrouped applyInPandas merge_asof (Arrow lane)",
+)
+def asof_pandas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.joins import asof_join_pandas
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_pandas(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", right_payload=["value"]
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "asof_ts", F.col("asof_value").alias("click_value")
+    ).orderBy("event_id")
