@@ -1247,3 +1247,44 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count1(ck.exceptAll(sk), "except_all"))
         .orderBy("op")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share — conditional aggregation over
+# a fact⋈dim join. Scale: part is a dim → broadcast (175 KB here,
+# a few GB at 100 TB: still broadcastable); lineitem never shuffles
+# for the join, only |groups|=1 row aggregates cross the wire.
+# ---------------------------------------------------------------------------
+_Q14_REV = "l_extendedprice * (1 - l_discount)"
+_Q14_PROMO = f"CASE WHEN p_type LIKE 'PROMO%' THEN {_Q14_REV} ELSE 0 END"
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           {SUMD(_Q14_PROMO)} AS promo_revenue,
+           {SUMD(_Q14_REV)} AS total_revenue,
+           100.0 * {SUMD(_Q14_PROMO)} / {SUMD(_Q14_REV)} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+    doc="TPC-H Q14: promo revenue share via broadcast dim join + conditional agg",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == p.p_partkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+            (100.0 * dsum(promo) / dsum(rev)).alias("promo_pct"),
+        )
+    )
