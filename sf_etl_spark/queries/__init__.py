@@ -54,8 +54,84 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# The driver's correctness gate checks the registry in iteration order
+# and truncates after the first ~50 entries. Registration order follows
+# module import order (plus cross-module imports), which buried the
+# similarity/SOQL/streaming/as-of surface past the cutoff in round 1.
+# This list pins the iteration order explicitly: surfaces that most
+# need a fresh driver CORRECTNESS row come first; the relational long
+# tail (fully driver-verified in round 1) comes last. Names absent
+# from the list keep their registration order after the listed ones;
+# listed names that are not registered are ignored (so reordering
+# never hides a query).
+_PRIORITY_ORDER = [
+    # similarity / ANN tier (unverified in r1)
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_srp_lsh_pairs",
+    "dedup_embedding_pipeline",
+    "ann_ivf_kmeans_topk",
+    # SOQL front door (unverified in r1) + nested child subqueries
+    "soql_orders_rollup",
+    "soql_documents_filter",
+    "soql_parent_traversal",
+    "soql_rollup_traversal",
+    "soql_child_subquery",
+    "soql_child_subquery_where",
+    # event-time windows + as-of/range joins (unverified in r1)
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_purchase_click",
+    "range_join_followups",
+    "asof_pandas_merge",
+    # live streaming lane (unverified in r1)
+    "stream_tumbling_1h",
+    "stream_dedup_exactly_once",
+    "stream_stateful_user_agg",
+    # sink round trip (new)
+    "sink_roundtrip_partitioned",
+    # LLM-data ops (driver-green in r1; keep inside the window)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "doc_fingerprint",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "embedding_stats",
+    "ann_cosine_topk",
+    # extension lanes + multimodal (driver-green in r1)
+    "udtf_bigrams",
+    "pandas_udf_zscore",
+    "dispersion_stats",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    # relational spine: the most load-bearing entries stay in-window;
+    # the long tail past the cutoff was hash-verified in round 1
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q14_promo_revenue",
+    "salted_join_revenue",
+    "window_suite",
+    "topk_per_group",
+    "exists_correlated",
+    "scalar_subquery",
+    "fk_integrity",
+    "json_schema_on_read",
+    "percentiles_by_flag",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Import all query modules and return the full registry."""
+    """Import all query modules and return the full registry.
+
+    Iteration order is _PRIORITY_ORDER first, then any remaining
+    registrations in import order (see comment above).
+    """
     # Imports are deferred so a syntax error in one module surfaces
     # at call time (driver-visible) instead of breaking package import.
     from sf_etl_spark.queries import (  # noqa: F401
@@ -69,4 +145,11 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_live,
     )
 
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _PRIORITY_ORDER:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
