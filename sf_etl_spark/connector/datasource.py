@@ -95,18 +95,53 @@ class RangePartition(InputPartition):
 
 
 def _soql_value(v: Any) -> str | None:
-    """Render a pushed-filter value as a SOQL literal (None = can't)."""
+    """Render a pushed-filter value as a SOQL literal (None = can't).
+
+    Floats are rejected unless they render as a plain fixed-point
+    numeric: ``str()`` of inf/nan or tiny/huge magnitudes produces
+    ``inf`` / ``1e-07`` — invalid SOQL numeric literals that would
+    fail the *whole* remote scan instead of skipping one clause.
+    """
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        s = repr(v)
+        if "e" in s or "E" in s or "inf" in s or "nan" in s:
+            return None
+        return s
+    if isinstance(v, int):
         return str(v)
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     return None
 
 
-def _filter_to_soql(f: Filter) -> str | None:
-    """Best-effort Filter → SOQL WHERE fragment (None = not expressible)."""
+# Filters whose remote evaluation can only WIDEN the result relative to
+# Spark's post-scan re-application. The wire schema is all-strings, so
+# Spark re-checks pushed predicates under binary string collation while
+# the remote engine uses typed, case-insensitive collation; an
+# *ordering* predicate (< <= > >=) can therefore be STRICTER remotely
+# (e.g. `col > 'B'` keeps 'a' under binary compare but remote
+# case-insensitive compare may drop it) — rows the backend never ships
+# cannot be restored by re-application. Equality/membership/null-test/
+# prefix filters can only over-ship under collation divergence, which
+# re-application then trims — safe.
+_WIDEN_ONLY = (IsNull, IsNotNull, EqualTo, In, StringStartsWith)
+_RANGE_OPS = {
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _filter_to_soql(f: Filter, push_ranges: bool = False) -> str | None:
+    """Filter → SOQL WHERE fragment (None = not pushed).
+
+    Only widen-only filter classes are pushed by default; range
+    comparisons require the ``push_range_filters`` opt-in (see
+    ``_WIDEN_ONLY`` note).
+    """
     col = getattr(f, "attribute", None)
     if not col or len(col) != 1:  # nested paths not supported on the wire
         return None
@@ -121,15 +156,11 @@ def _filter_to_soql(f: Filter) -> str | None:
     if isinstance(f, StringStartsWith):
         v = _soql_value(f.value + "%")
         return f"{name} LIKE {v}" if v else None
-    ops = {
-        EqualTo: "=",
-        GreaterThan: ">",
-        GreaterThanOrEqual: ">=",
-        LessThan: "<",
-        LessThanOrEqual: "<=",
-    }
-    op = ops.get(type(f))
-    if op is None:
+    if isinstance(f, EqualTo):
+        v = _soql_value(f.value)
+        return f"{name} = {v}" if v is not None else None
+    op = _RANGE_OPS.get(type(f))
+    if op is None or not push_ranges:
         return None
     v = _soql_value(f.value)
     return f"{name} {op} {v}" if v is not None else None
@@ -147,14 +178,18 @@ class SfScanReader(DataSourceReader):
         """Push Catalyst filters into the remote SOQL WHERE.
 
         At 100 TB the filter belongs on the wire: the backend ships
-        only matching rows instead of the whole object. Pushdown is
-        BEST-EFFORT by contract — every filter is also returned to
-        Spark for re-evaluation post-scan, so a backend that ignores
-        (or mis-evaluates) WHERE cannot produce wrong results; the
-        pushed clause is purely a transfer-volume optimization, which
-        is the safe stance for a remote API we don't control.
+        only matching rows instead of the whole object. Every filter
+        is also returned to Spark for post-scan re-evaluation, but
+        re-application can only REMOVE over-shipped rows — it cannot
+        restore rows a remotely-stricter predicate never shipped. So
+        by default only widen-only filter classes are pushed
+        (equality, IN, null tests, prefix LIKE — see ``_WIDEN_ONLY``);
+        range comparisons on the all-strings wire schema are pushed
+        only under ``option("push_range_filters", "true")``, for
+        callers who know the remote collation/typing matches.
         """
-        clauses = [c for c in (_filter_to_soql(f) for f in filters) if c]
+        push_ranges = self.options.get("push_range_filters", "false").lower() == "true"
+        clauses = [c for c in (_filter_to_soql(f, push_ranges) for f in filters) if c]
         if clauses:
             pushed = " AND ".join(clauses)
             prev = self.options.get("where")

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
-def salt_probe(df: DataFrame, n: int) -> DataFrame:
+def salt_probe(df: DataFrame, n: int, uniq_col: str | None = None) -> DataFrame:
     """Add a deterministic salt in [0, n) to the probe side.
 
     xxhash64 over the full row (not just the join key!) spreads a hot
@@ -39,10 +39,22 @@ def salt_probe(df: DataFrame, n: int) -> DataFrame:
     every hot-key row in ONE bucket and defeat the salting. Row-hash
     is deterministic, so retried tasks re-salt identically — no
     correctness risk under speculative execution, unlike rand().
+
+    Limitations of whole-row hashing, and the ``uniq_col`` remedy:
+
+    * rows that are EXACT duplicates (the null-ish / empty-string hot
+      key whose payload is also identical) hash to one salt bucket and
+      are not spread at all;
+    * xxhash64 cannot hash map-typed columns (hash expressions reject
+      MapType), so frames with maps fail outright.
+
+    Pass ``uniq_col`` naming a per-row-distinct column (a PK, a line
+    number) and the salt hashes ONLY that column — duplicate-proof,
+    map-safe, still deterministic under retries. Whole-row hashing
+    remains the zero-requirements default for frames without a key.
     """
-    return df.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n)).cast("int")
-    )
+    src = F.col(uniq_col) if uniq_col else F.struct(*df.columns)
+    return df.withColumn(SALT_COL, F.pmod(F.xxhash64(src), F.lit(n)).cast("int"))
 
 
 def replicate_build(df: DataFrame, n: int) -> DataFrame:
@@ -59,6 +71,7 @@ def salted_join(
     on: list[str],
     n: int = 16,
     how: str = "inner",
+    uniq_col: str | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: (key, salt) join of the salted probe
     against the n×-replicated build. Result ≡ probe.join(build, on,
@@ -68,7 +81,7 @@ def salted_join(
     key exists at every salt)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    p = salt_probe(probe, n)
+    p = salt_probe(probe, n, uniq_col)
     b = replicate_build(build, n)
     return p.join(b, on + [SALT_COL], how).drop(SALT_COL)
 

@@ -431,14 +431,29 @@ def soql_to_df(soql: str, resolve, relationships: dict | None = None) -> DataFra
         for t in toks
         if t.kind == "ident" and "." in t.text and t.text.lower() not in _KEYWORDS
     }
+    # FK columns resolve against the BASE object only (aliased so a
+    # parent carrying a same-named column can never capture the
+    # reference); a missing FK is a SoqlError with context, not an
+    # escaped AnalysisException.
+    base_cols = set(df.columns)
+    base_alias = "_soql_base"
+    if used_rels:
+        df = df.alias(base_alias)
     for rel in sorted(used_rels):
         if not relationships or rel not in relationships:
             raise SoqlError(
                 f"unknown relationship {rel!r}; declare it in `relationships`"
             )
         parent_obj, fk_col, pk_col = relationships[rel]
+        if fk_col not in base_cols:
+            raise SoqlError(
+                f"relationship {rel!r}: FK column {fk_col!r} not found on the "
+                f"queried object (columns: {sorted(base_cols)})"
+            )
         parent = resolve(parent_obj).alias(rel)
-        df = df.join(parent, F.col(fk_col) == F.col(f"{rel}.{pk_col}"), "left")
+        df = df.join(
+            parent, F.col(f"{base_alias}.{fk_col}") == F.col(f"{rel}.{pk_col}"), "left"
+        )
 
     p = _Parser(toks, df)
     p.expect("kw", "select")

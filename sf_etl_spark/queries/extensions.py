@@ -58,7 +58,13 @@ def SUMD_MONEY(expr: str) -> str:
 # active SparkSession, and registry modules import session-free.)
 # ---------------------------------------------------------------------------
 class BigramUDTF:
-    """Word-bigram table function (whitespace tokens, 0-based pos)."""
+    """Word-bigram table function (whitespace tokens, 0-based pos).
+
+    This query exists to exercise the Python-UDTF extension lane; the
+    PRODUCTION shape for bigrams is the JVM-side built-in composition
+    ``posexplode(split(text)) + concat_ws`` (no Python on the task
+    path) — see ``dispersion_stats`` for the no-UDF counter-example.
+    """
 
     def eval(self, text: str):  # noqa: D102 - UDTF contract
         if text is None:

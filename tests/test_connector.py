@@ -203,9 +203,11 @@ def test_spark_rest_scan_range_partitioned(spark, mock_sf):
 def test_catalyst_filter_pushdown_to_soql(spark, mock_sf):
     """A Spark .filter() on the scan must reach the remote SOQL WHERE
     (transfer-volume pushdown), while Spark still re-applies the
-    predicate post-scan (best-effort contract)."""
+    predicate post-scan. Range comparisons only push under the
+    explicit opt-in (remote collation may be stricter than Spark's
+    binary string compare — see _WIDEN_ONLY in datasource.py)."""
     server, url = mock_sf
-    opts = {**sf_options(url), "mode": "rest"}
+    opts = {**sf_options(url), "mode": "rest", "push_range_filters": "true"}
     n_before = len(server.requests_seen)
     df = read_object(spark, opts, "Case", coerce=False).filter("NumCalls >= 7")
     expect = sum(1 for r in server.rows if int(r["NumCalls"]) >= 7)
@@ -231,7 +233,6 @@ def test_filter_to_soql_rendering():
     from sf_etl_spark.connector.datasource import _filter_to_soql
 
     assert _filter_to_soql(EqualTo(("Status",), "Closed")) == "Status = 'Closed'"
-    assert _filter_to_soql(GreaterThan(("NumCalls",), 5)) == "NumCalls > 5"
     assert _filter_to_soql(In(("Priority",), ("P1", "P2"))) == "Priority IN ('P1', 'P2')"
     assert _filter_to_soql(IsNull(("Owner",))) == "Owner = null"
     assert _filter_to_soql(StringStartsWith(("Subject",), "Re:")) == "Subject LIKE 'Re:%'"
@@ -239,6 +240,28 @@ def test_filter_to_soql_rendering():
     assert _filter_to_soql(EqualTo(("Name",), "O'Brien")) == "Name = 'O\\'Brien'"
     # nested column paths stay Spark-side
     assert _filter_to_soql(EqualTo(("a", "b"), 1)) is None
+    # range comparisons on the all-strings wire schema can be remotely
+    # STRICTER than Spark's binary re-check → not pushed by default
+    assert _filter_to_soql(GreaterThan(("NumCalls",), 5)) is None
+    assert _filter_to_soql(GreaterThan(("NumCalls",), 5), push_ranges=True) == "NumCalls > 5"
+
+
+def test_soql_value_float_literals():
+    """Non-finite / scientific-notation floats must not be pushed:
+    str(1e-07) is not a valid SOQL numeric literal and would fail the
+    whole remote scan rather than skip one clause."""
+    from pyspark.sql.datasource import EqualTo
+
+    from sf_etl_spark.connector.datasource import _filter_to_soql, _soql_value
+
+    assert _soql_value(2.5) == "2.5"
+    assert _soql_value(float("inf")) is None
+    assert _soql_value(float("-inf")) is None
+    assert _soql_value(float("nan")) is None
+    assert _soql_value(1e-7) is None  # repr: '1e-07'
+    assert _soql_value(1e20) is None  # repr: '1e+20'
+    # a non-expressible literal skips the clause, not the scan
+    assert _filter_to_soql(EqualTo(("Score",), float("nan"))) is None
 
 
 def test_projection_pushdown_via_fields_option(spark, mock_sf):

@@ -181,7 +181,9 @@ def test_group_by_rollup(spark, resolve, sf_dir):
 def test_date_literal_range_semantics(spark):
     import datetime
 
-    today = datetime.date.today()
+    # "today" must come from the ENGINE's clock (the session pins UTC);
+    # host-local date.today() disagrees around midnight on non-UTC hosts
+    today = spark.sql("SELECT current_date() AS d").collect()[0]["d"]
     rows_in = [
         ("today", today),
         ("yesterday", today - datetime.timedelta(days=1)),
