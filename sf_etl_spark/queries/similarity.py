@@ -11,8 +11,8 @@ Three tiers of the same capability, mirroring a production ANN stack:
    Centroid "training" is deterministic seed selection so the DuckDB
    oracle can replay it; swap in k-means at deployment without
    changing the probe plan.
- - ``ann_srp_lsh_pairs`` — signed-random-projection LSH: 16 fixed
-   hyperplanes → 4 bands × 4 sign bits → band-bucket equi-join →
+ - ``ann_srp_lsh_pairs`` — signed-random-projection LSH: 64 fixed
+   hyperplanes → 4 bands × 16 sign bits → band-bucket equi-join →
    exact-cosine verification. The ±1 hyperplane matrix regenerates
    deterministically inside each engine (md5-parity), so the oracle
    replays it exactly with no literals or driver-shipped data.
@@ -189,14 +189,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Signed-random-projection LSH: 16 fixed ±1 hyperplanes (sha256-seeded
-# so both engines share them as literals) → 4 bands × 4 sign bits →
+# Signed-random-projection LSH: 64 fixed ±1 hyperplanes (md5-seeded so
+# both engines regenerate them identically) → 4 bands × 16 sign bits →
 # candidates share any band bucket → exact-cosine verify ≥ threshold.
-# Scale: per-band bucket equi-join; corpus never cross-joins. Recall
-# for cosine≈0.4 with 4×4 banding ≈ 1-(1-p^4)^4, p=1-θ/π ≈ 0.63 →
-# ~0.5 per the SRP-LSH bound — tune bands/rows at deployment.
+#
+# Scale: per-band bucket equi-join; the corpus never cross-joins. The
+# 16-bit band code gives 65,536 buckets per band, so expected bucket
+# occupancy — and with it candidate-pair count — scales ~n²/65k per
+# band instead of the n²/16 a 4-bit band degenerates to: at corpus
+# scale the candidate set stays sub-quadratic until n ≫ bucket count,
+# at which point widen the band (more planes) — the plan shape is
+# unchanged.
+#
+# Recall: P(two vectors agree on one plane) = 1 - θ/π. A 16-bit band
+# matches with p^16, any-of-4 bands ⇒ recall = 1-(1-p^16)^4. That is
+# tuned for the HIGH-cosine regime real near-dup dedup targets
+# (cosine ≥ 0.9 → p ≈ 0.93 → recall ≈ 0.74; ≥ 0.95 → ≈ 0.94). At this
+# fixture's demo threshold (0.4, near-orthogonal synthetic vectors)
+# band-match probability is tiny — the registered query's value is
+# plan-shape + engine parity, not fixture recall; the exact
+# verification stage (dedup_embedding_cosine on candidates) is what
+# guarantees precision of whatever the bands surface.
 # ---------------------------------------------------------------------------
-SRP_PLANES = 16
+SRP_PLANES = 64
 SRP_BANDS = 4
 SRP_ROWS = SRP_PLANES // SRP_BANDS
 
