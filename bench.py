@@ -21,7 +21,10 @@ import time
 # brute/IVF/LSH, fingerprinting, text analysis, multimodal metadata).
 # ngram_jaccard and dedup_embedding_cosine are excluded: they are the
 # exact O(n²) verification stages meant to run downstream of LSH
-# candidates, not full-corpus headline ops.
+# candidates, not full-corpus headline ops. dedup_simhash is excluded
+# for a fixture artifact: ~8% of ALL fixture doc pairs are within
+# hamming 6, so its complete output is itself quadratic (~1M pairs at
+# sf0.1) — timing it benchmarks result materialization, not blocking.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",

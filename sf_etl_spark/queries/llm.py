@@ -425,24 +425,116 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup sketch (rows-only): 64-bit fingerprint from token
-# hashes; hamming distance ≤ 6 marks near-dups. Bit-vote accumulation
-# is expressed with array ops (JVM-side, no Python UDF).
+# SimHash near-dup sketch: 64-bit fingerprint from token hashes;
+# hamming distance ≤ 6 marks near-dups. Bit-vote accumulation is
+# expressed with 64 map-side-combined sum aggregates (JVM-side, no
+# Python UDF, one shuffle).
+#
+# Candidate blocking is pigeonhole-COMPLETE via the Manku/Jain/Sarma
+# block-permutation argument: split the fingerprint into m=8 blocks
+# of 8 bits; a pair within hamming k=6 has ≥ m-k = 2 blocks with no
+# differing bit, so it matches on at least one of the C(8,2)=28
+# (block_i, block_j) PAIR keys. Joining on all 28 pair keys therefore
+# has recall EXACTLY 1.0 vs the exact hamming self-join (asserted in
+# tests; note that the tempting "4 blocks of 16 bits, match any one"
+# scheme is NOT sound for k=6 — six errors can spread 2+2+1+1 and
+# touch all four blocks).
+#
+# Scale: each pair key carries 16 effective bits (65k bucket values),
+# so candidates stay sub-quadratic; the 28 keys/doc are a static
+# projection+explode (no self-join to build keys). The r1 shape
+# blocked on only the single top 16-bit block — silently missing any
+# pair whose differing bits landed there.
+#
+# The token hash is the top-64-bits of md5 (signed) — portable, so
+# the DuckDB oracle replays fingerprints bit-exactly and this query
+# is hash-checked, not rows-only (it was rows-only in r1 on
+# xxhash64). Production at 100 TB would swap the token hash to
+# xxhash64 (~4× faster, same plan shape).
 # ---------------------------------------------------------------------------
+SIMHASH_MAX_HAMMING = 6
+_SIM_BLOCKS = 8  # m blocks of 64/m bits; sound for k <= m - 2 with pair keys
+
+
+def _md5_hash64(col: str) -> F.Column:
+    """Signed int64 from the first 16 hex chars of md5 — the one keyed
+    64-bit hash both engines evaluate identically (see similarity.py
+    for the same trick on hyperplanes)."""
+    u = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+    return (
+        u
+        - F.when(
+            u >= F.lit("9223372036854775808").cast("decimal(20,0)"),
+            F.lit("18446744073709551616").cast("decimal(21,0)"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+
+
+_SIMHASH_SQL_H = (
+    "CAST(CAST(('0x' || substring(md5(_tok),1,16)) AS UBIGINT) - "
+    "CASE WHEN CAST(('0x' || substring(md5(_tok),1,16)) AS UBIGINT) >= 9223372036854775808 "
+    "THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+)
+
+
 @register(
     "dedup_simhash",
-    None,  # seeded-hash sketch: not SQL-expressible → rows-only check
-    doc="SimHash-64 fingerprints + hamming≤6 candidate pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS _tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, {_SIMHASH_SQL_H} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, i.i AS i,
+             sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+      GROUP BY doc_id, i.i
+    ), fps AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN
+                    CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                         ELSE (CAST(1 AS BIGINT) << i) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), blocked AS (
+      SELECT doc_id, simhash, blk.b AS blk,
+             (simhash >> (8 * blk.b)) & 255 AS blkval
+      FROM fps CROSS JOIN (SELECT unnest(generate_series(0, {_SIM_BLOCKS - 1})) AS b) blk
+    ), pkeys AS (
+      SELECT x.doc_id, x.simhash, x.blk AS bi, y.blk AS bj,
+             x.blkval AS vi, y.blkval AS vj
+      FROM blocked x JOIN blocked y
+        ON x.doc_id = y.doc_id AND x.blk < y.blk
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM pkeys a JOIN pkeys b
+        ON a.bi = b.bi AND a.bj = b.bj AND a.vi = b.vi AND a.vj = b.vj
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash-64 + pigeonhole-complete 8-block pair-key candidates, hamming≤6 pairs",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split("text", " "))
+    fps = simhash_fingerprints(d)
+    return simhash_candidates(fps, SIMHASH_MAX_HAMMING)
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + 64-bit simhash over distinct whitespace tokens."""
+    toks = F.array_distinct(F.split(text_col, " "))
     # Explode to (doc_id, token_hash); per-bit ±1 votes aggregate with
     # static shift amounts so everything stays in codegen'd JVM exprs.
     tok_hash = (
-        ensure_parallelism(d, key="doc_id")
+        ensure_parallelism(docs, key="doc_id")
         .select("doc_id", F.explode(toks).alias("_tok"))
-        .select("doc_id", F.xxhash64("_tok").alias("_h"))
+        .select("doc_id", _md5_hash64("_tok").alias("_h"))
     )
     vote_aggs = [
         F.sum(
@@ -464,22 +556,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = terms[0]
     for t in terms[1:]:
         sim = sim + t
-    fps = votes.select("doc_id", sim.alias("simhash"))
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    # Candidate generation at scale would block on 16-bit chunks
-    # (pigeonhole); the corpus here is small enough to self-join on a
-    # 16-bit prefix block, keeping the recipe shape.
-    block = F.shiftright(F.col("simhash"), 48)
-    fa = fps.withColumn("_blk", block).alias("a")
-    fb = fps.withColumn("_blk", block).alias("b")
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_candidates(
+    fps: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Pigeonhole-complete hamming≤k pairs from simhash fingerprints.
+
+    With m=8 blocks of 8 bits, a pair within hamming k ≤ m-2 = 6 has
+    at least two blocks free of differing bits, hence matches at
+    least one of the C(8,2)=28 (block_i, block_j) pair keys. The 28
+    keys per doc are built by a static projection + explode (no
+    self-join); each key is an equi-join over a 16-bit composite
+    value space, so candidate volume stays sub-quadratic in corpus
+    size. dropDuplicates collapses pairs matching several keys before
+    the (cheap) hamming filter.
+    """
+    if max_hamming > _SIM_BLOCKS - 2:
+        raise ValueError(
+            f"pair-key blocking is complete only for hamming <= {_SIM_BLOCKS - 2}"
+        )
+    bits = 64 // _SIM_BLOCKS
+    blkvals = [
+        F.shiftright("simhash", bits * b).bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(_SIM_BLOCKS)
+    ]
+    pair_structs = [
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.lit(j).alias("bj"),
+            blkvals[i].cast("int").alias("vi"),
+            blkvals[j].cast("int").alias("vj"),
+        )
+        for i in range(_SIM_BLOCKS)
+        for j in range(i + 1, _SIM_BLOCKS)
+    ]
+    pkeys = fps.select(
+        "doc_id", "simhash", F.explode(F.array(*pair_structs)).alias("pk")
+    ).select("doc_id", "simhash", "pk.bi", "pk.bj", "pk.vi", "pk.vj")
+    a, b = pkeys.alias("a"), pkeys.alias("b")
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        fa.join(fb, (F.col("a._blk") == F.col("b._blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter(hamming <= 6)
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bj") == F.col("b.bj"))
+            & (F.col("a.vi") == F.col("b.vi"))
+            & (F.col("a.vj") == F.col("b.vj"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(hamming <= max_hamming)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
 
