@@ -1,11 +1,14 @@
 """Similarity search & embedding-based dedup over `embeddings`
 (`vec_id bigint, embedding array<float>, label int`, 64-dim).
 
-Three tiers of the same capability, mirroring a production ANN stack:
+Four tiers of the same capability, mirroring a production ANN stack:
 
- - ``dedup_embedding_cosine`` — exact pairwise cosine (the
-   *verification* stage; at corpus scale it only ever runs on LSH/IVF
-   candidate pairs, never the full cross product).
+ - ``dedup_embedding_cosine`` — exact pairwise cosine over all pairs
+   (fixture-scale ground truth; the *verification math* lives in the
+   candidate-parameterized :func:`exact_cosine_pairs`).
+ - ``dedup_embedding_pipeline`` — the composed production path:
+   IVF-cell candidate generation → exact verify on candidates only;
+   its plan contains no corpus×corpus join (guarded in test_plans).
  - ``ann_ivf_topk`` — IVF coarse quantization: assign every vector to
    its nearest centroid, probe the query's ``nprobe`` nearest cells.
    Centroid "training" is deterministic seed selection so the DuckDB
@@ -60,12 +63,52 @@ _SQL_DOT = (
 )
 
 
+def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as (vec_id, label, v double[], nm) — the shared input
+    of every tier."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", _vec().alias("v"), _norm(_vec()).alias("nm"))
+
+
+def exact_cosine_pairs(
+    n: DataFrame, cand_ids: DataFrame, threshold: float = COS_THRESHOLD
+) -> DataFrame:
+    """THE verification stage, parameterized on candidate pairs.
+
+    ``cand_ids`` is a bare-ID (vec_a, vec_b) DataFrame from any
+    candidate generator (SRP-LSH buckets, IVF cells, MinHash bands…).
+    Vectors attach AFTER candidate dedup — one equi-join per side —
+    and the exact fold-order-stable cosine filters ≥ threshold. Cost
+    is O(|candidates|), never O(n²): the full corpus is only ever
+    touched by the two hash-join probes. (The registered
+    ``dedup_embedding_cosine`` feeds this the all-pairs candidate set
+    as a fixture-scale ground-truth oracle — that FORM is the
+    verification benchmark, not the production path;
+    ``dedup_embedding_pipeline`` is the composed production shape.)
+    """
+    va = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na")
+    )
+    vb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb")
+    )
+    cand = cand_ids.join(va, "vec_a").join(vb, "vec_b")
+    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.filter(cosine >= threshold)
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------------------
-# Exact embedding-cosine near-dup (verification stage).
-# Scale: O(n²) as written — correct ONLY as the verify stage. The
-# production pipeline is candidates-from(ann_srp_lsh_pairs | ann_ivf
-# cells) → this exact check; both candidate generators are bucketed
-# equi-joins that never materialize the cross product.
+# Exact embedding-cosine near-dup over ALL pairs — the fixture-scale
+# ground truth that the candidate generators are verified against.
+# Scale: O(n²) BY CONSTRUCTION; never the production path. The
+# production shape is `dedup_embedding_pipeline` below: a bucketed
+# candidate generator feeding `exact_cosine_pairs`, which takes the
+# candidate-pair DataFrame as a parameter precisely so the exact
+# check can't silently run over a full corpus.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_embedding_cosine",
@@ -186,6 +229,147 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with TRAINED centroids: pyspark.ml KMeans (k-means||, seeded)
+# replaces the deterministic seed-selection of `ann_ivf_topk`. The
+# probe plan is IDENTICAL — broadcast assignment, nprobe cells, exact
+# top-k inside them — only centroid quality changes, so recall@10
+# can only match or beat the seed variant (asserted in
+# tests/test_ivf_kmeans.py). Registered rows-only: k-means training
+# is not SQL-replayable in DuckDB; the seed variant keeps the
+# hash-checked oracle for the shared probe-plan shape.
+# Scale: fit() is Lloyd iterations over the corpus (each one
+# broadcast of K centers + one map-side-combined partial sum — the
+# textbook distributed k-means); transform() is a stateless broadcast
+# map. K here is 16 for a 500-vector fixture; at corpus scale K ~ √n
+# and nprobe scales with it, keeping the probe touch fraction
+# nprobe/K.
+# ---------------------------------------------------------------------------
+IVF_KM_K = 16
+IVF_KM_NPROBE = 4
+IVF_KM_SEED = 7
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    None,  # k-means training is not SQL-replayable → rows-only check
+    doc=f"IVF ANN over k-means({IVF_KM_K}) cells, nprobe={IVF_KM_NPROBE}, exact top-10",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = normalized_vectors(spark, sf_dir)
+    vecs = n.withColumn("features", array_to_vector("v"))
+    model = KMeans(
+        k=IVF_KM_K, seed=IVF_KM_SEED, maxIter=10, featuresCol="features"
+    ).fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "cid")
+        .select("vec_id", "label", "v", "nm", "cid")
+    )
+    # centers: K×DIM doubles, driver-side by nature (the model object);
+    # re-enter the engine as a small broadcast relation — NOT as
+    # literals in an expression tree (Janino codegen stalls on big
+    # literal matrices, see ann_srp_lsh_pairs note).
+    centers_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
+    ccos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * F.col("qn"))
+    probe = (
+        centers_df.crossJoin(F.broadcast(q))  # K rows × 1 row
+        .select("cid", ccos.alias("ccos"))
+        .orderBy(F.col("ccos").desc(), "cid")
+        .limit(IVF_KM_NPROBE)
+        .select("cid")
+    )
+    cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _QUERY_VEC)
+        .select("vec_id", "label", "cid", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed production near-dup pipeline: candidate generation by IVF
+# cell co-membership (same nearest seed centroid ⇒ candidate pair) →
+# parameterized exact-cosine verification on the candidates ONLY.
+# Scale: assignment is one broadcast(K centroids) pass over the
+# corpus; the candidate join is an equi-join on cell id, O(Σ|cell|²)
+# = O(n²/K) for balanced cells — with K ~ √n (k-means at deployment,
+# seed selection here for oracle replay) that is O(n^1.5), and the
+# exact stage only ever sees those candidates. The plan contains NO
+# corpus×corpus cartesian/nested-loop join — regression-guarded in
+# tests/test_plans.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_pipeline",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id BETWEEN 1 AND {IVF_K}
+    ), scored AS (
+      SELECT n.vec_id, cents.cid,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='cents.cv')} / (n.nm * cents.cn) DESC,
+                        cents.cid
+             ) AS rn
+      FROM n CROSS JOIN cents
+    ), assign AS (
+      SELECT vec_id, cid FROM scored WHERE rn = 1
+    ), cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           {_SQL_DOT.format(dim=DIM, u='x.v', v='y.v')} / (x.nm * y.nm) AS cosine
+    FROM cand c JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b
+    WHERE {_SQL_DOT.format(dim=DIM, u='x.v', v='y.v')} / (x.nm * y.nm) >= {COS_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    doc=f"IVF-cell candidates → exact-cosine verify ≥ {COS_THRESHOLD} (composed production path)",
+)
+def dedup_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normalized_vectors(spark, sf_dir)
+    cents = n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nm").alias("cn")
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cn"))
+    assign = (
+        n.crossJoin(F.broadcast(cents))  # O(n·K): K centroids, broadcast
+        .withColumn("ccos", ccos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cand_ids = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    return exact_cosine_pairs(n, cand_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -344,16 +528,4 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    va = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na")
-    )
-    vb = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb")
-    )
-    cand = cand_ids.join(va, "vec_a").join(vb, "vec_b")
-    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.filter(cosine >= COS_THRESHOLD)
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return exact_cosine_pairs(n, cand_ids)

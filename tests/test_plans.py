@@ -79,6 +79,35 @@ def test_minhash_partial_aggregates_before_shuffle(spark, sf_dir):
     assert "partial_min" in plan
 
 
+def test_embedding_pipeline_has_no_quadratic_join(spark, sf_dir):
+    # The composed near-dup pipeline must never cross the corpus with
+    # itself: no CartesianProduct anywhere, and the only nested-loop
+    # join allowed is the O(n·K) broadcast of the K=8 centroid rows.
+    # Candidate generation and vector re-attach must be hash/sort-merge
+    # equi-joins.
+    plan = _plan(spark, sf_dir, "dedup_embedding_pipeline")
+    assert "CartesianProduct" not in plan
+    # The assignment subtree (corpus × K=8 broadcast centroids) appears
+    # once per side of the candidate self-join → at most 2 BNLJ nodes,
+    # both of which broadcast the 8-row centroid relation, never the
+    # corpus.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # candidate generation is an equi-join on cell id...
+    assert ("SortMergeJoin [cid" in plan) or ("ShuffledHashJoin [cid" in plan) or (
+        "BroadcastHashJoin [cid" in plan
+    )
+    # ...and vector re-attach is hash-join probes, not loops
+    assert plan.count("BroadcastHashJoin") >= 2 or plan.count("SortMergeJoin") >= 3
+
+
+def test_exact_cosine_ground_truth_is_marked_quadratic(spark, sf_dir):
+    # ...whereas the all-pairs ground-truth form IS the cross product —
+    # if this ever stops being true the oracle comparison is not
+    # checking what it claims to check.
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
 def test_exists_decorrelates_to_semi_anti(spark, sf_dir):
     # correlated EXISTS must not execute per-row: Catalyst rewrites to
     # one semi + one anti join
