@@ -8,11 +8,17 @@ those queries itself; per SURVEY §4, the right Spark shape is a
 DataFrame ops, and let Catalyst do all optimization (pushdown,
 pruning, join selection). No custom planner, no Catalyst rules.
 
-Supported subset (the SOQL SELECT grammar minus parent-to-child
-nested subqueries):
+Supported subset:
 
 * ``SELECT`` field list, aggregates (``COUNT()``, ``COUNT(f)``,
   ``COUNT_DISTINCT(f)``, ``SUM/AVG/MIN/MAX``) with optional aliases
+* **Parent-to-child nested subqueries** (``SELECT x, (SELECT y FROM
+  Children [WHERE][ORDER BY][LIMIT]) FROM Parent``): each child rel
+  compiles to one child-side aggregation
+  (``sort_array(collect_list(struct))``) LEFT-joined on the parent
+  PK — per-parent nested lists in one shuffle, NULL when childless
+  (the Salesforce wire shape). The reference forwards these opaquely
+  (``client.rs:199-205``); here they execute locally.
 * **Child-to-parent relationship traversal** (``Rel.Field`` dotted
   paths, single hop): each referenced relationship compiles to a LEFT
   join against the parent object — dims broadcast under the session
@@ -112,11 +118,24 @@ def _tokenize(soql: str) -> list[Tok]:
 
 
 @dataclass
+class _ChildQuery:
+    """A parent-to-child nested subquery: ``(SELECT f... FROM Rel
+    [WHERE ...] [ORDER BY ...] [LIMIT n])`` in the select list."""
+
+    fields: list[str]
+    rel: str
+    where: Column | None
+    order: list[tuple[str, bool]]  # (field, is_desc)
+    limit: int | None
+
+
+@dataclass
 class _SelectItem:
     col: Column
     name: str
     is_agg: bool
     src: str | None = None  # raw field path for non-aggregates
+    child: _ChildQuery | None = None
 
 
 class _Parser:
@@ -167,6 +186,8 @@ class _Parser:
         return items
 
     def parse_select_item(self) -> _SelectItem:
+        if self._at_child_subquery():
+            return self.parse_child_subquery()
         src = None
         if self._at_aggregate():
             col, default_name = self.parse_aggregate()
@@ -178,6 +199,60 @@ class _Parser:
         alias = self.accept("ident")
         name = alias.text if alias else default_name
         return _SelectItem(col.alias(name), name, is_agg, src)
+
+    def _at_child_subquery(self) -> bool:
+        t, nxt = self.peek(), self.peek(1)
+        return bool(
+            t
+            and t.kind == "punct"
+            and t.text == "("
+            and nxt
+            and nxt.kind == "kw"
+            and nxt.text == "select"
+        )
+
+    def parse_child_subquery(self) -> _SelectItem:
+        """``(SELECT fields FROM ChildRel [WHERE][ORDER BY][LIMIT])``.
+
+        Salesforce semantics: one nested list of child records per
+        parent row, named after the child relationship (or an alias).
+        Dotted paths and aggregates inside the child select are not
+        supported (SOQL itself forbids aggregates there).
+        """
+        self.expect("punct", "(")
+        self.expect("kw", "select")
+        fields = [self.expect("ident").text]
+        while self.accept("punct", ","):
+            fields.append(self.expect("ident").text)
+        bad = [f for f in fields if "." in f]
+        if bad:
+            raise SoqlError(f"dotted paths not supported in child subquery: {bad}")
+        self.expect("kw", "from")
+        rel = self.expect("ident").text
+        where_col = self.parse_bool_expr() if self.accept("kw", "where") else None
+        order: list[tuple[str, bool]] = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            order.append(self._child_order_item())
+            while self.accept("punct", ","):
+                order.append(self._child_order_item())
+        limit = None
+        if self.accept("kw", "limit"):
+            limit = int(self.expect("number").text)
+        self.expect("punct", ")")
+        alias = self.accept("ident")
+        name = alias.text if alias else rel.lower()
+        return _SelectItem(
+            F.col(name), name, is_agg=False, src=None,
+            child=_ChildQuery(fields, rel, where_col, order, limit),
+        )
+
+    def _child_order_item(self) -> tuple[str, bool]:
+        field = self.expect("ident").text
+        desc = bool(self.accept("kw", "desc"))
+        if not desc:
+            self.accept("kw", "asc")
+        return field, desc
 
     def _at_aggregate(self) -> bool:
         t, nxt = self.peek(), self.peek(1)
@@ -390,7 +465,12 @@ class _Parser:
 # ---------------------------------------------------------------------------
 
 
-def soql_to_df(soql: str, resolve, relationships: dict | None = None) -> DataFrame:
+def soql_to_df(
+    soql: str,
+    resolve,
+    relationships: dict | None = None,
+    child_relationships: dict | None = None,
+) -> DataFrame:
     """Compile a SOQL string against ``resolve(object_name) -> DataFrame``.
 
     ``relationships`` maps a relationship name (the prefix of dotted
@@ -400,6 +480,19 @@ def soql_to_df(soql: str, resolve, relationships: dict | None = None) -> DataFra
     as FKs in DDL, ``sql-builder/src/main.rs:89``). Each relationship
     used by the query becomes ONE left join, added only when
     referenced — unused relationships cost nothing.
+
+    ``child_relationships`` maps a CHILD relationship name (the FROM
+    target of a nested ``(SELECT ... FROM Rel)`` select item) to
+    ``(child_object, fk_col_on_child, parent_pk_col)``. Each child
+    subquery compiles to ONE aggregation of the child object —
+    ``groupBy(fk).agg(sort_array(collect_list(struct(...))))`` — left
+    joined on the parent PK: per-parent nested record lists (the
+    Salesforce wire shape for parent-to-child queries) in exactly one
+    extra shuffle per child relationship, with no per-parent
+    execution. Parents with no (matching) children carry NULL, like
+    Salesforce. The child list is always sorted (by the child ORDER
+    BY, else by the selected fields) so results are deterministic on
+    any engine.
 
     The output is an ordinary DataFrame: Catalyst sees the whole
     declarative plan, so filter pushdown, column pruning, and
@@ -509,6 +602,19 @@ def soql_to_df(soql: str, resolve, relationships: dict | None = None) -> DataFra
     if p.peek() is not None:
         raise SoqlError(f"unparsed trailing tokens near {p.peek().text!r}")
 
+    # -- child subqueries: one aggregation + left join per child rel -------
+    child_items = [it for it in select_items if it.child is not None]
+    if child_items:
+        if group_texts or any(it.is_agg for it in select_items) or p.having_aggs:
+            raise SoqlError(
+                "child subqueries cannot be combined with GROUP BY or aggregates"
+            )
+        for it in child_items:
+            df = _attach_child_list(
+                df, it, resolve, child_relationships, base_cols,
+                base_alias if used_rels else None,
+            )
+
     # -- assemble ----------------------------------------------------------
     has_agg = any(it.is_agg for it in select_items) or bool(p.having_aggs)
     out = df
@@ -540,3 +646,64 @@ def soql_to_df(soql: str, resolve, relationships: dict | None = None) -> DataFra
     if limit_n is not None:
         out = out.limit(limit_n)
     return out
+
+
+def _attach_child_list(
+    df: DataFrame,
+    item: _SelectItem,
+    resolve,
+    child_relationships: dict | None,
+    base_cols: set,
+    base_alias: str | None,
+) -> DataFrame:
+    """Left-join one child subquery's nested list onto the parent.
+
+    Shape: child → [filter] → groupBy(fk) → sort_array(collect_list(
+    struct)) → [slice for LIMIT] → reproject to the selected fields →
+    LEFT join on parent PK. One shuffle per child relationship; the
+    parent WHERE pushes below the left join (Catalyst), so filtered
+    parents never pay for children.
+    """
+    ch = item.child
+    if not child_relationships or ch.rel not in child_relationships:
+        raise SoqlError(
+            f"unknown child relationship {ch.rel!r}; declare it in `child_relationships`"
+        )
+    child_obj, fk_col, parent_pk = child_relationships[ch.rel]
+    if parent_pk not in base_cols:
+        raise SoqlError(
+            f"child relationship {ch.rel!r}: parent PK {parent_pk!r} not found on "
+            f"the queried object (columns: {sorted(base_cols)})"
+        )
+    cdf = resolve(child_obj)
+    missing = [c for c in [fk_col, *ch.fields, *[f for f, _ in ch.order]] if c not in cdf.columns]
+    if missing:
+        raise SoqlError(
+            f"child relationship {ch.rel!r}: columns {missing} not found on "
+            f"{child_obj!r} (columns: {cdf.columns})"
+        )
+    if ch.where is not None:
+        cdf = cdf.filter(ch.where)
+    directions = {d for _, d in ch.order}
+    if len(directions) > 1:
+        raise SoqlError("mixed ASC/DESC in a child subquery ORDER BY is not supported")
+    descending = bool(ch.order and ch.order[0][1])
+    # sort keys lead the struct so lexicographic sort_array honors the
+    # ORDER BY, with the remaining selected fields as a deterministic
+    # tiebreak; no ORDER BY sorts by the selected fields themselves.
+    sort_keys = [f for f, _ in ch.order]
+    struct_fields = sort_keys + [f for f in ch.fields if f not in sort_keys]
+    arr = F.sort_array(
+        F.collect_list(F.struct(*[F.col(f).alias(f) for f in struct_fields])),
+        asc=not descending,
+    )
+    key = f"__ckey_{item.name}"
+    cagg = cdf.groupBy(F.col(fk_col).alias(key)).agg(arr.alias("__carr"))
+    carr = F.col("__carr")
+    if ch.limit is not None:
+        carr = F.slice(carr, 1, ch.limit)
+    # reproject each element to exactly the selected fields, in order
+    carr = F.transform(carr, lambda x: F.struct(*[x[f].alias(f) for f in ch.fields]))
+    cagg = cagg.select(key, carr.alias(item.name))
+    pk_ref = F.col(f"{base_alias}.{parent_pk}") if base_alias else F.col(parent_pk)
+    return df.join(cagg, pk_ref == F.col(key), "left").drop(key)

@@ -101,6 +101,86 @@ def soql_parent_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: child relationship registry: rel name -> (child object, fk on
+#: child, pk on parent) — the inverse direction of RELATIONSHIPS.
+CHILD_RELATIONSHIPS = {
+    "orders": ("orders", "o_custkey", "c_custkey"),
+    "lineitems": ("lineitem", "l_orderkey", "o_orderkey"),
+}
+
+
+def _serialize_children(df: DataFrame, col: str, fields: list[str]) -> DataFrame:
+    """array<struct> → '|'-joined 'f1:f2' string for the value-hash
+    gate (registered outputs must be scalar); NULL stays NULL, like
+    the engine's childless-parent semantics."""
+    from pyspark.sql import functions as F
+
+    row = lambda x: F.concat_ws(":", *[x[f].cast("string") for f in fields])  # noqa: E731
+    ser = F.concat_ws("|", F.transform(F.col(col), row))
+    return df.withColumn(col, F.when(F.col(col).isNull(), F.lit(None)).otherwise(ser))
+
+
+@register(
+    "soql_child_subquery",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ), agg AS (
+      SELECT o_custkey,
+             string_agg(o_orderkey || ':' || o_orderstatus, '|' ORDER BY o_orderkey) AS orders
+      FROM ranked WHERE rn <= 5 GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, a.orders
+    FROM customer c LEFT JOIN agg a ON a.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 50
+    ORDER BY c.c_custkey
+    """,
+    doc="SOQL parent-to-child nested subquery → collect_list left join (first 5 orders per customer)",
+)
+def soql_child_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = soql_to_df(
+        "SELECT c_custkey, c_name, "
+        "(SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 5) "
+        "FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey",
+        _resolver(spark, sf_dir),
+        child_relationships=CHILD_RELATIONSHIPS,
+    )
+    return _serialize_children(df, "orders", ["o_orderkey", "o_orderstatus"])
+
+
+@register(
+    "soql_child_subquery_where",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderstatus = 'F'
+    ), agg AS (
+      SELECT o_custkey,
+             string_agg(CAST(o_orderkey AS VARCHAR), '|' ORDER BY o_orderkey DESC) AS finished
+      FROM ranked WHERE rn <= 3 GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, a.finished
+    FROM customer c LEFT JOIN agg a ON a.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 100
+    ORDER BY c.c_custkey
+    """,
+    doc="SOQL child subquery with WHERE + DESC + alias (latest 3 finished orders)",
+)
+def soql_child_subquery_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = soql_to_df(
+        "SELECT c_custkey, "
+        "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' "
+        "ORDER BY o_orderkey DESC LIMIT 3) finished "
+        "FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey",
+        _resolver(spark, sf_dir),
+        child_relationships=CHILD_RELATIONSHIPS,
+    )
+    return _serialize_children(df, "finished", ["o_orderkey"])
+
+
 @register(
     "soql_rollup_traversal",
     """

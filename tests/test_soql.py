@@ -204,3 +204,103 @@ def test_date_literal_range_semantics(spark):
     assert q("SELECT tag FROM t WHERE d = NEXT_N_DAYS:7") == ["future5"]
     assert q("SELECT tag FROM t WHERE d > YESTERDAY") == ["future5", "today"]
     assert q("SELECT tag FROM t WHERE d < LAST_N_DAYS:7") == ["past40"]
+
+
+# -- parent-to-child nested subqueries --------------------------------------
+
+CHILD_RELS = {"orders": ("orders", "o_custkey", "c_custkey")}
+
+
+def test_child_subquery_nested_lists(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT c_custkey, (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2) "
+        "FROM customer ORDER BY c_custkey LIMIT 10",
+        resolve,
+        child_relationships=CHILD_RELS,
+    ).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    for r in got:
+        want = [
+            x["o_orderkey"]
+            for x in orders.filter(F.col("o_custkey") == r["c_custkey"])
+            .orderBy("o_orderkey")
+            .limit(2)
+            .collect()
+        ]
+        lst = r["orders"]
+        vals = [x["o_orderkey"] for x in lst] if lst is not None else []
+        assert vals == want
+
+
+def test_child_subquery_where_and_desc(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT c_custkey, (SELECT o_orderkey FROM orders "
+        "WHERE o_orderstatus = 'F' ORDER BY o_orderkey DESC LIMIT 3) fin "
+        "FROM customer ORDER BY c_custkey LIMIT 5",
+        resolve,
+        child_relationships=CHILD_RELS,
+    ).collect()
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    for r in got:
+        want = [
+            x["o_orderkey"]
+            for x in orders.filter(F.col("o_custkey") == r["c_custkey"])
+            .orderBy(F.col("o_orderkey").desc())
+            .limit(3)
+            .collect()
+        ]
+        lst = r["fin"]
+        vals = [x["o_orderkey"] for x in lst] if lst is not None else []
+        assert vals == want
+
+
+def test_child_subquery_childless_parent_is_null(spark, resolve):
+    parent = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    child = spark.createDataFrame([(1, 100)], "o_custkey long, o_orderkey long")
+    res = {"customer": parent, "orders": child}
+    got = {
+        r["c_custkey"]: r["orders"]
+        for r in soql_to_df(
+            "SELECT c_custkey, (SELECT o_orderkey FROM orders) FROM customer",
+            lambda n: res[n],
+            child_relationships=CHILD_RELS,
+        ).collect()
+    }
+    assert [x["o_orderkey"] for x in got[1]] == [100]
+    assert got[2] is None  # Salesforce returns null, not an empty list
+
+
+def test_child_subquery_errors(resolve):
+    with pytest.raises(SoqlError, match="unknown child relationship"):
+        soql_to_df(
+            "SELECT c_custkey, (SELECT x FROM nope) FROM customer",
+            resolve,
+            child_relationships=CHILD_RELS,
+        )
+    with pytest.raises(SoqlError, match="not found on"):
+        soql_to_df(
+            "SELECT c_custkey, (SELECT no_such_col FROM orders) FROM customer",
+            resolve,
+            child_relationships=CHILD_RELS,
+        )
+    with pytest.raises(SoqlError, match="mixed ASC/DESC"):
+        soql_to_df(
+            "SELECT c_custkey, (SELECT o_orderkey, o_custkey FROM orders "
+            "ORDER BY o_orderkey ASC, o_custkey DESC) FROM customer",
+            resolve,
+            child_relationships=CHILD_RELS,
+        )
+    with pytest.raises(SoqlError, match="GROUP BY or aggregates"):
+        soql_to_df(
+            "SELECT COUNT(), (SELECT o_orderkey FROM orders) FROM customer",
+            resolve,
+            child_relationships=CHILD_RELS,
+        )
+    # a dotted path inside the child select is rejected — either by the
+    # child-grammar check or earlier by the relationship binder
+    with pytest.raises(SoqlError, match="dotted paths|unknown relationship"):
+        soql_to_df(
+            "SELECT c_custkey, (SELECT customer.c_name FROM orders) FROM customer",
+            resolve,
+            child_relationships=CHILD_RELS,
+        )
