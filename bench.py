@@ -50,6 +50,17 @@ HEADLINE = [
     "soql_parent_traversal",
     "pandas_udf_zscore",
     "udtf_bigrams",
+    # round 2 additions: promo-share join, decorrelated EXISTS, SOQL
+    # agg front door + nested child lists, composed embedding-dedup
+    # pipeline, trained-centroid IVF, and the partitioned sink
+    # round trip (write+read throughput)
+    "q14_promo_revenue",
+    "exists_correlated",
+    "soql_orders_rollup",
+    "soql_child_subquery",
+    "dedup_embedding_pipeline",
+    "ann_ivf_kmeans_topk",
+    "sink_roundtrip_partitioned",
 ]
 
 

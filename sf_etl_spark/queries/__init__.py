@@ -140,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sink_roundtrip,
         soql_front,
         streaming_batch,
         streaming_live,

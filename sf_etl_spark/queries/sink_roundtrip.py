@@ -1,0 +1,56 @@
+"""Sink round-trip proof through the correctness gate.
+
+The reference's only sink is a DDL text file (``sql-builder/src/
+main.rs:77-79``) — it never writes data. This registry entry proves
+the engine's data sink end-to-end: write a partitioned parquet copy
+(zstd, bounded file sizes — `sinks/writers.py` scale defaults), read
+it back, aggregate, and hash-match the aggregate against the oracle
+computed on the ORIGINAL table. Any loss, duplication, or type drift
+introduced by the write→read cycle (partition-column round-trip
+included) breaks the value hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sf_etl_spark.queries import register
+from sf_etl_spark.queries.relational import SUMD, dsum
+from sf_etl_spark.sinks import write_parquet
+from sf_etl_spark.sources import load_table
+
+
+@register(
+    "sink_roundtrip_partitioned",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           {SUMD('o_totalprice')} AS total_price,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="write orders partitioned-by-status → read back → agg (lossless sink proof)",
+)
+def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="sink_rt_") + "/orders"
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+            dsum("o_totalprice").alias("total_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -13,6 +13,7 @@ from sf_etl_spark.streaming.pipelines import (
     events_stream,
     foreach_batch_upsert_parquet,
     run_to_memory_table,
+    upsert_partitioned_parquet,
     stage_events_as_stream_source,
     stream_dedup_within_watermark,
     stream_session_agg,
@@ -33,4 +34,5 @@ __all__ = [
     "stream_stateful_user_counts",
     "stream_tws_user_counts",
     "stream_tumbling_agg",
+    "upsert_partitioned_parquet",
 ]

@@ -242,30 +242,82 @@ def run_to_memory_table(
     return name, q
 
 
-def foreach_batch_upsert_parquet(plan: DataFrame, key_cols: list[str], target_dir: str):
-    """``foreachBatch`` upsert sink: each micro-batch is merged into a
-    parquet target by key (delete-matching + append, the classic
-    no-ACID-table merge). Returns the started query.
+BUCKET_COL = "_kbucket"
 
-    At scale the same function body targets Delta/Iceberg ``MERGE``;
-    the batch-DataFrame shape of ``foreachBatch`` is what makes any
-    batch sink reusable from streaming.
+
+def upsert_partitioned_parquet(
+    batch_df: DataFrame, key_cols: list[str], target_dir: str, n_buckets: int = 16
+) -> None:
+    """Keyed merge of one batch into a bucket-partitioned parquet
+    target, rewriting ONLY the partitions the batch touches.
+
+    The target is partitioned by ``_kbucket = pmod(xxhash64(keys), n)``
+    — a key always lands in the same bucket, so a merge is local to
+    the buckets of the incoming keys. Per batch:
+
+    1. buckets touched = distinct ``_kbucket`` of the batch (≤ n);
+    2. current rows of ONLY those buckets are read (partition-pruned
+       scan — the filter is on the partition column);
+    3. keep = current anti-join batch keys, merged = keep ∪ batch;
+    4. written with ``partitionOverwriteMode=dynamic``: Spark replaces
+       exactly the partition directories present in the written data.
+
+    Untouched buckets' files are not read, not rewritten, not moved —
+    byte-identical after the merge (asserted in tests). Cost per batch
+    is O(|touched buckets|), not O(|table|): the property that keeps a
+    continuously-upserted 100 TB target alive. (A transactional format
+    — Delta/Iceberg MERGE — adds snapshot atomicity on top; this is
+    the sound plain-parquet shape, and the writer commit protocol
+    keeps partially-written partitions invisible until commit.)
+    """
+    spark = batch_df.sparkSession
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+    new = batch_df.dropDuplicates(key_cols).withColumn(BUCKET_COL, bucket)
+    staging = None
+    # the dynamic-overwrite committer writes no root _SUCCESS marker;
+    # presence of bucket partition dirs is the bootstrap signal
+    exists = os.path.isdir(target_dir) and any(
+        e.startswith(BUCKET_COL + "=") or e == "_SUCCESS"
+        for e in os.listdir(target_dir)
+    )
+    if exists:
+        touched = [r[0] for r in new.select(BUCKET_COL).distinct().collect()]
+        cur = spark.read.parquet(target_dir).filter(F.col(BUCKET_COL).isin(touched))
+        keep = cur.join(new.select(*key_cols), on=key_cols, how="left_anti")
+        # Spark refuses to overwrite a path its own plan reads; stage the
+        # merged TOUCHED buckets (only them — this is what keeps the merge
+        # O(touched), unlike a full-table write-then-swap) and re-read.
+        staging = tempfile.mkdtemp(prefix="upsert_stage_")
+        keep.unionByName(new).write.mode("overwrite").parquet(staging)
+        merged = spark.read.parquet(staging)
+    else:
+        merged = new
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_dir)
+    )
+    if staging is not None:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def foreach_batch_upsert_parquet(
+    plan: DataFrame, key_cols: list[str], target_dir: str, n_buckets: int = 16
+):
+    """``foreachBatch`` upsert sink over :func:`upsert_partitioned_parquet`.
+
+    The batch-DataFrame shape of ``foreachBatch`` is what makes any
+    batch sink reusable from streaming; at scale the same body targets
+    Delta/Iceberg ``MERGE`` for snapshot atomicity.
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        new = batch_df.dropDuplicates(key_cols)
-        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
-            cur = spark.read.parquet(target_dir)
-            keep = cur.join(new.select(*key_cols), on=key_cols, how="left_anti")
-            merged = keep.unionByName(new)
-        else:
-            merged = new
-        # write-then-swap: parquet has no transactional overwrite-in-place
-        tmp = target_dir + f"._staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = batch_df.sparkSession.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(target_dir)
+        upsert_partitioned_parquet(batch_df, key_cols, target_dir, n_buckets)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
     return (

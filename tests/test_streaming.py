@@ -160,3 +160,56 @@ def test_tws_plan_constructs_without_execution(spark, sf_dir, tmp_path):
     plan = stream_tws_user_counts(events_stream(spark, src))
     assert plan.isStreaming
     assert set(plan.columns) == {"user_id", "n_events", "total_value", "last_ts"}
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """The keyed upsert must leave untouched key-bucket partitions
+    byte-identical — the property that makes a continuously-upserted
+    100 TB target affordable (cost per batch = O(touched buckets),
+    not O(table))."""
+    import hashlib
+
+    from sf_etl_spark.streaming import upsert_partitioned_parquet
+
+    target = str(tmp_path / "kv")
+    n_buckets = 8
+    base = spark.range(200).select(F.col("id").alias("k"), F.lit("v0").alias("v"))
+    upsert_partitioned_parquet(base, ["k"], target, n_buckets=n_buckets)
+
+    def digest():
+        out = {}
+        for root, _, files in __import__("os").walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = __import__("os").path.join(root, f)
+                    rel = __import__("os").path.relpath(p, target)
+                    with open(p, "rb") as fh:
+                        out[rel] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = digest()
+    batch = spark.createDataFrame([(3, "v1"), (11, "v1"), (777, "new")], "k long, v string")
+    touched = {
+        r[0]
+        for r in batch.select(
+            F.pmod(F.xxhash64("k"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert len(touched) < n_buckets  # the test must exercise untouched buckets
+    upsert_partitioned_parquet(batch, ["k"], target, n_buckets=n_buckets)
+    after = digest()
+
+    def bucket_of(relpath: str) -> int:
+        return int(relpath.split("_kbucket=")[1].split("/")[0])
+
+    untouched_before = {p: h for p, h in before.items() if bucket_of(p) not in touched}
+    untouched_after = {p: h for p, h in after.items() if bucket_of(p) not in touched}
+    assert untouched_before == untouched_after  # same files, same bytes
+
+    got = spark.read.parquet(target)
+    assert got.count() == 201  # 200 base + 1 new key
+    vals = {r["k"]: r["v"] for r in got.collect()}
+    assert vals[3] == "v1" and vals[11] == "v1" and vals[777] == "new"
+    assert vals[5] == "v0"
