@@ -20,11 +20,12 @@ Supported subset:
   (the Salesforce wire shape). The reference forwards these opaquely
   (``client.rs:199-205``); here they execute locally.
 * **Child-to-parent relationship traversal** (``Rel.Field`` dotted
-  paths, single hop): each referenced relationship compiles to a LEFT
-  join against the parent object — dims broadcast under the session
-  threshold, exactly how Salesforce's ``Reference`` fields
-  (``relationship_name``, SURVEY §1.2) should execute locally.
-  Output columns are named ``rel_field``.
+  paths, MULTI-HOP: ``Rel.Rel.Field`` chains join hop by hop): each
+  distinct chain prefix compiles to one LEFT join against its parent
+  object — dims broadcast under the session threshold, exactly how
+  Salesforce's ``Reference`` fields (``relationship_name``, SURVEY
+  §1.2) should execute locally. Output columns are named
+  ``rel_field`` / ``rel_rel_field``.
 * ``WHERE`` — ``AND/OR/NOT``, comparisons, ``IN / NOT IN``,
   ``LIKE``, ``INCLUDES/EXCLUDES`` (multipicklist membership on
   ``;``-joined wire strings or ingested array columns),
@@ -516,37 +517,60 @@ def soql_to_df(
         raise SoqlError("missing or malformed FROM clause")
     df = resolve(toks[from_idx + 1].text)
 
-    # bind child-to-parent traversals: every distinct Rel.* prefix in
-    # the token stream joins its parent object once, aliased as the
-    # relationship name so qualified column refs resolve naturally
-    used_rels = {
-        t.text.split(".", 1)[0]
+    # bind child-to-parent traversals, including MULTI-HOP chains
+    # (``customer.nation.n_name``): every distinct relationship-chain
+    # prefix in the token stream joins its parent object exactly once,
+    # aliased by the "_"-joined chain ("customer", "customer_nation",
+    # …) so qualified column refs resolve naturally and two paths to
+    # the same object stay distinct joins. Each hop's FK resolves
+    # against the PREVIOUS hop's object (hop 1 against the aliased
+    # base — a parent carrying a same-named column can never capture
+    # the reference); a missing FK is a SoqlError with context, not an
+    # escaped AnalysisException.
+    dotted = [
+        t
         for t in toks
         if t.kind == "ident" and "." in t.text and t.text.lower() not in _KEYWORDS
-    }
-    # FK columns resolve against the BASE object only (aliased so a
-    # parent carrying a same-named column can never capture the
-    # reference); a missing FK is a SoqlError with context, not an
-    # escaped AnalysisException.
+    ]
+    chains: set[tuple[str, ...]] = set()
+    for t in dotted:
+        segs = t.text.split(".")
+        for i in range(1, len(segs)):
+            chains.add(tuple(segs[:i]))
     base_cols = set(df.columns)
     base_alias = "_soql_base"
-    if used_rels:
+    if chains:
         df = df.alias(base_alias)
-    for rel in sorted(used_rels):
+    frame_cols: dict[tuple[str, ...], set] = {(): base_cols}
+    for chain in sorted(chains, key=lambda c: (len(c), c)):
+        rel = chain[-1]
         if not relationships or rel not in relationships:
             raise SoqlError(
                 f"unknown relationship {rel!r}; declare it in `relationships`"
             )
         parent_obj, fk_col, pk_col = relationships[rel]
-        if fk_col not in base_cols:
+        hop_cols = frame_cols[chain[:-1]]
+        if fk_col not in hop_cols:
             raise SoqlError(
-                f"relationship {rel!r}: FK column {fk_col!r} not found on the "
-                f"queried object (columns: {sorted(base_cols)})"
+                f"relationship path {'.'.join(chain)!r}: FK column {fk_col!r} not "
+                f"found on the previous hop's object (columns: {sorted(hop_cols)})"
             )
-        parent = resolve(parent_obj).alias(rel)
+        alias = "_".join(chain)
+        parent_alias = "_".join(chain[:-1]) if len(chain) > 1 else base_alias
+        parent = resolve(parent_obj).alias(alias)
+        frame_cols[chain] = set(parent.columns)
         df = df.join(
-            parent, F.col(f"{base_alias}.{fk_col}") == F.col(f"{rel}.{pk_col}"), "left"
+            parent,
+            F.col(f"{parent_alias}.{fk_col}") == F.col(f"{alias}.{pk_col}"),
+            "left",
         )
+    # rewrite multi-hop column refs to their flat chain alias so the
+    # parser's F.col(text) resolves against the joined frame
+    for t in dotted:
+        segs = t.text.split(".")
+        if len(segs) > 2:
+            t.text = "_".join(segs[:-1]) + "." + segs[-1]
+    used_rels = chains  # truthiness consumed below
 
     p = _Parser(toks, df)
     p.expect("kw", "select")

@@ -78,6 +78,7 @@ _PRIORITY_ORDER = [
     "soql_rollup_traversal",
     "soql_child_subquery",
     "soql_child_subquery_where",
+    "soql_multihop_traversal",
     # event-time windows + as-of/range joins (unverified in r1)
     "window_tumbling",
     "window_sliding",

@@ -101,6 +101,33 @@ def soql_parent_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "soql_multihop_traversal",
+    """
+    SELECT o.o_orderkey,
+           c.c_name AS customer_c_name,
+           n.n_name AS customer_nation_n_name,
+           r.r_name AS customer_nation_region_r_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_totalprice > 250000
+    ORDER BY o.o_orderkey
+    LIMIT 50
+    """,
+    doc="SOQL multi-hop dotted traversal (3 hops) → chained broadcast left joins",
+)
+def soql_multihop_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return soql_to_df(
+        "SELECT o_orderkey, customer.c_name, customer.nation.n_name, "
+        "customer.nation.region.r_name "
+        "FROM orders WHERE o_totalprice > 250000 ORDER BY o_orderkey LIMIT 50",
+        _resolver(spark, sf_dir),
+        relationships={**RELATIONSHIPS, "region": ("region", "n_regionkey", "r_regionkey")},
+    )
+
+
 #: child relationship registry: rel name -> (child object, fk on
 #: child, pk on parent) — the inverse direction of RELATIONSHIPS.
 CHILD_RELATIONSHIPS = {

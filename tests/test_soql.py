@@ -304,3 +304,55 @@ def test_child_subquery_errors(resolve):
             resolve,
             child_relationships=CHILD_RELS,
         )
+
+
+# -- multi-hop dotted traversal ---------------------------------------------
+
+MULTIHOP_RELS = {
+    "customer": ("customer", "o_custkey", "c_custkey"),
+    "nation": ("nation", "c_nationkey", "n_nationkey"),
+    "region": ("region", "n_regionkey", "r_regionkey"),
+}
+
+
+def test_multihop_traversal(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT o_orderkey, customer.nation.n_name "
+        "FROM orders ORDER BY o_orderkey LIMIT 20",
+        resolve,
+        relationships=MULTIHOP_RELS,
+    )
+    assert got.columns == ["o_orderkey", "customer_nation_n_name"]
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    want = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "left")
+        .select("o_orderkey", F.col("n_name").alias("customer_nation_n_name"))
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+    assert rows(got) == rows(want)
+
+
+def test_multihop_in_where_and_order(spark, resolve):
+    # the chained field is usable in WHERE (filters on the joined dim)
+    got = soql_to_df(
+        "SELECT o_orderkey, customer.nation.n_name nat "
+        "FROM orders WHERE customer.nation.n_name = 'NATION_19' "
+        "ORDER BY o_orderkey LIMIT 5",
+        resolve,
+        relationships=MULTIHOP_RELS,
+    ).collect()
+    assert got and all(r["nat"] == "NATION_19" for r in got)
+
+
+def test_multihop_missing_intermediate_fk(resolve):
+    # region hop declared, but chain skips nation: FK not on customer
+    with pytest.raises(SoqlError, match="relationship path"):
+        soql_to_df(
+            "SELECT customer.region.r_name FROM orders",
+            resolve,
+            relationships=MULTIHOP_RELS,
+        )
