@@ -61,6 +61,11 @@ HEADLINE = [
     "dedup_embedding_pipeline",
     "ann_ivf_kmeans_topk",
     "sink_roundtrip_partitioned",
+    # training-data pipeline ops
+    "split_train_test",
+    "sample_per_label_cap",
+    "pack_token_shards",
+    "decontaminate_ngram_overlap",
 ]
 
 

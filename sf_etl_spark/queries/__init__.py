@@ -92,6 +92,11 @@ _PRIORITY_ORDER = [
     "stream_stateful_user_agg",
     # sink round trip (new)
     "sink_roundtrip_partitioned",
+    # training-data pipeline ops (new)
+    "split_train_test",
+    "sample_per_label_cap",
+    "pack_token_shards",
+    "decontaminate_ngram_overlap",
     # LLM-data ops (driver-green in r1; keep inside the window)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -145,6 +150,7 @@ def all_queries() -> dict[str, QuerySpec]:
         soql_front,
         streaming_batch,
         streaming_live,
+        training_data,
     )
 
     ordered: dict[str, QuerySpec] = {}

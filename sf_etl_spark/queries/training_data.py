@@ -1,0 +1,220 @@
+"""Training-data pipeline operators over `documents`.
+
+The ops a 100 TB pretraining corpus actually goes through between
+"deduped" and "fed to the trainer" — each one a deterministic,
+engine-portable DataFrame plan with a DuckDB oracle:
+
+ - ``split_train_test`` — hash-salted split assignment. NEVER
+   ``rand()``: the split must be reproducible across runs, engines,
+   and retries, so the split key is a keyed hash of the stable doc id.
+ - ``sample_per_label_cap`` — class-balanced downsampling: at most N
+   docs per language, chosen by hash order (unbiased w.r.t. any data
+   attribute), via one partitioned window.
+ - ``pack_token_shards`` — token-budget shard assignment: running
+   token cumsum → shard index. The window partitions by ``lang`` so
+   the prefix sum parallelizes per key; a single global ordering
+   would serialize onto one task at corpus scale (the same
+   hierarchical-prefix-sum caveat PLANS.md notes for global sorts).
+ - ``decontaminate_ngram_overlap`` — benchmark decontamination: flag
+   training docs sharing any word 5-gram with the held-out set. The
+   overlap test is a shingle equi-join (hash join on the 5-gram), the
+   same sub-quadratic shape as the LSH verification stages.
+
+Portability notes: the split hash is the md5-top-64 trick shared with
+``dedup_simhash`` (both engines evaluate it bit-identically); all
+sampling orders are md5-derived, not ``rand()``-derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sf_etl_spark.queries import register
+from sf_etl_spark.sources import load_table
+
+# unsigned md5-top-64 (both engines agree bit-for-bit; see
+# queries/llm.py _md5_hash64 for the signed variant + derivation)
+_SPLIT_SALT = "split:v1:"
+
+
+def _md5_u64(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+
+
+def _sql_md5_u64(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}),1,16)) AS UBIGINT)"
+
+
+TRAIN_PCT = 90  # train share of the 100-bucket hash space
+
+
+@register(
+    "split_train_test",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_sql_md5_u64(f"'{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} % 100
+                     < {TRAIN_PCT}
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc=f"deterministic {TRAIN_PCT}/{100 - TRAIN_PCT} train/test split by salted doc-id hash",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _md5_u64(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("test"))
+    return d.select("doc_id", "lang", split.alias("split")).orderBy("doc_id")
+
+
+LABEL_CAP = 40
+
+
+@register(
+    "sample_per_label_cap",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {LABEL_CAP}
+    ORDER BY lang, rk
+    """,
+    doc=f"class-balanced downsample: ≤{LABEL_CAP} docs per language by hash order",
+)
+def sample_per_label_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= LABEL_CAP)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+SHARD_TOKEN_BUDGET = 5_000
+
+
+@register(
+    "pack_token_shards",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS before_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(before_tokens, 0) // {SHARD_TOKEN_BUDGET} AS INT) AS shard
+    FROM packed
+    ORDER BY lang, doc_id
+    """,
+    doc=f"token-budget shard packing: per-lang running cumsum // {SHARD_TOKEN_BUDGET}",
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)).cast(
+        "bigint"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        toks.withColumn(
+            "shard", F.floor(before / SHARD_TOKEN_BUDGET).cast("int")
+        )
+        .select("doc_id", "lang", "n_tokens", "shard")
+        .orderBy("lang", "doc_id")
+    )
+
+
+#: every 20th doc plays the held-out benchmark; the rest is the
+#: training pool to be decontaminated against it
+_BENCH_MOD = 20
+_DECON_N = 5  # word n-gram width
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+               AS gram
+      FROM toks
+      CROSS JOIN (SELECT unnest(generate_series(1, 100000)) AS i) ii
+      WHERE i <= len(t) - {_DECON_N - 1}
+    ), bench AS (
+      SELECT doc_id, gram FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ), train AS (
+      SELECT doc_id, gram FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+    ), hits AS (
+      SELECT t.doc_id,
+             CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+             CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+      FROM train t JOIN bench b ON t.gram = b.gram
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shared_grams, n_bench_docs
+    FROM hits
+    ORDER BY doc_id
+    """,
+    doc=f"decontamination: training docs sharing a word {_DECON_N}-gram with the benchmark slice",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # token array materialized pre-lambda (HOF bodies re-evaluate per
+    # element — see queries/llm.py minhash_signatures note)
+    toks = F.col("_toks")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(1), F.greatest(n - (_DECON_N - 1), F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(
+            idxs,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(_DECON_N)]
+            ),
+        )
+    )
+    sh = (
+        d.withColumn("_toks", F.split("text", " "))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
