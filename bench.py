@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_embedding_pipeline",
     "ann_ivf_kmeans_topk",
     "sink_roundtrip_partitioned",
+    "embedding_quantize_int8",
     # training-data pipeline ops
     "split_train_test",
     "sample_per_label_cap",

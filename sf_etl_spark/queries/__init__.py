@@ -71,6 +71,7 @@ _PRIORITY_ORDER = [
     "ann_srp_lsh_pairs",
     "dedup_embedding_pipeline",
     "ann_ivf_kmeans_topk",
+    "embedding_quantize_int8",
     # SOQL front door (unverified in r1) + nested child subqueries
     "soql_orders_rollup",
     "soql_documents_filter",

@@ -232,6 +232,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Symmetric int8 quantization: q = clip(round(v/s), ±127), s =
+# max|v|/127 per vector. The op that cuts a 100 TB float32 embedding
+# store 4× (and the dot-product memory bandwidth with it); registered
+# as per-vector quality stats so the quantization arithmetic itself is
+# oracle-checked. Rounding is floor(x+0.5) EXPLICITLY: Spark round()
+# (HALF_UP on the decimal repr) and DuckDB round() (banker's) disagree
+# on ties, so neither is portable. Scale: narrow per-row transform, no
+# shuffle; the quantized array would be stored as array<tinyint> (or
+# binary) next to the float column.
+# ---------------------------------------------------------------------------
+
+
+def _q8(x):
+    """portable round-half-up-toward-+inf: floor(x + 0.5), clipped."""
+    return F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.floor(x + F.lit(0.5))))
+
+
+@register(
+    "embedding_quantize_int8",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) / 127.0
+               AS scale
+      FROM n
+    ), q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+               AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           list_reduce(list_transform(generate_series(1, {DIM}),
+                                      i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)),
+                       (a, b) -> a + b) / {DIM} AS mse,
+           -- parenthesization mirrors the engine exactly: float
+           -- multiplication is not associative, and the oracle hashes
+           -- values bit-for-bit
+           list_reduce(list_transform(generate_series(1, {DIM}), i -> v[i] * (qv[i] * scale)),
+                       (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) *
+                sqrt(list_reduce(list_transform(qv, x -> (x * scale) * (x * scale)),
+                                 (a, b) -> a + b))) AS recon_cosine
+    FROM q
+    ORDER BY vec_id
+    """,
+    doc="symmetric int8 quantization quality: per-vector q-range, MSE, reconstruction cosine",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normalized_vectors(spark, sf_dir).select("vec_id", "v", "nm")
+    scale = (
+        F.aggregate(
+            F.transform("v", lambda x: F.abs(x)), F.lit(0.0), lambda a, b: F.greatest(a, b)
+        )
+        / 127.0
+    )
+    s = n.withColumn("scale", scale)
+    q = s.withColumn("qv", F.transform("v", lambda x: _q8(x / F.col("scale"))))
+    dq = F.transform("qv", lambda x: x * F.col("scale"))  # dequantized
+    err2 = F.zip_with("v", dq, lambda a, b: (a - b) * (a - b))
+    mse = F.aggregate(err2, F.lit(0.0), lambda a, b: a + b) / DIM
+    dqn = F.sqrt(F.aggregate(F.transform(dq, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+    recon = _dot(F.col("v"), dq) / (F.col("nm") * dqn)
+    return (
+        q.select(
+            "vec_id",
+            F.array_min("qv").cast("int").alias("q_min"),
+            F.array_max("qv").cast("int").alias("q_max"),
+            mse.alias("mse"),
+            recon.alias("recon_cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF with TRAINED centroids: pyspark.ml KMeans (k-means||, seeded)
 # replaces the deterministic seed-selection of `ann_ivf_topk`. The
 # probe plan is IDENTICAL — broadcast assignment, nprobe cells, exact
