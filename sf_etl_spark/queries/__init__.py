@@ -91,6 +91,7 @@ _PRIORITY_ORDER = [
     "stream_tumbling_1h",
     "stream_dedup_exactly_once",
     "stream_stateful_user_agg",
+    "stream_stream_join_attribution",
     # sink round trip (new)
     "sink_roundtrip_partitioned",
     # training-data pipeline ops (new)

@@ -80,6 +80,38 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_attribution",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_seconds
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    doc="REAL stream-stream interval join (watermarked both sides, state-pruned)",
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.streaming import (
+        events_stream,
+        run_to_memory_table,
+        stream_click_attribution,
+    )
+
+    src = _stage(spark, sf_dir)
+    clicks = events_stream(spark, src).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, src).filter(F.col("event_type") == "purchase")
+    name, _ = run_to_memory_table(
+        stream_click_attribution(clicks, purchases), output_mode="append"
+    )
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+@register(
     "stream_stateful_user_agg",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events

@@ -15,6 +15,7 @@ from sf_etl_spark.streaming.pipelines import (
     run_to_memory_table,
     upsert_partitioned_parquet,
     stage_events_as_stream_source,
+    stream_click_attribution,
     stream_dedup_within_watermark,
     stream_session_agg,
     stream_sliding_agg,
@@ -28,6 +29,7 @@ __all__ = [
     "foreach_batch_upsert_parquet",
     "run_to_memory_table",
     "stage_events_as_stream_source",
+    "stream_click_attribution",
     "stream_dedup_within_watermark",
     "stream_session_agg",
     "stream_sliding_agg",

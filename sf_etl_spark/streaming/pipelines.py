@@ -174,6 +174,53 @@ def stream_dedup_within_watermark(events: DataFrame, watermark: str = "30 minute
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_click_attribution(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user
+    click within ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time from BOTH directions — exactly what lets Spark prune join
+    state: a click older than watermark+horizon can never match a
+    future purchase and is evicted. Unbounded state in a stream-stream
+    join is the 100 TB killer; the interval condition is not an
+    optimization, it is the correctness condition for bounded memory.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts < click_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
+            "gap_seconds"
+        ),
+    )
+
+
 # -- custom stateful operator (applyInPandasWithState) ----------------------
 
 _USER_STATS_OUTPUT = "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
