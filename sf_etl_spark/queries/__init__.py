@@ -92,8 +92,9 @@ _PRIORITY_ORDER = [
     "stream_dedup_exactly_once",
     "stream_stateful_user_agg",
     "stream_stream_join_attribution",
-    # sink round trip (new)
+    # sink/source round trips (new)
     "sink_roundtrip_partitioned",
+    "source_csv_roundtrip",
     # training-data pipeline ops (new)
     "split_train_test",
     "sample_per_label_cap",

@@ -54,3 +54,49 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "source_csv_roundtrip",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {SUMD('o_totalprice')} AS total_price,
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="orders → CSV (header, explicit schema) → read back → agg (lossless CSV source lane)",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source proof: Spark's CSV writer emits shortest-round-trip
+    doubles (Java ``Double.toString``), so an explicit-schema read
+    recovers values bit-exactly; the oracle runs on the ORIGINAL
+    parquet table, so any CSV formatting/parsing drift breaks the
+    hash. Schema is passed explicitly — header-based inference is a
+    corpus-scale anti-pattern (one extra full scan).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    out = tempfile.mkdtemp(prefix="src_csv_") + "/orders_csv"
+    from sf_etl_spark.sinks import write_csv
+
+    write_csv(orders.select(*cols), out)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date"
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            # ISO string, not DateType: Spark's toPandas renders dates
+            # as datetime64 or datetime.date depending on the plan
+            # path, and the comparator shouldn't have to care
+            F.min("o_orderdate").cast("string").alias("first_date"),
+        )
+        .orderBy("o_orderstatus")
+    )

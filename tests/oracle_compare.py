@@ -14,6 +14,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes that differ only in physical representation
     for c in df.columns:
+        if df[c].dtype == object:
+            # Spark's toPandas renders DateType as datetime.date objects
+            # on some paths and datetime64 on others; normalize both
+            import datetime
+
+            first = df[c].dropna().head(1)
+            if len(first) and isinstance(first.iloc[0], datetime.date) and not isinstance(
+                first.iloc[0], datetime.datetime
+            ):
+                df[c] = pd.to_datetime(df[c])
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
