@@ -67,6 +67,8 @@ HEADLINE = [
     "sample_per_label_cap",
     "pack_token_shards",
     "decontaminate_ngram_overlap",
+    "clean_text_normalize",
+    "repetition_metrics",
 ]
 
 

@@ -100,6 +100,8 @@ _PRIORITY_ORDER = [
     "sample_per_label_cap",
     "pack_token_shards",
     "decontaminate_ngram_overlap",
+    "clean_text_normalize",
+    "repetition_metrics",
     # LLM-data ops (driver-green in r1; keep inside the window)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -151,6 +151,116 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "clean_text_normalize",
+    r"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n_chars_raw,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars_raw AS INT) AS n_chars_raw,
+           CAST(length(clean) AS INT) AS n_chars_clean,
+           md5(clean) AS clean_md5
+    FROM c
+    ORDER BY doc_id
+    """,
+    doc="text normalization (lower, whitespace collapse, trim); md5 proves byte parity",
+)
+def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first stage of every pretraining cleaning pipeline. The
+    md5 of the normalized string is part of the output, so the oracle
+    hash-checks the EXACT cleaned bytes across engines — regexes here
+    are restricted to classes Java regex and RE2 interpret
+    identically (``\\s``, no lookaround, no unicode property escapes).
+    Narrow per-row transform, no shuffle.
+    """
+    clean = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("int").alias("n_chars_raw"),
+            F.length(clean).cast("int").alias("n_chars_clean"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "repetition_metrics",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    ), wagg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS DOUBLE) / sum(c) AS distinct_frac,
+             CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                           i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ), bc AS (
+      SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+    ), bagg AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+      FROM bc GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words, w.distinct_frac, w.top_word_frac, b.top_bigram_frac
+    FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id
+    ORDER BY w.doc_id
+    """,
+    doc="Gopher-style repetition quality: distinct-word, top-word, top-bigram fractions",
+)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/MassiveText
+    recipe): heavily repetitive documents are low-quality training
+    data. All fractions come from two map-side-combined count
+    aggregations (words, bigrams) — the explode never crosses a
+    shuffle unaggregated.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wagg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("distinct_frac"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"),
+    )
+    toks = F.col("_toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    bg = (
+        d.withColumn("_toks", F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
+        .filter(F.size("_toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+    )
+    bc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    bagg = bc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+    )
+    return (
+        wagg.join(bagg, "doc_id", "left")
+        .select("doc_id", "n_words", "distinct_frac", "top_word_frac", "top_bigram_frac")
+        .orderBy("doc_id")
+    )
+
+
 #: every 20th doc plays the held-out benchmark; the rest is the
 #: training pool to be decontaminated against it
 _BENCH_MOD = 20
