@@ -69,6 +69,7 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "clean_text_normalize",
     "repetition_metrics",
+    "corpus_prep_pipeline",
 ]
 
 

@@ -102,6 +102,7 @@ _PRIORITY_ORDER = [
     "decontaminate_ngram_overlap",
     "clean_text_normalize",
     "repetition_metrics",
+    "corpus_prep_pipeline",
     # LLM-data ops (driver-green in r1; keep inside the window)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -261,6 +261,113 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The capstone: one composed corpus-preparation pipeline — normalize →
+# quality-gate → exact-dedup on normalized bytes → split → per-split
+# rollup — exactly the chain the individual ops above run in
+# production, registered as a single plan so the gate verifies the
+# COMPOSITION (operator interactions, not just operators).
+# Scale shape: narrow transforms → one dedup aggregation keyed on the
+# content hash → one rollup aggregation. Two shuffles total.
+# ---------------------------------------------------------------------------
+_MIN_WORDS = 30
+_MAX_TOP_WORD_FRAC = 0.25
+
+
+@register(
+    "corpus_prep_pipeline",
+    rf"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS clean
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, lang, clean,
+             list_filter(string_split(clean, ' '), x -> length(x) > 0) AS t
+      FROM c
+    ), wc AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), wstats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+      FROM (SELECT doc_id, w, count(*) AS c FROM wc GROUP BY doc_id, w)
+      GROUP BY doc_id
+    ), gated AS (
+      SELECT toks.doc_id, lang, clean, n_words
+      FROM toks JOIN wstats ON toks.doc_id = wstats.doc_id
+      WHERE n_words >= {_MIN_WORDS} AND top_word_frac <= {_MAX_TOP_WORD_FRAC}
+    ), deduped AS (
+      SELECT md5(clean) AS clean_md5, min(doc_id) AS keep_doc_id,
+             min(lang) AS lang, min(n_words) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM gated GROUP BY md5(clean)
+    ), split AS (
+      SELECT *,
+             CASE WHEN {_sql_md5_u64(f"'{_SPLIT_SALT}' || CAST(keep_doc_id AS VARCHAR)")}
+                       % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_copies) AS BIGINT) AS n_source_docs
+    FROM split
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="composed corpus prep: normalize → quality gate → exact dedup → split → rollup",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        clean.alias("clean"),
+        F.filter(F.split(clean, " "), lambda x: F.length(x) > 0).alias("t"),
+    )
+    wc = toks.select("doc_id", F.explode("t").alias("w"))
+    wstats = (
+        wc.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"),
+        )
+    )
+    gated = (
+        toks.join(wstats, "doc_id")
+        .filter(
+            (F.col("n_words") >= _MIN_WORDS)
+            & (F.col("top_word_frac") <= _MAX_TOP_WORD_FRAC)
+        )
+        .select("doc_id", "lang", "clean", "n_words")
+    )
+    deduped = gated.groupBy(F.md5("clean").alias("clean_md5")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    bucket = F.pmod(
+        _md5_u64(F.concat(F.lit(_SPLIT_SALT), F.col("keep_doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("test"))
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_copies").alias("n_source_docs"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 #: every 20th doc plays the held-out benchmark; the rest is the
 #: training pool to be decontaminated against it
 _BENCH_MOD = 20
