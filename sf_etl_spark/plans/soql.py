@@ -26,10 +26,12 @@ Supported subset:
   Salesforce's ``Reference`` fields (``relationship_name``, SURVEY
   §1.2) should execute locally. Output columns are named
   ``rel_field`` / ``rel_rel_field``.
-* ``WHERE`` — ``AND/OR/NOT``, comparisons, ``IN / NOT IN``,
-  ``LIKE``, ``INCLUDES/EXCLUDES`` (multipicklist membership on
-  ``;``-joined wire strings or ingested array columns),
-  ``= null`` / ``!= null``
+* ``WHERE`` — ``AND/OR/NOT``, comparisons, ``IN / NOT IN`` (literal
+  lists, and ``[NOT] IN (SELECT f FROM Object [WHERE ...])``
+  semi-join subqueries compiled to LeftSemi/LeftAnti joins as
+  top-level conjuncts), ``LIKE``, ``INCLUDES/EXCLUDES``
+  (multipicklist membership on ``;``-joined wire strings or ingested
+  array columns), ``= null`` / ``!= null``
 * SOQL date literals with Salesforce **range semantics** (a literal
   denotes a day/month/year span, not an instant: ``f = TODAY`` ⇔
   within today; ``f > LAST_MONTH`` ⇔ after that month's end):
@@ -148,6 +150,11 @@ class _Parser:
         # hidden columns (Spark can't filter on an aggregate post-agg)
         self.having_aggs: list[Column] = []
         self.in_having = False
+        # `field [NOT] IN (SELECT ...)` conjuncts, lifted out of the
+        # WHERE tree and compiled as semi/anti joins (a subquery is a
+        # plan, not a Column): list of dicts, see parse_predicate
+        self.semi_joins: list[dict] = []
+        self._last_lhs: str | None = None
 
     # -- token helpers -----------------------------------------------------
 
@@ -283,9 +290,17 @@ class _Parser:
     # -- boolean expressions ----------------------------------------------
 
     def parse_bool_expr(self) -> Column:
+        # A lifted IN-subquery placeholder is only sound as an AND-ed
+        # conjunct; under OR or NOT its True placeholder would change
+        # the predicate's meaning — reject there.
+        n0 = len(self.semi_joins)
         left = self.parse_bool_term()
         while self.accept("kw", "or"):
             left = left | self.parse_bool_term()
+            if len(self.semi_joins) != n0:
+                raise SoqlError(
+                    "IN (SELECT ...) is only supported as a top-level AND-ed predicate"
+                )
         return left
 
     def parse_bool_term(self) -> Column:
@@ -296,7 +311,13 @@ class _Parser:
 
     def parse_bool_factor(self) -> Column:
         if self.accept("kw", "not"):
-            return ~self.parse_bool_factor()
+            n0 = len(self.semi_joins)
+            inner = self.parse_bool_factor()
+            if len(self.semi_joins) != n0:
+                raise SoqlError(
+                    "IN (SELECT ...) is only supported as a top-level AND-ed predicate"
+                )
+            return ~inner
         if self.accept("punct", "("):
             inner = self.parse_bool_expr()
             self.expect("punct", ")")
@@ -310,8 +331,11 @@ class _Parser:
             col, default = self.parse_aggregate()
             hidden = f"_having_{len(self.having_aggs)}_{default}"
             self.having_aggs.append(col.alias(hidden))
+            self._last_lhs = None
             return F.col(hidden)
-        return F.col(self.expect("ident").text)
+        t = self.expect("ident")
+        self._last_lhs = t.text
+        return F.col(t.text)
 
     def parse_predicate(self) -> Column:
         lhs = self._predicate_lhs()
@@ -330,6 +354,8 @@ class _Parser:
         negate = bool(self.accept("kw", "not"))
         if self.accept("kw", "in"):
             self.expect("punct", "(")
+            if self.peek() and self.peek().kind == "kw" and self.peek().text == "select":
+                return self._parse_in_subquery(negate)
             vals = [self.parse_literal()]
             while self.accept("punct", ","):
                 vals.append(self.parse_literal())
@@ -375,6 +401,43 @@ class _Parser:
         if op not in ops:
             raise SoqlError(f"unknown operator {op!r}")
         return ops[op](lhs, rhs)
+
+    def _parse_in_subquery(self, negate: bool) -> Column:
+        """``field [NOT] IN (SELECT f FROM Object [WHERE ...])`` — the
+        SOQL semi-join subquery form. A subquery is a *plan*, not a
+        Column, so the predicate is lifted into ``self.semi_joins``
+        (compiled to a LeftSemi/LeftAnti join) and replaced by a True
+        placeholder in the boolean tree — sound only for top-level
+        conjuncts, which parse_bool_expr/factor enforce. NOT IN
+        compiles to an anti join (Salesforce semantics; NOT the
+        SQL-null-poisoned NOT IN — the oracle uses NOT EXISTS).
+        """
+        if self.in_having:
+            raise SoqlError("IN (SELECT ...) is not supported in HAVING")
+        if self._last_lhs is None:
+            raise SoqlError("IN (SELECT ...) requires a plain field on the left")
+        lhs_field = self._last_lhs
+        self.expect("kw", "select")
+        sub_field = self.expect("ident").text
+        self.expect("kw", "from")
+        sub_obj = self.expect("ident").text
+        sub_where = None
+        if self.accept("kw", "where"):
+            n0 = len(self.semi_joins)
+            sub_where = self.parse_bool_expr()
+            if len(self.semi_joins) != n0:
+                raise SoqlError("nested IN (SELECT ...) is not supported")
+        self.expect("punct", ")")
+        self.semi_joins.append(
+            {
+                "lhs": lhs_field,
+                "negate": negate,
+                "obj": sub_obj,
+                "field": sub_field,
+                "where": sub_where,
+            }
+        )
+        return F.lit(True)
 
     def _includes(self, lhs: Column, values: list[str]) -> Column:
         """Multipicklist membership, on ``array<string>`` (post-ingest)
@@ -644,6 +707,15 @@ def soql_to_df(
     out = df
     if where_col is not None:
         out = out.filter(where_col)
+    # lifted IN (SELECT ...) conjuncts → semi/anti joins, pre-agg;
+    # the subquery side projects only its key column (pruned scan)
+    for sj in p.semi_joins:
+        sub = resolve(sj["obj"])
+        if sj["where"] is not None:
+            sub = sub.filter(sj["where"])
+        sub = sub.select(F.col(sj["field"]).alias("__in_key"))
+        how = "left_anti" if sj["negate"] else "left_semi"
+        out = out.join(sub, F.col(sj["lhs"]) == F.col("__in_key"), how)
     # grouped outputs take the SELECT alias of the matching field path
     alias_by_src = {it.src: it.name for it in select_items if it.src}
     group_cols = [F.col(t).alias(alias_by_src.get(t, _norm(t))) for t in group_texts]

@@ -80,6 +80,8 @@ _PRIORITY_ORDER = [
     "soql_child_subquery",
     "soql_child_subquery_where",
     "soql_multihop_traversal",
+    "soql_in_subquery_semi",
+    "soql_in_subquery_anti",
     # event-time windows + as-of/range joins (unverified in r1)
     "window_tumbling",
     "window_sliding",

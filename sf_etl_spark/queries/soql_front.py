@@ -102,6 +102,49 @@ def soql_parent_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "soql_in_subquery_semi",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE c.c_acctbal > 1000
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    ORDER BY c.c_custkey
+    """,
+    doc="SOQL IN (SELECT ...) semi-join subquery → LeftSemi join",
+)
+def soql_in_subquery_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return soql_to_df(
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_acctbal > 1000 AND c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000) "
+        "ORDER BY c_custkey",
+        _resolver(spark, sf_dir),
+    )
+
+
+@register(
+    "soql_in_subquery_anti",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c.c_custkey
+    """,
+    doc="SOQL NOT IN (SELECT ...) anti-join subquery → LeftAnti join (no finished order)",
+)
+def soql_in_subquery_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return soql_to_df(
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') "
+        "ORDER BY c_custkey",
+        _resolver(spark, sf_dir),
+    )
+
+
+@register(
     "soql_multihop_traversal",
     """
     SELECT o.o_orderkey,

@@ -356,3 +356,69 @@ def test_multihop_missing_intermediate_fk(resolve):
             resolve,
             relationships=MULTIHOP_RELS,
         )
+
+
+# -- IN (SELECT ...) semi-join subqueries -----------------------------------
+
+
+def test_in_subquery_semi_join(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT c_custkey FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000) "
+        "ORDER BY c_custkey",
+        resolve,
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    want = (
+        load_table(spark, sf_dir, "customer")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+    assert rows(got) == rows(want)
+    assert got.count() > 0
+    # the lifted predicate must compile to a semi join, not a filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_not_in_subquery_anti_join(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders) ORDER BY c_custkey",
+        resolve,
+    )
+    want = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+    assert rows(got) == rows(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_in_subquery_combines_with_other_conjuncts(spark, resolve, sf_dir):
+    got = soql_to_df(
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 5000 AND c_custkey IN "
+        "(SELECT o_custkey FROM orders) AND c_custkey < 100 ORDER BY c_custkey",
+        resolve,
+    ).collect()
+    assert all(r["c_custkey"] < 100 for r in got)
+    assert got  # fixture has matching rows
+
+
+def test_in_subquery_rejected_under_or_and_not(resolve):
+    for bad in [
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 0 OR c_custkey IN "
+        "(SELECT o_custkey FROM orders)",
+        "SELECT c_custkey FROM customer WHERE NOT (c_custkey IN "
+        "(SELECT o_custkey FROM orders))",
+    ]:
+        with pytest.raises(SoqlError, match="top-level AND-ed"):
+            soql_to_df(bad, resolve)
