@@ -70,6 +70,22 @@ HEADLINE = [
     "clean_text_normalize",
     "repetition_metrics",
     "corpus_prep_pipeline",
+    # adapted TPC-H decision-support suite (queries/tpch_suite.py):
+    # the join/subquery-heavy members, to keep regressions on the
+    # classic plan shapes visible round-over-round
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_or_of_ands",
+    "q21_waiting_suppliers",
+    "q22_dormant_balance",
 ]
 
 

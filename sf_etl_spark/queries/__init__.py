@@ -158,6 +158,7 @@ def all_queries() -> dict[str, QuerySpec]:
         soql_front,
         streaming_batch,
         streaming_live,
+        tpch_suite,
         training_data,
     )
 
