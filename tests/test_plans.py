@@ -113,3 +113,35 @@ def test_exists_decorrelates_to_semi_anti(spark, sf_dir):
     # one semi + one anti join
     plan = _plan(spark, sf_dir, "exists_correlated")
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q6_full_pushdown_and_pruning(spark, sf_dir):
+    # Q6 is scan+filter+1-row agg: every predicate must reach the
+    # parquet scan and only the 4 touched columns may be read.
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    # the toString form truncates the filter list; the leading
+    # DataFilters entries prove predicates reached the scan
+    assert "DataFilters: [isnotnull(l_shipdate" in scan
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan
+
+
+def test_q8_star_join_all_broadcast(spark, sf_dir):
+    # 7-way star: part/supplier/nation/region/customer-nation chains
+    # must all ride broadcast hash joins; a SortMergeJoin on a dim
+    # means a lost broadcast hint (fact-fact SMJ is fine at scale but
+    # at fixture size AQE broadcasts those too).
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_window_pass_no_self_join(spark, sf_dir):
+    # The double-EXISTS is decorrelated into per-order window
+    # aggregates: the plan must contain a Window operator and must
+    # NOT join lineitem against itself (the correlated form would
+    # show >=2 scans of lineitem plus extra joins).
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "Window" in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln]
+    assert len(scans) == 1
