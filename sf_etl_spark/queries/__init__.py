@@ -105,7 +105,32 @@ _PRIORITY_ORDER = [
     "clean_text_normalize",
     "repetition_metrics",
     "corpus_prep_pipeline",
-    # LLM-data ops (driver-green in r1; keep inside the window)
+    # adapted TPC-H suite (new in r2, no driver row yet; q6 deferred —
+    # its scan+filter+1-row-agg shape is already covered by q1's row)
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_or_of_ands",
+    "q21_waiting_suppliers",
+    "q22_dormant_balance",
+    # novel training-data op classes (new in r2)
+    "dedup_exact_substring",
+    "domain_mix_rebalance",
+    # --- 50-entry window boundary is right around here; entries below
+    # either have a round-1 driver row or a verified close cousin ---
+    "q6_forecast_revenue",
+    "window_frames",
+    "grouping_sets_flags",
+    "vocab_top_terms",
+    # LLM-data ops (driver-green in r1)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1288,3 +1288,92 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (100.0 * dsum(promo) / dsum(rev)).alias("promo_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-frame breadth: ntile/percent_rank/cume_dist over a value
+# ordering, plus a RANGE frame keyed by event time (trailing 90 days).
+# Scale: two window specs = two shuffles (one per partitioning); the
+# RANGE frame is evaluated streamingly per partition — state is the
+# frame content, bounded by a customer's 90-day order count.
+# percent_rank/cume_dist are rank/count arithmetic — identical doubles
+# on both engines; ties are broken by o_orderkey so ntile is
+# deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "window_frames",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER wp AS INT)        AS price_quartile,
+           percent_rank() OVER wp               AS pct_rank,
+           cume_dist() OVER wp                  AS cdist,
+           CAST(count(*) OVER wt AS BIGINT)     AS orders_90d,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER wt
+                AS VARCHAR) AS DOUBLE)          AS spend_90d
+    FROM orders
+    WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           wt AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    doc="ntile/percent_rank/cume_dist + trailing-90-day RANGE frame",
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    # the interval RANGE frame has no DataFrame-API spelling; the
+    # window expressions are SQL fragments over the same scan
+    wp = "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"
+    wt = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)"
+    )
+    return o.selectExpr(
+        "o_orderkey",
+        f"CAST(ntile(4) {wp} AS INT) AS price_quartile",
+        f"percent_rank() {wp} AS pct_rank",
+        f"cume_dist() {wp} AS cdist",
+        f"CAST(count(*) {wt} AS BIGINT) AS orders_90d",
+        f"CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) {wt} AS STRING) AS DOUBLE) AS spend_90d",
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (rollup/cube cover the regular lattices; this
+# is the irregular one) + grouping() provenance flags. Scale: one
+# Expand + one hash agg — rows multiply by the number of sets before
+# the partial agg, the standard Spark strategy.
+# NULLS FIRST is spelled out: Spark defaults ASC NULLS FIRST, DuckDB
+# NULLS LAST.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_flags",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           {SUMD('l_quantity')} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="irregular GROUPING SETS lattice with grouping() provenance flags",
+)
+def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    view = "lineitem_gsets_v"
+    l.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM {view}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )

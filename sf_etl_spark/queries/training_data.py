@@ -435,3 +435,151 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (the "dedup via long common substring" stage
+# of corpus prep, cf. suffix-array dedup in the literature): two docs
+# are flagged when they share ANY identical 50-char run. Stride-1
+# windows make this exact — a common run of >= 50 chars contains an
+# aligned 50-char window in both docs, so recall is 1.0 by
+# construction.
+# Scale: window fan-out is length-49 rows/doc (hashed to 16-byte md5
+# immediately, text dropped); windows shared by > 10 docs are
+# boilerplate and are excluded BEFORE pairing (the frequent-shingle
+# cap that keeps the self-join from going quadratic on templated
+# text); the common-hash set is tiny -> broadcast anti join. The
+# pair join is a hash equi-join on the window hash.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_substring",
+    """
+    WITH dw AS (
+      SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INTEGER), 50)) AS h
+      FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT) - 48)) AS t(i)
+      WHERE length(text) >= 50
+    ),
+    rare AS (SELECT h FROM dw GROUP BY h HAVING count(*) <= 10),
+    rw AS (SELECT dw.doc_id, dw.h FROM dw JOIN rare USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_windows
+    FROM rw a JOIN rw b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    ORDER BY shared_windows DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    doc="exact 50-char-window dedup pairs; stride-1 => recall 1.0 for >=50-char runs",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 50)
+    w = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 49)).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.md5(F.expr("substring(text, i, 50)")).alias("h"))
+        .distinct()
+    )
+    common = w.groupBy("h").count().filter(F.col("count") > 10).select("h")
+    rw = w.join(F.broadcast(common), "h", "left_anti")
+    a = rw.select(F.col("doc_id").alias("doc_a"), "h")
+    b = rw.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .orderBy(F.col("shared_windows").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix rebalancing: downsample each source so the kept corpus
+# approaches a target mixture (weight 3 for src0-2, 1 otherwise --
+# the "upweight curated domains" move of corpus recipes). Rates are
+# scaled so the largest stays at 1.0 (downsample-only); membership is
+# the salted doc-id hash against an integer permyriad threshold --
+# deterministic under retries and engine-portable, never rand().
+# Scale: per-source counts are one tiny agg broadcast back; the
+# filter is a stateless map over the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "domain_mix_rebalance",
+    f"""
+    WITH cnt AS (
+      SELECT source, count(*) AS n_before,
+             CASE WHEN source IN ('src0','src1','src2') THEN 3.0 ELSE 1.0 END
+               / count(*) AS ratio
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_before,
+             CAST(floor(ratio / (SELECT max(ratio) FROM cnt) * 10000) AS BIGINT) AS thr
+      FROM cnt
+    )
+    SELECT r.source, r.n_before, count(d.doc_id) AS n_after
+    FROM rates r LEFT JOIN documents d
+      ON d.source = r.source
+     AND {_sql_md5_u64("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 < r.thr
+    GROUP BY r.source, r.n_before
+    ORDER BY r.source
+    """,
+    doc="target-mixture downsampling by salted-hash permyriad threshold",
+)
+def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    weight = F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(3.0)).otherwise(F.lit(1.0))
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before")).withColumn(
+        "ratio", weight / F.col("n_before")
+    )
+    maxr = cnt.agg(F.max("ratio").alias("__maxr"))
+    rates = cnt.crossJoin(F.broadcast(maxr)).select(
+        "source",
+        "n_before",
+        F.floor(F.col("ratio") / F.col("__maxr") * 10000).cast("bigint").alias("thr"),
+    )
+    kept = (
+        d.withColumn("__h", _md5_u64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000)
+        .join(F.broadcast(rates.select(F.col("source").alias("r_source"), "thr")),
+              F.col("source") == F.col("r_source"))
+        .filter(F.col("__h") < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select("source", "n_before", F.coalesce("n_after", F.lit(0)).alias("n_after"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: top terms by frequency (the vocab-building /
+# tokenizer-training scan). Scale: split+explode is a narrow map;
+# the term count partial-aggregates map-side, and the top-50 is
+# TakeOrdered — no global sort of the vocabulary.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_top_terms",
+    r"""
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+    doc="top-50 corpus vocabulary terms (whitespace tokenization)",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )
