@@ -100,3 +100,72 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {SUMD('l_extendedprice')} AS total_price,
+           {SUMD('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="lineitem → ORC (zstd) → read back → agg (lossless columnar alt-format lane)",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink proof: ORC embeds its schema (unlike CSV no
+    explicit schema is needed) and keeps the same pushdown/pruning
+    properties as parquet; the oracle aggregates the ORIGINAL parquet
+    table, so any type or value drift through the ORC cycle breaks
+    the value hash. timestamp_ntz note: ORC stores the fixture's
+    TIMESTAMP_NTZ natively in Spark 4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="src_orc_") + "/lineitem_orc"
+    from sf_etl_spark.sinks import write_orc
+
+    write_orc(li.select("l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"), out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("total_price"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           {SUMD('c_acctbal')} AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="customer → JSON lines → read back (explicit schema) → agg (REST-shape lane)",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip — the reference's REST wire shape
+    (``QueryResponse.records``, ``response.rs:4-10``) proven lossless
+    as a source lane. Doubles serialize shortest-round-trip, so an
+    explicit-schema read recovers them bit-exactly; schema inference
+    is avoided (corpus-scale anti-pattern: one extra full scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="src_json_") + "/customer_json"
+    from sf_etl_spark.sinks import write_json
+
+    write_json(c.select("c_custkey", "c_mktsegment", "c_acctbal"), out)
+    schema = "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    back = spark.read.schema(schema).json(out)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )

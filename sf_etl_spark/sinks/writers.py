@@ -60,6 +60,21 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """ORC sink — the columnar alternative to parquet for warehouses
+    standardized on ORC; same pushdown/pruning properties."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
