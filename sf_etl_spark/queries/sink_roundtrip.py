@@ -169,3 +169,106 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "dq_validation_report",
+    """
+    SELECT rule, n_violations FROM (
+      SELECT 'acctbal_negative' AS rule,
+             CAST((SELECT count(*) FROM customer WHERE c_acctbal < 0) AS BIGINT) AS n_violations
+      UNION ALL
+      SELECT 'acctbal_out_of_range',
+             CAST((SELECT count(*) FROM customer
+                   WHERE NOT (c_acctbal BETWEEN -1000.0 AND 10000.0)) AS BIGINT)
+      UNION ALL
+      SELECT 'custkey_duplicate',
+             CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS BIGINT)
+      UNION ALL
+      SELECT 'mktsegment_unknown',
+             CAST((SELECT count(*) FROM customer
+                   WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',
+                                              'HOUSEHOLD','MACHINERY')) AS BIGINT)
+      UNION ALL
+      SELECT 'name_null',
+             CAST((SELECT count(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'nationkey_orphan',
+             CAST((SELECT count(*) FROM customer
+                   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+    )
+    ORDER BY rule
+    """,
+    doc="declared-constraint validation report (null/range/set/unique/FK) in one pass",
+)
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validates the constraints the reference's schema layer declares
+    but never checks (``response.rs:65-85`` nillable/unique/FK →
+    ``pg.rs:15-57`` DDL): all row-level rules ride ONE scan
+    (sum(CASE) aggregate + stack unpivot), uniqueness is
+    count - countDistinct, the FK check is the distinct-key anti
+    join. ``acctbal_negative`` is intentionally non-zero on the
+    fixture — a report row, not a failure."""
+    from sf_etl_spark.operators.dq import (
+        column_rules_report,
+        fk_orphan_count,
+        uniqueness_violations,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    rules = {
+        "acctbal_negative": F.col("c_acctbal") < 0,
+        "acctbal_out_of_range": ~F.col("c_acctbal").between(-1000.0, 10000.0),
+        "mktsegment_unknown": ~F.col("c_mktsegment").isin(segments),
+        "name_null": F.col("c_name").isNull(),
+    }
+    report = (
+        column_rules_report(c, rules)
+        .unionByName(uniqueness_violations(c, ["c_custkey"], "custkey_duplicate"))
+        .unionByName(fk_orphan_count(c, "c_nationkey", n, "n_nationkey", "nationkey_orphan"))
+    )
+    return report.orderBy("rule")
+
+
+@register(
+    "source_schema_evolution",
+    f"""
+    SELECT CAST(count(*) AS BIGINT)                AS n_rows,
+           CAST(count(c_mktsegment) AS BIGINT)     AS n_with_segment,
+           {SUMD('c_acctbal')}                     AS total_bal
+    FROM (
+      SELECT c_acctbal, CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    """,
+    doc="two parquet batches with evolving schema → mergeSchema read → agg",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution lane: a long-lived extraction target gains a
+    column mid-stream (the Salesforce ``describe`` schema is dynamic —
+    new custom fields appear; SURVEY §1.1). Batch 1 (even custkeys)
+    writes 2 columns, batch 2 (odd) writes 3; ``mergeSchema=true``
+    reconciles, with batch-1 rows NULL in the new column. The oracle
+    recomputes the same union from the original table, so a dropped
+    batch, a lost column, or wrong null-fill breaks the hash.
+    mergeSchema is opt-in per read here — at corpus scale schema
+    merging costs a footer read per file, so it's for evolving
+    targets, not every scan."""
+    c = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="src_evo_") + "/customer_evo"
+    write_parquet(
+        c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal"),
+        out + "/batch=1",
+    )
+    write_parquet(
+        c.filter(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_acctbal", "c_mktsegment"),
+        out + "/batch=2",
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out + "/batch=1", out + "/batch=2")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_mktsegment").alias("n_with_segment"),
+        dsum("c_acctbal").alias("total_bal"),
+    )
