@@ -86,6 +86,10 @@ HEADLINE = [
     "q19_or_of_ands",
     "q21_waiting_suppliers",
     "q22_dormant_balance",
+    # corpus-prep additions: the stride-1 window hash + pair join is
+    # the heavy one worth tracking round-over-round
+    "dedup_exact_substring",
+    "domain_mix_rebalance",
 ]
 
 

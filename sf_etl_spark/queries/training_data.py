@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sf_etl_spark.queries import register
-from sf_etl_spark.sources import load_table
+from sf_etl_spark.sources import ensure_parallelism, load_table
 
 # unsigned md5-top-64 (both engines agree bit-for-bit; see
 # queries/llm.py _md5_hash64 for the signed variant + derivation)
@@ -470,7 +470,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact 50-char-window dedup pairs; stride-1 => recall 1.0 for >=50-char runs",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 50)
+    # hash-heavy fan-out (length-49 md5s per doc): spread the
+    # single-file fixture scan before it (no-op on real clusters)
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") >= 50), key="doc_id"
+    )
     w = (
         d.select(
             "doc_id",
@@ -583,3 +587,70 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "term")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster formation: pairs -> transitive components ->
+# canonical doc per cluster. The stage between pair-finding and
+# "drop the duplicates": two docs sharing no window can still be
+# duplicates of a common third, so the keep/drop decision needs the
+# closure, not the pair list. Spark side is min-label propagation
+# (operators/graph.py); the oracle computes the same closure with a
+# recursive CTE, proving the iterative DataFrame loop reaches the
+# exact fixpoint.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_components",
+    """
+    WITH RECURSIVE dw AS (
+      SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INTEGER), 50)) AS h
+      FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT) - 48)) AS t(i)
+      WHERE length(text) >= 50
+    ),
+    rare AS (SELECT h FROM dw GROUP BY h HAVING count(*) <= 10),
+    rw AS (SELECT dw.doc_id, dw.h FROM dw JOIN rare USING (h)),
+    e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM rw a JOIN rw b ON a.h = b.h AND a.doc_id < b.doc_id),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+    ORDER BY doc_id
+    """,
+    doc="near-dup pairs -> connected components -> canonical doc per cluster",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sf_etl_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    dd = ensure_parallelism(d.filter(F.length("text") >= 50), key="doc_id")
+    w = (
+        dd.select("doc_id", F.explode(F.sequence(F.lit(1), F.length("text") - 49)).alias("i"), "text")
+        .select("doc_id", F.md5(F.expr("substring(text, i, 50)")).alias("h"))
+        .distinct()
+    )
+    common = w.groupBy("h").count().filter(F.col("count") > 10).select("h")
+    rw = w.join(F.broadcast(common), "h", "left_anti")
+    edges = (
+        rw.select(F.col("doc_id").alias("src"), "h")
+        .join(rw.select(F.col("doc_id").alias("dst"), "h"), "h")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    comp = connected_components(d.select("doc_id"), edges, vertex_col="doc_id")
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(W.partitionBy("component")).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    ).orderBy("doc_id")

@@ -52,3 +52,16 @@ def test_fk_orphan_count(spark, dirty):
 
     empty_violation = column_rules_report(dirty.limit(0), {"any": F.lit(True)}).collect()
     assert empty_violation[0]["n_violations"] == 0  # sum over empty -> 0, not null
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from sf_etl_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # pair 10-11, singleton 20
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "vertex bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
+    )
+    got = {r["vertex"]: r["component"] for r in connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
