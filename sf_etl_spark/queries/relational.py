@@ -1377,3 +1377,89 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT/melt: wide aggregate -> long (metric, value) rows — the
+# reshape feeding metric stores and plotting layers. Spark's unpivot
+# is a zero-shuffle Expand (rows × metrics map-side); the oracle
+# spells the portable UNION ALL form.
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_metrics",
+    f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             {SUMD('l_quantity')} AS sum_qty,
+             {SUMD('l_extendedprice')} AS sum_price,
+             {SUMD('l_discount')} AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    )
+    ORDER BY l_returnflag, metric
+    """,
+    doc="wide aggregate melted to (metric, value) rows via unpivot (Expand, no shuffle)",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (l,) = _t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).orderBy("l_returnflag", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Null semantics parity: the three-valued-logic corners where engines
+# love to disagree — null-safe equality (Spark `<=>` ≡ SQL IS NOT
+# DISTINCT FROM), count(*) vs count(col), NULLIF, COALESCE — all over
+# a window-generated null (each customer's first lag). Single-row
+# output; any divergence in null handling flips a count.
+# ---------------------------------------------------------------------------
+@register(
+    "null_semantics",
+    f"""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT)   AS n_rows,
+           CAST(count(prev) AS BIGINT) AS n_nonnull_prev,
+           CAST(sum(CASE WHEN prev IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_first_orders,
+           CAST(sum(CASE WHEN nullif(o_totalprice, prev) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_price,
+           {SUMD('coalesce(prev, 0.0)')} AS total_prev
+    FROM t
+    """,
+    doc="3VL parity: null-safe equality, count(col), NULLIF/COALESCE over window nulls",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t = o.select(
+        "o_orderkey", "o_totalprice", F.lag("o_totalprice").over(w).alias("prev")
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("prev").alias("n_nonnull_prev"),
+        F.sum(F.when(F.expr("prev <=> NULL"), 1).otherwise(0)).cast("bigint").alias("n_first_orders"),
+        F.sum(F.when(F.nullif(F.col("o_totalprice"), F.col("prev")).isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat_price"),
+        dsum(F.coalesce(F.col("prev"), F.lit(0.0))).alias("total_prev"),
+    )

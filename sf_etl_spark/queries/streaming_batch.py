@@ -244,3 +244,71 @@ def asof_pandas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", "asof_ts", F.col("asof_value").alias("click_value")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + gap-fill: per-user hourly grid with forward
+# fill — the "regularize irregular events" operator every metrics
+# pipeline needs before rolling computations. Scale: the per-user-hour
+# downsample is one hash agg (row_number picks the last event per
+# bucket); the grid is sequence+explode bounded by each user's own
+# span (never the global span); the forward fill is one window pass
+# ordered by bucket. Three shuffles total, all on user_id.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_ffill",
+    """
+    WITH hourly AS (
+      SELECT user_id, hr, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hr, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    spans AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM spans
+    )
+    SELECT g.user_id, g.hr,
+           last_value(h.value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           h.value IS NOT NULL AS had_event
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+    ORDER BY g.user_id, g.hr
+    """,
+    doc="per-user hourly resample + forward fill (gap-free time-series grid)",
+)
+def events_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    pick_last = W.partitionBy("user_id", "hr").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    hourly = (
+        e.select("user_id", hr.alias("hr"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(pick_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hr", "value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    ffill = W.partitionBy("user_id").orderBy("hr").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.last("value", ignorenulls=True).over(ffill).alias("value_ffill"),
+            F.col("value").isNotNull().alias("had_event"),
+        )
+        .orderBy("user_id", "hr")
+    )
