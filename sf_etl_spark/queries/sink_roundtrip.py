@@ -272,3 +272,68 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_mktsegment").alias("n_with_segment"),
         dsum("c_acctbal").alias("total_bal"),
     )
+
+
+@register(
+    "bucketed_join_colocated",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {SUMD('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="bucketed fact-fact join: both sides bucketBy(orderkey) -> shuffle-free join",
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join lane: both fact tables written ONCE as
+    bucketed+sorted managed tables on the join key, after which every
+    orderkey join between them runs with ZERO join-side shuffle (the
+    exchange is prepaid at write time — the amortization that matters
+    when the same fact-fact join runs daily at 100 TB). The plan is
+    regression-guarded in test_plans.py: one Exchange total (the
+    post-join re-agg), none feeding the join. The oracle computes the
+    same join-agg from the original tables, proving the bucketed
+    copies are lossless."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_buckets = 8
+    # DROP handles a table known to this catalog; the rmtree clears a
+    # location left by a PREVIOUS session (the local catalog is
+    # in-memory, so a fresh session doesn't know the old table and
+    # saveAsTable would fail with LOCATION_ALREADY_EXISTS)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "spark-warehouse"
+    for t in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    (
+        o.select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+    )
+    (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+    )
+    ob, lb = spark.table("orders_bkt"), spark.table("lineitem_bkt")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

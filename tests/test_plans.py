@@ -145,3 +145,19 @@ def test_q21_single_window_pass_no_self_join(spark, sf_dir):
     assert "Window" in plan
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln]
     assert len(scans) == 1
+
+
+def test_bucketed_join_has_no_join_side_shuffle(spark, sf_dir):
+    # both sides are bucketed on the join key, so NO shuffle may ever
+    # partition by the join key (post-join agg/sort shuffles on other
+    # keys are expected; at fixture scale AQE may also broadcast the
+    # small side — a BroadcastExchange is not a shuffle).
+    plan = _plan(spark, sf_dir, "bucketed_join_colocated")
+    final = plan.split("== Initial Plan ==")[0]
+    shuffles = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert not any("o_orderkey" in ln or "l_orderkey" in ln for ln in shuffles)
+    assert final.count("Bucketed: true") == 2
