@@ -56,6 +56,13 @@ def stage_events_as_stream_source(
     ``duplicate=True`` appends a copy of every chunk (distinct file,
     same rows) — the late-duplicate fixture for
     ``dropDuplicatesWithinWatermark``.
+
+    NOTE: the global (partition-less) row_number window below is
+    deliberate and TEST-HARNESS-ONLY — replay chunk boundaries must be
+    globally deterministic, which requires a total order. It warns
+    "Moving all data to a single partition" and would not scale; the
+    production ingestion path never runs this code — it consumes an
+    already-ordered stream via ``events_stream`` (readStream).
     """
     e = (
         load_table(spark, sf_dir, "events")

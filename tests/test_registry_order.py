@@ -31,6 +31,14 @@ MUST_BE_IN_WINDOW = [
     "stream_tumbling_1h",
     "stream_dedup_exactly_once",
     "stream_stateful_user_agg",
+    # round-2 session-2 additions with no driver row yet
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
+    "dedup_exact_substring",
+    "domain_mix_rebalance",
 ]
 
 
