@@ -312,3 +312,81 @@ def events_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: how many users progressed view -> click ->
+# purchase IN ORDER (each stage strictly after the previous stage's
+# first occurrence — not mere co-occurrence). Scale: one conditional
+# min-aggregate per stage, every shuffle on user_id so the exchanges
+# align stage over stage; no window over unbounded history, no
+# self-join of the raw event log against itself (each stage joins
+# the previous stage's 1-row-per-user aggregate).
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    """
+    WITH ew AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    ),
+    v AS (
+      SELECT user_id, min(ts) AS t1 FROM ew
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM ew e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM ew e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 'l1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL SELECT 'l2_click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL SELECT 'l3_purchase', CAST(count(*) AS BIGINT) FROM p
+    )
+    ORDER BY stage
+    """,
+    doc="ordered view->click->purchase funnel; per-stage conditional min-aggs on user_id",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a bounded observation window keeps the funnel discriminating
+    # (over the full fixture span every user reaches every stage)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+        .select("user_id", "ts", "event_type")
+    )
+
+    def stage_after(prev: DataFrame, prev_ts: str, etype: str, out_ts: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = stage_after(v, "t1", "click", "t2")
+    p = stage_after(c, "t2", "purchase", "t3")
+
+    def count_stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        count_stage(v, "l1_view")
+        .unionByName(count_stage(c, "l2_click"))
+        .unionByName(count_stage(p, "l3_purchase"))
+        .orderBy("stage")
+    )
