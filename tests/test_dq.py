@@ -65,3 +65,50 @@ def test_connected_components_chain_and_singletons(spark):
     )
     got = {r["vertex"]: r["component"] for r in connected_components(verts, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: min-label propagation == union-find ground truth
+    on randomized (seeded) graphs, including multi-cluster + isolated
+    vertices and diameters larger than one round."""
+    import random
+
+    from sf_etl_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        verts = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 35))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in verts}
+        # canonicalize to min member per component
+        comp_min = {}
+        for v in verts:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in verts}
+
+        vdf = spark.createDataFrame([(v,) for v in verts], "vertex bigint")
+        edf = spark.createDataFrame(edges or [(0, 0)], "src bigint, dst bigint")
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(vdf, edf).collect()
+        }
+        assert got == want, f"trial {trial}"
