@@ -1,0 +1,99 @@
+"""Incremental (high-watermark) extraction — the standard ETL pattern
+the reference's extraction client implies but never implements.
+
+The reference can create/poll/abort a bulk extract job
+(``client.rs:215-243``) and forward a SOQL string (``client.rs:199-205``),
+so every run re-extracts the full object. Real ETL schedules pull only
+records changed since the last run: ``WHERE <watermark_field> >
+<last_seen>`` (Salesforce convention: ``SystemModstamp``), then
+advance the watermark to the max seen. This module adds that loop on
+top of the paginated client, with the watermark persisted as a JSON
+state file so runs are resumable and idempotent.
+
+Correctness properties (tested in tests/test_incremental.py):
+- first run = full extract; subsequent runs fetch ONLY the delta;
+- the watermark advances to the max extracted value, never beyond
+  (records modified mid-extract surface in the next run — at-least-
+  once, deduplicated downstream by primary key);
+- a run with no changes writes nothing and leaves state untouched.
+
+Scale notes: the delta predicate is evaluated REMOTELY (it rides the
+SOQL WHERE), so a daily run moves |changed rows|, not |object|. Batch
+files land as parquet parts per run; downstream dedup-by-pk
+(``dropDuplicates`` on Id, keep max watermark) reconciles overlap,
+mirroring the partition-local upsert lane in streaming/pipelines.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from sf_etl_spark.connector.client import SfClient
+
+
+@dataclass
+class IncrementalResult:
+    n_rows: int
+    watermark: Any  # None when the object is empty and no state existed
+
+
+def _read_state(state_path: str) -> Any:
+    if os.path.exists(state_path):
+        with open(state_path, encoding="utf-8") as fh:
+            return json.load(fh).get("watermark")
+    return None
+
+
+def _write_state(state_path: str, watermark: Any) -> None:
+    tmp = state_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"watermark": watermark}, fh)
+    os.replace(tmp, state_path)  # atomic: a crashed run never corrupts state
+
+
+def extract_incremental(
+    client: SfClient,
+    object_name: str,
+    fields: list[str],
+    watermark_field: str,
+    state_path: str,
+) -> tuple[list[dict], IncrementalResult]:
+    """One incremental pull: fetch rows with watermark strictly above
+    the persisted value (all rows on the first run), advance the state
+    file, and return the raw records.
+
+    The SELECT list always includes the watermark field — advancing
+    the state from data we did not fetch would be a correctness bug.
+    """
+    if watermark_field not in fields:
+        fields = [*fields, watermark_field]
+    last = _read_state(state_path)
+    soql = f"SELECT {', '.join(fields)} FROM {object_name}"
+    if last is not None:
+        soql += f" WHERE {watermark_field} > {last}"
+    records: list[dict] = []
+    for page in client.query_pages(soql):
+        records.extend(page.records)
+    if not records:
+        return records, IncrementalResult(n_rows=0, watermark=last)
+    new_mark = max(_coerce(r[watermark_field]) for r in records)
+    _write_state(state_path, new_mark)
+    return records, IncrementalResult(n_rows=len(records), watermark=new_mark)
+
+
+def _coerce(v: Any) -> Any:
+    """Numeric watermarks arrive as wire strings; compare them as
+    numbers (lexicographic '10' < '9' would move the watermark
+    BACKWARD and re-extract forever)."""
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v
+    return v
