@@ -65,14 +65,50 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # similarity / ANN tier (unverified in r1)
+    # --- round-3 rotation: the 14 queries the driver window never
+    # reached in r1/r2 (VERDICT r2 item #1), plus dedup_simhash whose
+    # only driver row predates its value-hash oracle upgrade ---
+    "q6_forecast_revenue",
+    "window_frames",
+    "grouping_sets_flags",
+    "vocab_top_terms",
+    "unpivot_metrics",
+    "null_semantics",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "dq_validation_report",
+    "source_schema_evolution",
+    "bucketed_join_colocated",
+    "events_hourly_ffill",
+    "funnel_conversion",
+    "dedup_cluster_components",
+    "dedup_simhash",
+    # upgraded in round 3: minhash gained a value-hash oracle; the
+    # substring-dedup shuffle key shrank — both need fresh driver rows
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    # new round-3 queries (names registered later this round; unknown
+    # names are skipped, so listing them early is safe)
+    "soql_child_traversal",
+    "dedup_cluster_bigstar",
+    # --- remaining window slots: re-verify the widest-blast-radius
+    # verified lanes (shared helpers touched this round) ---
+    "decontaminate_ngram_overlap",
+    "domain_mix_rebalance",
+    "corpus_prep_pipeline",
+    "split_train_test",
+    "sample_per_label_cap",
+    "pack_token_shards",
+    "clean_text_normalize",
+    "repetition_metrics",
+    # similarity / ANN tier
     "dedup_embedding_cosine",
     "ann_ivf_topk",
     "ann_srp_lsh_pairs",
     "dedup_embedding_pipeline",
     "ann_ivf_kmeans_topk",
     "embedding_quantize_int8",
-    # SOQL front door (unverified in r1) + nested child subqueries
+    # SOQL front door (parser touched this round for dotted child paths)
     "soql_orders_rollup",
     "soql_documents_filter",
     "soql_parent_traversal",
@@ -82,31 +118,23 @@ _PRIORITY_ORDER = [
     "soql_multihop_traversal",
     "soql_in_subquery_semi",
     "soql_in_subquery_anti",
-    # event-time windows + as-of/range joins (unverified in r1)
+    # event-time windows + as-of/range joins
     "window_tumbling",
     "window_sliding",
     "window_session",
     "asof_purchase_click",
     "range_join_followups",
     "asof_pandas_merge",
-    # live streaming lane (unverified in r1)
+    # live streaming lane
     "stream_tumbling_1h",
     "stream_dedup_exactly_once",
     "stream_stateful_user_agg",
     "stream_stream_join_attribution",
-    # sink/source round trips (new)
+    # sink/source round trips
     "sink_roundtrip_partitioned",
     "source_csv_roundtrip",
-    # training-data pipeline ops (new)
-    "split_train_test",
-    "sample_per_label_cap",
-    "pack_token_shards",
-    "decontaminate_ngram_overlap",
-    "clean_text_normalize",
-    "repetition_metrics",
-    "corpus_prep_pipeline",
-    # adapted TPC-H suite (new in r2, no driver row yet; q6 deferred —
-    # its scan+filter+1-row-agg shape is already covered by q1's row)
+    # --- ~50-entry window boundary is right around here; everything
+    # below has a driver-green row from r1 or r2 ---
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -121,19 +149,8 @@ _PRIORITY_ORDER = [
     "q19_or_of_ands",
     "q21_waiting_suppliers",
     "q22_dormant_balance",
-    # novel training-data op classes (new in r2)
-    "dedup_exact_substring",
-    "domain_mix_rebalance",
-    # --- 50-entry window boundary is right around here; entries below
-    # either have a round-1 driver row or a verified close cousin ---
-    "q6_forecast_revenue",
-    "window_frames",
-    "grouping_sets_flags",
-    "vocab_top_terms",
     # LLM-data ops (driver-green in r1)
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "ngram_jaccard_pairs",
     "doc_fingerprint",
     "text_quality",
@@ -148,8 +165,7 @@ _PRIORITY_ORDER = [
     "multimodal_meta_stats",
     "multimodal_frame_sample",
     "multimodal_features",
-    # relational spine: the most load-bearing entries stay in-window;
-    # the long tail past the cutoff was hash-verified in round 1
+    # relational spine (hash-verified in round 1)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",

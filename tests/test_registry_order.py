@@ -15,30 +15,26 @@ DRIVER_WINDOW = 50
 # Queries whose ONLY driver CORRECTNESS row will come from this round —
 # they must sit inside the driver's window.
 MUST_BE_IN_WINDOW = [
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_srp_lsh_pairs",
-    "soql_orders_rollup",
-    "soql_documents_filter",
-    "soql_parent_traversal",
-    "soql_rollup_traversal",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_purchase_click",
-    "range_join_followups",
-    "asof_pandas_merge",
-    "stream_tumbling_1h",
-    "stream_dedup_exactly_once",
-    "stream_stateful_user_agg",
-    # round-2 session-2 additions with no driver row yet
-    "q4_order_priority",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_qty_revenue",
-    "q21_waiting_suppliers",
+    # never reached by the driver window in r1/r2
+    "q6_forecast_revenue",
+    "window_frames",
+    "grouping_sets_flags",
+    "vocab_top_terms",
+    "unpivot_metrics",
+    "null_semantics",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "dq_validation_report",
+    "source_schema_evolution",
+    "bucketed_join_colocated",
+    "events_hourly_ffill",
+    "funnel_conversion",
+    "dedup_cluster_components",
+    # only driver row predates the value-hash oracle upgrade
+    "dedup_simhash",
+    # upgraded in round 3 (new oracle / new plan) — need fresh rows
+    "dedup_minhash_lsh",
     "dedup_exact_substring",
-    "domain_mix_rebalance",
 ]
 
 
