@@ -10,12 +10,21 @@ advance the watermark to the max seen. This module adds that loop on
 top of the paginated client, with the watermark persisted as a JSON
 state file so runs are resumable and idempotent.
 
+The state advance is TWO-PHASE: ``extract_incremental`` computes the
+new watermark but does **not** persist it — the caller durably sinks
+the records first, then calls ``result.commit()``. A crash between
+extract and sink therefore re-extracts the same delta on the next run
+(at-least-once) instead of silently losing it; persisting before the
+sink would turn any such crash into permanent data loss.
+
 Correctness properties (tested in tests/test_incremental.py):
 - first run = full extract; subsequent runs fetch ONLY the delta;
-- the watermark advances to the max extracted value, never beyond
-  (records modified mid-extract surface in the next run — at-least-
-  once, deduplicated downstream by primary key);
-- a run with no changes writes nothing and leaves state untouched.
+- the watermark advances (on commit) to the max extracted value,
+  never beyond — records modified mid-extract surface in the next
+  run, deduplicated downstream by primary key;
+- a run with no changes writes nothing and leaves state untouched;
+- an uncommitted run leaves state untouched, so the delta is
+  re-served.
 
 Scale notes: the delta predicate is evaluated REMOTELY (it rides the
 SOQL WHERE), so a daily run moves |changed rows|, not |object|. Batch
@@ -28,7 +37,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 from sf_etl_spark.connector.client import SfClient
@@ -37,7 +46,16 @@ from sf_etl_spark.connector.client import SfClient
 @dataclass
 class IncrementalResult:
     n_rows: int
-    watermark: Any  # None when the object is empty and no state existed
+    watermark: Any  # pending until commit(); None when nothing ever seen
+    _state_path: str | None = field(default=None, repr=False)
+    committed: bool = field(default=False, repr=False)
+
+    def commit(self) -> None:
+        """Persist the advanced watermark — call AFTER the records are
+        durably stored downstream. No-op when nothing was fetched."""
+        if self._state_path is not None and not self.committed:
+            _write_state(self._state_path, self.watermark)
+        self.committed = True
 
 
 def _read_state(state_path: str) -> Any:
@@ -62,8 +80,11 @@ def extract_incremental(
     state_path: str,
 ) -> tuple[list[dict], IncrementalResult]:
     """One incremental pull: fetch rows with watermark strictly above
-    the persisted value (all rows on the first run), advance the state
-    file, and return the raw records.
+    the persisted value (all rows on the first run) and return the raw
+    records plus a result whose ``commit()`` advances the state file.
+
+    The state file is NOT touched here — sink first, then
+    ``result.commit()``; see the two-phase note in the module doc.
 
     The SELECT list always includes the watermark field — advancing
     the state from data we did not fetch would be a correctness bug.
@@ -78,10 +99,12 @@ def extract_incremental(
     for page in client.query_pages(soql):
         records.extend(page.records)
     if not records:
-        return records, IncrementalResult(n_rows=0, watermark=last)
+        # nothing to sink, nothing to commit — state stays as-is
+        return records, IncrementalResult(n_rows=0, watermark=last, committed=True)
     new_mark = max(_coerce(r[watermark_field]) for r in records)
-    _write_state(state_path, new_mark)
-    return records, IncrementalResult(n_rows=len(records), watermark=new_mark)
+    return records, IncrementalResult(
+        n_rows=len(records), watermark=new_mark, _state_path=state_path
+    )
 
 
 def _coerce(v: Any) -> Any:

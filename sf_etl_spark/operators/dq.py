@@ -22,6 +22,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,9 +48,15 @@ def column_rules_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 
 
 def uniqueness_violations(df: DataFrame, cols: list[str], rule: str) -> DataFrame:
-    """(rule, n_violations) where n = rows - distinct key tuples."""
+    """(rule, n_violations) where n = non-null-keyed rows - distinct
+    key tuples. Rows with a NULL in any key column are excluded from
+    the row count (SQL UNIQUE-constraint semantics: NULLs never
+    conflict) — count_distinct already skips them, so counting them on
+    the left would report every NULL-keyed row as a violation."""
+    all_keys_set = reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in cols])
+    keyed = F.count(F.when(all_keys_set, 1))
     return df.agg(
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+        (keyed - F.count_distinct(*[F.col(c) for c in cols]))
         .cast("bigint")
         .alias("n_violations")
     ).select(F.lit(rule).alias("rule"), "n_violations")

@@ -183,7 +183,8 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE NOT (c_acctbal BETWEEN -1000.0 AND 10000.0)) AS BIGINT)
       UNION ALL
       SELECT 'custkey_duplicate',
-             CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS BIGINT)
+             -- count(col), not count(*): NULL keys never violate UNIQUE
+             CAST((SELECT count(c_custkey) - count(DISTINCT c_custkey) FROM customer) AS BIGINT)
       UNION ALL
       SELECT 'mktsegment_unknown',
              CAST((SELECT count(*) FROM customer

@@ -409,7 +409,14 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element — see queries/llm.py minhash_signatures note)
     toks = F.col("_toks")
     n = F.size(toks)
-    idxs = F.sequence(F.lit(1), F.greatest(n - (_DECON_N - 1), F.lit(0)))
+    # guard: sequence(start, stop) defaults to step -1 when start > stop,
+    # so an unguarded sequence(1, n-4) on a doc with < 5 tokens yields
+    # [1, 0] and element_at(toks, 0) throws. Docs too short to contain a
+    # single n-gram contribute an empty gram array instead (mirrors the
+    # oracle's WHERE i <= len(t) - 4).
+    idxs = F.when(
+        n >= _DECON_N, F.sequence(F.lit(1), n - (_DECON_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.array_distinct(
         F.transform(
             idxs,

@@ -45,6 +45,20 @@ def test_uniqueness_violations(spark, dirty):
     assert row["rule"] == "id_dup" and row["n_violations"] == 1
 
 
+def test_uniqueness_null_keys_never_conflict(spark):
+    # SQL UNIQUE semantics: NULL keys don't conflict with anything —
+    # one NULL row, or N of them, is 0 violations; and a NULL in ANY
+    # column of a composite key exempts the row.
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (1, "a"), (1, "a"), (2, None)],
+        "k bigint, s string",
+    )
+    (row,) = uniqueness_violations(df, ["k"], "u").collect()
+    assert row["n_violations"] == 1  # only the duplicated k=1 pair
+    (row,) = uniqueness_violations(df, ["k", "s"], "u2").collect()
+    assert row["n_violations"] == 1  # (2, NULL) exempt, (1,'a') dup
+
+
 def test_fk_orphan_count(spark, dirty):
     parents = spark.createDataFrame([(1,), (2,)], "pid bigint")
     (row,) = fk_orphan_count(dirty, "id", parents, "pid", "fk_orphan").collect()

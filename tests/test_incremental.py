@@ -1,6 +1,8 @@
 """Incremental (high-watermark) extraction against the mock server:
 full first pull, delta-only second pull, no-change no-op, resumable
-state, and numeric (not lexicographic) watermark advance."""
+state, numeric (not lexicographic) watermark advance, and the
+two-phase commit contract (crash between extract and sink loses
+nothing — the delta is re-served until committed)."""
 
 from __future__ import annotations
 
@@ -42,6 +44,7 @@ def test_incremental_full_then_delta_then_noop(server, tmp_path):
     assert res.n_rows == 25 and res.watermark == 24
     # the watermark field is force-included in the SELECT list
     assert all("Version" in r for r in recs)
+    res.commit()  # "sink" succeeded
 
     # no changes -> nothing fetched, state untouched
     recs, res = extract_incremental(client, "Case", ["Id", "Priority"], "Version", state)
@@ -54,11 +57,37 @@ def test_incremental_full_then_delta_then_noop(server, tmp_path):
     recs, res = extract_incremental(client, "Case", ["Id", "Priority"], "Version", state)
     assert res.n_rows == 5 and res.watermark == 29
     assert sorted(int(r["Version"]) for r in recs) == [25, 26, 27, 28, 29]
+    res.commit()
 
     # state file is plain JSON -> a new process resumes where we left off
     assert json.load(open(state))["watermark"] == 29
     recs, res = extract_incremental(client, "Case", ["Id", "Priority"], "Version", state)
     assert res.n_rows == 0
+
+
+def test_incremental_uncommitted_delta_is_reserved(server, tmp_path):
+    """Crash between extract and sink: commit() never runs, so the
+    next run re-extracts the SAME delta (at-least-once, no loss)."""
+    s, url = server
+    client = make_client(url)
+    state = str(tmp_path / "wm.json")
+
+    recs, res = extract_incremental(client, "Case", ["Id"], "Version", state)
+    assert res.n_rows == 25 and not res.committed
+    # no commit — simulate a crash before the sink write landed
+
+    recs2, res2 = extract_incremental(client, "Case", ["Id"], "Version", state)
+    assert res2.n_rows == 25  # nothing lost
+    assert sorted(r["Id"] for r in recs2) == sorted(r["Id"] for r in recs)
+    res2.commit()
+    assert json.load(open(state))["watermark"] == 24
+
+    # commit() is idempotent and a no-op fetch is auto-committed
+    res2.commit()
+    _, res3 = extract_incremental(client, "Case", ["Id"], "Version", state)
+    assert res3.n_rows == 0 and res3.committed
+    res3.commit()  # must not clobber state with None/old values
+    assert json.load(open(state))["watermark"] == 24
 
 
 def test_incremental_numeric_not_lexicographic(server, tmp_path):
