@@ -323,18 +323,27 @@ def upsert_partitioned_parquet(
     — Delta/Iceberg MERGE — adds snapshot atomicity on top; this is
     the sound plain-parquet shape, and the writer commit protocol
     keeps partially-written partitions invisible until commit.)
+
+    All path probing goes through the Hadoop ``FileSystem`` resolved
+    FROM the target path, and the staging dir is a sibling of the
+    target on the SAME filesystem — so the merge works unchanged on
+    ``hdfs://`` / ``s3a://`` targets, where an ``os.path`` check would
+    silently report "absent" and the merge branch would drop every
+    pre-existing key in the touched partitions.
     """
     spark = batch_df.sparkSession
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
         "int"
     )
     new = batch_df.dropDuplicates(key_cols).withColumn(BUCKET_COL, bucket)
-    staging = None
+    fs, target_path = _hadoop_fs(spark, target_dir)
+    staging_path = None
     # the dynamic-overwrite committer writes no root _SUCCESS marker;
     # presence of bucket partition dirs is the bootstrap signal
-    exists = os.path.isdir(target_dir) and any(
-        e.startswith(BUCKET_COL + "=") or e == "_SUCCESS"
-        for e in os.listdir(target_dir)
+    exists = fs.exists(target_path) and any(
+        st.getPath().getName().startswith(BUCKET_COL + "=")
+        or st.getPath().getName() == "_SUCCESS"
+        for st in fs.listStatus(target_path)
     )
     if exists:
         touched = [r[0] for r in new.select(BUCKET_COL).distinct().collect()]
@@ -343,9 +352,14 @@ def upsert_partitioned_parquet(
         # Spark refuses to overwrite a path its own plan reads; stage the
         # merged TOUCHED buckets (only them — this is what keeps the merge
         # O(touched), unlike a full-table write-then-swap) and re-read.
-        staging = tempfile.mkdtemp(prefix="upsert_stage_")
+        # Sibling of the target => same FileSystem, no cross-FS copy.
+        staging = (
+            fs.makeQualified(target_path).toString()
+            + f"__upsert_stage_{uuid.uuid4().hex[:8]}"
+        )
         keep.unionByName(new).write.mode("overwrite").parquet(staging)
         merged = spark.read.parquet(staging)
+        _, staging_path = _hadoop_fs(spark, staging)
     else:
         merged = new
     (
@@ -354,10 +368,17 @@ def upsert_partitioned_parquet(
         .partitionBy(BUCKET_COL)
         .parquet(target_dir)
     )
-    if staging is not None:
-        import shutil
+    if staging_path is not None:
+        fs.delete(staging_path, True)
 
-        shutil.rmtree(staging, ignore_errors=True)
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str``, resolved through the JVM
+    gateway — the filesystem-abstract twin of ``os.path``: local paths,
+    ``hdfs://``, ``s3a://`` all answer the same API."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path_str)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
 
 
 def foreach_batch_upsert_parquet(
