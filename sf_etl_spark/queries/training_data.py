@@ -451,12 +451,21 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windows make this exact — a common run of >= 50 chars contains an
 # aligned 50-char window in both docs, so recall is 1.0 by
 # construction.
-# Scale: window fan-out is length-49 rows/doc (hashed to 16-byte md5
-# immediately, text dropped); windows shared by > 10 docs are
-# boilerplate and are excluded BEFORE pairing (the frequent-shingle
-# cap that keeps the self-join from going quadratic on templated
-# text); the common-hash set is tiny -> broadcast anti join. The
-# pair join is a hash equi-join on the window hash.
+# Scale: window fan-out is length-49 rows/doc, hashed IMMEDIATELY to
+# an 8-byte xxhash64 (text dropped) — the fan-out rides the distinct
+# exchange as (doc_id, bigint) ~16 bytes/row instead of a 32-char md5
+# hex string (~40 bytes/row): the distinct's map-side partial agg
+# collapses repeats before the wire. The digest never leaves the
+# engine (output is doc pairs + counts), so the DuckDB oracle keeps
+# md5 keys and still agrees. A 64-bit collision can only add ONE
+# spurious shared window to a random doc pair (~2^-64 per window
+# pair); such singleton pairs sit at the bottom of the
+# shared_windows ranking and below any real dedup threshold.
+# Windows shared by > 10 docs are boilerplate and are excluded
+# BEFORE pairing (the frequent-shingle cap that keeps the self-join
+# from going quadratic on templated text); the common-hash set is
+# tiny -> broadcast anti join. The pair join is a hash equi-join on
+# the window hash.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_exact_substring",
@@ -488,7 +497,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.length("text") - 49)).alias("i"),
             "text",
         )
-        .select("doc_id", F.md5(F.expr("substring(text, i, 50)")).alias("h"))
+        .select("doc_id", F.xxhash64(F.expr("substring(text, i, 50)")).alias("h"))
         .distinct()
     )
     common = w.groupBy("h").count().filter(F.col("count") > 10).select("h")
@@ -642,7 +651,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = ensure_parallelism(d.filter(F.length("text") >= 50), key="doc_id")
     w = (
         dd.select("doc_id", F.explode(F.sequence(F.lit(1), F.length("text") - 49)).alias("i"), "text")
-        .select("doc_id", F.md5(F.expr("substring(text, i, 50)")).alias("h"))
+        .select("doc_id", F.xxhash64(F.expr("substring(text, i, 50)")).alias("h"))
         .distinct()
     )
     common = w.groupBy("h").count().filter(F.col("count") > 10).select("h")
