@@ -221,6 +221,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _window_idxs(n: F.Column, width: int) -> F.Column:
+    """1-based start indices of every ``width``-token window; EMPTY
+    when the doc is shorter than one window. The guard matters:
+    ``sequence(start, stop)`` defaults its step to -1 when
+    start > stop, so an unguarded ``sequence(1, n-2)`` on a 1-token
+    doc yields [1, 0] and ``element_at(toks, 0)`` throws (array
+    indices start at 1)."""
+    return F.when(
+        n >= width, F.sequence(F.lit(1), n - (width - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup: word-3-gram shingles → shingle-key join →
 # pairwise Jaccard ≥ threshold. Scale note: the shingle join is the
@@ -263,7 +275,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token array materialized pre-lambda — see minhash_signatures note
     toks = F.col("_toks")
     n = F.size(toks)
-    idxs = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    idxs = _window_idxs(n, 3)
     shingle_arr = F.array_distinct(
         F.transform(
             idxs,
@@ -301,31 +313,88 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup (rows-only check: seeded-hash sketches are
-# not SQL-portable). Pipeline: shingle → 32 seeded xxhash64 minhashes
-# → 8 bands × 4 rows → band-bucket equi-join → candidate pairs with
-# estimated Jaccard (fraction of matching minhashes).
-# Scale: candidates come only from shared LSH buckets — the corpus
-# never cross-joins. This is the production near-dup path; the exact
-# shingle-join (ngram_jaccard_pairs) is its verification stage.
+# MinHash + LSH near-dup. Pipeline: word-3-gram shingle → ONE md5-based
+# 64-bit hash per shingle (engine-portable, as in dedup_simhash) → 32
+# minhashes via affine universal hashes (a_i*u + b_i) mod the Mersenne
+# prime P = 2^31-1 (a_i*u < 2^62: every step is exact int64 arithmetic
+# both engines agree on) → 8 bands × 4 rows → band equi-join on the
+# raw band values packed into two bigints (injective — no bucket
+# hashing, nothing to collide) → candidate pairs with estimated
+# Jaccard = matching coordinates / 32 (power-of-two denominator → the
+# double is bit-exact in both engines, no rounding needed).
+#
+# The r1/r2 shape used seeded xxhash64 (engine-private), so the driver
+# could only count rows; this formulation is value-hash checked
+# against the DuckDB oracle below, the same portability upgrade
+# dedup_simhash got. Production at 100 TB swaps the md5 shingle hash
+# for xxhash64 (~4× faster, identical plan shape and statistics).
+# Scale: candidates come only from shared LSH bands — the corpus
+# never cross-joins (the oracle's O(n²) WHERE-OR form is the semantic
+# definition for the small gate corpus, never the engine plan). The
+# exact shingle-join (ngram_jaccard_pairs) is the verification stage
+# downstream of these candidates.
 # ---------------------------------------------------------------------------
 N_MINHASHES = 32
 LSH_BANDS = 8
 LSH_ROWS = N_MINHASHES // LSH_BANDS
+_MH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def _SQL_MD5_H64(expr: str) -> str:
+    """DuckDB twin of :func:`_md5_hash64`: signed int64 from the first
+    16 md5 hex chars of ``expr`` (UBIGINT parse, 2^64 wrap)."""
+    u = f"CAST(('0x' || substring(md5({expr}),1,16)) AS UBIGINT)"
+    return (
+        f"CAST({u} - CASE WHEN {u} >= 9223372036854775808 "
+        f"THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+    )
+
+
+def _mh_params() -> list[tuple[int, int]]:
+    """Deterministic affine-hash constants (a_i ∈ [1, P-1], b_i ∈
+    [0, P-1]) from a fixed 64-bit LCG — embedded verbatim in both the
+    Spark plan and the SQL oracle; never randomness at runtime."""
+    params, x = [], 0x5DEECE66D
+    for _ in range(N_MINHASHES):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = 1 + (x >> 16) % (_MH_P - 1)
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = (x >> 16) % _MH_P
+        params.append((a, b))
+    return params
+
+
+_MH_PARAMS = _mh_params()
+
+_MH_SQL_MINS = ",\n             ".join(
+    f"min(({a} * u + {b}) % {_MH_P}) AS m{i}"
+    for i, (a, b) in enumerate(_MH_PARAMS)
+)
+_MH_SQL_EQ = " + ".join(
+    f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(N_MINHASHES)
+)
+_MH_SQL_BANDS = " OR ".join(
+    "("
+    + " AND ".join(
+        f"a.m{b * LSH_ROWS + r} = b.m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+    )
+    + ")"
+    for b in range(LSH_BANDS)
+)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + minhash signature array<bigint> of length N_MINHASHES.
 
-    Perf-critical shape: each shingle string is hashed ONCE
-    (xxhash64), exploded to (doc_id, h) rows, and the 32 per-seed
-    minhashes are plain codegen'd ``min(xxhash64(h, seed))``
-    aggregates over longs. The obvious alternative — nested
-    higher-order lambdas re-hashing each shingle string per seed —
-    runs interpreted and was ~20× slower at sf0.1. The explode is
-    map-side-combined by the partial hash aggregate, so rows never
-    amplify across the shuffle; this is the shape that survives a
-    100 TB corpus.
+    Perf-critical shape: each shingle string is md5-hashed ONCE,
+    exploded to (doc_id, u) rows, and the 32 minhashes are plain
+    codegen'd ``min((a_i*u + b_i) % P)`` aggregates over longs —
+    integer multiply-add, cheaper than per-seed re-hashing. The
+    obvious alternative — nested higher-order lambdas re-hashing each
+    shingle string per seed — runs interpreted and was ~20× slower at
+    sf0.1. The explode is map-side-combined by the partial hash
+    aggregate, so rows never amplify across the shuffle; this is the
+    shape that survives a 100 TB corpus.
 
     The token array is MATERIALIZED as a column before the window
     lambda: expressions in a higher-order-function body re-evaluate
@@ -337,7 +406,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = F.col("_toks")
     n = F.size(toks)
-    idxs = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    idxs = _window_idxs(n, 3)
     shingles = F.array_distinct(
         F.transform(
             idxs,
@@ -353,10 +422,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ensure_parallelism(docs, key="doc_id")
         .withColumn("_toks", F.split(text_col, " "))
         .select("doc_id", F.explode(shingles).alias("_sh"))
-        .select("doc_id", F.xxhash64("_sh").alias("_h"))
+        # non-negative 64-bit md5 value reduced mod P: u ∈ [0, P)
+        .select(
+            "doc_id",
+            (
+                _md5_hash64("_sh").bitwiseAND(F.lit((1 << 63) - 1)) % _MH_P
+            ).alias("_u"),
+        )
     )
     min_aggs = [
-        F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(N_MINHASHES)
+        F.min((F.lit(a).cast("long") * F.col("_u") + F.lit(b)) % _MH_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
     ]
     return (
         tok_hash.groupBy("doc_id")
@@ -370,12 +446,43 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    None,  # seeded-hash sketch: not SQL-expressible → rows-only check
-    doc="MinHash(32)+LSH(8×4) candidate pairs with estimated Jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM idx
+    ), uh AS (
+      SELECT doc_id,
+             ({_SQL_MD5_H64('shingle')} & 9223372036854775807) % {_MH_P} AS u
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             {_MH_SQL_MINS}
+      FROM uh GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {_MH_SQL_EQ} AS n_eq
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE {_MH_SQL_BANDS}
+    )
+    SELECT doc_a, doc_b, CAST(n_eq AS DOUBLE) / {N_MINHASHES} AS est_jaccard
+    FROM cand
+    WHERE n_eq * 2 >= {N_MINHASHES}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash(32)+LSH(8×4) candidate pairs with estimated Jaccard (md5-portable, hash-checked)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
+    # each band's 4 values (< 2^31) pack injectively into two bigints:
+    # scalar equi-join keys, no bucket-hash collisions, narrow shuffle
+    two31 = F.lit(1 << 31).cast("long")
     bands = sigs.select(
         "doc_id",
         "signature",
@@ -384,20 +491,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS)
-                    ).alias("bucket"),
+                    (
+                        F.element_at("signature", b * LSH_ROWS + 1) * two31
+                        + F.element_at("signature", b * LSH_ROWS + 2)
+                    ).alias("k1"),
+                    (
+                        F.element_at("signature", b * LSH_ROWS + 3) * two31
+                        + F.element_at("signature", b * LSH_ROWS + 4)
+                    ).alias("k2"),
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id",
+        "signature",
+        F.col("bb.band").alias("band"),
+        F.col("bb.k1").alias("k1"),
+        F.col("bb.k2").alias("k2"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -408,6 +527,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # n_eq/32: power-of-two denominator, so the double is exact and
+    # engine-portable — no round() (HALF_UP vs HALF_EVEN divergence)
     est = (
         F.size(
             F.filter(
@@ -418,7 +539,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         / N_MINHASHES
     )
     return (
-        cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
@@ -674,7 +795,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - (_FP_K - 1), F.lit(0))),
+        _window_idxs(F.col("n_tokens"), _FP_K),
         lambda i: (
             (
                 (F.element_at("v", i) * _FP_BASE + F.element_at("v", i + 1)) * _FP_BASE

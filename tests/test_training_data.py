@@ -36,3 +36,22 @@ def test_decontaminate_survives_short_docs(spark, short_doc_dir):
     # docs neither crash the gram builder nor appear in the report
     assert [(r["doc_id"], r["n_bench_docs"]) for r in rows] == [(21, 1)]
     assert rows[0]["n_shared_grams"] == 4  # 8-token overlap -> 4 shared 5-grams
+
+
+def test_shingle_lanes_survive_short_docs(spark, short_doc_dir):
+    """The same sequence(1,0) trap existed in every window/shingle
+    builder; docs below the window width must vanish, not crash."""
+    from sf_etl_spark.queries.llm import (
+        dedup_minhash_lsh,
+        doc_fingerprint,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(spark, short_doc_dir).collect()}
+    assert (20, 21) in pairs and all(a >= 20 for a, _ in pairs)
+
+    mh = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, short_doc_dir).collect()}
+    assert mh <= {(20, 21)}  # short docs have no signature at all
+
+    fp = {r["doc_id"] for r in doc_fingerprint(spark, short_doc_dir).collect()}
+    assert fp == {0, 1, 2, 20, 21}  # short docs keep a row (null/0 windows), no crash
