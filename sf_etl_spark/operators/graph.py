@@ -14,9 +14,12 @@ Scale notes:
   across iterations so AQE/exchange reuse keeps re-shuffling cheap.
 - Iterations needed = graph diameter under min-propagation; dedup
   graphs are dense clumps (near-cliques), so diameters are small.
-  For adversarial long-chain graphs, the large-star/small-star
-  algorithm (alternating pointer-doubling) drops rounds to
-  O(log n) — noted as the upgrade path, not needed for dedup clumps.
+  For adversarial long-chain graphs, :func:`star_components`
+  (alternating large-star/small-star, Kiveris et al. "Connected
+  Components in MapReduce and Beyond") halves the effective diameter
+  per round → O(log n) rounds; :func:`connected_components` falls
+  back to it automatically when min-label propagation has not
+  converged after ``label_rounds``.
 - ``localCheckpoint`` truncates lineage each round; without it the
   plan doubles per iteration and analysis time explodes.
 - The driver-side loop tests ONE scalar (changed-count) per round —
@@ -36,10 +39,18 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    label_rounds: int = 8,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable from it
     (= its component id). Vertices absent from ``edges`` come out as
-    singleton components. Raises if not converged in ``max_iter``."""
+    singleton components.
+
+    Strategy: min-label propagation for up to ``label_rounds`` (one
+    join + one min-agg per round — cheapest per round, and dedup
+    clump graphs converge in 2-3); if the diameter is larger than
+    that (adversarial chains), restart on :func:`star_components`,
+    whose O(log n) round bound is worth its extra per-round jobs.
+    Raises if not converged in ``max_iter`` total iterations."""
     # checkpoint the symmetrized edges ONCE: the loop re-references
     # them every round, and a lazy plan would re-derive the edge list
     # (often an expensive pair-finding pipeline) per iteration
@@ -53,7 +64,7 @@ def connected_components(
         F.col(vertex_col).alias("v"), F.col(vertex_col).alias("label")
     ).localCheckpoint()
 
-    for _ in range(max_iter):
+    for _ in range(min(label_rounds, max_iter)):
         msgs = (
             sym.join(labels, sym.a == labels.v)
             .select(F.col("b").alias("v"), F.col("label").alias("nlabel"))
@@ -76,4 +87,110 @@ def connected_components(
             return labels.select(
                 F.col("v").alias(vertex_col), F.col("label").alias("component")
             )
-    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    # diameter exceeded the cheap phase: the O(log n) algorithm takes
+    # over from the original edges (restarting costs less than the
+    # O(diameter) rounds propagation would still need)
+    return star_components(
+        vertices,
+        edges,
+        vertex_col=vertex_col,
+        src_col=src_col,
+        dst_col=dst_col,
+        max_iter=max(1, max_iter - min(label_rounds, max_iter)),
+    )
+
+
+def star_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "vertex",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+    rounds_out: list[int] | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al.): edge rewiring that attaches nodes ever closer to
+    their component minimum, converging to star graphs centered on the
+    minima in O(log n) rounds — pointer doubling, independent of graph
+    diameter (a length-n chain needs ~log2 n rounds, not n).
+
+    Per round, on the canonical edge set E = {(u, v): u > v}:
+
+    * large-star — every node attaches its strictly LARGER neighbors
+      to the minimum of its closed neighborhood: halves the distance
+      of far nodes to the minimum;
+    * small-star — every node attaches its smaller-or-equal neighbors
+      (and itself) to its minimum SMALLER neighbor: flattens local
+      chains into stars.
+
+    Both steps preserve connectivity and never create a component
+    bridge, so the fixpoint (edge set stable under both) is exactly
+    the star decomposition; labels read off the final edges. Each
+    step is one groupBy-min + one equi-join on the node id.
+    ``rounds_out``, when given, receives the executed round count
+    (test introspection of the O(log n) bound)."""
+    E = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star --
+        sym = E.select("u", "v").union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        # (larger neighbor, neighborhood min): m <= u < v, so the
+        # output is already canonical and self-loop-free
+        e1 = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star -- (canonical E already orients u -> smaller v)
+        mins_s = e1.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            e1.join(mins_s, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(mins_s.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        )
+        e2 = (
+            ss.filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint test on the canonical sets (both distinct, so set
+        # equality = equal counts + empty left-anti difference)
+        if e2.count() == E.count() and e2.join(E, ["u", "v"], "left_anti").limit(1).count() == 0:
+            E = e2
+            converged = True
+            break
+        E = e2
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    if not converged:
+        raise RuntimeError(f"star_components did not converge in {max_iter} iterations")
+    # stars: every edge is (member, component min); minima and
+    # singletons label themselves
+    memb = E.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        vertices.select(F.col(vertex_col).alias("v"))
+        .join(memb.select(F.col("u").alias("v"), "label"), "v", "left")
+        .select(
+            F.col("v").alias(vertex_col),
+            F.coalesce("label", F.col("v")).alias("component"),
+        )
+    )

@@ -615,9 +615,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recursive CTE, proving the iterative DataFrame loop reaches the
 # exact fixpoint.
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_cluster_components",
-    """
+_CLUSTER_SQL = """
     WITH RECURSIVE dw AS (
       SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INTEGER), 50)) AS h
       FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT) - 48)) AS t(i)
@@ -639,13 +637,37 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            doc_id = cluster_id AS is_canonical
     FROM comp
     ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_cluster_components",
+    _CLUSTER_SQL,
     doc="near-dup pairs -> connected components -> canonical doc per cluster",
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from sf_etl_spark.operators.graph import connected_components
+
+    return _cluster_report(spark, sf_dir, connected_components)
+
+
+@register(
+    "dedup_cluster_bigstar",
+    _CLUSTER_SQL,
+    doc="same duplicate clusters via alternating large-star/small-star (O(log n) rounds)",
+)
+def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.graph import star_components
+
+    return _cluster_report(spark, sf_dir, star_components)
+
+
+def _cluster_report(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
+    """Shared pairs→components→canonical pipeline, parameterized on
+    the connected-components implementation (min-label propagation or
+    the O(log n) star algorithm — both reach the same fixpoint, which
+    the single recursive-CTE oracle certifies for each)."""
+    from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     dd = ensure_parallelism(d.filter(F.length("text") >= 50), key="doc_id")
@@ -663,7 +685,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    comp = connected_components(d.select("doc_id"), edges, vertex_col="doc_id")
+    comp = cc_fn(d.select("doc_id"), edges, vertex_col="doc_id")
     return comp.select(
         "doc_id",
         F.col("component").alias("cluster_id"),

@@ -1,0 +1,84 @@
+"""Connected-components operators: the O(log n) large-star/small-star
+algorithm against ground truth, its round bound on the adversarial
+chain graph, and the automatic fallback inside connected_components."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from sf_etl_spark.operators.graph import connected_components, star_components
+
+
+def test_star_chain_10k_converges_in_log_rounds(spark):
+    """A 10k-vertex path is the worst case for label propagation
+    (diameter = rounds); the star algorithm must finish in O(log n)."""
+    n = 10_000
+    verts = spark.range(n).select(F.col("id").alias("vertex"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    rounds: list[int] = []
+    comp = star_components(verts, edges, max_iter=30, rounds_out=rounds)
+    stats = comp.agg(
+        F.count_distinct("component").alias("nc"), F.max("component").alias("mx")
+    ).collect()[0]
+    assert stats["nc"] == 1 and stats["mx"] == 0
+    # log2(10000) ~ 13.3; allow constant-factor slack but nothing
+    # remotely linear in n
+    assert rounds[0] <= 2 * math.ceil(math.log2(n)), rounds
+
+
+def test_star_random_graphs_vs_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        verts = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 35))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict[int, int] = {}
+        for v in verts:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in verts}
+
+        vdf = spark.createDataFrame([(v,) for v in verts], "vertex bigint")
+        edf = spark.createDataFrame(edges or [(0, 0)], "src bigint, dst bigint")
+        got = {
+            r["vertex"]: r["component"]
+            for r in star_components(vdf, edf).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_connected_components_falls_back_to_star_on_chains(spark):
+    """label_rounds smaller than the diameter: the cheap phase gives
+    up and the star phase still produces exact labels."""
+    n = 200
+    verts = spark.range(n).select(F.col("id").alias("vertex"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    comp = connected_components(verts, edges, label_rounds=3, max_iter=25)
+    stats = comp.agg(
+        F.count_distinct("component").alias("nc"), F.max("component").alias("mx")
+    ).collect()[0]
+    assert stats["nc"] == 1 and stats["mx"] == 0
