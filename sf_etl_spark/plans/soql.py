@@ -580,60 +580,41 @@ def soql_to_df(
         raise SoqlError("missing or malformed FROM clause")
     df = resolve(toks[from_idx + 1].text)
 
-    # bind child-to-parent traversals, including MULTI-HOP chains
-    # (``customer.nation.n_name``): every distinct relationship-chain
-    # prefix in the token stream joins its parent object exactly once,
-    # aliased by the "_"-joined chain ("customer", "customer_nation",
-    # …) so qualified column refs resolve naturally and two paths to
-    # the same object stay distinct joins. Each hop's FK resolves
-    # against the PREVIOUS hop's object (hop 1 against the aliased
-    # base — a parent carrying a same-named column can never capture
-    # the reference); a missing FK is a SoqlError with context, not an
-    # escaped AnalysisException.
+    # bind child-to-parent traversals on the BASE object. Dotted paths
+    # inside child subqueries traverse from the CHILD object instead,
+    # so their token spans (parenthesized ``(SELECT …)`` items in the
+    # select list) are excluded here and bound in _attach_child_list.
+    child_spans: set[int] = set()
+    depth, open_at = 0, None
+    for j, t in enumerate(toks[:from_idx]):
+        if t.kind == "punct" and t.text == "(":
+            nxt = toks[j + 1] if j + 1 < len(toks) else None
+            if depth == 0 and nxt and nxt.kind == "kw" and nxt.text == "select":
+                open_at = j
+            depth += 1
+        elif t.kind == "punct" and t.text == ")":
+            depth -= 1
+            if depth == 0 and open_at is not None:
+                child_spans.update(range(open_at, j + 1))
+                open_at = None
     dotted = [
         t
-        for t in toks
-        if t.kind == "ident" and "." in t.text and t.text.lower() not in _KEYWORDS
+        for j, t in enumerate(toks)
+        if j not in child_spans
+        and t.kind == "ident"
+        and "." in t.text
+        and t.text.lower() not in _KEYWORDS
     ]
-    chains: set[tuple[str, ...]] = set()
-    for t in dotted:
-        segs = t.text.split(".")
-        for i in range(1, len(segs)):
-            chains.add(tuple(segs[:i]))
-    base_cols = set(df.columns)
     base_alias = "_soql_base"
-    if chains:
-        df = df.alias(base_alias)
-    frame_cols: dict[tuple[str, ...], set] = {(): base_cols}
-    for chain in sorted(chains, key=lambda c: (len(c), c)):
-        rel = chain[-1]
-        if not relationships or rel not in relationships:
-            raise SoqlError(
-                f"unknown relationship {rel!r}; declare it in `relationships`"
-            )
-        parent_obj, fk_col, pk_col = relationships[rel]
-        hop_cols = frame_cols[chain[:-1]]
-        if fk_col not in hop_cols:
-            raise SoqlError(
-                f"relationship path {'.'.join(chain)!r}: FK column {fk_col!r} not "
-                f"found on the previous hop's object (columns: {sorted(hop_cols)})"
-            )
-        alias = "_".join(chain)
-        parent_alias = "_".join(chain[:-1]) if len(chain) > 1 else base_alias
-        parent = resolve(parent_obj).alias(alias)
-        frame_cols[chain] = set(parent.columns)
-        df = df.join(
-            parent,
-            F.col(f"{parent_alias}.{fk_col}") == F.col(f"{alias}.{pk_col}"),
-            "left",
-        )
-    # rewrite multi-hop column refs to their flat chain alias so the
-    # parser's F.col(text) resolves against the joined frame
+    df, rewrite = _bind_relationship_chains(
+        df, [t.text for t in dotted], relationships, resolve, base_alias
+    )
+    # rewrite column refs to their flat chain alias so the parser's
+    # F.col(text) resolves against the joined frame (single-hop
+    # rewrites are identity: the join alias IS the relationship name)
     for t in dotted:
-        segs = t.text.split(".")
-        if len(segs) > 2:
-            t.text = "_".join(segs[:-1]) + "." + segs[-1]
-    used_rels = chains  # truthiness consumed below
+        t.text = rewrite[t.text]
+    used_rels = bool(rewrite)  # truthiness consumed below
 
     p = _Parser(toks, df)
     p.expect("kw", "select")
