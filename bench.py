@@ -90,6 +90,15 @@ HEADLINE = [
     # the heavy one worth tracking round-over-round
     "dedup_exact_substring",
     "domain_mix_rebalance",
+    # round 4 additions (r2 brief follow-through): gap-fill, funnel,
+    # DQ report, co-located bucketed join, connected-components dedup
+    # clustering, and the child-side dotted traversal
+    "events_hourly_ffill",
+    "funnel_conversion",
+    "dq_validation_report",
+    "bucketed_join_colocated",
+    "dedup_cluster_components",
+    "soql_child_traversal",
 ]
 
 

@@ -224,17 +224,15 @@ class _Parser:
 
         Salesforce semantics: one nested list of child records per
         parent row, named after the child relationship (or an alias).
-        Dotted paths and aggregates inside the child select are not
-        supported (SOQL itself forbids aggregates there).
+        Dotted paths traverse from the CHILD object (bound in
+        ``_attach_child_list``); aggregates inside the child select
+        are not supported (SOQL itself forbids them there).
         """
         self.expect("punct", "(")
         self.expect("kw", "select")
         fields = [self.expect("ident").text]
         while self.accept("punct", ","):
             fields.append(self.expect("ident").text)
-        bad = [f for f in fields if "." in f]
-        if bad:
-            raise SoqlError(f"dotted paths not supported in child subquery: {bad}")
         self.expect("kw", "from")
         rel = self.expect("ident").text
         where_col = self.parse_bool_expr() if self.accept("kw", "where") else None
@@ -579,12 +577,14 @@ def soql_to_df(
     if from_idx is None or from_idx + 1 >= len(toks) or toks[from_idx + 1].kind != "ident":
         raise SoqlError("missing or malformed FROM clause")
     df = resolve(toks[from_idx + 1].text)
+    base_cols = set(df.columns)
 
     # bind child-to-parent traversals on the BASE object. Dotted paths
     # inside child subqueries traverse from the CHILD object instead,
     # so their token spans (parenthesized ``(SELECT …)`` items in the
     # select list) are excluded here and bound in _attach_child_list.
     child_spans: set[int] = set()
+    child_span_ranges: list[tuple[int, int]] = []  # select-list order
     depth, open_at = 0, None
     for j, t in enumerate(toks[:from_idx]):
         if t.kind == "punct" and t.text == "(":
@@ -596,6 +596,7 @@ def soql_to_df(
             depth -= 1
             if depth == 0 and open_at is not None:
                 child_spans.update(range(open_at, j + 1))
+                child_span_ranges.append((open_at, j))
                 open_at = None
     dotted = [
         t
@@ -615,6 +616,21 @@ def soql_to_df(
     for t in dotted:
         t.text = rewrite[t.text]
     used_rels = bool(rewrite)  # truthiness consumed below
+
+    # child-span dotted paths traverse from the CHILD object: record
+    # each span's original texts (the joins are applied per-child in
+    # _attach_child_list, which needs the chain segments) and rewrite
+    # the tokens to flat-alias form NOW, before the parser builds
+    # Columns from them. Spans and parsed child items share select-
+    # list order, so they zip below.
+    child_dotted: list[list[str]] = []
+    for lo, hi in child_span_ranges:
+        texts: list[str] = []
+        for t in toks[lo : hi + 1]:
+            if t.kind == "ident" and "." in t.text and t.text.lower() not in _KEYWORDS:
+                texts.append(t.text)
+                t.text = _flatten_dotted(t.text)
+        child_dotted.append(texts)
 
     p = _Parser(toks, df)
     p.expect("kw", "select")
@@ -677,10 +693,10 @@ def soql_to_df(
             raise SoqlError(
                 "child subqueries cannot be combined with GROUP BY or aggregates"
             )
-        for it in child_items:
+        for it, texts in zip(child_items, child_dotted):
             df = _attach_child_list(
-                df, it, resolve, child_relationships, base_cols,
-                base_alias if used_rels else None,
+                df, it, resolve, child_relationships, relationships, texts,
+                base_cols, base_alias if used_rels else None,
             )
 
     # -- assemble ----------------------------------------------------------
@@ -725,21 +741,105 @@ def soql_to_df(
     return out
 
 
+def _flatten_dotted(text: str) -> str:
+    """Rewrite a multi-hop dotted path to its flat chain alias
+    (``customer.nation.n_name`` → ``customer_nation.n_name``). One-hop
+    paths are identity: the join alias IS the relationship name."""
+    segs = text.split(".")
+    if len(segs) <= 2:
+        return text
+    return "_".join(segs[:-1]) + "." + segs[-1]
+
+
+def _bind_relationship_chains(
+    df: DataFrame,
+    texts: list[str],
+    relationships: dict | None,
+    resolve,
+    base_alias: str,
+) -> tuple[DataFrame, dict[str, str]]:
+    """Join every relationship-chain prefix referenced by the dotted
+    paths in ``texts`` onto ``df`` — exactly one left join per
+    DISTINCT chain, so ten references to ``customer.c_name`` cost one
+    join and unused relationships cost nothing.
+
+    Multi-hop chains (``customer.nation.n_name``) join one parent per
+    hop, aliased by the "_"-joined chain ("customer",
+    "customer_nation", …) so qualified column refs resolve naturally
+    and two different paths reaching the same object stay distinct
+    joins. Each hop's FK resolves against the PREVIOUS hop's object
+    (hop 1 against the aliased base — a parent carrying a same-named
+    column can never capture the reference); a missing FK is a
+    SoqlError with context, not an escaped AnalysisException.
+
+    Returns ``(joined_df, rewrite)`` where ``rewrite`` maps every
+    input text to the flat-alias form (``_flatten_dotted``) the parser
+    should build ``F.col`` from. Empty ``texts`` returns ``df``
+    unchanged and an empty map.
+
+    Scale: parents here are dimension-sized (the Salesforce lookup
+    targets, ref ``sql-builder/src/main.rs:89``), so Catalyst/AQE
+    picks broadcast-hash for these joins — no fact-side shuffle.
+    """
+    chains: set[tuple[str, ...]] = set()
+    for text in texts:
+        segs = text.split(".")
+        for i in range(1, len(segs)):
+            chains.add(tuple(segs[:i]))
+    rewrite = {text: _flatten_dotted(text) for text in texts}
+    if not chains:
+        return df, rewrite
+    frame_cols: dict[tuple[str, ...], set] = {(): set(df.columns)}
+    df = df.alias(base_alias)
+    for chain in sorted(chains, key=lambda c: (len(c), c)):
+        rel = chain[-1]
+        if not relationships or rel not in relationships:
+            raise SoqlError(
+                f"unknown relationship {rel!r}; declare it in `relationships`"
+            )
+        parent_obj, fk_col, pk_col = relationships[rel]
+        hop_cols = frame_cols[chain[:-1]]
+        if fk_col not in hop_cols:
+            raise SoqlError(
+                f"relationship path {'.'.join(chain)!r}: FK column {fk_col!r} not "
+                f"found on the previous hop's object (columns: {sorted(hop_cols)})"
+            )
+        alias = "_".join(chain)
+        parent_alias = "_".join(chain[:-1]) if len(chain) > 1 else base_alias
+        parent = resolve(parent_obj).alias(alias)
+        frame_cols[chain] = set(parent.columns)
+        df = df.join(
+            parent,
+            F.col(f"{parent_alias}.{fk_col}") == F.col(f"{alias}.{pk_col}"),
+            "left",
+        )
+    return df, rewrite
+
+
 def _attach_child_list(
     df: DataFrame,
     item: _SelectItem,
     resolve,
     child_relationships: dict | None,
+    relationships: dict | None,
+    dotted_texts: list[str],
     base_cols: set,
     base_alias: str | None,
 ) -> DataFrame:
     """Left-join one child subquery's nested list onto the parent.
 
-    Shape: child → [filter] → groupBy(fk) → sort_array(collect_list(
-    struct)) → [slice for LIMIT] → reproject to the selected fields →
-    LEFT join on parent PK. One shuffle per child relationship; the
-    parent WHERE pushes below the left join (Catalyst), so filtered
-    parents never pay for children.
+    Shape: child → [bind dotted chains] → [filter] → groupBy(fk) →
+    sort_array(collect_list(struct)) → [slice for LIMIT] → reproject
+    to the selected fields → LEFT join on parent PK. One shuffle per
+    child relationship; the parent WHERE pushes below the left join
+    (Catalyst), so filtered parents never pay for children.
+
+    ``dotted_texts`` are the span's ORIGINAL dotted paths (tokens were
+    already rewritten to flat-alias form in ``soql_to_df``): they
+    traverse from the CHILD object, so the chain joins bind here,
+    against the child frame, before its aggregation. Output struct
+    fields take the ``_norm`` name (``customer_nation_n_name``) —
+    same flattening convention as top-level dotted selects.
     """
     ch = item.child
     if not child_relationships or ch.rel not in child_relationships:
@@ -753,12 +853,26 @@ def _attach_child_list(
             f"the queried object (columns: {sorted(base_cols)})"
         )
     cdf = resolve(child_obj)
-    missing = [c for c in [fk_col, *ch.fields, *[f for f, _ in ch.order]] if c not in cdf.columns]
+    plain = [c for c in [fk_col, *ch.fields, *[f for f, _ in ch.order]] if "." not in c]
+    missing = [c for c in plain if c not in cdf.columns]
     if missing:
         raise SoqlError(
             f"child relationship {ch.rel!r}: columns {missing} not found on "
             f"{child_obj!r} (columns: {cdf.columns})"
         )
+    child_alias = f"__csub_{item.name}"
+    bound = bool(dotted_texts)
+    cdf, _ = _bind_relationship_chains(
+        cdf, dotted_texts, relationships, resolve, child_alias
+    )
+
+    def cref(name: str) -> Column:
+        # after binding, qualify the child's own columns so a parent
+        # object carrying a same-named column can't capture them
+        if bound and "." not in name:
+            return F.col(f"{child_alias}.{name}")
+        return F.col(name)
+
     if ch.where is not None:
         cdf = cdf.filter(ch.where)
     directions = {d for _, d in ch.order}
@@ -771,16 +885,18 @@ def _attach_child_list(
     sort_keys = [f for f, _ in ch.order]
     struct_fields = sort_keys + [f for f in ch.fields if f not in sort_keys]
     arr = F.sort_array(
-        F.collect_list(F.struct(*[F.col(f).alias(f) for f in struct_fields])),
+        F.collect_list(F.struct(*[cref(f).alias(_norm(f)) for f in struct_fields])),
         asc=not descending,
     )
     key = f"__ckey_{item.name}"
-    cagg = cdf.groupBy(F.col(fk_col).alias(key)).agg(arr.alias("__carr"))
+    cagg = cdf.groupBy(cref(fk_col).alias(key)).agg(arr.alias("__carr"))
     carr = F.col("__carr")
     if ch.limit is not None:
         carr = F.slice(carr, 1, ch.limit)
     # reproject each element to exactly the selected fields, in order
-    carr = F.transform(carr, lambda x: F.struct(*[x[f].alias(f) for f in ch.fields]))
+    carr = F.transform(
+        carr, lambda x: F.struct(*[x[_norm(f)].alias(_norm(f)) for f in ch.fields])
+    )
     cagg = cagg.select(key, carr.alias(item.name))
     pk_ref = F.col(f"{base_alias}.{parent_pk}") if base_alias else F.col(parent_pk)
     return df.join(cagg, pk_ref == F.col(key), "left").drop(key)

@@ -252,6 +252,47 @@ def soql_child_subquery_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "soql_child_traversal",
+    """
+    WITH enriched AS (
+      SELECT l.l_orderkey, l.l_linenumber, p.p_name, c.c_name
+      FROM lineitem l
+      LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      LEFT JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+      LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+    ), agg AS (
+      SELECT l_orderkey,
+             string_agg(l_linenumber || ':' || p_name || ':' || c_name,
+                        '|' ORDER BY l_linenumber, p_name, c_name) AS items
+      FROM enriched GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, a.items
+    FROM orders o LEFT JOIN agg a ON a.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey <= 200
+    ORDER BY o.o_orderkey
+    """,
+    doc=(
+        "SOQL dotted paths INSIDE a child subquery (1-hop part.p_name + "
+        "2-hop order.customer.c_name), traversed from the CHILD object — "
+        "the shape the reference forwards verbatim (client.rs:199-205)"
+    ),
+)
+def soql_child_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = soql_to_df(
+        "SELECT o_orderkey, "
+        "(SELECT l_linenumber, part.p_name, order.customer.c_name "
+        "FROM lineitems ORDER BY l_linenumber) items "
+        "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey",
+        _resolver(spark, sf_dir),
+        relationships={**RELATIONSHIPS, "part": ("part", "l_partkey", "p_partkey")},
+        child_relationships=CHILD_RELATIONSHIPS,
+    )
+    return _serialize_children(
+        df, "items", ["l_linenumber", "part_p_name", "order_customer_c_name"]
+    )
+
+
+@register(
     "soql_rollup_traversal",
     """
     SELECT c.c_mktsegment AS seg,

@@ -63,21 +63,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the column
-    as raw nanos (legacy nanosAsLong) and rebuild a microsecond
-    TIMESTAMP_NTZ with exact integer floor-division — the same ns→us
-    truncation DuckDB applies, so oracle comparisons stay bit-equal.
-    UTC session tz pins the long→timestamp conversion regardless of
+    """Load events with a schema-tolerant `ts`: a 100 TB lake holds a
+    mix of physical encodings, so branch on the dtype the footer
+    declares rather than assuming one.
+
+    * TIMESTAMP(NANOS) files: Spark's reader rejects them outright
+      ([PARQUET_TYPE_ILLEGAL]) unless nanos are surfaced as raw longs
+      (legacy nanosAsLong) — rebuild a microsecond TIMESTAMP_NTZ with
+      exact integer floor-division, the same ns→us truncation DuckDB
+      applies, so oracle comparisons stay bit-equal.
+    * TIMESTAMP(MICROS/MILLIS) files: already a timestamp on read —
+      pass through, normalized to TIMESTAMP_NTZ.
+
+    UTC session tz pins any long→timestamp conversion regardless of
     the host session's zone."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):  # nanos surfaced as raw longs
+        return df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    if isinstance(ts_type, TimestampNTZType):
+        return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def ensure_parallelism(

@@ -95,3 +95,42 @@ def test_save_as_managed_table_roundtrip(spark, orders):
         assert set(spark.table(name).columns) == set(orders.columns)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_events_loader_tolerates_both_ts_encodings(spark, tmp_path):
+    """_load_events must ingest events.parquet whether `ts` is stored
+    as TIMESTAMP(NANOS) (read as raw longs via nanosAsLong) or as a
+    plain micros timestamp — the fixture has flipped between the two
+    across regenerations, and round 3 lost 11 queries to the flip. A
+    100 TB lake holds both; the loader branches on the footer dtype."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sf_etl_spark.sources.tables import _load_events
+
+    base = {
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "user_id": pa.array([10, 20], type=pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], type=pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    # identical instants, two physical encodings
+    us = pa.array([1_700_000_000_000_000, 1_700_000_123_456_789], type=pa.timestamp("us"))
+    ns = us.cast(pa.timestamp("ns"))
+
+    expected = None
+    for enc, ts in [("us", us), ("ns", ns)]:
+        d = str(tmp_path / enc)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"event_id": base["event_id"], "ts": ts, **{k: v for k, v in base.items() if k != "event_id"}}),
+            os.path.join(d, "events.parquet"),
+        )
+        df = _load_events(spark, d)
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz", enc
+        got = sorted((r.event_id, r.ts) for r in df.select("event_id", "ts").collect())
+        if expected is None:
+            expected = got
+        else:
+            assert got == expected, f"encoding {enc} decoded differently: {got} vs {expected}"
