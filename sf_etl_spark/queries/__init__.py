@@ -65,50 +65,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-3 rotation: the 14 queries the driver window never
-    # reached in r1/r2 (VERDICT r2 item #1), plus dedup_simhash whose
-    # only driver row predates its value-hash oracle upgrade ---
-    "q6_forecast_revenue",
-    "window_frames",
-    "grouping_sets_flags",
-    "vocab_top_terms",
-    "unpivot_metrics",
-    "null_semantics",
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "dq_validation_report",
-    "source_schema_evolution",
-    "bucketed_join_colocated",
+    # --- round-4 rotation. Front of the ~50-entry driver window:
+    # (a) queries that have NEVER had a green driver row (gap-fill and
+    # funnel missed the r2 window and crashed in r3; child traversal is
+    # new this round), (b) the 20 queries r3's two regressions crashed
+    # (9 SOQL + 11 events-dependent), now fixed, (c) the three rows the
+    # r3 cutoff displaced. ---
     "events_hourly_ffill",
     "funnel_conversion",
-    "dedup_cluster_components",
-    "dedup_simhash",
-    # upgraded in round 3: minhash gained a value-hash oracle; the
-    # substring-dedup shuffle key shrank — both need fresh driver rows
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    # new round-3 queries (names registered later this round; unknown
-    # names are skipped, so listing them early is safe)
     "soql_child_traversal",
-    "dedup_cluster_bigstar",
-    # --- remaining window slots: re-verify the widest-blast-radius
-    # verified lanes (shared helpers touched this round) ---
-    "decontaminate_ngram_overlap",
-    "domain_mix_rebalance",
-    "corpus_prep_pipeline",
-    "split_train_test",
-    "sample_per_label_cap",
-    "pack_token_shards",
-    "clean_text_normalize",
-    "repetition_metrics",
-    # similarity / ANN tier
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_srp_lsh_pairs",
-    "dedup_embedding_pipeline",
-    "ann_ivf_kmeans_topk",
-    "embedding_quantize_int8",
-    # SOQL front door (parser touched this round for dotted child paths)
+    # SOQL front door (all crashed r3 on the missing chain-binding
+    # helper; parser also gained child-side dotted paths this round)
     "soql_orders_rollup",
     "soql_documents_filter",
     "soql_parent_traversal",
@@ -118,23 +85,52 @@ _PRIORITY_ORDER = [
     "soql_multihop_traversal",
     "soql_in_subquery_semi",
     "soql_in_subquery_anti",
-    # event-time windows + as-of/range joins
+    # event-time windows + as-of/range joins (crashed r3 on the events
+    # loader; loader is now encoding-tolerant)
     "window_tumbling",
     "window_sliding",
     "window_session",
     "asof_purchase_click",
     "range_join_followups",
     "asof_pandas_merge",
-    # live streaming lane
+    # live streaming lanes (same loader crash)
     "stream_tumbling_1h",
     "stream_dedup_exactly_once",
     "stream_stateful_user_agg",
     "stream_stream_join_attribution",
-    # sink/source round trips
+    # displaced just past the r3 cutoff
     "sink_roundtrip_partitioned",
     "source_csv_roundtrip",
+    # --- remaining slots: the lanes whose only driver rows are from
+    # round 1 (oldest verification vintage) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q14_promo_revenue",
+    "salted_join_revenue",
+    "window_suite",
+    "topk_per_group",
+    "exists_correlated",
+    "scalar_subquery",
+    "fk_integrity",
+    "json_schema_on_read",
+    "percentiles_by_flag",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "doc_fingerprint",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "embedding_stats",
+    "ann_cosine_topk",
+    "udtf_bigrams",
+    "pandas_udf_zscore",
+    "dispersion_stats",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    "multimodal_features",
     # --- ~50-entry window boundary is right around here; everything
-    # below has a driver-green row from r1 or r2 ---
+    # below was driver-green in r2 or r3 (freshest rows rotate back) ---
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -149,35 +145,36 @@ _PRIORITY_ORDER = [
     "q19_or_of_ands",
     "q21_waiting_suppliers",
     "q22_dormant_balance",
-    # LLM-data ops (driver-green in r1)
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
-    "lang_id",
-    "embedding_stats",
-    "ann_cosine_topk",
-    # extension lanes + multimodal (driver-green in r1)
-    "udtf_bigrams",
-    "pandas_udf_zscore",
-    "dispersion_stats",
-    "multimodal_meta_stats",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    # relational spine (hash-verified in round 1)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q14_promo_revenue",
-    "salted_join_revenue",
-    "window_suite",
-    "topk_per_group",
-    "exists_correlated",
-    "scalar_subquery",
-    "fk_integrity",
-    "json_schema_on_read",
-    "percentiles_by_flag",
+    "q6_forecast_revenue",
+    "window_frames",
+    "grouping_sets_flags",
+    "vocab_top_terms",
+    "unpivot_metrics",
+    "null_semantics",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "dq_validation_report",
+    "source_schema_evolution",
+    "bucketed_join_colocated",
+    "dedup_cluster_components",
+    "dedup_cluster_bigstar",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "decontaminate_ngram_overlap",
+    "domain_mix_rebalance",
+    "corpus_prep_pipeline",
+    "split_train_test",
+    "sample_per_label_cap",
+    "pack_token_shards",
+    "clean_text_normalize",
+    "repetition_metrics",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_srp_lsh_pairs",
+    "dedup_embedding_pipeline",
+    "ann_ivf_kmeans_topk",
+    "embedding_quantize_int8",
 ]
 
 

@@ -15,26 +15,35 @@ DRIVER_WINDOW = 50
 # Queries whose ONLY driver CORRECTNESS row will come from this round —
 # they must sit inside the driver's window.
 MUST_BE_IN_WINDOW = [
-    # never reached by the driver window in r1/r2
-    "q6_forecast_revenue",
-    "window_frames",
-    "grouping_sets_flags",
-    "vocab_top_terms",
-    "unpivot_metrics",
-    "null_semantics",
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "dq_validation_report",
-    "source_schema_evolution",
-    "bucketed_join_colocated",
+    # never driver-green: missed the r2 window, crashed r3
     "events_hourly_ffill",
     "funnel_conversion",
-    "dedup_cluster_components",
-    # only driver row predates the value-hash oracle upgrade
-    "dedup_simhash",
-    # upgraded in round 3 (new oracle / new plan) — need fresh rows
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
+    # new this round
+    "soql_child_traversal",
+    # crashed in r3 (SOQL NameError regression, fixed this round)
+    "soql_orders_rollup",
+    "soql_documents_filter",
+    "soql_parent_traversal",
+    "soql_rollup_traversal",
+    "soql_child_subquery",
+    "soql_child_subquery_where",
+    "soql_multihop_traversal",
+    "soql_in_subquery_semi",
+    "soql_in_subquery_anti",
+    # crashed in r3 (events-loader regression, fixed this round)
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_purchase_click",
+    "range_join_followups",
+    "asof_pandas_merge",
+    "stream_tumbling_1h",
+    "stream_dedup_exactly_once",
+    "stream_stateful_user_agg",
+    # displaced just past the r3 cutoff
+    "stream_stream_join_attribution",
+    "sink_roundtrip_partitioned",
+    "source_csv_roundtrip",
 ]
 
 
