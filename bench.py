@@ -99,6 +99,9 @@ HEADLINE = [
     "bucketed_join_colocated",
     "dedup_cluster_components",
     "soql_child_traversal",
+    "redact_pii",
+    "chunk_documents",
+    "quality_percentile_filter",
 ]
 
 

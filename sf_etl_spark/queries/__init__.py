@@ -74,6 +74,11 @@ _PRIORITY_ORDER = [
     "events_hourly_ffill",
     "funnel_conversion",
     "soql_child_traversal",
+    # new round-4 corpus-prep ops (PII redaction, chunking, percentile
+    # filter) — first driver rows
+    "redact_pii",
+    "chunk_documents",
+    "quality_percentile_filter",
     # SOQL front door (all crashed r3 on the missing chain-binding
     # helper; parser also gained child-side dotted paths this round)
     "soql_orders_rollup",

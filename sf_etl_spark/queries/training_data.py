@@ -692,3 +692,191 @@ def _cluster_report(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy("component")).cast("bigint").alias("cluster_size"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, chunking, quality-percentile filtering (round 4)
+# ---------------------------------------------------------------------------
+
+# PII patterns restricted to syntax Java regex and RE2 interpret
+# identically (\b, \d, bounded repetition; no lookaround) so the md5
+# of the redacted bytes hash-matches across engines.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "redact_pii",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com tel 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST((doc_id // 7) % 256 AS VARCHAR) || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                       '{_IP_RE}')) AS INT) AS n_ip,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IP_RE}', '<IP>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    doc="PII redaction (email/IP/phone) with deterministic seeded PII; md5 proves byte parity",
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the compliance gate of every training-data
+    pipeline. The fixture corpus is synthetic word salad with no PII,
+    so the query SEEDS deterministic PII (email + IPv4 + phone) into
+    every third document in-engine — both engines run the same seeding
+    SQL, so the oracle still proves the redaction itself byte-for-byte
+    (md5 of the redacted text). Counts are extracted pre-replacement
+    per class; IP counting runs after the email pass so 'user7@10.0.…'
+    style overlaps resolve identically in both engines.
+
+    Scale: a narrow per-row map — no shuffle, no UDF, whole-stage
+    codegen end to end; at 100 TB this is scan-bound, exactly what a
+    redaction pass should be.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.floor(F.col("doc_id") / 7) % 256).cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    txt = seeded
+    after_email = F.regexp_replace(txt, _EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(
+        F.regexp_replace(after_email, _IP_RE, "<IP>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(txt, F.lit(_EMAIL_RE), F.lit(0)))
+            .cast("int")
+            .alias("n_email"),
+            F.size(F.regexp_extract_all(after_email, F.lit(_IP_RE), F.lit(0)))
+            .cast("int")
+            .alias("n_ip"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_CHARS = 500
+CHUNK_STRIDE = 400  # 100-char overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH fanned AS (
+      SELECT doc_id, text,
+             unnest(range(0, (greatest(n_chars, 1) - 1) // {CHUNK_STRIDE} + 1)) AS gs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(gs AS INT) AS chunk_id,
+           CAST(length(substr(text, gs * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})) AS INT) AS n_chunk_chars,
+           md5(substr(text, gs * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})) AS chunk_md5
+    FROM fanned
+    ORDER BY doc_id, chunk_id
+    """,
+    doc=f"fixed-window chunking ({CHUNK_CHARS} chars, stride {CHUNK_STRIDE}); md5 per chunk",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document fans out to overlapping
+    fixed-size character chunks (stride < size, so consecutive chunks
+    share 100 chars — the standard RAG/pretraining re-chunking shape).
+    md5 per chunk proves exact byte slicing across engines.
+
+    Scale: explode(sequence) is a narrow fan-out — rows multiply ~n/STRIDE×
+    within their input partition, no shuffle. At 100 TB the knob that
+    matters is `spark.sql.files.maxPartitionBytes` (post-explode rows
+    inflate a partition ~2.25× here); the ORDER BY is presentation-only
+    and drops out of production pipelines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k_max = F.floor((F.greatest(F.col("n_chars"), F.lit(1)) - 1) / CHUNK_STRIDE).cast(
+        "int"
+    )
+    chunk = F.expr(f"substring(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_id"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.length(chunk).cast("int").alias("n_chunk_chars"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    """
+    WITH thr AS (
+      SELECT quantile_cont(n_chars, 0.25) AS cutoff FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(n_chars) AS BIGINT) AS min_chars_kept
+    FROM documents, thr
+    WHERE n_chars >= cutoff
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="drop the bottom quartile by exact interpolated percentile; per-lang survivor stats",
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-percentile filtering: drop the bottom quartile of the
+    corpus by a quality score (here n_chars stands in for a model
+    score column). The cutoff is the EXACT linearly-interpolated
+    percentile — both engines implement the standard type-7 quantile,
+    so the threshold, and therefore the kept set, match bit-for-bit;
+    approx_percentile would not be oracle-checkable.
+
+    Scale: exact global percentile is a two-phase agg (partial
+    per-partition sort-free accumulation, single final merge) over ONE
+    numeric column — cheap even at 100 TB because only the score
+    column ships. The scalar threshold then broadcasts back onto the
+    scan-filter (no second shuffle). For 100 TB with tight SLAs, swap
+    in approx_percentile(score, p, err) and keep the same shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    thr = d.agg(F.expr("percentile(n_chars, 0.25)").alias("cutoff"))
+    return (
+        d.join(F.broadcast(thr))
+        .filter(F.col("n_chars") >= F.col("cutoff"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars_kept"),
+        )
+        .orderBy("lang")
+    )
