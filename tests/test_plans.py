@@ -161,3 +161,34 @@ def test_bucketed_join_has_no_join_side_shuffle(spark, sf_dir):
     ]
     assert not any("o_orderkey" in ln or "l_orderkey" in ln for ln in shuffles)
     assert final.count("Bucketed: true") == 2
+
+
+def test_redact_pii_is_narrow_codegen_map(spark, sf_dir):
+    # redaction is a pure per-row map: the only Exchange allowed is the
+    # presentation ORDER BY's range partition; no hash shuffle, no UDF,
+    # and the map itself is whole-stage codegen'd (finalized under AQE
+    # only after execution, hence the collect).
+    df = all_queries()["redact_pii"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning" not in plan
+    assert "*(" in plan
+
+
+def test_chunk_documents_fanout_has_no_shuffle(spark, sf_dir):
+    # explode(sequence) fans out inside the input partition; only the
+    # presentation ORDER BY may exchange.
+    plan = _plan(spark, sf_dir, "chunk_documents")
+    assert "Generate explode" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_quality_percentile_threshold_broadcasts(spark, sf_dir):
+    # the scalar percentile re-enters as a broadcast, never a shuffle
+    # join; the scan must prune to the three touched columns.
+    plan = _plan(spark, sf_dir, "quality_percentile_filter")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "documents" in l)
+    assert "text" not in scan  # widest column must not ship
