@@ -79,6 +79,7 @@ _PRIORITY_ORDER = [
     "redact_pii",
     "chunk_documents",
     "quality_percentile_filter",
+    "sink_merge_cdc",
     # SOQL front door (all crashed r3 on the missing chain-binding
     # helper; parser also gained child-side dotted paths this round)
     "soql_orders_rollup",

@@ -346,3 +346,100 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "sink_merge_cdc",
+    f"""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey <= 300
+    ),
+    upd AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+    ),
+    del AS (SELECT c_custkey FROM base WHERE c_custkey % 17 = 0),
+    ins AS (
+      SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey BETWEEN 301 AND 350
+    ),
+    final AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        AND c_custkey NOT IN (SELECT c_custkey FROM del)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)     AS n_rows,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key,
+           {SUMD('c_acctbal')}          AS total_bal
+    FROM final
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="MERGE INTO (CDC I/U/D batch) on a bucket-partitioned parquet target; post-merge rollup",
+)
+def sink_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional-format MERGE story on plain parquet: bootstrap
+    a keyed target, apply one CDC batch carrying inserts, updates, and
+    deletes in a single ``merge_into_partitioned_parquet`` call
+    (ordered WHEN MATCHED clauses: op='D' → delete, else update;
+    WHEN NOT MATCHED AND op<>'D' → insert), then read the target back
+    and roll it up. The oracle reconstructs the expected post-merge
+    table purely in SQL, so a wrong clause order, a lost delete, or a
+    leaked CDC ``op`` column all break the value hash.
+
+    Scale: the CDC batch is tiny relative to the target, so both merge
+    joins broadcast; only the buckets holding changed keys are read or
+    rewritten (copy-on-write at partition granularity — see
+    merge_into_partitioned_parquet for the 100 TB argument).
+    """
+    from sf_etl_spark.streaming.pipelines import merge_into_partitioned_parquet
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    c = load_table(spark, sf_dir, "customer").select(*cols)
+    base = c.filter(F.col("c_custkey") <= 300)
+    target = tempfile.mkdtemp(prefix="merge_cdc_") + "/customers"
+    merge_into_partitioned_parquet(base, ["c_custkey"], target)
+
+    updates = (
+        base.filter((F.col("c_custkey") % 10 == 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = base.filter(F.col("c_custkey") % 17 == 0).withColumn("op", F.lit("D"))
+    inserts = (
+        c.filter(F.col("c_custkey").between(301, 350))
+        .withColumn("c_custkey", F.col("c_custkey") + 100000)
+        .withColumn("op", F.lit("I"))
+    )
+    # deletes listed LAST in the batch but dispatched FIRST by clause
+    # order — proving the first-true-clause-wins semantics; the %10==0
+    # AND %17==0 overlap keys arrive as both U and D rows, and
+    # dropDuplicates keeps one arbitrarily, so pre-filter the overlap
+    # out of updates (mirrors the oracle's upd CTE).
+    updates = updates.filter(F.col("c_custkey") % 17 != 0)
+    cdc = updates.unionByName(deletes).unionByName(inserts)
+    merge_into_partitioned_parquet(
+        cdc,
+        ["c_custkey"],
+        target,
+        when_matched=[(F.col("op") == "D", "delete"), (None, "update")],
+        not_matched_insert=F.col("op") != "D",
+        drop_cols=["op"],
+    )
+
+    back = spark.read.parquet(target).drop("_kbucket")
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -24,7 +24,7 @@ import tempfile
 import uuid
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
@@ -297,32 +297,109 @@ def run_to_memory_table(
 
 
 BUCKET_COL = "_kbucket"
+MERGE_META = "_merge_meta.json"
+
+
+def _meta_path(spark: SparkSession, target_path):
+    return spark.sparkContext._jvm.org.apache.hadoop.fs.Path(target_path, MERGE_META)
+
+
+def _read_bucket_meta(spark: SparkSession, fs, target_path) -> int | None:
+    """Bucket count recorded at target bootstrap, or None for a fresh
+    or pre-metadata target."""
+    import json
+
+    meta = _meta_path(spark, target_path)
+    if not fs.exists(meta):
+        return None
+    stream = fs.open(meta)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b >= 0:
+            data.append(b)
+            b = stream.read()
+        return int(json.loads(bytes(data).decode("utf-8"))["n_buckets"])
+    finally:
+        stream.close()
+
+
+def _write_bucket_meta(spark: SparkSession, fs, target_path, n_buckets: int) -> None:
+    import json
+
+    out = fs.create(_meta_path(spark, target_path), True)
+    try:
+        payload = json.dumps({"n_buckets": n_buckets, "bucket_col": BUCKET_COL})
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def upsert_partitioned_parquet(
     batch_df: DataFrame, key_cols: list[str], target_dir: str, n_buckets: int = 16
 ) -> None:
-    """Keyed merge of one batch into a bucket-partitioned parquet
+    """Keyed upsert of one batch into a bucket-partitioned parquet
     target, rewriting ONLY the partitions the batch touches.
 
-    The target is partitioned by ``_kbucket = pmod(xxhash64(keys), n)``
-    — a key always lands in the same bucket, so a merge is local to
-    the buckets of the incoming keys. Per batch:
+    The special case of :func:`merge_into_partitioned_parquet` every
+    streaming sink wants: matched keys take the batch row, unmatched
+    batch rows insert, target-only rows survive untouched. See the
+    general operator for the copy-on-write mechanics and scale notes.
+    """
+    merge_into_partitioned_parquet(
+        batch_df, key_cols, target_dir, n_buckets=n_buckets
+    )
+
+
+def merge_into_partitioned_parquet(
+    batch_df: DataFrame,
+    key_cols: list[str],
+    target_dir: str,
+    *,
+    when_matched: list[tuple[Column | None, str]] = ((None, "update"),),
+    not_matched_insert: Column | bool = True,
+    drop_cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """SQL ``MERGE INTO`` over a bucket-partitioned parquet target,
+    rewriting ONLY the partitions the source batch touches.
+
+    Clause semantics mirror ANSI MERGE (and Delta/Iceberg ``MERGE``):
+
+    * ``when_matched`` — ordered ``(condition, action)`` clauses
+      evaluated per MATCHED source row against the SOURCE columns;
+      the first true condition wins (``None`` = always true). Actions:
+      ``"update"`` (source row replaces the target row) or
+      ``"delete"`` (target row removed). A matched row matching no
+      clause leaves the target row untouched.
+    * ``not_matched_insert`` — condition under which a source row with
+      no target match inserts (``True`` = always, ``False`` = never):
+      the ``WHEN NOT MATCHED THEN INSERT`` clause.
+    * ``drop_cols`` — source-only columns (e.g. a CDC ``op`` column)
+      stripped before rows enter the target, so the target schema
+      stays closed under the merge.
+
+    Copy-on-write mechanics: the target is partitioned by
+    ``_kbucket = pmod(xxhash64(keys), n)`` — a key always lands in the
+    same bucket, so the merge is local to the buckets of the incoming
+    keys. Per batch:
 
     1. buckets touched = distinct ``_kbucket`` of the batch (≤ n);
     2. current rows of ONLY those buckets are read (partition-pruned
        scan — the filter is on the partition column);
-    3. keep = current anti-join batch keys, merged = keep ∪ batch;
+    3. matched/unmatched split is two broadcast-friendly joins of the
+       (small) batch against the touched buckets; clause dispatch is
+       one ``F.when`` chain — no per-row Python;
     4. written with ``partitionOverwriteMode=dynamic``: Spark replaces
        exactly the partition directories present in the written data.
 
     Untouched buckets' files are not read, not rewritten, not moved —
     byte-identical after the merge (asserted in tests). Cost per batch
     is O(|touched buckets|), not O(|table|): the property that keeps a
-    continuously-upserted 100 TB target alive. (A transactional format
-    — Delta/Iceberg MERGE — adds snapshot atomicity on top; this is
-    the sound plain-parquet shape, and the writer commit protocol
-    keeps partially-written partitions invisible until commit.)
+    continuously-merged 100 TB target alive. (A transactional format —
+    Delta/Iceberg — adds snapshot atomicity on top; this is the sound
+    plain-parquet shape, and the writer commit protocol keeps
+    partially-written partitions invisible until commit.)
 
     All path probing goes through the Hadoop ``FileSystem`` resolved
     FROM the target path, and the staging dir is a sibling of the
@@ -332,10 +409,12 @@ def upsert_partitioned_parquet(
     pre-existing key in the touched partitions.
     """
     spark = batch_df.sparkSession
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
-        "int"
-    )
-    new = batch_df.dropDuplicates(key_cols).withColumn(BUCKET_COL, bucket)
+    for _, action in when_matched:
+        if action not in ("update", "delete"):
+            raise ValueError(f"unknown MERGE action {action!r}")
+    drop = list(drop_cols or [])
+    if isinstance(not_matched_insert, bool):
+        not_matched_insert = F.lit(not_matched_insert)
     fs, target_path = _hadoop_fs(spark, target_dir)
     staging_path = None
     # the dynamic-overwrite committer writes no root _SUCCESS marker;
@@ -345,10 +424,38 @@ def upsert_partitioned_parquet(
         or st.getPath().getName() == "_SUCCESS"
         for st in fs.listStatus(target_path)
     )
+    # the bucket count is a property of the TARGET, not the call: a
+    # batch bucketed mod m against a target laid out mod n (m != n)
+    # filters the wrong partitions and silently degrades the merge to
+    # insert-only. Bootstrap records n_buckets in _merge_meta.json;
+    # later merges adopt it, whatever the caller passed.
     if exists:
-        touched = [r[0] for r in new.select(BUCKET_COL).distinct().collect()]
+        n_buckets = _read_bucket_meta(spark, fs, target_path) or n_buckets
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+    src = batch_df.dropDuplicates(key_cols).withColumn(BUCKET_COL, bucket)
+    if exists:
+        touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
         cur = spark.read.parquet(target_dir).filter(F.col(BUCKET_COL).isin(touched))
-        keep = cur.join(new.select(*key_cols), on=key_cols, how="left_anti")
+        cur_keys = cur.select(*key_cols)
+        matched = src.join(cur_keys, key_cols, "left_semi")
+        unmatched = src.join(cur_keys, key_cols, "left_anti")
+        # first-true-clause-wins dispatch, exactly SQL MERGE ordering
+        action_col = F.lit(None).cast("string")
+        for cond, action in reversed(list(when_matched)):
+            c = F.lit(True) if cond is None else cond
+            action_col = F.when(c, F.lit(action)).otherwise(action_col)
+        matched = matched.withColumn("__merge_action", action_col)
+        replaced_or_deleted = matched.filter(
+            F.col("__merge_action").isin("update", "delete")
+        ).select(*key_cols)
+        updates = matched.filter(F.col("__merge_action") == "update").drop(
+            "__merge_action", *drop
+        )
+        inserts = unmatched.filter(not_matched_insert).drop(*drop)
+        survivors = cur.join(replaced_or_deleted, key_cols, "left_anti")
+        out = survivors.unionByName(updates).unionByName(inserts)
         # Spark refuses to overwrite a path its own plan reads; stage the
         # merged TOUCHED buckets (only them — this is what keeps the merge
         # O(touched), unlike a full-table write-then-swap) and re-read.
@@ -357,17 +464,31 @@ def upsert_partitioned_parquet(
             fs.makeQualified(target_path).toString()
             + f"__upsert_stage_{uuid.uuid4().hex[:8]}"
         )
-        keep.unionByName(new).write.mode("overwrite").parquet(staging)
+        out.write.mode("overwrite").parquet(staging)
         merged = spark.read.parquet(staging)
         _, staging_path = _hadoop_fs(spark, staging)
     else:
-        merged = new
+        merged = src.filter(not_matched_insert).drop(*drop)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BUCKET_COL)
         .parquet(target_dir)
     )
+    if exists:
+        # dynamic overwrite replaces only partitions PRESENT in the
+        # written data: a touched bucket whose rows were all deleted
+        # writes nothing, so its stale directory (and rows) would
+        # survive. Remove those directories explicitly. (≤ n_buckets
+        # values collected — bounded, not data-sized.)
+        remaining = {r[0] for r in merged.select(BUCKET_COL).distinct().collect()}
+        jvm = spark.sparkContext._jvm
+        for b in set(touched) - remaining:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(target_path, f"{BUCKET_COL}={b}"), True
+            )
+    else:
+        _write_bucket_meta(spark, fs, target_path, n_buckets)
     if staging_path is not None:
         fs.delete(staging_path, True)
 

@@ -213,3 +213,61 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     vals = {r["k"]: r["v"] for r in got.collect()}
     assert vals[3] == "v1" and vals[11] == "v1" and vals[777] == "new"
     assert vals[5] == "v0"
+
+
+def test_merge_into_clause_semantics(spark, tmp_path):
+    """ANSI-MERGE clause behavior on the partitioned-parquet target:
+    ordered WHEN MATCHED clauses (first true wins), conditional
+    NOT MATCHED insert, target-only rows untouched, and the CDC op
+    column stripped from the target schema."""
+    from sf_etl_spark.streaming.pipelines import merge_into_partitioned_parquet
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "merge_target")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    merge_into_partitioned_parquet(base, ["k"], target, n_buckets=4)
+
+    cdc = spark.createDataFrame(
+        [
+            (2, "B", "U"),   # matched update
+            (3, None, "D"),  # matched delete
+            (5, "e", "I"),   # unmatched insert
+            (6, None, "D"),  # unmatched delete -> must NOT insert
+        ],
+        "k int, v string, op string",
+    )
+    merge_into_partitioned_parquet(
+        cdc,
+        ["k"],
+        target,
+        when_matched=[(F.col("op") == "D", "delete"), (None, "update")],
+        not_matched_insert=F.col("op") != "D",
+        drop_cols=["op"],
+    )
+    back = spark.read.parquet(target).drop("_kbucket")
+    assert "op" not in back.columns
+    got = sorted((r.k, r.v) for r in back.collect())
+    assert got == [(1, "a"), (2, "B"), (4, "d"), (5, "e")]
+
+
+def test_merge_matched_no_clause_keeps_target_row(spark, tmp_path):
+    """A matched row whose every clause condition is false leaves the
+    target row untouched (SQL MERGE: no action fires)."""
+    from sf_etl_spark.streaming.pipelines import merge_into_partitioned_parquet
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "merge_noop")
+    base = spark.createDataFrame([(1, "keep"), (2, "old")], "k int, v string")
+    merge_into_partitioned_parquet(base, ["k"], target, n_buckets=4)
+    src = spark.createDataFrame([(1, "clobber"), (2, "new")], "k int, v string")
+    merge_into_partitioned_parquet(
+        src,
+        ["k"],
+        target,
+        when_matched=[(F.col("k") == 2, "update")],  # k=1 matches no clause
+        not_matched_insert=False,
+    )
+    back = spark.read.parquet(target).drop("_kbucket")
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "keep"), (2, "new")]
