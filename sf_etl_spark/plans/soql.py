@@ -86,7 +86,7 @@ _KEYWORDS = {
     "first", "last", "null", "true", "false", "includes", "excludes",
 }
 
-_AGG_FNS = {"count", "count_distinct", "sum", "avg", "min", "max"}
+_AGG_FNS = {"count", "count_distinct", "sum", "avg", "min", "max", "grouping"}
 
 
 @dataclass
@@ -283,6 +283,10 @@ class _Parser:
             return F.count(field), default  # COUNT(field): non-null count
         if fn == "count_distinct":
             return F.count_distinct(field), default
+        if fn == "grouping":
+            # SOQL GROUPING(f): 1 on the subtotal rows ROLLUP/CUBE
+            # generate for f, else 0 (int for engine portability)
+            return F.grouping(field).cast("int"), default
         return getattr(F, fn)(field), default
 
     # -- boolean expressions ----------------------------------------------
@@ -642,18 +646,18 @@ def soql_to_df(
     where_col = p.parse_bool_expr() if p.accept("kw", "where") else None
 
     group_texts: list[str] = []
-    rollup = False
+    group_mode = "plain"  # "plain" | "rollup" | "cube" (SOQL supports all three)
     if p.accept("kw", "group"):
         p.expect("kw", "by")
         nxt = p.peek()
         if (
             nxt
             and nxt.kind == "ident"
-            and nxt.text.lower() == "rollup"
+            and nxt.text.lower() in ("rollup", "cube")
             and p.peek(1)
             and p.peek(1).text == "("
         ):
-            rollup = True
+            group_mode = nxt.text.lower()
             p.next()
             p.expect("punct", "(")
             group_texts.append(p.expect("ident").text)
@@ -664,6 +668,7 @@ def soql_to_df(
             group_texts.append(p.expect("ident").text)
             while p.accept("punct", ","):
                 group_texts.append(p.expect("ident").text)
+    rollup = group_mode != "plain"  # truthiness consumed below
 
     having_col = None
     if p.accept("kw", "having"):
@@ -719,10 +724,23 @@ def soql_to_df(
     if group_cols or has_agg:
         aggs = [it.col for it in select_items if it.is_agg] + p.having_aggs
         if rollup and not aggs:
-            raise SoqlError("GROUP BY ROLLUP requires at least one aggregate")
+            raise SoqlError(f"GROUP BY {group_mode.upper()} requires at least one aggregate")
         if group_cols and aggs:
-            grouped = out.rollup(*group_cols) if rollup else out.groupBy(*group_cols)
-            out = grouped.agg(*aggs)
+            if group_mode != "plain":
+                # ROLLUP/CUBE group on the RAW columns — GROUPING(f)
+                # must reference the grouping expression exactly, and
+                # an alias wrapper breaks Spark's matching
+                # ([GROUPING_COLUMN_MISMATCH]); select aliases are
+                # re-applied by rename after the aggregate.
+                raw = [F.col(t) for t in group_texts]
+                grouped = out.rollup(*raw) if group_mode == "rollup" else out.cube(*raw)
+                out = grouped.agg(*aggs)
+                for t in group_texts:
+                    want = alias_by_src.get(t, _norm(t))
+                    if t.split(".")[-1] != want:
+                        out = out.withColumnRenamed(t.split(".")[-1], want)
+            else:
+                out = out.groupBy(*group_cols).agg(*aggs)
         elif group_cols:
             out = out.select(*group_cols).distinct()  # GROUP BY, no aggregates
         else:

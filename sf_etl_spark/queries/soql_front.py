@@ -313,3 +313,33 @@ def soql_rollup_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resolver(spark, sf_dir),
         relationships=RELATIONSHIPS,
     )
+
+
+@register(
+    "soql_cube_grouping",
+    """
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status NULLS FIRST, prio NULLS FIRST
+    """,
+    doc="SOQL GROUP BY CUBE + GROUPING() flags (full 2^k subtotal lattice)",
+)
+def soql_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOQL's full grouping surface: CUBE generates the complete 2^k
+    subtotal lattice and GROUPING() disambiguates real NULL group keys
+    from subtotal rows — forwarded verbatim by the reference
+    (client.rs:199-205), evaluated here as df.cube + F.grouping.
+    One Expand + one shuffle, same cost shape as plain GROUP BY
+    times the 2^k lattice factor."""
+    return soql_to_df(
+        "SELECT o_orderstatus status, o_orderpriority prio, COUNT() n_orders, "
+        "GROUPING(o_orderstatus) g_status, GROUPING(o_orderpriority) g_prio "
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+        "ORDER BY status NULLS FIRST, prio NULLS FIRST",
+        _resolver(spark, sf_dir),
+    )

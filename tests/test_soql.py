@@ -422,3 +422,41 @@ def test_in_subquery_rejected_under_or_and_not(resolve):
     ]:
         with pytest.raises(SoqlError, match="top-level AND-ed"):
             soql_to_df(bad, resolve)
+
+
+def test_group_by_cube_with_grouping(spark, sf_dir):
+    from sf_etl_spark.queries.soql_front import _resolver
+
+    df = soql_to_df(
+        "SELECT o_orderstatus s, COUNT() n, GROUPING(o_orderstatus) g "
+        "FROM orders GROUP BY CUBE(o_orderstatus) ORDER BY s NULLS FIRST",
+        _resolver(spark, sf_dir),
+    )
+    rows = df.collect()
+    # grand total row: grouping flag 1, n == table count
+    total = [r for r in rows if r.g == 1]
+    assert len(total) == 1
+    assert total[0].n == sum(r.n for r in rows if r.g == 0)
+    assert all(r.g == 0 for r in rows if r.s is not None)
+
+
+def test_child_subquery_dotted_where_and_order(spark, sf_dir):
+    """Dotted paths inside a child subquery work in WHERE and ORDER BY,
+    not just the select list (bound against the child frame)."""
+    from sf_etl_spark.queries.soql_front import CHILD_RELATIONSHIPS, RELATIONSHIPS, _resolver
+
+    df = soql_to_df(
+        "SELECT c_custkey, "
+        "(SELECT o_orderkey FROM orders WHERE order.customer.c_acctbal > 0 "
+        "ORDER BY o_orderkey LIMIT 3) pos_orders "
+        "FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey",
+        _resolver(spark, sf_dir),
+        relationships={
+            **RELATIONSHIPS,
+            "order": ("orders", "o_orderkey", "o_orderkey"),
+        },
+        child_relationships=CHILD_RELATIONSHIPS,
+    )
+    rows = df.collect()
+    assert len(rows) == 21  # custkey 0..20
+    assert df.columns == ["c_custkey", "pos_orders"]
