@@ -102,6 +102,7 @@ HEADLINE = [
     "redact_pii",
     "chunk_documents",
     "quality_percentile_filter",
+    "tfidf_top_terms",
 ]
 
 

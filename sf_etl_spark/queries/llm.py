@@ -15,7 +15,7 @@ Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sf_etl_spark.queries import register
@@ -914,4 +914,78 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", cosine.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM words GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tf.cnt AS DOUBLE) / CAST(dl.n_words AS DOUBLE))
+               * ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    doc="TF-IDF top-3 terms per document (rational idf — no ln, engine-portable doubles)",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term salience — the retrieval/quality-scoring
+    primitive (inverted-index weighting, keyword extraction). The idf
+    is the RATIONAL (N+1)/(df+1) rather than its logarithm: ln() may
+    differ in the last ulp between libm implementations, while IEEE-754
+    divide/multiply are exactly specified, so the identical operation
+    order makes scores bit-equal across engines (same monotone ranking
+    as log-idf — log is order-preserving).
+
+    Scale: two aggregations (term-frequency by (doc, term), then
+    doc-frequency by term) and one join keyed on term; the corpus-size
+    scalar re-enters as a broadcast. No collect, no UDF; vocabulary
+    skew (stopwords are in every doc) is bounded because df caps at
+    n_docs and the term join fans out at most |doc vocab| per doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_words"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("cnt").cast("double") / F.col("n_words").cast("double")) * (
+        (F.col("n_docs").cast("double") + F.lit(1.0))
+        / (F.col("df").cast("double") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
     )
