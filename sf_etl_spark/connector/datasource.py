@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
 )
 from pyspark.sql.types import StringType, StructField, StructType
@@ -309,6 +310,79 @@ class SfEtlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SfScanReader:
         return SfScanReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> "SfIncrementalStreamReader":
+        return SfIncrementalStreamReader(schema, dict(self.options))
+
+
+class SfIncrementalStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("sfetl")`` — the high-watermark delta
+    pull (`connector/incremental.py`) lifted into a Structured
+    Streaming source.
+
+    Offsets ARE watermarks: each micro-batch fetches
+    ``WHERE <watermark_field> > <last offset>`` remotely (the delta
+    predicate rides the SOQL, so a trigger moves |changed rows|, not
+    |object|) and advances the offset to the max value seen. Spark's
+    checkpoint persists the offset and replays an uncommitted batch via
+    :meth:`readBetweenOffsets` — the same at-least-once contract the
+    batch module implements with its two-phase state file, here
+    inherited from the engine's own offset log. Exactly-once to a
+    transactional sink follows from Spark's sink-side idempotence
+    (e.g. the merge sink keyed by Id).
+
+    A ``SimpleDataSourceStreamReader`` runs on the DRIVER (records are
+    prefetched and shipped to executors) — the right shape for a
+    delta poll, which is small by construction; the partition-planned
+    batch reader stays the bulk-backfill path.
+    """
+
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        self.names = [f.name for f in schema.fields]
+        self.object_name = options["object"]
+        self.wm_field = options.get("watermark_field")
+        if not self.wm_field:
+            raise ClientBuilderError(
+                "streaming reads require the watermark_field option"
+            )
+        self.client = _client_from_options(options)
+
+    def initialOffset(self) -> dict:
+        return {"wm": None}
+
+    def _fetch(self, lo, hi) -> tuple[list[tuple], Any]:
+        from sf_etl_spark.connector.incremental import _coerce
+
+        # the watermark column always rides the SELECT list — advancing
+        # the offset from data we did not fetch would be a correctness
+        # bug — but only schema columns are emitted
+        select = self.names if self.wm_field in self.names else [*self.names, self.wm_field]
+        soql = f"SELECT {', '.join(select)} FROM {self.object_name}"
+        conds = []
+        if lo is not None:
+            conds.append(f"{self.wm_field} > {lo}")
+        if hi is not None:
+            conds.append(f"{self.wm_field} <= {hi}")
+        if conds:
+            soql += " WHERE " + " AND ".join(conds)
+        records: list[dict] = []
+        for page in self.client.query_pages(soql):
+            records.extend(page.records)
+        if not records:
+            return [], None
+        new_wm = max(_coerce(r[self.wm_field]) for r in records)
+        return [tuple(r.get(n) for n in self.names) for r in records], new_wm
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows, new_wm = self._fetch(start.get("wm"), None)
+        if new_wm is None:
+            return iter([]), start  # no progress — offset unchanged
+        return iter(rows), {"wm": new_wm}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # crash replay: re-serve exactly the (start, end] delta
+        rows, _ = self._fetch(start.get("wm"), end.get("wm"))
+        return iter(rows)
 
 
 def register(spark: Any) -> None:

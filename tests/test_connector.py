@@ -11,6 +11,7 @@ from __future__ import annotations
 import decimal
 
 import pytest
+from pyspark.sql import functions as F
 
 from sf_etl_spark.connector import (
     JobState,
@@ -286,3 +287,69 @@ def test_projection_pushdown_via_fields_option(spark, mock_sf):
             "Case",
             coerce=False,
         ).count()
+
+
+# -- streaming incremental source ------------------------------------------
+
+
+def test_stream_reader_full_then_delta(spark, tmp_path):
+    """readStream over the connector: first availableNow run pulls the
+    full object, a second run from the SAME checkpoint pulls only the
+    delta above the checkpointed watermark offset — the incremental
+    contract, enforced by Spark's own offset log instead of the batch
+    module's state file."""
+    from sf_etl_spark.connector.datasource import register as register_fmt
+
+    server = MockSalesforce(n_rows=0, page_size=10)
+    server.rows = [
+        {"Id": f"500{i:015d}", "Priority": ["Low", "High"][i % 2], "NumCalls": str(i)}
+        for i in range(25)
+    ]
+    url = server.start()
+    try:
+        register_fmt(spark)
+        out = str(tmp_path / "sf_sink")
+        ckpt = str(tmp_path / "ckpt")
+        opts = {
+            **sf_options(url),
+            "object": "Case",
+            "watermark_field": "NumCalls",
+            "fields": "Id,Priority,NumCalls",
+        }
+
+        def run_once():
+            q = (
+                spark.readStream.format("sfetl")
+                .options(**opts)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        n_before = len(server.requests_seen)
+        run_once()
+        back = spark.read.parquet(out)
+        assert back.count() == 25
+        assert sorted(back.columns) == ["Id", "NumCalls", "Priority"]
+
+        # upstream delta appears; same checkpoint -> only the delta moves
+        server.rows.extend(
+            {"Id": f"500{i:015d}", "Priority": "High", "NumCalls": str(i)}
+            for i in range(25, 30)
+        )
+        run_once()
+        back = spark.read.parquet(out)
+        assert back.count() == 30
+        assert back.agg(F.max(F.col("NumCalls").cast("int"))).collect()[0][0] == 29
+        # the second run's query carried the remote delta predicate
+        delta_reqs = [
+            r for r in server.requests_seen[n_before:]
+            if "NumCalls+%3E+24" in r or "NumCalls%20%3E%2024" in r or "NumCalls > 24" in r
+        ]
+        assert delta_reqs, f"no delta-predicate request seen"
+    finally:
+        server.stop()
