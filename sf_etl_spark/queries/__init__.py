@@ -81,6 +81,7 @@ _PRIORITY_ORDER = [
     "quality_percentile_filter",
     "sink_merge_cdc",
     "tfidf_top_terms",
+    "histogram_totalprice",
     # SOQL front door (all crashed r3 on the missing chain-binding
     # helper; parser also gained child-side dotted paths this round)
     "soql_orders_rollup",

@@ -1463,3 +1463,46 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_repeat_price"),
         dsum(F.coalesce(F.col("prev"), F.lit(0.0))).alias("total_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram by portable arithmetic (round 4): binning is
+# least(n-1, floor(x / width)) — IEEE divide + floor are exactly
+# specified, so bin assignment matches any engine bit-for-bit (no
+# width_bucket dependency, which DuckDB lacks). One partial-aggregated
+# shuffle of |bins| rows; the shape a 100 TB metrics rollup wants.
+# ---------------------------------------------------------------------------
+HIST_BINS = 12
+HIST_WIDTH = 50_000.0  # o_totalprice spans ~[850, 560k] in the fixture
+
+
+@register(
+    "histogram_totalprice",
+    f"""
+    SELECT CAST(least({HIST_BINS} - 1, CAST(floor(o_totalprice / {HIST_WIDTH}) AS BIGINT)) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS lo_price,
+           max(o_totalprice) AS hi_price,
+           {SUMD('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY bin
+    """,
+    doc=f"equal-width histogram of order totals ({HIST_BINS} bins x {HIST_WIDTH:.0f}), overflow clamped to the top bin",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("bigint"),
+    ).cast("int")
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("bin")
+    )
