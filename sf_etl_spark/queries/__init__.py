@@ -82,6 +82,7 @@ _PRIORITY_ORDER = [
     "sink_merge_cdc",
     "tfidf_top_terms",
     "histogram_totalprice",
+    "zorder_roundtrip",
     # SOQL front door (all crashed r3 on the missing chain-binding
     # helper; parser also gained child-side dotted paths this round)
     "soql_orders_rollup",

@@ -443,3 +443,43 @@ def sink_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "zorder_roundtrip",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           {SUMD('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Z-order clustered write (custkey x totalprice Morton curve) -> read back -> agg",
+)
+def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout lane: orders rewritten clustered on the Z-curve of
+    (o_custkey, o_totalprice) — the multi-column file-skipping layout
+    (operators/layout.py) — then read back and aggregated against the
+    oracle on the ORIGINAL table, proving the clustered copy lossless.
+    The layout QUALITY (per-file min/max span narrowness on both
+    clustered columns) is asserted separately in tests/test_layout.py;
+    this registry entry keeps the write path itself under the
+    value-hash gate.
+    """
+    from sf_etl_spark.operators.layout import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="zorder_") + "/orders_z"
+    write_zordered(orders, ("o_custkey", "o_totalprice"), out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

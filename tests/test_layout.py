@@ -1,0 +1,61 @@
+"""Z-order layout quality: the clustered write must make BOTH
+clustered columns' per-file min/max spans narrow — the parquet-footer
+property file skipping consumes. A single-column sort would ace its
+own column and fail the other; random layout fails both."""
+
+from __future__ import annotations
+
+from sf_etl_spark.operators.layout import file_column_spans, write_zordered
+from sf_etl_spark.sources import load_table
+
+N_FILES = 8
+
+
+def _avg_span_frac(path: str, column: str, global_lo, global_hi) -> float:
+    spans = file_column_spans(path, column)
+    assert spans, f"no footer stats for {column}"
+    width = global_hi - global_lo
+    return sum(hi - lo for lo, hi in spans) / (len(spans) * width)
+
+
+def test_zorder_bounds_both_columns(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    lo_k, hi_k, lo_p, hi_p = orders.selectExpr(
+        "min(o_custkey)", "max(o_custkey)", "min(o_totalprice)", "max(o_totalprice)"
+    ).first()
+
+    zdir = str(tmp_path / "z")
+    write_zordered(orders, ("o_custkey", "o_totalprice"), zdir, n_files=N_FILES)
+    # each clustered column's average per-file span must be well under
+    # the full range: with 8 files a random layout sits at ~1.0 on
+    # both; a z-curve bounds both around ~1/sqrt(n_files) or better
+    k_frac = _avg_span_frac(zdir, "o_custkey", lo_k, hi_k)
+    p_frac = _avg_span_frac(zdir, "o_totalprice", lo_p, hi_p)
+    assert k_frac < 0.6, f"custkey spans too wide: {k_frac:.2f}"
+    assert p_frac < 0.6, f"totalprice spans too wide: {p_frac:.2f}"
+
+    # contrast: the same data sorted by custkey ONLY — perfect on
+    # custkey, near-random on totalprice (documents why z-order, not
+    # plain sort, is the multi-column layout)
+    sdir = str(tmp_path / "s")
+    (
+        orders.repartitionByRange(N_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+    p_frac_sorted = _avg_span_frac(sdir, "o_totalprice", lo_p, hi_p)
+    assert p_frac < p_frac_sorted, (
+        f"z-order should beat single-column sort on the second column: "
+        f"{p_frac:.2f} vs {p_frac_sorted:.2f}"
+    )
+
+
+def test_zorder_roundtrip_schema_clean(spark, sf_dir, tmp_path):
+    # no helper columns may leak into the written schema
+    orders = load_table(spark, sf_dir, "orders")
+    zdir = str(tmp_path / "z2")
+    write_zordered(orders, ("o_custkey", "o_totalprice"), zdir, n_files=4)
+    back = spark.read.parquet(zdir)
+    assert sorted(back.columns) == sorted(orders.columns)
+    assert back.count() == orders.count()
