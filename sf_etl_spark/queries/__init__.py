@@ -83,6 +83,7 @@ _PRIORITY_ORDER = [
     "tfidf_top_terms",
     "histogram_totalprice",
     "zorder_roundtrip",
+    "rollup_incremental_maintenance",
     # SOQL front door (all crashed r3 on the missing chain-binding
     # helper; parser also gained child-side dotted paths this round)
     "soql_orders_rollup",

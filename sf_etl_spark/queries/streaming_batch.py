@@ -390,3 +390,48 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_stage(p, "l3_purchase"))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (hypertable-style continuous agg):
+# the events table applied in TWO delta batches must produce the same
+# stored rollup as one direct aggregation — the oracle computes that
+# direct aggregation, so any double-count, lost combine, or replace-
+# instead-of-fold in the maintenance path breaks the value hash.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_incremental_maintenance",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    ORDER BY user_id, hour
+    """,
+    doc="hypertable-style incremental rollup: two delta merges == one direct agg",
+)
+def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feeds the (user_id, hour) rollup in two chronological batches
+    through maintain_hourly_rollup (streaming/pipelines.py) — the
+    foreachBatch-shaped continuous-aggregate path — then reads the
+    stored table back. Decimal-lane sums keep the fold associative
+    across engines. Scale: each batch costs O(|batch keys|); the
+    stored rollup is never rescanned in full."""
+    import tempfile
+
+    from sf_etl_spark.streaming.pipelines import maintain_hourly_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    # batch boundary mid-span; hours STRADDLING it land in both
+    # batches, so the fold path (not just insert) is exercised
+    cut = F.lit("2024-01-02 12:30:00").cast("timestamp_ntz")
+    rollup_dir = tempfile.mkdtemp(prefix="rollup_inc_") + "/user_hourly"
+    maintain_hourly_rollup(e.filter(F.col("ts") <= cut), rollup_dir)
+    maintain_hourly_rollup(e.filter(F.col("ts") > cut), rollup_dir)
+    back = spark.read.parquet(rollup_dir)
+    return (
+        back.select("user_id", "hour", "n_events", "max_value", "sum_value")
+        .orderBy("user_id", "hour")
+    )

@@ -580,3 +580,81 @@ def stream_tws_user_counts(events: DataFrame, watermark: str = "10 minutes") -> 
             timeMode="None",
         )
     )
+
+
+# -- incremental rollup maintenance (hypertable-style continuous agg) -------
+
+
+def maintain_hourly_rollup(
+    batch_df: DataFrame,
+    rollup_dir: str,
+    n_buckets: int = 16,
+) -> None:
+    """Incrementally maintain an (user_id, hour) aggregate table from
+    an events batch — the continuous-aggregate / hypertable-rollup
+    pattern: the fact stream is never re-scanned; each batch folds its
+    partial aggregates into the stored rollup.
+
+    Mechanics: the batch pre-aggregates to one row per touched
+    (user_id, hour) key; existing rollup rows for ONLY those keys are
+    read back (semi join against the touched buckets — the merge
+    machinery's partition pruning), COMBINED (counts add, sums add,
+    max takes max — every aggregate here is a commutative monoid,
+    which is the admission rule for this pattern: avg is maintained as
+    sum+count, never as avg), and merged back with replace semantics.
+    Cost per batch is O(|batch keys|), independent of rollup size —
+    the property that keeps a year-long 100 TB rollup maintainable
+    per-minute.
+
+    Exactly-once: driven from ``foreachBatch`` the combine is
+    idempotent per epoch only if the sink dedupes batch replays;
+    production would stamp ``batch_id`` and skip seen epochs (the
+    standard foreachBatch idempotence recipe).
+    """
+    spark = batch_df.sparkSession
+    key_cols = ["user_id", "hour"]
+    delta = (
+        batch_df.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("sum_value", F.col("_dsum").cast("string").cast("double"))
+        .drop("_dsum")
+    )
+    fs, target_path = _hadoop_fs(spark, rollup_dir)
+    exists = fs.exists(target_path) and any(
+        st.getPath().getName().startswith(BUCKET_COL + "=")
+        or st.getPath().getName() == "_SUCCESS"
+        for st in fs.listStatus(target_path)
+    )
+    if exists:
+        nb = _read_bucket_meta(spark, fs, target_path) or n_buckets
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(nb)).cast("int")
+        touched = [
+            r[0] for r in delta.withColumn(BUCKET_COL, bucket).select(BUCKET_COL).distinct().collect()
+        ]
+        cur = (
+            spark.read.parquet(rollup_dir)
+            .filter(F.col(BUCKET_COL).isin(touched))
+            .drop(BUCKET_COL)
+            .join(delta.select(*key_cols), key_cols, "left_semi")
+        )
+        # fold: existing partials and the batch partials combine by
+        # the same monoid ops the per-batch aggregate used
+        delta = (
+            cur.unionByName(delta)
+            .groupBy(*key_cols)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum(F.col("sum_value").cast("decimal(38,10)"))
+                .cast("string")
+                .cast("double")
+                .alias("sum_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(*key_cols, "n_events", "max_value", "sum_value")
+        )
+    merge_into_partitioned_parquet(delta, key_cols, rollup_dir, n_buckets=n_buckets)
