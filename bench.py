@@ -103,6 +103,9 @@ HEADLINE = [
     "chunk_documents",
     "quality_percentile_filter",
     "tfidf_top_terms",
+    "histogram_totalprice",
+    "zorder_roundtrip",
+    "rollup_incremental_maintenance",
 ]
 
 
