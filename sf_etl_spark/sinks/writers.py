@@ -100,3 +100,61 @@ def write_jdbc(
     for k, v in options.items():
         w = w.option(k, v)
     w.mode(mode).save()
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance pass the write path
+    deliberately does not do inline (see module doc).
+
+    Streaming sinks and fine-grained merges accrete many small files;
+    at 100 TB the cost is real (a scan task per file, footer reads,
+    NameNode/listing pressure). Compaction rewrites the dataset into
+    ``ceil(rows / target_rows_per_file)`` files (per partition
+    directory when ``partition_by`` is given, preserving the layout
+    and its pruning), then atomically swaps directories via the Hadoop
+    FileSystem — works unchanged on hdfs:// / s3a:// targets.
+
+    Returns the number of files after compaction. The delete+rename
+    swap has a brief window where readers see no directory — the gap a
+    transactional table format closes with snapshots; on plain parquet
+    schedule compaction in a maintenance window.
+
+    Scale notes: one full shuffle (repartition) — compaction IS a
+    rewrite, there is no cheaper correct shape; to compact selectively,
+    point ``path`` at one partition directory.
+    """
+    import math
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with callers)
+
+    from sf_etl_spark.streaming.pipelines import _hadoop_fs
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    staging = path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
+    if partition_by:
+        # one task per partition value → one file per partition dir,
+        # split further by maxRecordsPerFile when a partition is big
+        (
+            df.repartition(*[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy(*partition_by)
+            .parquet(staging)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    fs, target_path = _hadoop_fs(spark, path)
+    _, staging_path = _hadoop_fs(spark, staging)
+    fs.delete(target_path, True)
+    if not fs.rename(staging_path, target_path):
+        raise IOError(f"compaction swap failed: rename({staging}, {path})")
+    out = spark.read.parquet(path)
+    return len([f for f in out.inputFiles() if f.endswith(".parquet")])

@@ -134,3 +134,41 @@ def test_events_loader_tolerates_both_ts_encodings(spark, tmp_path):
             expected = got
         else:
             assert got == expected, f"encoding {enc} decoded differently: {got} vs {expected}"
+
+
+def test_compact_parquet_flat(spark, orders, tmp_path):
+    """Compaction must shrink the file count to the row-budget target
+    and preserve every row (count + keyed checksum identical)."""
+    from sf_etl_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    orders.repartition(16).write.parquet(path)  # fragmented: 16 files
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    chk_before = before.agg(F.sum(F.xxhash64(*before.columns).cast("decimal(38,0)"))).first()[0]
+
+    n_files = compact_parquet(spark, path, target_rows_per_file=n_rows // 2 + 1)
+    assert n_files == 2
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum(F.xxhash64(*after.columns).cast("decimal(38,0)"))).first()[0] == chk_before
+
+
+def test_compact_parquet_partitioned_preserves_layout(spark, orders, tmp_path):
+    from sf_etl_spark.sinks import compact_parquet
+    import glob
+    import os
+
+    path = str(tmp_path / "frag_part")
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(path)
+    frag = len(glob.glob(os.path.join(path, "o_orderstatus=*", "*.parquet")))
+    n_rows = spark.read.parquet(path).count()
+
+    compact_parquet(
+        spark, path, target_rows_per_file=n_rows, partition_by=["o_orderstatus"]
+    )
+    dirs = glob.glob(os.path.join(path, "o_orderstatus=*"))
+    files = glob.glob(os.path.join(path, "o_orderstatus=*", "*.parquet"))
+    assert dirs, "partition layout lost"
+    assert len(files) == len(dirs) < frag  # one file per partition dir
+    assert spark.read.parquet(path).count() == n_rows
