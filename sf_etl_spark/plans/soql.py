@@ -88,6 +88,20 @@ _KEYWORDS = {
 
 _AGG_FNS = {"count", "count_distinct", "sum", "avg", "min", "max", "grouping"}
 
+#: SOQL date functions (SELECT / GROUP BY scalar position) → Spark
+#: builtins. Salesforce evaluates these server-side on date/datetime
+#: fields; a self-contained engine maps them onto Catalyst's.
+_DATE_FNS = {
+    "calendar_year": "year",
+    "calendar_month": "month",
+    "calendar_quarter": "quarter",
+    "day_in_month": "dayofmonth",
+    "day_in_year": "dayofyear",
+    "day_in_week": "dayofweek",
+    "week_in_year": "weekofyear",
+    "hour_in_day": "hour",
+}
+
 
 @dataclass
 class Tok:
@@ -200,6 +214,10 @@ class _Parser:
         if self._at_aggregate():
             col, default_name = self.parse_aggregate()
             is_agg = True
+        elif self._at_date_fn():
+            col, src = self.parse_date_fn()
+            default_name = src.replace("(", "_").replace(")", "").replace(".", "_")
+            is_agg = False
         else:
             t = self.expect("ident")
             col, default_name, is_agg = F.col(t.text), _norm(t.text), False
@@ -207,6 +225,29 @@ class _Parser:
         alias = self.accept("ident")
         name = alias.text if alias else default_name
         return _SelectItem(col.alias(name), name, is_agg, src)
+
+    def _at_date_fn(self) -> bool:
+        t, nxt = self.peek(), self.peek(1)
+        return bool(
+            t
+            and t.kind == "ident"
+            and t.text.lower() in _DATE_FNS
+            and nxt
+            and nxt.kind == "punct"
+            and nxt.text == "("
+        )
+
+    def parse_date_fn(self) -> tuple[Column, str]:
+        """``CALENDAR_YEAR(field)``-style scalar date function. Returns
+        the Spark column and the canonical text ``fn(field)`` that a
+        matching GROUP BY entry parses to — text equality is how the
+        grouped/select pairing resolves."""
+        fn = self.next().text.lower()
+        self.expect("punct", "(")
+        field = self.expect("ident").text
+        self.expect("punct", ")")
+        col = getattr(F, _DATE_FNS[fn])(F.col(field)).cast("int")
+        return col, f"{fn}({field})"
 
     def _at_child_subquery(self) -> bool:
         t, nxt = self.peek(), self.peek(1)
@@ -646,7 +687,18 @@ def soql_to_df(
     where_col = p.parse_bool_expr() if p.accept("kw", "where") else None
 
     group_texts: list[str] = []
+    group_exprs: dict[str, Column] = {}  # canonical text -> unaliased Column
     group_mode = "plain"  # "plain" | "rollup" | "cube" (SOQL supports all three)
+
+    def _group_ref() -> None:
+        if p._at_date_fn():
+            col, text = p.parse_date_fn()
+        else:
+            text = p.expect("ident").text
+            col = F.col(text)
+        group_texts.append(text)
+        group_exprs[text] = col
+
     if p.accept("kw", "group"):
         p.expect("kw", "by")
         nxt = p.peek()
@@ -660,14 +712,14 @@ def soql_to_df(
             group_mode = nxt.text.lower()
             p.next()
             p.expect("punct", "(")
-            group_texts.append(p.expect("ident").text)
+            _group_ref()
             while p.accept("punct", ","):
-                group_texts.append(p.expect("ident").text)
+                _group_ref()
             p.expect("punct", ")")
         else:
-            group_texts.append(p.expect("ident").text)
+            _group_ref()
             while p.accept("punct", ","):
-                group_texts.append(p.expect("ident").text)
+                _group_ref()
     rollup = group_mode != "plain"  # truthiness consumed below
 
     having_col = None
@@ -720,24 +772,37 @@ def soql_to_df(
         out = out.join(sub, F.col(sj["lhs"]) == F.col("__in_key"), how)
     # grouped outputs take the SELECT alias of the matching field path
     alias_by_src = {it.src: it.name for it in select_items if it.src}
-    group_cols = [F.col(t).alias(alias_by_src.get(t, _norm(t))) for t in group_texts]
+
+    def _gname(t: str) -> str:
+        # flat default name for a group ref ("calendar_year(x)" → "calendar_year_x")
+        return t.replace("(", "_").replace(")", "").replace(".", "_").lower() if "(" in t else _norm(t)
+
+    group_cols = [
+        group_exprs[t].alias(alias_by_src.get(t, _gname(t))) for t in group_texts
+    ]
     if group_cols or has_agg:
         aggs = [it.col for it in select_items if it.is_agg] + p.having_aggs
         if rollup and not aggs:
             raise SoqlError(f"GROUP BY {group_mode.upper()} requires at least one aggregate")
         if group_cols and aggs:
             if group_mode != "plain":
-                # ROLLUP/CUBE group on the RAW columns — GROUPING(f)
-                # must reference the grouping expression exactly, and
-                # an alias wrapper breaks Spark's matching
-                # ([GROUPING_COLUMN_MISMATCH]); select aliases are
-                # re-applied by rename after the aggregate.
-                raw = [F.col(t) for t in group_texts]
+                # ROLLUP/CUBE group bare columns RAW — GROUPING(f) must
+                # reference the grouping expression exactly, and an
+                # alias wrapper breaks Spark's matching
+                # ([GROUPING_COLUMN_MISMATCH]); select aliases re-apply
+                # by rename after the aggregate. Date-fn refs alias
+                # inline (GROUPING() on them is not supported).
+                raw = [
+                    group_exprs[t].alias(alias_by_src.get(t, _gname(t)))
+                    if "(" in t
+                    else F.col(t)
+                    for t in group_texts
+                ]
                 grouped = out.rollup(*raw) if group_mode == "rollup" else out.cube(*raw)
                 out = grouped.agg(*aggs)
                 for t in group_texts:
-                    want = alias_by_src.get(t, _norm(t))
-                    if t.split(".")[-1] != want:
+                    want = alias_by_src.get(t, _gname(t))
+                    if "(" not in t and t.split(".")[-1] != want:
                         out = out.withColumnRenamed(t.split(".")[-1], want)
             else:
                 out = out.groupBy(*group_cols).agg(*aggs)

@@ -96,6 +96,7 @@ _PRIORITY_ORDER = [
     "soql_in_subquery_semi",
     "soql_in_subquery_anti",
     "soql_cube_grouping",
+    "soql_date_functions",
     # event-time windows + as-of/range joins (crashed r3 on the events
     # loader; loader is now encoding-tolerant)
     "window_tumbling",

@@ -343,3 +343,31 @@ def soql_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY status NULLS FIRST, prio NULLS FIRST",
         _resolver(spark, sf_dir),
     )
+
+
+@register(
+    "soql_date_functions",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    ORDER BY yr, mo
+    """,
+    doc="SOQL date functions (CALENDAR_YEAR/CALENDAR_MONTH) in SELECT + GROUP BY",
+)
+def soql_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salesforce evaluates CALENDAR_YEAR()/CALENDAR_MONTH() etc.
+    server-side on date fields (the reference forwards them verbatim,
+    client.rs:199-205); the front door maps them onto Catalyst's
+    year()/month() builtins — text-canonical matching pairs the
+    SELECT expression with its GROUP BY twin."""
+    return soql_to_df(
+        "SELECT CALENDAR_YEAR(o_orderdate) yr, CALENDAR_MONTH(o_orderdate) mo, "
+        "COUNT() n_orders, MAX(o_totalprice) max_price "
+        "FROM orders GROUP BY CALENDAR_YEAR(o_orderdate), CALENDAR_MONTH(o_orderdate) "
+        "ORDER BY yr, mo",
+        _resolver(spark, sf_dir),
+    )

@@ -460,3 +460,26 @@ def test_child_subquery_dotted_where_and_order(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 21  # custkey 0..20
     assert df.columns == ["c_custkey", "pos_orders"]
+
+
+def test_date_fn_rollup_and_default_name(spark, sf_dir):
+    from sf_etl_spark.queries.soql_front import _resolver
+
+    # date fn inside ROLLUP (aliased inline) next to a bare column
+    df = soql_to_df(
+        "SELECT o_orderstatus, CALENDAR_YEAR(o_orderdate) yr, COUNT() n "
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, CALENDAR_YEAR(o_orderdate)) "
+        "ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST",
+        _resolver(spark, sf_dir),
+    )
+    rows = df.collect()
+    assert rows[0].o_orderstatus is None and rows[0].yr is None  # grand total
+    assert rows[0].n == sum(r.n for r in rows if r.o_orderstatus is not None and r.yr is not None)
+
+    # default (unaliased) name is the flattened fn_field form
+    df2 = soql_to_df(
+        "SELECT CALENDAR_MONTH(o_orderdate), COUNT() n FROM orders "
+        "GROUP BY CALENDAR_MONTH(o_orderdate)",
+        _resolver(spark, sf_dir),
+    )
+    assert "calendar_month_o_orderdate" in df2.columns
