@@ -84,6 +84,7 @@ _PRIORITY_ORDER = [
     "histogram_totalprice",
     "zorder_roundtrip",
     "rollup_incremental_maintenance",
+    "dq_observe_inflight",
     # SOQL front door (all crashed r3 on the missing chain-binding
     # helper; parser also gained child-side dotted paths this round)
     "soql_orders_rollup",

@@ -483,3 +483,45 @@ def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "dq_observe_inflight",
+    """
+    SELECT metric, value FROM (
+      SELECT 'l_extendedprice_nulls' AS metric,
+             CAST(count(*) - count(l_extendedprice) AS DOUBLE) AS value FROM lineitem
+      UNION ALL SELECT 'l_quantity_max', CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+      UNION ALL SELECT 'n_rows', CAST(count(*) AS DOUBLE) FROM lineitem
+      UNION ALL SELECT 'neg_discount_rows',
+             CAST(sum(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+    )
+    ORDER BY metric
+    """,
+    doc="in-flight DQ metrics via df.observe() — zero extra scans over the driven job",
+)
+def dq_observe_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shape data-quality pattern at 100 TB: metrics
+    ride an EXISTING job via ``df.observe`` (accumulator-backed,
+    evaluated inline with the scan) instead of a second full pass —
+    `dq_validation_report` is the standalone-audit twin; this lane is
+    what you attach to every scheduled pipeline for free. The observed
+    job here is a noop-sink write (any action works); the oracle
+    recomputes the same metrics declaratively, so a dropped
+    accumulator or partial scan breaks the hash.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq_inflight")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_extendedprice")).alias("l_extendedprice_nulls"),
+        F.max("l_quantity").alias("l_quantity_max"),
+        F.sum(F.when(F.col("l_discount") < 0, 1).otherwise(0)).alias("neg_discount_rows"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    rows = [(k, float(m[k])) for k in sorted(m)]
+    return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")

@@ -271,3 +271,55 @@ def test_merge_matched_no_clause_keeps_target_row(spark, tmp_path):
     )
     back = spark.read.parquet(target).drop("_kbucket")
     assert sorted((r.k, r.v) for r in back.collect()) == [(1, "keep"), (2, "new")]
+
+
+def test_merge_into_random_cdc_matches_model(spark, tmp_path):
+    """Randomized CDC sequences vs a driver-side dict model: after any
+    sequence of merge batches (insert/update/delete ops over a small
+    key space), the stored table must equal the model exactly. Small
+    deterministic cases beyond the hand-written clause tests — the two
+    hazards found by hand (bucket-count mismatch, emptied-bucket
+    resurrection) would both have been caught here."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.streaming.pipelines import merge_into_partitioned_parquet
+
+    rng = random.Random(7)
+    target = str(tmp_path / "cdc_model")
+    model: dict[int, str] = {}
+
+    # bootstrap
+    base = [(k, f"v{k}") for k in range(10)]
+    model.update({k: v for k, v in base})
+    merge_into_partitioned_parquet(
+        spark.createDataFrame(base, "k int, v string"), ["k"], target, n_buckets=4
+    )
+
+    for round_no in range(4):
+        batch = []
+        for k in rng.sample(range(16), rng.randint(1, 8)):
+            op = rng.choice(["U", "D"])
+            val = f"r{round_no}k{k}"
+            batch.append((k, val, op))
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = val
+        merge_into_partitioned_parquet(
+            spark.createDataFrame(batch, "k int, v string, op string"),
+            ["k"],
+            target,
+            # deliberately wrong n_buckets: the target's recorded
+            # bucket count must win
+            when_matched=[(F.col("op") == "D", "delete"), (None, "update")],
+            not_matched_insert=F.col("op") != "D",
+            drop_cols=["op"],
+            n_buckets=16,
+        )
+        got = {
+            r.k: r.v
+            for r in spark.read.parquet(target).drop("_kbucket").collect()
+        }
+        assert got == model, f"round {round_no}: {got} != {model}"
