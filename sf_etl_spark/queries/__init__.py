@@ -85,6 +85,7 @@ _PRIORITY_ORDER = [
     "zorder_roundtrip",
     "rollup_incremental_maintenance",
     "dq_observe_inflight",
+    "scd2_dimension_history",
     # SOQL front door (all crashed r3 on the missing chain-binding
     # helper; parser also gained child-side dotted paths this round)
     "soql_orders_rollup",

@@ -525,3 +525,62 @@ def dq_observe_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = obs.get
     rows = [(k, float(m[k])) for k in sorted(m)]
     return spark.createDataFrame(rows, "metric string, value double").orderBy("metric")
+
+
+@register(
+    "scd2_dimension_history",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 200
+    )
+    SELECT c_custkey,
+           CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_versions,
+           CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS cur_segment,
+           CAST(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_closed,
+           '2024-01-01 00:00:00' AS first_valid_from,
+           CASE WHEN c_custkey % 5 = 0
+                THEN '2024-02-01 00:00:00' ELSE '2024-01-01 00:00:00' END AS cur_valid_from
+    FROM base
+    ORDER BY c_custkey
+    """,
+    doc="SCD Type 2 dimension history: two batch applies -> versioned rows with validity intervals",
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball SCD2 over the merge machinery (operators/scd.py):
+    batch 1 seeds 200 customers at T1; batch 2 re-sends ALL of them at
+    T2 with every fifth segment changed — unchanged keys must produce
+    NO new version (idempotence), changed keys must close their T1 row
+    and open a T2 row. The oracle states the expected version algebra
+    directly from the source table; any missed close, duplicate
+    version, or non-idempotent re-apply breaks the hash."""
+    from sf_etl_spark.operators.scd import IS_CURRENT, VALID_FROM, VALID_TO, scd2_apply
+
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    c = load_table(spark, sf_dir, "customer").select(*cols)
+    base = c.filter(F.col("c_custkey") <= 200)
+    dim = tempfile.mkdtemp(prefix="scd2_") + "/customer_dim"
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+    scd2_apply(base, dim, ["c_custkey"], ["c_mktsegment", "c_acctbal"], t1)
+    batch2 = base.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    scd2_apply(batch2, dim, ["c_custkey"], ["c_mktsegment", "c_acctbal"], t2)
+
+    hist = spark.read.parquet(dim)
+    return (
+        hist.groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max(F.when(F.col(IS_CURRENT), F.col("c_mktsegment"))).alias("cur_segment"),
+            F.sum(F.when(F.col(VALID_TO).isNotNull(), 1).otherwise(0)).alias("n_closed"),
+            F.min(F.col(VALID_FROM)).cast("string").alias("first_valid_from"),
+            F.max(F.when(F.col(IS_CURRENT), F.col(VALID_FROM)))
+            .cast("string")
+            .alias("cur_valid_from"),
+        )
+        .orderBy("c_custkey")
+    )

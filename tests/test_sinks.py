@@ -172,3 +172,35 @@ def test_compact_parquet_partitioned_preserves_layout(spark, orders, tmp_path):
     assert dirs, "partition layout lost"
     assert len(files) == len(dirs) < frag  # one file per partition dir
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_scd2_idempotent_reapply_and_asof(spark, tmp_path):
+    """Re-applying an identical batch writes nothing; the history
+    supports the as-of join shape it exists for."""
+    from sf_etl_spark.operators.scd import scd2_apply
+
+    dim = str(tmp_path / "dim")
+    b1 = spark.createDataFrame([(1, "gold"), (2, "silver")], "k int, tier string")
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    scd2_apply(b1, dim, ["k"], ["tier"], t1)
+    scd2_apply(b1, dim, ["k"], ["tier"], F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+    hist = spark.read.parquet(dim)
+    assert hist.count() == 2  # idempotent: no new versions
+
+    b2 = spark.createDataFrame([(1, "platinum"), (3, "bronze")], "k int, tier string")
+    scd2_apply(b2, dim, ["k"], ["tier"], F.lit("2024-02-01 00:00:00").cast("timestamp_ntz"))
+    hist = spark.read.parquet(dim).drop("_kbucket")
+    assert hist.count() == 4  # closed+opened for k=1, new k=3, untouched k=2
+
+    # as-of join: facts at mid-January must see the ORIGINAL tier
+    facts = spark.createDataFrame(
+        [(1, "2024-01-20 00:00:00"), (1, "2024-02-02 00:00:00")], "k int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    joined = facts.join(
+        hist,
+        (facts.k == hist.k)
+        & (facts.ts >= hist.__valid_from)
+        & (facts.ts < F.coalesce(hist.__valid_to, F.lit("9999-01-01").cast("timestamp_ntz"))),
+    )
+    tiers = {(r.ts.day, r.tier) for r in joined.select(facts.ts, hist.tier).collect()}
+    assert tiers == {(20, "gold"), (2, "platinum")}
