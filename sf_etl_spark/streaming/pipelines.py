@@ -658,3 +658,27 @@ def maintain_hourly_rollup(
             .select(*key_cols, "n_events", "max_value", "sum_value")
         )
     merge_into_partitioned_parquet(delta, key_cols, rollup_dir, n_buckets=n_buckets)
+
+
+def vacuum_merge_staging(spark: SparkSession, target_dir: str) -> int:
+    """Remove crash-leftover staging directories around a merge target.
+
+    A merge that dies between its staging write and the final swap
+    leaves a ``<target>__upsert_stage_<id>`` sibling behind — invisible
+    to readers (never referenced) but paying storage. This sweeps them;
+    run it from the same maintenance window as compaction. Returns the
+    number of directories removed. Safe concurrently with READERS (the
+    directories are unreferenced); do not run concurrently with an
+    in-flight merge on the SAME target.
+    """
+    fs, target_path = _hadoop_fs(spark, target_dir)
+    parent = target_path.getParent()
+    if parent is None or not fs.exists(parent):
+        return 0
+    prefix = target_path.getName() + "__upsert_stage_"
+    removed = 0
+    for st in fs.listStatus(parent):
+        if st.getPath().getName().startswith(prefix):
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return removed

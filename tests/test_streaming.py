@@ -323,3 +323,22 @@ def test_merge_into_random_cdc_matches_model(spark, tmp_path):
             for r in spark.read.parquet(target).drop("_kbucket").collect()
         }
         assert got == model, f"round {round_no}: {got} != {model}"
+
+
+def test_vacuum_merge_staging(spark, tmp_path):
+    import os
+
+    from sf_etl_spark.streaming.pipelines import (
+        merge_into_partitioned_parquet,
+        vacuum_merge_staging,
+    )
+
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    merge_into_partitioned_parquet(df, ["k"], target, n_buckets=2)
+    # simulate two crashed merges
+    os.makedirs(target + "__upsert_stage_deadbeef")
+    os.makedirs(target + "__upsert_stage_cafef00d")
+    assert vacuum_merge_staging(spark, target) == 2
+    assert vacuum_merge_staging(spark, target) == 0  # idempotent
+    assert spark.read.parquet(target).count() == 1  # target untouched
