@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import csv
 import io
+import re
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 from typing import Any
@@ -334,8 +335,38 @@ class SfIncrementalStreamReader(SimpleDataSourceStreamReader):
     A ``SimpleDataSourceStreamReader`` runs on the DRIVER (records are
     prefetched and shipped to executors) — the right shape for a
     delta poll, which is small by construction; the partition-planned
-    batch reader stays the bulk-backfill path.
+    batch reader stays the bulk-backfill path. Two knobs bound the one
+    batch that is NOT small by construction, the bootstrap (no prior
+    offset ⇒ the whole object):
+
+    * ``initial_watermark`` — start the stream at a given watermark
+      instead of the beginning of time (the usual production choice:
+      bulk-backfill first, stream from the backfill's high-water mark);
+    * ``max_rows_per_batch`` — LIMIT-driven offset advance: each
+      micro-batch pulls at most N rows in watermark order and advances
+      the offset to the max seen, so a cold start drains the object in
+      bounded driver-memory chunks instead of one unbounded list.
+
+    Watermark type contract: the offset is interpolated into the SOQL
+    UNQUOTED, which is valid for numeric and datetime/date watermarks
+    (SOQL datetime literals are bare ISO-8601 — Salesforce convention
+    ``SystemModstamp``). A free-string watermark field would produce
+    malformed SOQL and is rejected at fetch time.
+
+    Replay caveat (at-least-once fine print): ``readBetweenOffsets``
+    re-serves the ``(start, end]`` delta from the LIVE source — a row
+    whose watermark advanced past ``end`` since the original batch no
+    longer falls in the replayed range and surfaces in a LATER batch
+    instead. Rows are never lost, but a replayed batch is not
+    byte-identical; exactly-once sinks must key on Id, not batch
+    contents (which the merge sink does).
     """
+
+    #: unquoted-SOQL-safe offset literal: integer/decimal, ISO date, or
+    #: ISO datetime (what Salesforce watermark fields actually are)
+    _WM_LITERAL = re.compile(
+        r"^-?\d+(\.\d+)?$|^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?)?$"
+    )
 
     def __init__(self, schema: StructType, options: dict[str, str]):
         self.names = [f.name for f in schema.fields]
@@ -345,12 +376,24 @@ class SfIncrementalStreamReader(SimpleDataSourceStreamReader):
             raise ClientBuilderError(
                 "streaming reads require the watermark_field option"
             )
+        self.initial_wm = options.get("initial_watermark")
+        max_rows = options.get("max_rows_per_batch")
+        self.max_rows = int(max_rows) if max_rows else None
         self.client = _client_from_options(options)
 
     def initialOffset(self) -> dict:
-        return {"wm": None}
+        return {"wm": self.initial_wm}
 
-    def _fetch(self, lo, hi) -> tuple[list[tuple], Any]:
+    def _wm_literal(self, v) -> str:
+        s = str(v)
+        if not self._WM_LITERAL.match(s):
+            raise ClientBuilderError(
+                f"watermark value {s!r} is not SOQL-safe unquoted: watermark_field "
+                f"must be numeric or datetime/date typed (e.g. SystemModstamp)"
+            )
+        return s
+
+    def _fetch(self, lo, hi, limit: int | None = None) -> tuple[list[tuple], Any]:
         from sf_etl_spark.connector.incremental import _coerce
 
         # the watermark column always rides the SELECT list — advancing
@@ -360,11 +403,15 @@ class SfIncrementalStreamReader(SimpleDataSourceStreamReader):
         soql = f"SELECT {', '.join(select)} FROM {self.object_name}"
         conds = []
         if lo is not None:
-            conds.append(f"{self.wm_field} > {lo}")
+            conds.append(f"{self.wm_field} > {self._wm_literal(lo)}")
         if hi is not None:
-            conds.append(f"{self.wm_field} <= {hi}")
+            conds.append(f"{self.wm_field} <= {self._wm_literal(hi)}")
         if conds:
             soql += " WHERE " + " AND ".join(conds)
+        if limit is not None:
+            # watermark order makes the LIMIT prefix a CONTIGUOUS delta:
+            # everything ≤ the new offset was fetched, nothing skipped
+            soql += f" ORDER BY {self.wm_field} LIMIT {limit}"
         records: list[dict] = []
         for page in self.client.query_pages(soql):
             records.extend(page.records)
@@ -374,13 +421,15 @@ class SfIncrementalStreamReader(SimpleDataSourceStreamReader):
         return [tuple(r.get(n) for n in self.names) for r in records], new_wm
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        rows, new_wm = self._fetch(start.get("wm"), None)
+        rows, new_wm = self._fetch(start.get("wm"), None, limit=self.max_rows)
         if new_wm is None:
             return iter([]), start  # no progress — offset unchanged
         return iter(rows), {"wm": new_wm}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # crash replay: re-serve exactly the (start, end] delta
+        # crash replay: re-serve the (start, end] delta (see the replay
+        # caveat in the class doc — live-source replay, keyed dedup
+        # downstream). No LIMIT: the range is already bounded by `end`.
         rows, _ = self._fetch(start.get("wm"), end.get("wm"))
         return iter(rows)
 

@@ -62,6 +62,13 @@ FEATURE_SCHEMA = StructType(
         StructField("byte_mean", DoubleType()),
         StructField("byte_std", DoubleType()),
         StructField("byte_entropy", DoubleType()),
+        # exact-integer features: these make the numpy path externally
+        # verifiable — an engine that can enumerate payload bytes (the
+        # DuckDB oracle does, via bitstring extraction) can restate
+        # them bit-for-bit, no float tolerance needed
+        StructField("byte_sum", LongType()),
+        StructField("byte_min", IntegerType()),
+        StructField("byte_max", IntegerType()),
     ]
 )
 
@@ -129,6 +136,21 @@ def extract_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["meta"], strict=True
             ):
                 arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:  # degenerate payload: all-null features
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "format": meta["format"],
+                            "n_bytes": 0,
+                            "byte_mean": None,
+                            "byte_std": None,
+                            "byte_entropy": None,
+                            "byte_sum": 0,
+                            "byte_min": None,
+                            "byte_max": None,
+                        }
+                    )
+                    continue
                 counts = np.bincount(arr, minlength=256)
                 probs = counts[counts > 0] / arr.size
                 rows.append(
@@ -139,6 +161,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                         "byte_mean": float(arr.mean()),
                         "byte_std": float(arr.std()),
                         "byte_entropy": float(-(probs * np.log2(probs)).sum()),
+                        "byte_sum": int(arr.sum(dtype=np.int64)),
+                        "byte_min": int(arr.min()),
+                        "byte_max": int(arr.max()),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])

@@ -51,21 +51,33 @@ def scd2_apply(
       false``) and insert the new current one;
     * unchanged → no write at all (idempotent re-applies).
     """
-    from sf_etl_spark.streaming.pipelines import merge_into_partitioned_parquet
+    from sf_etl_spark.streaming.pipelines import (
+        BUCKET_COL,
+        _hadoop_fs,
+        _read_buckets,
+        _read_merge_meta,
+        merge_into_partitioned_parquet,
+    )
 
     spark = batch_df.sparkSession
     batch = batch_df.dropDuplicates(key_cols).withColumn("__ts", effective_ts)
 
-    try:
+    # Probe target existence via the merge manifest through the Hadoop
+    # FileSystem. A bare try/except around the read would misclassify
+    # any transient failure (IO error, permissions, corrupt footer) as
+    # "first apply" and bootstrap-insert new current versions WITHOUT
+    # closing the stored ones — two __is_current rows per key. Real
+    # read failures now propagate instead.
+    fs, target_path = _hadoop_fs(spark, dim_dir)
+    meta = _read_merge_meta(spark, fs, target_path)
+    have_dim = meta is not None
+    if have_dim:
         cur = (
-            spark.read.parquet(dim_dir)
+            _read_buckets(spark, dim_dir, meta)
             .filter(F.col(IS_CURRENT))
-            .drop("_kbucket")
+            .drop(BUCKET_COL)
             .join(batch.select(*key_cols), key_cols, "left_semi")
         )
-        have_dim = True
-    except Exception:  # first apply: no target yet
-        have_dim = False
 
     def version_row(src: DataFrame, frm: Column) -> DataFrame:
         return src.select(

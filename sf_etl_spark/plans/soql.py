@@ -40,6 +40,10 @@ Supported subset:
 * ``GROUP BY`` [``ROLLUP(...)``] / ``HAVING`` (aggregate predicates)
   / ``ORDER BY ... [ASC|DESC] [NULLS FIRST|LAST]`` / ``LIMIT`` /
   ``OFFSET``
+* ``TYPEOF`` polymorphic-reference dispatch (``TYPEOF Rel WHEN Obj
+  THEN f1, f2 ... END``): one type-gated left join per WHEN branch
+  against a declared polymorphic registry; ``ELSE`` (the Salesforce
+  ``Name`` pseudo-object) is a documented ``SoqlError``
 
 SOQL's documented default null ordering (NULLS FIRST) is applied
 explicitly so results are engine-stable.
@@ -156,7 +160,9 @@ class _SelectItem:
 
 
 class _Parser:
-    def __init__(self, toks: list[Tok], df: DataFrame | None):
+    def __init__(
+        self, toks: list[Tok], df: DataFrame | None, polymorphic: dict | None = None
+    ):
         self.toks = toks
         self.i = 0
         self.df = df
@@ -169,6 +175,11 @@ class _Parser:
         # plan, not a Column): list of dicts, see parse_predicate
         self.semi_joins: list[dict] = []
         self._last_lhs: str | None = None
+        # polymorphic-reference registry for TYPEOF (see parse_typeof);
+        # (rel, object) branches used by the query, each becoming one
+        # type-gated left join in soql_to_df
+        self.polymorphic = polymorphic
+        self.typeof_joins: list[tuple[str, str]] = []
 
     # -- token helpers -----------------------------------------------------
 
@@ -202,10 +213,17 @@ class _Parser:
     # -- select list -------------------------------------------------------
 
     def parse_select_list(self) -> list[_SelectItem]:
-        items = [self.parse_select_item()]
+        items = self._parse_select_entry()
         while self.accept("punct", ","):
-            items.append(self.parse_select_item())
+            items.extend(self._parse_select_entry())
         return items
+
+    def _parse_select_entry(self) -> list[_SelectItem]:
+        # a TYPEOF block expands to one item per branch field; every
+        # other select entry is exactly one item
+        if self._at_typeof():
+            return self.parse_typeof()
+        return [self.parse_select_item()]
 
     def parse_select_item(self) -> _SelectItem:
         if self._at_child_subquery():
@@ -248,6 +266,87 @@ class _Parser:
         self.expect("punct", ")")
         col = getattr(F, _DATE_FNS[fn])(F.col(field)).cast("int")
         return col, f"{fn}({field})"
+
+    def _at_typeof(self) -> bool:
+        t, nxt = self.peek(), self.peek(1)
+        return bool(
+            t
+            and t.kind == "ident"
+            and t.text.lower() == "typeof"
+            and nxt
+            and nxt.kind == "ident"
+        )
+
+    def parse_typeof(self) -> list[_SelectItem]:
+        """``TYPEOF Rel WHEN Obj THEN f1, f2 [WHEN Obj2 THEN ...] END``
+        — SOQL's polymorphic-reference dispatch (Salesforce: a lookup
+        that can target several objects, e.g. ``Task.What``).
+
+        Local semantics: the polymorphic registry declares, per
+        relationship, the FK column, a type-discriminator column on the
+        base object (holding the target object name per row), and the
+        admissible targets with their PKs. Each WHEN branch compiles to
+        ONE type-gated left join (``fk = pk AND type = 'Obj'``); branch
+        fields surface as ``rel_field`` columns, NULL on rows of any
+        other type — the flat projection of the Salesforce wire shape.
+        Catalyst broadcasts the dimension sides as usual.
+
+        ``ELSE`` is not supported: its fields resolve against the
+        generic ``Name`` pseudo-object, which has no local analog —
+        a documented SoqlError, not silent misbehavior.
+        """
+        self.next()  # TYPEOF
+        rel = self.expect("ident").text
+        if not self.polymorphic or rel not in self.polymorphic:
+            raise SoqlError(
+                f"TYPEOF relationship {rel!r} is not declared in the polymorphic "
+                f"registry (known: {sorted(self.polymorphic or {})})"
+            )
+        spec = self.polymorphic[rel]
+        items: list[_SelectItem] = []
+        saw_when = False
+        while True:
+            t = self.peek()
+            if t and t.kind == "ident" and t.text.lower() == "when":
+                self.next()
+                obj = self.expect("ident").text
+                if obj not in spec["targets"]:
+                    raise SoqlError(
+                        f"TYPEOF {rel}: object {obj!r} is not an admissible target "
+                        f"(declared: {sorted(spec['targets'])})"
+                    )
+                saw_when = True
+                nxt = self.peek()
+                if not (nxt and nxt.kind == "ident" and nxt.text.lower() == "then"):
+                    raise SoqlError(f"expected THEN after TYPEOF WHEN {obj}")
+                self.next()  # THEN
+                alias = f"__typeof_{rel}_{obj}"
+                self.typeof_joins.append((rel, obj))
+                fields = [self.expect("ident").text]
+                while self.accept("punct", ","):
+                    fields.append(self.expect("ident").text)
+                for f in fields:
+                    name = f"{rel}_{f}".lower()
+                    items.append(
+                        _SelectItem(
+                            F.col(f"{alias}.{f}").alias(name), name, is_agg=False
+                        )
+                    )
+            elif t and t.kind == "ident" and t.text.lower() == "else":
+                raise SoqlError(
+                    "TYPEOF ELSE is not supported: its fields resolve against the "
+                    "Salesforce 'Name' pseudo-object, which has no local analog"
+                )
+            elif t and t.kind == "ident" and t.text.lower() == "end":
+                self.next()
+                if not saw_when:
+                    raise SoqlError("TYPEOF requires at least one WHEN branch")
+                return items
+            else:
+                raise SoqlError(
+                    f"expected WHEN/END in TYPEOF, got "
+                    f"{t.text if t else 'end of query'}"
+                )
 
     def _at_child_subquery(self) -> bool:
         t, nxt = self.peek(), self.peek(1)
@@ -577,8 +676,16 @@ def soql_to_df(
     resolve,
     relationships: dict | None = None,
     child_relationships: dict | None = None,
+    polymorphic: dict | None = None,
 ) -> DataFrame:
     """Compile a SOQL string against ``resolve(object_name) -> DataFrame``.
+
+    ``polymorphic`` declares TYPEOF-addressable relationships:
+    ``rel_name -> {"type_col": <discriminator column on the base
+    object, holding the target object name per row>, "fk_col": <FK
+    column on the base object>, "targets": {object_name: pk_col}}``.
+    Each TYPEOF WHEN branch compiles to one type-gated left join; see
+    ``_Parser.parse_typeof``.
 
     ``relationships`` maps a relationship name (the prefix of dotted
     ``Rel.Field`` paths) to ``(parent_object, fk_col, parent_pk_col)``
@@ -677,7 +784,7 @@ def soql_to_df(
                 t.text = _flatten_dotted(t.text)
         child_dotted.append(texts)
 
-    p = _Parser(toks, df)
+    p = _Parser(toks, df, polymorphic)
     p.expect("kw", "select")
     select_items = p.parse_select_list()
     if p.i != from_idx:
@@ -754,6 +861,23 @@ def soql_to_df(
             df = _attach_child_list(
                 df, it, resolve, child_relationships, relationships, texts,
                 base_cols, base_alias if used_rels else None,
+            )
+
+    # -- TYPEOF branches: one type-gated left join per (rel, object) -------
+    if p.typeof_joins:
+        if group_texts or any(it.is_agg for it in select_items) or p.having_aggs:
+            # mirrors Salesforce: TYPEOF is invalid with GROUP BY/aggregates
+            raise SoqlError("TYPEOF cannot be combined with GROUP BY or aggregates")
+        for rel, obj in dict.fromkeys(p.typeof_joins):  # dedup, keep order
+            spec = polymorphic[rel]
+            pk = spec["targets"][obj]
+            alias = f"__typeof_{rel}_{obj}"
+            parent = resolve(obj).alias(alias)
+            df = df.join(
+                parent,
+                (F.col(spec["fk_col"]) == F.col(f"{alias}.{pk}"))
+                & (F.col(spec["type_col"]) == F.lit(obj)),
+                "left",
             )
 
     # -- assemble ----------------------------------------------------------

@@ -21,6 +21,7 @@ nested numpy arrays and engines lay maps out differently.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -48,7 +49,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+
+        # Every entry path (driver fresh-process query run, pytest,
+        # bench) gets the engine conf — notably the UTC timezone and
+        # parquet nanosAsLong the events loader depends on — without
+        # any loader mutating session state as a side effect.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from sf_etl_spark.session import apply_engine_conf
+
+            apply_engine_conf(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc)
         return fn
 
     return deco
@@ -65,72 +78,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-4 rotation. Front of the ~50-entry driver window:
-    # (a) queries that have NEVER had a green driver row (gap-fill and
-    # funnel missed the r2 window and crashed in r3; child traversal is
-    # new this round), (b) the 20 queries r3's two regressions crashed
-    # (9 SOQL + 11 events-dependent), now fixed, (c) the three rows the
-    # r3 cutoff displaced. ---
-    "events_hourly_ffill",
-    "funnel_conversion",
-    "soql_child_traversal",
-    # new round-4 corpus-prep ops (PII redaction, chunking, percentile
-    # filter) — first driver rows
-    "redact_pii",
-    "chunk_documents",
-    "quality_percentile_filter",
-    "sink_merge_cdc",
-    "tfidf_top_terms",
-    "histogram_totalprice",
-    "zorder_roundtrip",
-    "rollup_incremental_maintenance",
-    "dq_observe_inflight",
-    "scd2_dimension_history",
-    # SOQL front door (all crashed r3 on the missing chain-binding
-    # helper; parser also gained child-side dotted paths this round)
-    "soql_orders_rollup",
-    "soql_documents_filter",
-    "soql_parent_traversal",
-    "soql_rollup_traversal",
-    "soql_child_subquery",
-    "soql_child_subquery_where",
-    "soql_multihop_traversal",
-    "soql_in_subquery_semi",
-    "soql_in_subquery_anti",
-    "soql_cube_grouping",
-    "soql_date_functions",
-    # event-time windows + as-of/range joins (crashed r3 on the events
-    # loader; loader is now encoding-tolerant)
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_purchase_click",
-    "range_join_followups",
-    "asof_pandas_merge",
-    # live streaming lanes (same loader crash)
-    "stream_tumbling_1h",
-    "stream_dedup_exactly_once",
-    "stream_stateful_user_agg",
-    "stream_stream_join_attribution",
-    # displaced just past the r3 cutoff
-    "sink_roundtrip_partitioned",
-    "source_csv_roundtrip",
-    # --- remaining slots: the lanes whose only driver rows are from
-    # round 1 (oldest verification vintage) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q14_promo_revenue",
-    "salted_join_revenue",
-    "window_suite",
-    "topk_per_group",
-    "exists_correlated",
-    "scalar_subquery",
-    "fk_integrity",
-    "json_schema_on_read",
-    "percentiles_by_flag",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
+    # --- round-5 rotation. Every row was green in CORRECTNESS_r4's
+    # window or an earlier round; the front of the ~50-entry window now
+    # re-proves the OLDEST verification vintage: the 33 lanes whose only
+    # green driver row is from round 1 (four fixture regenerations ago —
+    # the same staleness that let the r3 events breakage hide), then the
+    # two never-hashed lanes (now graduated via verifiable companions),
+    # then the 14 r2-vintage TPC-H rows. r3/r4-vintage rows rotate to
+    # the back. ---
+    # r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",
     "token_counts",
@@ -142,9 +98,37 @@ _PRIORITY_ORDER = [
     "dispersion_stats",
     "multimodal_meta_stats",
     "multimodal_frame_sample",
+    # r1-vintage: relational long tail
+    "agg_having",
+    "agg_stats_by_status",
+    "approx_distinct_custkeys",
+    "array_functions",
+    "conditional_predicates",
+    "cube_status_priority",
+    "date_functions",
+    "distinct_flags",
+    "filter_project",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "map_functions",
+    "math_functions",
+    "min_per_group_joinback",
+    "order_limit_offset",
+    "pivot_returnflag",
+    "rollup_flags",
+    "set_ops",
+    "set_ops_all",
+    "string_functions",
+    # never-hashed lanes + their new round-5 verifiable companions
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_agreement",
     "multimodal_features",
-    # --- ~50-entry window boundary is right around here; everything
-    # below was driver-green in r2 or r3 (freshest rows rotate back) ---
+    "multimodal_features_checksum",
+    # new round-5 surface (first driver rows)
+    "soql_typeof",
+    # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -159,6 +143,9 @@ _PRIORITY_ORDER = [
     "q19_or_of_ands",
     "q21_waiting_suppliers",
     "q22_dormant_balance",
+    # --- ~50-entry window boundary is right around here; everything
+    # below was driver-green in r3 or r4 (freshest rows rotate back,
+    # r3-vintage ahead of r4-vintage) ---
     "q6_forecast_revenue",
     "window_frames",
     "grouping_sets_flags",
@@ -187,8 +174,58 @@ _PRIORITY_ORDER = [
     "ann_ivf_topk",
     "ann_srp_lsh_pairs",
     "dedup_embedding_pipeline",
-    "ann_ivf_kmeans_topk",
     "embedding_quantize_int8",
+    # r4-vintage (freshest)
+    "events_hourly_ffill",
+    "funnel_conversion",
+    "soql_child_traversal",
+    "redact_pii",
+    "chunk_documents",
+    "quality_percentile_filter",
+    "sink_merge_cdc",
+    "tfidf_top_terms",
+    "histogram_totalprice",
+    "zorder_roundtrip",
+    "rollup_incremental_maintenance",
+    "dq_observe_inflight",
+    "scd2_dimension_history",
+    "soql_orders_rollup",
+    "soql_documents_filter",
+    "soql_parent_traversal",
+    "soql_rollup_traversal",
+    "soql_child_subquery",
+    "soql_child_subquery_where",
+    "soql_multihop_traversal",
+    "soql_in_subquery_semi",
+    "soql_in_subquery_anti",
+    "soql_cube_grouping",
+    "soql_date_functions",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_purchase_click",
+    "range_join_followups",
+    "asof_pandas_merge",
+    "stream_tumbling_1h",
+    "stream_dedup_exactly_once",
+    "stream_stateful_user_agg",
+    "stream_stream_join_attribution",
+    "sink_roundtrip_partitioned",
+    "source_csv_roundtrip",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q14_promo_revenue",
+    "salted_join_revenue",
+    "window_suite",
+    "topk_per_group",
+    "exists_correlated",
+    "scalar_subquery",
+    "fk_integrity",
+    "json_schema_on_read",
+    "percentiles_by_flag",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
 ]
 
 

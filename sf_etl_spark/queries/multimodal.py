@@ -129,3 +129,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-verifiable companion of `multimodal_features`: the SAME
+# mapInPandas/numpy path, restricted to its exact-integer outputs
+# (byte_sum/min/max + n_bytes per payload), which the DuckDB oracle
+# restates independently by enumerating payload bytes from the BLOB's
+# bitstring — so the Arrow plumbing (batching, schema, zero-copy numpy
+# views) gets a full per-row value-hash check with no float tolerance.
+# The float features (mean/std/entropy) stay in the rows-only lane;
+# byte_mean is cross-checked here anyway since mean = sum/n.
+# Scale: same narrow mapInPandas pass; output is one 5-column row per
+# media item, no shuffle beyond the final order.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features_checksum",
+    f"""
+    WITH media AS ({_MEDIA_SQL}),
+    e AS (
+      SELECT media_id, CAST(payload AS BIT) AS b,
+             CAST(unnest(generate_series(0, octet_length(payload) - 1)) AS INT) AS j
+      FROM media
+    ), v AS (
+      SELECT media_id,
+             128*get_bit(b, 8*j+0) + 64*get_bit(b, 8*j+1) + 32*get_bit(b, 8*j+2)
+           + 16*get_bit(b, 8*j+3) +  8*get_bit(b, 8*j+4) +  4*get_bit(b, 8*j+5)
+           +  2*get_bit(b, 8*j+6) +      get_bit(b, 8*j+7) AS bv
+      FROM e
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(bv) AS BIGINT) AS byte_sum,
+           CAST(min(bv) AS INT) AS byte_min,
+           CAST(max(bv) AS INT) AS byte_max
+    FROM v
+    GROUP BY media_id
+    ORDER BY media_id
+    """,
+    doc="per-payload exact byte features (numpy) vs independent byte enumeration",
+)
+def multimodal_features_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", "byte_sum", "byte_min", "byte_max"
+    ).orderBy("media_id")

@@ -382,6 +382,84 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hash-verifiable companion of `ann_ivf_kmeans_topk`: the SAME trained
+# k-means path (fit → assign → probe → exact top-k), run with
+# nprobe = K (every cell probed). Because the k-means assignment is a
+# PARTITION of the corpus, probing all cells must return exactly the
+# global brute-force top-10 — which the DuckDB oracle computes
+# independently with no knowledge of the model. A green hash row
+# therefore proves the trained path's integrity end-to-end: the
+# assignment covers every vector exactly once (a lost or duplicated
+# vector breaks the row set), the probe join machinery is sound, and
+# the cosine math is bit-equal to the oracle's. Centroid QUALITY
+# (recall at nprobe < K) is the rows-only lane's concern, gated by
+# tests/test_ivf_kmeans.py; `cid` is excluded from the output because
+# k-means cluster numbering is not oracle-restatable.
+# Scale: identical plan shape to the nprobe<K lane — broadcast centers,
+# broadcast probe set, one corpus scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_kmeans_agreement",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), q AS (
+      SELECT v AS qv, nm AS qn FROM n WHERE vec_id = {_QUERY_VEC}
+    )
+    SELECT n.vec_id, n.label,
+           {_SQL_DOT.format(dim=DIM, u='n.v', v='q.qv')} / (n.nm * q.qn) AS cosine
+    FROM n CROSS JOIN q
+    WHERE n.vec_id <> {_QUERY_VEC}
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc=f"k-means({IVF_KM_K}) IVF probed at nprobe=K == exact brute-force top-10",
+)
+def ann_ivf_kmeans_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = normalized_vectors(spark, sf_dir)
+    vecs = n.withColumn("features", array_to_vector("v"))
+    model = KMeans(
+        k=IVF_KM_K, seed=IVF_KM_SEED, maxIter=10, featuresCol="features"
+    ).fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "cid")
+        .select("vec_id", "label", "v", "nm", "cid")
+    )
+    centers_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
+    ccos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * F.col("qn"))
+    probe = (
+        centers_df.crossJoin(F.broadcast(q))
+        .select("cid", ccos.alias("ccos"))
+        .orderBy(F.col("ccos").desc(), "cid")
+        .limit(IVF_KM_K)  # nprobe = K: every cell — agreement mode
+        .select("cid")
+    )
+    cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _QUERY_VEC)
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Composed production near-dup pipeline: candidate generation by IVF
 # cell co-membership (same nearest seed centroid ⇒ candidate pair) →
 # parameterized exact-cosine verification on the candidates ONLY.

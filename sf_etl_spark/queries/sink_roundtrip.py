@@ -432,7 +432,9 @@ def sink_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_cols=["op"],
     )
 
-    back = spark.read.parquet(target).drop("_kbucket")
+    from sf_etl_spark.streaming.pipelines import read_merge_target
+
+    back = read_merge_target(spark, target).drop("_kbucket")
     return (
         back.groupBy("c_mktsegment")
         .agg(
@@ -570,7 +572,9 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scd2_apply(batch2, dim, ["c_custkey"], ["c_mktsegment", "c_acctbal"], t2)
 
-    hist = spark.read.parquet(dim)
+    from sf_etl_spark.streaming.pipelines import read_merge_target
+
+    hist = read_merge_target(spark, dim)
     return (
         hist.groupBy("c_custkey")
         .agg(

@@ -371,3 +371,60 @@ def soql_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY yr, mo",
         _resolver(spark, sf_dir),
     )
+
+
+@register(
+    "soql_typeof",
+    """
+    SELECT e.event_id, e.event_type,
+           c.c_name AS actor_c_name, c.c_acctbal AS actor_c_acctbal,
+           s.s_name AS actor_s_name
+    FROM events e
+    LEFT JOIN customer c
+      ON e.user_id = c.c_custkey AND e.event_type IN ('purchase', 'signup')
+    LEFT JOIN supplier s
+      ON e.user_id = s.s_suppkey AND e.event_type NOT IN ('purchase', 'signup')
+    WHERE e.user_id < 120
+    ORDER BY e.event_id
+    LIMIT 300
+    """,
+    doc="SOQL TYPEOF polymorphic dispatch → one type-gated left join per branch",
+)
+def soql_typeof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic-reference dispatch (Salesforce ``Task.What``-style;
+    the reference forwards TYPEOF verbatim like all SOQL,
+    client.rs:199-205). The fixture has no polymorphic FK, so the
+    resolver derives the discriminator: purchase/signup events act on
+    a customer, everything else on a supplier — user_ids above the
+    supplier key range surface the NULL-branch wire shape. Scale: two
+    dimension left joins, both broadcast under the session threshold;
+    the events scan stays pruned to the referenced columns."""
+    from pyspark.sql import functions as F
+
+    base_resolve = _resolver(spark, sf_dir)
+
+    def resolve(name: str) -> DataFrame:
+        df = base_resolve(name)
+        if name == "events":
+            df = df.withColumn(
+                "actor_type",
+                F.when(
+                    F.col("event_type").isin("purchase", "signup"), "customer"
+                ).otherwise("supplier"),
+            )
+        return df
+
+    return soql_to_df(
+        "SELECT event_id, event_type, "
+        "TYPEOF actor WHEN customer THEN c_name, c_acctbal "
+        "WHEN supplier THEN s_name END "
+        "FROM events WHERE user_id < 120 ORDER BY event_id LIMIT 300",
+        resolve,
+        polymorphic={
+            "actor": {
+                "type_col": "actor_type",
+                "fk_col": "user_id",
+                "targets": {"customer": "c_custkey", "supplier": "s_suppkey"},
+            }
+        },
+    )

@@ -421,7 +421,10 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     stored rollup is never rescanned in full."""
     import tempfile
 
-    from sf_etl_spark.streaming.pipelines import maintain_hourly_rollup
+    from sf_etl_spark.streaming.pipelines import (
+        maintain_hourly_rollup,
+        read_merge_target,
+    )
 
     e = load_table(spark, sf_dir, "events")
     # batch boundary mid-span; hours STRADDLING it land in both
@@ -430,8 +433,17 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     rollup_dir = tempfile.mkdtemp(prefix="rollup_inc_") + "/user_hourly"
     maintain_hourly_rollup(e.filter(F.col("ts") <= cut), rollup_dir)
     maintain_hourly_rollup(e.filter(F.col("ts") > cut), rollup_dir)
-    back = spark.read.parquet(rollup_dir)
+    back = read_merge_target(spark, rollup_dir)
+    # sum_value is stored exact decimal(38,10); the double cast is
+    # presentation-only (string hop = same decimal→double parse DuckDB
+    # applies to its VARCHAR cast, keeping the hash bit-equal)
     return (
-        back.select("user_id", "hour", "n_events", "max_value", "sum_value")
+        back.select(
+            "user_id",
+            "hour",
+            "n_events",
+            "max_value",
+            F.col("sum_value").cast("string").cast("double").alias("sum_value"),
+        )
         .orderBy("user_id", "hour")
     )

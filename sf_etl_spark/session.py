@@ -33,6 +33,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.cbo.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # TIMESTAMP(NANOS) parquet columns: Spark refuses them outright
+    # ([PARQUET_TYPE_ILLEGAL]) unless surfaced as raw longs; the events
+    # loader rebuilds a microsecond TIMESTAMP_NTZ from the long (see
+    # sources/tables.py). Engine-wide and declared HERE — a table
+    # loader must never mutate session config as a side effect.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

@@ -127,13 +127,67 @@ def compact_parquet(
     Scale notes: one full shuffle (repartition) — compaction IS a
     rewrite, there is no cheaper correct shape; to compact selectively,
     point ``path`` at one partition directory.
+
+    Merge targets (``merge_into_partitioned_parquet`` output) are
+    detected via their ``_merge_meta.json`` manifest and compacted
+    SNAPSHOT-ATOMICALLY: the whole live snapshot is rewritten into one
+    fresh commit directory (bucket layout preserved — flattening it
+    would mis-bucket the next merge's keys, the exact hazard the
+    manifest exists to prevent), the manifest swaps to reference only
+    that commit, and the superseded commit dirs are garbage-collected
+    by the vacuum. Concurrent readers see old-or-new, never a gap.
+    Passing an explicit ``partition_by`` for a merge target is refused.
     """
     import math
     import uuid
 
     from pyspark.sql import functions as F  # noqa: F401 (parity with callers)
 
-    from sf_etl_spark.streaming.pipelines import _hadoop_fs
+    from sf_etl_spark.streaming.pipelines import (
+        BUCKET_COL,
+        _hadoop_fs,
+        _read_buckets,
+        _read_merge_meta,
+        _write_merge_meta,
+        vacuum_merge_staging,
+    )
+
+    fs, target_path = _hadoop_fs(spark, path)
+    meta = _read_merge_meta(spark, fs, target_path)
+    if meta is not None:
+        if partition_by is not None and partition_by != [BUCKET_COL]:
+            raise ValueError(
+                f"{path} is a merge target (bucket layout {BUCKET_COL}="
+                f"{meta['n_buckets']}); compacting it with partition_by="
+                f"{partition_by!r} would break the recorded bucketing — "
+                f"pass partition_by=None"
+            )
+        df = _read_buckets(spark, path, meta)
+        commit = f"commit_{uuid.uuid4().hex[:8]}"
+        commit_dir = path.rstrip("/") + "/" + commit
+        (
+            df.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy(BUCKET_COL)
+            .parquet(commit_dir)
+        )
+        jvm = spark.sparkContext._jvm
+        commit_jpath = jvm.org.apache.hadoop.fs.Path(target_path, commit)
+        present = [
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(commit_jpath)
+            if st.getPath().getName().startswith(BUCKET_COL + "=")
+        ]
+        _write_merge_meta(
+            spark,
+            fs,
+            target_path,
+            {**meta, "buckets": {str(b): commit for b in present}},
+        )
+        vacuum_merge_staging(spark, path)  # superseded commits
+        out = _read_buckets(spark, path, _read_merge_meta(spark, fs, target_path))
+        return len([f for f in out.inputFiles() if f.endswith(".parquet")])
 
     df = spark.read.parquet(path)
     rows = df.count()
@@ -151,7 +205,6 @@ def compact_parquet(
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    fs, target_path = _hadoop_fs(spark, path)
     _, staging_path = _hadoop_fs(spark, staging)
     fs.delete(target_path, True)
     if not fs.rename(staging_path, target_path):

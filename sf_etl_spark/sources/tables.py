@@ -75,13 +75,13 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     * TIMESTAMP(MICROS/MILLIS) files: already a timestamp on read —
       pass through, normalized to TIMESTAMP_NTZ.
 
-    UTC session tz pins any long→timestamp conversion regardless of
-    the host session's zone."""
+    Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` and a UTC
+    session timezone — both are ENGINE_CONF entries (session.py), set
+    by ``get_spark``/``apply_engine_conf``; every registered query
+    applies them on entry. The loader itself is side-effect-free."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):  # nanos surfaced as raw longs

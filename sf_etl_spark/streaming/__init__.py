@@ -12,6 +12,7 @@ batch suite proves against the DuckDB oracle run unchanged under
 from sf_etl_spark.streaming.pipelines import (
     events_stream,
     foreach_batch_upsert_parquet,
+    read_merge_target,
     run_to_memory_table,
     upsert_partitioned_parquet,
     stage_events_as_stream_source,
@@ -27,6 +28,7 @@ from sf_etl_spark.streaming.pipelines import (
 __all__ = [
     "events_stream",
     "foreach_batch_upsert_parquet",
+    "read_merge_target",
     "run_to_memory_table",
     "stage_events_as_stream_source",
     "stream_click_attribution",

@@ -304,9 +304,15 @@ def _meta_path(spark: SparkSession, target_path):
     return spark.sparkContext._jvm.org.apache.hadoop.fs.Path(target_path, MERGE_META)
 
 
-def _read_bucket_meta(spark: SparkSession, fs, target_path) -> int | None:
-    """Bucket count recorded at target bootstrap, or None for a fresh
-    or pre-metadata target."""
+def _read_merge_meta(spark: SparkSession, fs, target_path) -> dict | None:
+    """The merge target's manifest, or None for a fresh path.
+
+    The manifest IS the snapshot: ``buckets`` maps bucket id → the
+    commit directory holding that bucket's current files. A reader
+    resolves it once and sees one consistent version regardless of
+    concurrent merges (commit dirs are immutable once referenced;
+    superseded dirs linger until vacuum).
+    """
     import json
 
     meta = _meta_path(spark, target_path)
@@ -319,20 +325,102 @@ def _read_bucket_meta(spark: SparkSession, fs, target_path) -> int | None:
         while b >= 0:
             data.append(b)
             b = stream.read()
-        return int(json.loads(bytes(data).decode("utf-8"))["n_buckets"])
+        return json.loads(bytes(data).decode("utf-8"))
     finally:
         stream.close()
 
 
-def _write_bucket_meta(spark: SparkSession, fs, target_path, n_buckets: int) -> None:
+def _write_merge_meta(spark: SparkSession, fs, target_path, meta: dict) -> None:
+    """Atomically swap the manifest: full payload to a temp file, then
+    a single rename OVER the live one (FileContext rename-OVERWRITE —
+    posix rename underneath on local/HDFS). Readers therefore observe
+    either the old manifest or the new, never a torn write: this one
+    rename is the merge's commit point.
+    """
     import json
 
-    out = fs.create(_meta_path(spark, target_path), True)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    payload = json.dumps(meta).encode("utf-8")
+    final = _meta_path(spark, target_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        target_path, MERGE_META + f".tmp_{uuid.uuid4().hex[:8]}"
+    )
+    out = fs.create(tmp, True)
     try:
-        payload = json.dumps({"n_buckets": n_buckets, "bucket_col": BUCKET_COL})
-        out.write(bytearray(payload.encode("utf-8")))
+        out.write(bytearray(payload))
     finally:
         out.close()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), sc._jsc.hadoopConfiguration()
+        )
+        opts = sc._gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, final, opts)
+    except Exception:
+        # FS without FileContext overwrite-rename: delete+rename leaves
+        # a sub-millisecond no-manifest window (crash-safe — tmp holds
+        # the full payload), strictly better than the torn multi-dir
+        # window this protocol replaces
+        fs.delete(final, False)
+        if not fs.rename(tmp, final):
+            raise OSError(f"manifest swap failed for {final}")
+
+
+def _read_buckets(
+    spark: SparkSession, target_dir: str, meta: dict, buckets=None
+) -> DataFrame:
+    """One consistent snapshot of a merge target, resolved from an
+    already-read manifest; ``buckets`` (iterable of ints) restricts the
+    read to those buckets — the manifest-level partition pruning the
+    merge uses for its O(touched) reads."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    entries: dict[str, str] = meta["buckets"]
+    if buckets is not None:
+        want = {str(b) for b in buckets}
+        entries = {b: c for b, c in entries.items() if b in want}
+    if not entries:
+        # fully-deleted (or no touched buckets stored yet): empty frame
+        # with the recorded schema, so downstream joins still resolve
+        schema = StructType.fromJson(_json.loads(meta["schema"]))
+        return spark.createDataFrame([], schema)
+    by_commit: dict[str, list[str]] = {}
+    for b, c in entries.items():
+        by_commit.setdefault(c, []).append(b)
+    base = target_dir.rstrip("/")
+    parts = []
+    for c in sorted(by_commit):
+        bs = sorted(by_commit[c], key=int)
+        paths = [f"{base}/{c}/{BUCKET_COL}={b}" for b in bs]
+        parts.append(spark.read.option("basePath", f"{base}/{c}").parquet(*paths))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def read_merge_target(
+    spark: SparkSession, target_dir: str, buckets=None
+) -> DataFrame:
+    """Read a merge/rollup/SCD2 target as of its current manifest.
+
+    THE read path for anything `merge_into_partitioned_parquet`
+    maintains — a plain ``spark.read.parquet(target_dir)`` would sweep
+    superseded commit directories in with the live ones and double-read
+    rows. The manifest resolves to one snapshot; `buckets` prunes the
+    read to the named buckets.
+    """
+    fs, target_path = _hadoop_fs(spark, target_dir)
+    meta = _read_merge_meta(spark, fs, target_path)
+    if meta is None:
+        raise FileNotFoundError(
+            f"{target_dir} is not a merge target (no {MERGE_META})"
+        )
+    return _read_buckets(spark, target_dir, meta, buckets)
 
 
 def upsert_partitioned_parquet(
@@ -379,34 +467,46 @@ def merge_into_partitioned_parquet(
       stripped before rows enter the target, so the target schema
       stays closed under the merge.
 
-    Copy-on-write mechanics: the target is partitioned by
-    ``_kbucket = pmod(xxhash64(keys), n)`` — a key always lands in the
-    same bucket, so the merge is local to the buckets of the incoming
-    keys. Per batch:
+    Copy-on-write mechanics with SNAPSHOT-ATOMIC commits: rows are
+    bucketed by ``_kbucket = pmod(xxhash64(keys), n)`` — a key always
+    lands in the same bucket, so the merge is local to the buckets of
+    the incoming keys. The target is a set of immutable commit
+    directories plus one manifest (``_merge_meta.json``) mapping each
+    bucket to the commit dir holding its current files. Per batch:
 
     1. buckets touched = distinct ``_kbucket`` of the batch (≤ n);
-    2. current rows of ONLY those buckets are read (partition-pruned
-       scan — the filter is on the partition column);
+    2. current rows of ONLY those buckets are read, resolved through
+       the manifest (manifest-level pruning — only the named bucket
+       directories are listed or scanned);
     3. matched/unmatched split is two broadcast-friendly joins of the
        (small) batch against the touched buckets; clause dispatch is
        one ``F.when`` chain — no per-row Python;
-    4. written with ``partitionOverwriteMode=dynamic``: Spark replaces
-       exactly the partition directories present in the written data.
+    4. the merged touched buckets are written to a NEW
+       ``commit_<id>/_kbucket=N/`` directory (never in place — which
+       also kills the old stage-and-re-read dance: the plan reads old
+       commits, writes a new one);
+    5. the manifest is rewritten — touched buckets point at the new
+       commit, emptied buckets drop out, untouched buckets keep their
+       entries — and swapped in with ONE atomic rename. That rename is
+       the commit point: a concurrent reader resolves either the old
+       manifest (fully-old data — superseded dirs are still on disk)
+       or the new one (fully-new), never a mix; a crash before it
+       leaves an unreferenced commit dir for vacuum and a fully intact
+       target.
 
     Untouched buckets' files are not read, not rewritten, not moved —
     byte-identical after the merge (asserted in tests). Cost per batch
     is O(|touched buckets|), not O(|table|): the property that keeps a
-    continuously-merged 100 TB target alive. (A transactional format —
-    Delta/Iceberg — adds snapshot atomicity on top; this is the sound
-    plain-parquet shape, and the writer commit protocol keeps
-    partially-written partitions invisible until commit.)
+    continuously-merged 100 TB target alive. Superseded commit dirs
+    hold storage until :func:`vacuum_merge_staging` — the same
+    snapshot/vacuum split Delta/Iceberg make, collapsed to one JSON
+    manifest.
 
-    All path probing goes through the Hadoop ``FileSystem`` resolved
-    FROM the target path, and the staging dir is a sibling of the
-    target on the SAME filesystem — so the merge works unchanged on
-    ``hdfs://`` / ``s3a://`` targets, where an ``os.path`` check would
-    silently report "absent" and the merge branch would drop every
-    pre-existing key in the touched partitions.
+    Read the target back with :func:`read_merge_target` (a bare
+    ``spark.read.parquet`` would sweep superseded commits in). All
+    path probing goes through the Hadoop ``FileSystem`` resolved FROM
+    the target path, so the merge works unchanged on ``hdfs://`` /
+    ``s3a://`` targets.
     """
     spark = batch_df.sparkSession
     for _, action in when_matched:
@@ -416,28 +516,23 @@ def merge_into_partitioned_parquet(
     if isinstance(not_matched_insert, bool):
         not_matched_insert = F.lit(not_matched_insert)
     fs, target_path = _hadoop_fs(spark, target_dir)
-    staging_path = None
-    # the dynamic-overwrite committer writes no root _SUCCESS marker;
-    # presence of bucket partition dirs is the bootstrap signal
-    exists = fs.exists(target_path) and any(
-        st.getPath().getName().startswith(BUCKET_COL + "=")
-        or st.getPath().getName() == "_SUCCESS"
-        for st in fs.listStatus(target_path)
-    )
+    meta = _read_merge_meta(spark, fs, target_path)
+    exists = meta is not None
     # the bucket count is a property of the TARGET, not the call: a
     # batch bucketed mod m against a target laid out mod n (m != n)
-    # filters the wrong partitions and silently degrades the merge to
-    # insert-only. Bootstrap records n_buckets in _merge_meta.json;
-    # later merges adopt it, whatever the caller passed.
+    # reads the wrong partitions and silently degrades the merge to
+    # insert-only. Bootstrap records n_buckets in the manifest; later
+    # merges adopt it, whatever the caller passed.
     if exists:
-        n_buckets = _read_bucket_meta(spark, fs, target_path) or n_buckets
+        n_buckets = int(meta["n_buckets"])
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
         "int"
     )
     src = batch_df.dropDuplicates(key_cols).withColumn(BUCKET_COL, bucket)
+    touched: list[int] = []
     if exists:
         touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
-        cur = spark.read.parquet(target_dir).filter(F.col(BUCKET_COL).isin(touched))
+        cur = _read_buckets(spark, target_dir, meta, touched)
         cur_keys = cur.select(*key_cols)
         matched = src.join(cur_keys, key_cols, "left_semi")
         unmatched = src.join(cur_keys, key_cols, "left_anti")
@@ -456,41 +551,38 @@ def merge_into_partitioned_parquet(
         inserts = unmatched.filter(not_matched_insert).drop(*drop)
         survivors = cur.join(replaced_or_deleted, key_cols, "left_anti")
         out = survivors.unionByName(updates).unionByName(inserts)
-        # Spark refuses to overwrite a path its own plan reads; stage the
-        # merged TOUCHED buckets (only them — this is what keeps the merge
-        # O(touched), unlike a full-table write-then-swap) and re-read.
-        # Sibling of the target => same FileSystem, no cross-FS copy.
-        staging = (
-            fs.makeQualified(target_path).toString()
-            + f"__upsert_stage_{uuid.uuid4().hex[:8]}"
-        )
-        out.write.mode("overwrite").parquet(staging)
-        merged = spark.read.parquet(staging)
-        _, staging_path = _hadoop_fs(spark, staging)
     else:
-        merged = src.filter(not_matched_insert).drop(*drop)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET_COL)
-        .parquet(target_dir)
+        out = src.filter(not_matched_insert).drop(*drop)
+    commit = f"commit_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+        target_dir.rstrip("/") + "/" + commit
     )
-    if exists:
-        # dynamic overwrite replaces only partitions PRESENT in the
-        # written data: a touched bucket whose rows were all deleted
-        # writes nothing, so its stale directory (and rows) would
-        # survive. Remove those directories explicitly. (≤ n_buckets
-        # values collected — bounded, not data-sized.)
-        remaining = {r[0] for r in merged.select(BUCKET_COL).distinct().collect()}
-        jvm = spark.sparkContext._jvm
-        for b in set(touched) - remaining:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(target_path, f"{BUCKET_COL}={b}"), True
-            )
-    else:
-        _write_bucket_meta(spark, fs, target_path, n_buckets)
-    if staging_path is not None:
-        fs.delete(staging_path, True)
+    # buckets present in the new commit: directory listing, not a
+    # second job — the write already materialized them
+    jvm = spark.sparkContext._jvm
+    commit_jpath = jvm.org.apache.hadoop.fs.Path(target_path, commit)
+    present = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(commit_jpath)
+        if st.getPath().getName().startswith(BUCKET_COL + "=")
+    ]
+    buckets_map: dict[str, str] = dict(meta["buckets"]) if exists else {}
+    for b in touched:
+        buckets_map.pop(str(b), None)  # emptied buckets drop out here
+    for b in present:
+        buckets_map[str(b)] = commit
+    _write_merge_meta(
+        spark,
+        fs,
+        target_path,
+        {
+            "format": 2,
+            "n_buckets": n_buckets,
+            "bucket_col": BUCKET_COL,
+            "buckets": buckets_map,
+            "schema": out.schema.json(),
+        },
+    )
 
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
@@ -613,46 +705,44 @@ def maintain_hourly_rollup(
     """
     spark = batch_df.sparkSession
     key_cols = ["user_id", "hour"]
+    # sum_value is STORED as decimal(38,10): a double round-trip between
+    # batches loses digits once a partial sum exceeds double's ~15-17
+    # significant digits, and the two-batch fold would drift from the
+    # one-shot exact decimal aggregation. Presentation casts to double
+    # happen at read time (see rollup_incremental_maintenance).
     delta = (
         batch_df.withColumn("hour", F.date_trunc("hour", F.col("ts")))
         .groupBy(*key_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,10)")).alias("_dsum"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("decimal(38,10)")
+            .alias("sum_value"),
             F.max("value").alias("max_value"),
         )
-        .withColumn("sum_value", F.col("_dsum").cast("string").cast("double"))
-        .drop("_dsum")
     )
     fs, target_path = _hadoop_fs(spark, rollup_dir)
-    exists = fs.exists(target_path) and any(
-        st.getPath().getName().startswith(BUCKET_COL + "=")
-        or st.getPath().getName() == "_SUCCESS"
-        for st in fs.listStatus(target_path)
-    )
-    if exists:
-        nb = _read_bucket_meta(spark, fs, target_path) or n_buckets
+    meta = _read_merge_meta(spark, fs, target_path)
+    if meta is not None:
+        nb = int(meta["n_buckets"])
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(nb)).cast("int")
         touched = [
             r[0] for r in delta.withColumn(BUCKET_COL, bucket).select(BUCKET_COL).distinct().collect()
         ]
         cur = (
-            spark.read.parquet(rollup_dir)
-            .filter(F.col(BUCKET_COL).isin(touched))
+            _read_buckets(spark, rollup_dir, meta, touched)
             .drop(BUCKET_COL)
             .join(delta.select(*key_cols), key_cols, "left_semi")
         )
         # fold: existing partials and the batch partials combine by
-        # the same monoid ops the per-batch aggregate used
+        # the same monoid ops the per-batch aggregate used — exact
+        # decimal-in, decimal-out, no float intermediary
         delta = (
             cur.unionByName(delta)
             .groupBy(*key_cols)
             .agg(
                 F.sum("n_events").alias("n_events"),
-                F.sum(F.col("sum_value").cast("decimal(38,10)"))
-                .cast("string")
-                .cast("double")
-                .alias("sum_value"),
+                F.sum("sum_value").cast("decimal(38,10)").alias("sum_value"),
                 F.max("max_value").alias("max_value"),
             )
             .select(*key_cols, "n_events", "max_value", "sum_value")
@@ -661,24 +751,38 @@ def maintain_hourly_rollup(
 
 
 def vacuum_merge_staging(spark: SparkSession, target_dir: str) -> int:
-    """Remove crash-leftover staging directories around a merge target.
+    """Garbage-collect a merge target: unreferenced commit directories
+    (superseded by later merges, or left by a merge that crashed before
+    its manifest swap) and legacy ``<target>__upsert_stage_<id>`` /
+    ``<target>__compact_<id>`` staging siblings. Returns the number of
+    directories removed.
 
-    A merge that dies between its staging write and the final swap
-    leaves a ``<target>__upsert_stage_<id>`` sibling behind — invisible
-    to readers (never referenced) but paying storage. This sweeps them;
-    run it from the same maintenance window as compaction. Returns the
-    number of directories removed. Safe concurrently with READERS (the
-    directories are unreferenced); do not run concurrently with an
-    in-flight merge on the SAME target.
+    Run from the same maintenance window as compaction. Readers that
+    resolved the CURRENT manifest are safe (everything it references is
+    kept); a reader still draining a snapshot superseded before the
+    vacuum can lose files under it — the same grace-period contract as
+    Delta/Iceberg ``VACUUM``. Do not run concurrently with an in-flight
+    merge on the SAME target (its not-yet-referenced commit dir looks
+    unreferenced).
     """
     fs, target_path = _hadoop_fs(spark, target_dir)
-    parent = target_path.getParent()
-    if parent is None or not fs.exists(parent):
-        return 0
-    prefix = target_path.getName() + "__upsert_stage_"
     removed = 0
-    for st in fs.listStatus(parent):
-        if st.getPath().getName().startswith(prefix):
-            fs.delete(st.getPath(), True)
-            removed += 1
+    parent = target_path.getParent()
+    if parent is not None and fs.exists(parent):
+        name = target_path.getName()
+        for st in fs.listStatus(parent):
+            nm = st.getPath().getName()
+            if nm.startswith(name + "__upsert_stage_") or nm.startswith(
+                name + "__compact_"
+            ):
+                fs.delete(st.getPath(), True)
+                removed += 1
+    meta = _read_merge_meta(spark, fs, target_path)
+    if meta is not None:
+        live = set(meta["buckets"].values())
+        for st in fs.listStatus(target_path):
+            nm = st.getPath().getName()
+            if nm.startswith("commit_") and nm not in live and st.isDirectory():
+                fs.delete(st.getPath(), True)
+                removed += 1
     return removed

@@ -12,38 +12,52 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 
 DRIVER_WINDOW = 50
 
-# Queries whose ONLY driver CORRECTNESS row will come from this round —
-# they must sit inside the driver's window.
+# Queries whose driver CORRECTNESS row most needs refreshing THIS round
+# (round 5) — they must sit inside the driver's window. The r5 rotation
+# front-loads the 33 lanes whose only green row is r1-vintage (four
+# fixture regenerations old), the two never-hashed lanes with their new
+# verifiable companions, and the new round-5 surface.
 MUST_BE_IN_WINDOW = [
-    # never driver-green: missed the r2 window, crashed r3
-    "events_hourly_ffill",
-    "funnel_conversion",
-    # new this round
-    "soql_child_traversal",
-    # crashed in r3 (SOQL NameError regression, fixed this round)
-    "soql_orders_rollup",
-    "soql_documents_filter",
-    "soql_parent_traversal",
-    "soql_rollup_traversal",
-    "soql_child_subquery",
-    "soql_child_subquery_where",
-    "soql_multihop_traversal",
-    "soql_in_subquery_semi",
-    "soql_in_subquery_anti",
-    # crashed in r3 (events-loader regression, fixed this round)
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_purchase_click",
-    "range_join_followups",
-    "asof_pandas_merge",
-    "stream_tumbling_1h",
-    "stream_dedup_exactly_once",
-    "stream_stateful_user_agg",
-    # displaced just past the r3 cutoff
-    "stream_stream_join_attribution",
-    "sink_roundtrip_partitioned",
-    "source_csv_roundtrip",
+    # r1-vintage text/embedding/multimodal/extension lanes
+    "doc_fingerprint",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "embedding_stats",
+    "ann_cosine_topk",
+    "udtf_bigrams",
+    "pandas_udf_zscore",
+    "dispersion_stats",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    # r1-vintage relational long tail
+    "agg_having",
+    "agg_stats_by_status",
+    "approx_distinct_custkeys",
+    "array_functions",
+    "conditional_predicates",
+    "cube_status_priority",
+    "date_functions",
+    "distinct_flags",
+    "filter_project",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "map_functions",
+    "math_functions",
+    "min_per_group_joinback",
+    "order_limit_offset",
+    "pivot_returnflag",
+    "rollup_flags",
+    "set_ops",
+    "set_ops_all",
+    "string_functions",
+    # never-hashed lanes + round-5 verifiable companions
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_agreement",
+    "multimodal_features",
+    "multimodal_features_checksum",
 ]
 
 

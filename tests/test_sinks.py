@@ -184,12 +184,14 @@ def test_scd2_idempotent_reapply_and_asof(spark, tmp_path):
     t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
     scd2_apply(b1, dim, ["k"], ["tier"], t1)
     scd2_apply(b1, dim, ["k"], ["tier"], F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
-    hist = spark.read.parquet(dim)
+    from sf_etl_spark.streaming import read_merge_target
+
+    hist = read_merge_target(spark, dim)
     assert hist.count() == 2  # idempotent: no new versions
 
     b2 = spark.createDataFrame([(1, "platinum"), (3, "bronze")], "k int, tier string")
     scd2_apply(b2, dim, ["k"], ["tier"], F.lit("2024-02-01 00:00:00").cast("timestamp_ntz"))
-    hist = spark.read.parquet(dim).drop("_kbucket")
+    hist = read_merge_target(spark, dim).drop("_kbucket")
     assert hist.count() == 4  # closed+opened for k=1, new k=3, untouched k=2
 
     # as-of join: facts at mid-January must see the ORIGINAL tier
@@ -204,3 +206,62 @@ def test_scd2_idempotent_reapply_and_asof(spark, tmp_path):
     )
     tiers = {(r.ts.day, r.tier) for r in joined.select(facts.ts, hist.tier).collect()}
     assert tiers == {(20, "gold"), (2, "platinum")}
+
+
+def test_compact_parquet_merge_target_atomic(spark, tmp_path):
+    """Compacting a merge target must collapse it to ONE commit dir,
+    preserve the bucket layout and recorded bucket count (the next
+    merge must keep working), and never change the visible rows."""
+    import os
+
+    from sf_etl_spark.sinks import compact_parquet
+    from sf_etl_spark.streaming.pipelines import (
+        _hadoop_fs,
+        _read_merge_meta,
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "merge_compact")
+    base = spark.range(100).select(F.col("id").alias("k"), F.lit("v0").alias("v"))
+    merge_into_partitioned_parquet(base, ["k"], target, n_buckets=4)
+    # fragment: several merges → several live commit dirs
+    for tag in ("v1", "v2", "v3"):
+        batch = spark.range(0, 100, 7).select(
+            F.col("id").alias("k"), F.lit(tag).alias("v")
+        )
+        merge_into_partitioned_parquet(batch, ["k"], target, n_buckets=4)
+    before = {
+        (r.k, r.v) for r in read_merge_target(spark, target).drop("_kbucket").collect()
+    }
+
+    compact_parquet(spark, target, target_rows_per_file=1000)
+
+    commits = [d for d in os.listdir(target) if d.startswith("commit_")]
+    assert len(commits) == 1  # one live commit, superseded ones vacuumed
+    fs, tp = _hadoop_fs(spark, target)
+    meta = _read_merge_meta(spark, fs, tp)
+    assert int(meta["n_buckets"]) == 4  # bucket count survives compaction
+    after = {
+        (r.k, r.v) for r in read_merge_target(spark, target).drop("_kbucket").collect()
+    }
+    assert after == before
+
+    # the compacted target still merges correctly (bucketing intact)
+    merge_into_partitioned_parquet(
+        spark.createDataFrame([(3, "post")], "k long, v string"), ["k"], target
+    )
+    vals = {r.k: r.v for r in read_merge_target(spark, target).collect()}
+    assert vals[3] == "post" and len(vals) == 100
+
+
+def test_compact_parquet_merge_target_refuses_flatten(spark, tmp_path):
+    from sf_etl_spark.sinks import compact_parquet
+    from sf_etl_spark.streaming.pipelines import merge_into_partitioned_parquet
+
+    target = str(tmp_path / "merge_noflat")
+    merge_into_partitioned_parquet(
+        spark.createDataFrame([(1, "a")], "k int, v string"), ["k"], target, n_buckets=2
+    )
+    with pytest.raises(ValueError, match="merge target"):
+        compact_parquet(spark, target, partition_by=["v"])

@@ -1,5 +1,5 @@
 """Pre-snapshot smoke gate: construct EVERY registered query's
-DataFrame against sf0.001 and force analysis, without executing it.
+DataFrame against sf0.001 and force analysis.
 
 Round 3 shipped two regressions a plan-time check would have caught in
 under a minute (a NameError in the SOQL compiler and an
@@ -9,10 +9,16 @@ again. Run it before any commit touching `sf_etl_spark/`:
 
     python -m pytest tests/test_smoke_gate.py -q
 
-Plan construction + `df.schema` drives Catalyst analysis (column
-resolution, type checking, UDF registration) but no jobs, so the whole
-gate is seconds, not minutes. The full oracle suite
-(`test_queries_oracle.py`) remains the correctness authority.
+For most lanes, plan construction + `df.schema` drives Catalyst
+analysis (column resolution, type checking, UDF registration) but no
+jobs. The exceptions are the EXECUTE_ON_CONSTRUCT lanes below: their
+fn() performs real merges/writes at DataFrame-construction time
+(returning a read-back of the written target), so the gate runs real
+jobs — and leaves tempdirs — for exactly those names. That is the
+price of gating them at all; the list keeps the cost visible and lets
+`-m "not smoke_exec"` skip them for a sub-minute pure-analysis pass.
+The full oracle suite (`test_queries_oracle.py`) remains the
+correctness authority.
 """
 
 from __future__ import annotations
@@ -24,6 +30,23 @@ from sf_etl_spark.sources import TABLES, load_table
 
 SPECS = all_queries()
 
+#: Lanes whose fn() executes writes/merges during DataFrame
+#: construction (the returned df is a read-back of a just-written
+#: target) — the gate runs real jobs for these.
+EXECUTE_ON_CONSTRUCT = {
+    "sink_merge_cdc",
+    "zorder_roundtrip",
+    "scd2_dimension_history",
+    "rollup_incremental_maintenance",
+    "dq_observe_inflight",
+    "bucketed_join_colocated",
+    "sink_roundtrip_partitioned",
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "source_schema_evolution",
+}
+
 
 @pytest.mark.parametrize("table", sorted(TABLES))
 def test_table_loads(spark, sf_dir, table):
@@ -31,7 +54,16 @@ def test_table_loads(spark, sf_dir, table):
     assert df.columns
 
 
-@pytest.mark.parametrize("name", sorted(SPECS))
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.smoke_exec)
+        if n in EXECUTE_ON_CONSTRUCT
+        else n
+        for n in sorted(SPECS)
+    ],
+)
 def test_query_plan_analyzes(spark, sf_dir, name):
     df = SPECS[name].fn(spark, sf_dir)
-    assert df.schema.fields  # forces analysis; no execution
+    # forces analysis; executes jobs only for EXECUTE_ON_CONSTRUCT lanes
+    assert df.schema.fields

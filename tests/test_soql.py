@@ -483,3 +483,97 @@ def test_date_fn_rollup_and_default_name(spark, sf_dir):
         _resolver(spark, sf_dir),
     )
     assert "calendar_month_o_orderdate" in df2.columns
+
+
+# -- TYPEOF polymorphic dispatch --------------------------------------------
+
+_POLY = {
+    "who": {
+        "type_col": "who_type",
+        "fk_col": "who_id",
+        "targets": {"Lead": "lead_pk", "Contact": "contact_pk"},
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def poly_resolve(spark):
+    def _resolve(name: str):
+        if name == "Task":
+            return spark.createDataFrame(
+                [
+                    (1, 10, "Lead"),
+                    (2, 20, "Contact"),
+                    (3, 99, "Lead"),  # dangling FK → NULL branch fields
+                    (4, 10, "Contact"),  # same key, other type
+                ],
+                "task_id int, who_id int, who_type string",
+            )
+        if name == "Lead":
+            return spark.createDataFrame(
+                [(10, "lead-a", "web"), (11, "lead-b", "ad")],
+                "lead_pk int, lead_name string, source string",
+            )
+        if name == "Contact":
+            return spark.createDataFrame(
+                [(10, "contact-x"), (20, "contact-y")],
+                "contact_pk int, contact_name string",
+            )
+        raise KeyError(name)
+
+    return _resolve
+
+
+def test_typeof_branches_and_nulls(poly_resolve):
+    got = soql_to_df(
+        "SELECT task_id, TYPEOF who WHEN Lead THEN lead_name, source "
+        "WHEN Contact THEN contact_name END FROM Task ORDER BY task_id",
+        poly_resolve,
+        polymorphic=_POLY,
+    )
+    assert got.columns == ["task_id", "who_lead_name", "who_source", "who_contact_name"]
+    assert rows(got) == [
+        (1, "lead-a", "web", None),  # Lead branch populated
+        (2, None, None, "contact-y"),  # Contact branch populated
+        (3, None, None, None),  # dangling FK: all branch fields NULL
+        (4, None, None, "contact-x"),  # type gate picks Contact for key 10
+    ]
+
+
+def test_typeof_single_branch_with_where(poly_resolve):
+    got = soql_to_df(
+        "SELECT task_id, TYPEOF who WHEN Lead THEN lead_name END "
+        "FROM Task WHERE task_id < 3 ORDER BY task_id",
+        poly_resolve,
+        polymorphic=_POLY,
+    )
+    assert rows(got) == [(1, "lead-a"), (2, None)]
+
+
+def test_typeof_errors(poly_resolve):
+    with pytest.raises(SoqlError, match="polymorphic registry"):
+        soql_to_df(
+            "SELECT TYPEOF owner WHEN Lead THEN lead_name END FROM Task",
+            poly_resolve,
+            polymorphic=_POLY,
+        )
+    with pytest.raises(SoqlError, match="admissible target"):
+        soql_to_df(
+            "SELECT TYPEOF who WHEN Account THEN x END FROM Task",
+            poly_resolve,
+            polymorphic=_POLY,
+        )
+    with pytest.raises(SoqlError, match="ELSE is not supported"):
+        soql_to_df(
+            "SELECT TYPEOF who WHEN Lead THEN lead_name ELSE name END FROM Task",
+            poly_resolve,
+            polymorphic=_POLY,
+        )
+    with pytest.raises(SoqlError, match="at least one WHEN"):
+        soql_to_df("SELECT TYPEOF who END FROM Task", poly_resolve, polymorphic=_POLY)
+    with pytest.raises(SoqlError, match="GROUP BY or aggregates"):
+        soql_to_df(
+            "SELECT COUNT(), TYPEOF who WHEN Lead THEN lead_name END FROM Task",
+            poly_resolve,
+            polymorphic=_POLY,
+        )

@@ -112,7 +112,9 @@ def test_foreach_batch_upsert(spark, sf_dir, staged, tmp_path):
     plan = stream_stateful_user_counts(events_stream(spark, staged))
     q = foreach_batch_upsert_parquet(plan, key_cols=["user_id"], target_dir=target)
     q.awaitTermination()
-    got = spark.read.parquet(target)
+    from sf_etl_spark.streaming import read_merge_target
+
+    got = read_merge_target(spark, target)
     want = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -200,6 +202,7 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert len(touched) < n_buckets  # the test must exercise untouched buckets
     upsert_partitioned_parquet(batch, ["k"], target, n_buckets=n_buckets)
     after = digest()
+    from sf_etl_spark.streaming import read_merge_target
 
     def bucket_of(relpath: str) -> int:
         return int(relpath.split("_kbucket=")[1].split("/")[0])
@@ -208,7 +211,7 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     untouched_after = {p: h for p, h in after.items() if bucket_of(p) not in touched}
     assert untouched_before == untouched_after  # same files, same bytes
 
-    got = spark.read.parquet(target)
+    got = read_merge_target(spark, target)
     assert got.count() == 201  # 200 base + 1 new key
     vals = {r["k"]: r["v"] for r in got.collect()}
     assert vals[3] == "v1" and vals[11] == "v1" and vals[777] == "new"
@@ -246,7 +249,9 @@ def test_merge_into_clause_semantics(spark, tmp_path):
         not_matched_insert=F.col("op") != "D",
         drop_cols=["op"],
     )
-    back = spark.read.parquet(target).drop("_kbucket")
+    from sf_etl_spark.streaming import read_merge_target
+
+    back = read_merge_target(spark, target).drop("_kbucket")
     assert "op" not in back.columns
     got = sorted((r.k, r.v) for r in back.collect())
     assert got == [(1, "a"), (2, "B"), (4, "d"), (5, "e")]
@@ -269,7 +274,9 @@ def test_merge_matched_no_clause_keeps_target_row(spark, tmp_path):
         when_matched=[(F.col("k") == 2, "update")],  # k=1 matches no clause
         not_matched_insert=False,
     )
-    back = spark.read.parquet(target).drop("_kbucket")
+    from sf_etl_spark.streaming import read_merge_target
+
+    back = read_merge_target(spark, target).drop("_kbucket")
     assert sorted((r.k, r.v) for r in back.collect()) == [(1, "keep"), (2, "new")]
 
 
@@ -284,7 +291,10 @@ def test_merge_into_random_cdc_matches_model(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from sf_etl_spark.streaming.pipelines import merge_into_partitioned_parquet
+    from sf_etl_spark.streaming.pipelines import (
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
 
     rng = random.Random(7)
     target = str(tmp_path / "cdc_model")
@@ -320,7 +330,7 @@ def test_merge_into_random_cdc_matches_model(spark, tmp_path):
         )
         got = {
             r.k: r.v
-            for r in spark.read.parquet(target).drop("_kbucket").collect()
+            for r in read_merge_target(spark, target).drop("_kbucket").collect()
         }
         assert got == model, f"round {round_no}: {got} != {model}"
 
@@ -341,4 +351,102 @@ def test_vacuum_merge_staging(spark, tmp_path):
     os.makedirs(target + "__upsert_stage_cafef00d")
     assert vacuum_merge_staging(spark, target) == 2
     assert vacuum_merge_staging(spark, target) == 0  # idempotent
-    assert spark.read.parquet(target).count() == 1  # target untouched
+    from sf_etl_spark.streaming import read_merge_target
+
+    assert read_merge_target(spark, target).count() == 1  # target untouched
+
+
+def test_merge_commit_is_snapshot_atomic(spark, tmp_path):
+    """The manifest swap is the commit point: a reader that resolved
+    the manifest BEFORE a merge materializes fully-OLD data even when
+    collected after the merge finished (its commit dirs are immutable
+    and still on disk); a reader resolving AFTER sees fully-NEW. No
+    interleaving can observe bucket A new / bucket B old — the exact
+    torn-read window the pre-manifest dynamic-overwrite commit had."""
+    from sf_etl_spark.streaming.pipelines import (
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "snap")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    )
+    merge_into_partitioned_parquet(base, ["k"], target, n_buckets=8)
+
+    # reader 1 resolves the manifest now (plan pinned to old commits)
+    old_snapshot = read_merge_target(spark, target)
+
+    # a merge touching EVERY bucket (worst case for a torn read)
+    batch = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")
+    )
+    merge_into_partitioned_parquet(batch, ["k"], target, n_buckets=8)
+
+    got_old = {r.v for r in old_snapshot.collect()}
+    assert got_old == {"old"}  # fully old — no mixed versions
+
+    got_new = {r.v for r in read_merge_target(spark, target).collect()}
+    assert got_new == {"new"}  # fully new
+
+
+def test_merge_crash_before_manifest_swap_is_invisible(spark, tmp_path):
+    """A commit directory without a manifest reference (what a crash
+    between data write and manifest swap leaves) must not change what
+    readers see, and vacuum must remove it."""
+    import os
+
+    from sf_etl_spark.streaming.pipelines import (
+        merge_into_partitioned_parquet,
+        read_merge_target,
+        vacuum_merge_staging,
+    )
+
+    target = str(tmp_path / "crashy")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    merge_into_partitioned_parquet(base, ["k"], target, n_buckets=2)
+
+    # simulate the crash: orphan commit dir with plausible content
+    orphan = os.path.join(target, "commit_deadbeef")
+    spark.createDataFrame([(9, "ghost", 0)], "k int, v string, _kbucket int").write.partitionBy(
+        "_kbucket"
+    ).parquet(orphan)
+
+    got = {(r.k, r.v) for r in read_merge_target(spark, target).drop("_kbucket").collect()}
+    assert got == {(1, "a"), (2, "b")}  # orphan invisible
+    assert vacuum_merge_staging(spark, target) == 1  # orphan removed
+    assert not os.path.exists(orphan)
+    got = {(r.k, r.v) for r in read_merge_target(spark, target).drop("_kbucket").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_removes_superseded_commits(spark, tmp_path):
+    """Each merge supersedes the touched buckets' previous commit dirs;
+    vacuum collects every dir the current manifest no longer references
+    while the referenced ones survive."""
+    import os
+
+    from sf_etl_spark.streaming.pipelines import (
+        merge_into_partitioned_parquet,
+        read_merge_target,
+        vacuum_merge_staging,
+    )
+
+    target = str(tmp_path / "gc")
+    base = spark.range(50).select(F.col("id").alias("k"), F.lit("v0").alias("v"))
+    merge_into_partitioned_parquet(base, ["k"], target, n_buckets=4)
+    # touch every bucket twice → first two commits fully superseded
+    for tag in ("v1", "v2"):
+        merge_into_partitioned_parquet(
+            spark.range(50).select(F.col("id").alias("k"), F.lit(tag).alias("v")),
+            ["k"],
+            target,
+            n_buckets=4,
+        )
+    commits = [d for d in os.listdir(target) if d.startswith("commit_")]
+    assert len(commits) == 3
+    assert vacuum_merge_staging(spark, target) == 2  # two superseded dirs
+    commits = [d for d in os.listdir(target) if d.startswith("commit_")]
+    assert len(commits) == 1
+    got = {r.v for r in read_merge_target(spark, target).collect()}
+    assert got == {"v2"}
