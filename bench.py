@@ -106,6 +106,16 @@ HEADLINE = [
     "histogram_totalprice",
     "zorder_roundtrip",
     "rollup_incremental_maintenance",
+    # round 5 additions: polymorphic SOQL dispatch, the two
+    # verification companions that graduated the rows-only lanes, and
+    # the last three TPC-H shapes (argmin join-back, global-scalar
+    # HAVING, nested correlated-threshold semi joins)
+    "soql_typeof",
+    "ann_ivf_kmeans_agreement",
+    "multimodal_features_checksum",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
 ]
 
 
@@ -124,8 +134,11 @@ def main() -> None:
 
     # Best-of-N per query: the host VM exhibits multi-second CPU-
     # contention bursts (identical single-task stages vary 10-40x
-    # between runs); min-of-2 measures the engine, not the neighbor.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # between runs); min-of-N measures the engine, not the neighbor.
+    # Default N=3: the r4 "1.44x drift vs r2" on UNCHANGED code fell to
+    # 1.14x (zero queries >=1.5x) the moment best-of-2 became best-of-3
+    # — adjudicated as contention noise, recorded in PLANS.md round 5.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn

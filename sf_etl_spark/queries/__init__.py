@@ -128,6 +128,9 @@ _PRIORITY_ORDER = [
     "multimodal_features_checksum",
     # new round-5 surface (first driver rows)
     "soql_typeof",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

@@ -697,3 +697,187 @@ def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: the correlated-scalar-min shape, adapted
+# (no partsupp in the fixture — lineitem is the part<->supplier bridge
+# and unit cost derives from it as min(extendedprice/quantity), an
+# IEEE-exact division so both engines agree bit-for-bit). The min is
+# RESTRICTED to the region's suppliers before correlating, exactly as
+# Q2 scopes ps_supplycost to the region. Scale: the decorrelated
+# per-part min is one partial-agged shuffle of the bridge; region
+# suppliers broadcast; the min join-back is an equi-join on
+# (part, cost) — the classic argmin-by-joinback, never a per-part
+# subquery execution.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH asia_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ), ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN asia_supp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey, l_suppkey
+    ), mc AS (
+      SELECT l_partkey AS mc_partkey, min(unit_cost) AS min_cost
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM ps
+    JOIN mc ON mc_partkey = l_partkey AND unit_cost = min_cost
+    JOIN asia_supp ON l_suppkey = s_suppkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (5, 10)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: region-scoped per-part min cost, argmin by join-back",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, s, n, r, p = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region", "part")
+    asia_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        l.join(F.broadcast(asia_supp.select("s_suppkey")),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    mc = ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    pf = p.filter(F.col("p_size").isin(5, 10)).select("p_partkey", "p_name")
+    return (
+        ps.join(
+            mc,
+            (F.col("mc_partkey") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: HAVING against a GLOBAL scalar subquery
+# (group value > fraction of total value). Adapted: "value" is
+# lineitem revenue from one nation's suppliers (no partsupp). Scale:
+# per-part values are one partial-agged shuffle; the global total is a
+# 1-row broadcast re-entering the HAVING as a plain filter — the
+# scalar subquery decorrelation that keeps this a two-job plan at any
+# size. Double parity: part values come from the exact-decimal lane,
+# and total/threshold recompute from those exact doubles identically
+# in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_parts",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, {SUMD(_REV_SQL)} AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (
+      SELECT CAST(CAST(sum(CAST(part_value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             * 0.002
+      FROM pv
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape: HAVING vs global scalar total, 1-row broadcast threshold",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, s, n = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        l.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(_rev()).alias("part_value"))
+    )
+    total = pv.agg(
+        (dsum(F.col("part_value")) * F.lit(0.002)).alias("__threshold")
+    )
+    return (
+        pv.join(F.broadcast(total), F.col("part_value") > F.col("__threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential promotion suppliers: the nested-semi-join-with-
+# correlated-threshold shape (supplier IN (... GROUP BY ... HAVING
+# agg > correlated scalar)). Adapted: the threshold is the per-part
+# cross-supplier average shipped quantity (no ps_availqty); suppliers
+# shipping a promo part above its average qualify. Scale: the bridge
+# agg and the per-part avg are partial-agged shuffles over the SAME
+# grouping prefix (Catalyst reuses the exchange); qualification is an
+# equi-join on part; the final supplier restriction is a semi join —
+# no correlated execution anywhere. Quantity sums/avgs are
+# integer-valued doubles, portable in any fold order.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_promo_suppliers",
+    """
+    WITH promo_parts AS (
+      SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+    ), pairs AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS ship_qty
+      FROM lineitem JOIN promo_parts ON p_partkey = l_partkey
+      GROUP BY l_suppkey, l_partkey
+    ), pa AS (
+      SELECT l_partkey AS pa_partkey, avg(ship_qty) AS avg_qty
+      FROM pairs GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM pairs JOIN pa ON pa_partkey = l_partkey
+      WHERE ship_qty > avg_qty
+    )
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: nested semi joins + correlated per-part threshold",
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    promo = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    pairs = (
+        l.join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("ship_qty"))
+    )
+    pa = pairs.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.avg("ship_qty").alias("avg_qty")
+    )
+    qualified = (
+        pairs.join(pa, F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("ship_qty") > F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

@@ -58,6 +58,11 @@ MUST_BE_IN_WINDOW = [
     "ann_ivf_kmeans_agreement",
     "multimodal_features",
     "multimodal_features_checksum",
+    # new round-5 surface (first driver rows)
+    "soql_typeof",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
 ]
 
 
