@@ -116,6 +116,8 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q20_promo_suppliers",
+    # continuous-ingestion dedup: fingerprint-store fold across batches
+    "dedup_incremental_ingest",
 ]
 
 

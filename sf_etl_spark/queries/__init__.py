@@ -131,6 +131,7 @@ _PRIORITY_ORDER = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q20_promo_suppliers",
+    "dedup_incremental_ingest",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

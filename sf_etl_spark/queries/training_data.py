@@ -880,3 +880,64 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup: the CONTINUOUS form of exact dedup — a
+# persistent fingerprint store (md5(text) -> keeper doc + occurrence
+# count) maintained across ingest batches, so each new batch dedupes
+# against everything ever seen WITHOUT rescanning the corpus. This is
+# the shape a 100 TB pipeline actually runs: the one-shot
+# `dedup_exact` is the bootstrap, this is day 2.
+#
+# Mechanics per batch: pre-aggregate the batch to one row per
+# fingerprint (min doc_id keeps the earliest copy; count tallies the
+# batch's duplicates), then fold into the manifest-merged store via
+# fold_into_rollup — stored rows for ONLY the touched fingerprints are
+# read back (manifest-pruned buckets), combined (keeper = min, count =
+# sum), and merged with snapshot-atomic commit. Cost per batch is
+# O(|batch fingerprints|), independent of store size.
+#
+# The oracle replays the ingestion as ONE exact aggregation: any lost
+# fold, double count, or keeper drift between the two batch applies
+# breaks the value hash. md5 is the cross-engine-portable fingerprint.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental_ingest",
+    """
+    SELECT md5(text) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_seen
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keeper_doc_id
+    """,
+    doc="persistent fingerprint store: two ingest batches == one exact dedup agg",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sf_etl_spark.streaming.pipelines import fold_into_rollup, read_merge_target
+
+    d = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="dedup_inc_") + "/fingerprints"
+    # batch boundary mid-corpus: fingerprints spanning it exercise the
+    # fold path (keeper min + count sum), not just insert
+    mid = d.agg(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)")).first()[0]
+    for batch in (d.filter(F.col("doc_id") <= mid), d.filter(F.col("doc_id") > mid)):
+        delta = (
+            batch.select(F.md5(F.encode("text", "utf-8")).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("keeper_doc_id"),
+                F.count(F.lit(1)).alias("n_seen"),
+            )
+        )
+        fold_into_rollup(
+            delta, ["fp"], {"keeper_doc_id": "min", "n_seen": "sum"}, store
+        )
+    return (
+        read_merge_target(spark, store)
+        .select("fp", "keeper_doc_id", "n_seen")
+        .orderBy("keeper_doc_id")
+    )

@@ -677,6 +677,65 @@ def stream_tws_user_counts(events: DataFrame, watermark: str = "10 minutes") -> 
 # -- incremental rollup maintenance (hypertable-style continuous agg) -------
 
 
+def fold_into_rollup(
+    delta: DataFrame,
+    key_cols: list[str],
+    monoid: dict[str, str],
+    rollup_dir: str,
+    n_buckets: int = 16,
+) -> None:
+    """Fold a pre-aggregated delta into a stored rollup table — the
+    generic continuous-aggregate step: stored partials for ONLY the
+    delta's keys are read back (manifest-pruned to the touched
+    buckets), combined column-by-column with the delta under
+    ``monoid`` (``{col: 'sum'|'min'|'max'}`` — commutative,
+    associative folds only; that is the admission rule: avg must be
+    maintained as sum+count), and merged back with replace semantics.
+    Cost per batch is O(|delta keys|), independent of rollup size.
+
+    Consumers: :func:`maintain_hourly_rollup` (events → hourly stats),
+    `dedup_incremental_ingest` (fingerprint store). Exactly-once under
+    replays requires the caller to dedupe epochs (the standard
+    ``foreachBatch`` idempotence recipe).
+    """
+    for op in monoid.values():
+        if op not in ("sum", "min", "max"):
+            raise ValueError(f"non-monoid fold {op!r}: use sum/min/max")
+    spark = delta.sparkSession
+    out_cols = list(delta.columns)
+    fs, target_path = _hadoop_fs(spark, rollup_dir)
+    meta = _read_merge_meta(spark, fs, target_path)
+    if meta is not None:
+        nb = int(meta["n_buckets"])
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(nb)
+        ).cast("int")
+        touched = [
+            r[0]
+            for r in delta.withColumn(BUCKET_COL, bucket)
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        ]
+        cur = (
+            _read_buckets(spark, rollup_dir, meta, touched)
+            .drop(BUCKET_COL)
+            .join(delta.select(*key_cols), key_cols, "left_semi")
+        )
+        delta = (
+            cur.unionByName(delta)
+            .groupBy(*key_cols)
+            .agg(
+                *[
+                    getattr(F, op)(c).cast(dict(delta.dtypes)[c]).alias(c)
+                    for c, op in monoid.items()
+                ]
+            )
+            .select(*out_cols)
+        )
+    merge_into_partitioned_parquet(delta, key_cols, rollup_dir, n_buckets=n_buckets)
+
+
 def maintain_hourly_rollup(
     batch_df: DataFrame,
     rollup_dir: str,
@@ -703,7 +762,6 @@ def maintain_hourly_rollup(
     production would stamp ``batch_id`` and skip seen epochs (the
     standard foreachBatch idempotence recipe).
     """
-    spark = batch_df.sparkSession
     key_cols = ["user_id", "hour"]
     # sum_value is STORED as decimal(38,10): a double round-trip between
     # batches loses digits once a partial sum exceeds double's ~15-17
@@ -721,33 +779,17 @@ def maintain_hourly_rollup(
             F.max("value").alias("max_value"),
         )
     )
-    fs, target_path = _hadoop_fs(spark, rollup_dir)
-    meta = _read_merge_meta(spark, fs, target_path)
-    if meta is not None:
-        nb = int(meta["n_buckets"])
-        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(nb)).cast("int")
-        touched = [
-            r[0] for r in delta.withColumn(BUCKET_COL, bucket).select(BUCKET_COL).distinct().collect()
-        ]
-        cur = (
-            _read_buckets(spark, rollup_dir, meta, touched)
-            .drop(BUCKET_COL)
-            .join(delta.select(*key_cols), key_cols, "left_semi")
-        )
-        # fold: existing partials and the batch partials combine by
-        # the same monoid ops the per-batch aggregate used — exact
-        # decimal-in, decimal-out, no float intermediary
-        delta = (
-            cur.unionByName(delta)
-            .groupBy(*key_cols)
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").cast("decimal(38,10)").alias("sum_value"),
-                F.max("max_value").alias("max_value"),
-            )
-            .select(*key_cols, "n_events", "max_value", "sum_value")
-        )
-    merge_into_partitioned_parquet(delta, key_cols, rollup_dir, n_buckets=n_buckets)
+    # fold: existing partials and the batch partials combine by the
+    # same monoid ops the per-batch aggregate used — exact decimal-in,
+    # decimal-out, no float intermediary (fold_into_rollup casts each
+    # combined column back to the delta's stored dtype)
+    fold_into_rollup(
+        delta,
+        key_cols,
+        {"n_events": "sum", "sum_value": "sum", "max_value": "max"},
+        rollup_dir,
+        n_buckets=n_buckets,
+    )
 
 
 def vacuum_merge_staging(spark: SparkSession, target_dir: str) -> int:

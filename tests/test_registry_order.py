@@ -63,6 +63,7 @@ MUST_BE_IN_WINDOW = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q20_promo_suppliers",
+    "dedup_incremental_ingest",
 ]
 
 

@@ -450,3 +450,29 @@ def test_vacuum_removes_superseded_commits(spark, tmp_path):
     assert len(commits) == 1
     got = {r.v for r in read_merge_target(spark, target).collect()}
     assert got == {"v2"}
+
+
+def test_fold_into_rollup_monoid_semantics(spark, tmp_path):
+    """Generic continuous-aggregate fold: applying deltas in two
+    batches equals one direct aggregation; non-monoid ops refused."""
+    import pytest
+
+    from sf_etl_spark.streaming.pipelines import fold_into_rollup, read_merge_target
+
+    store = str(tmp_path / "fold")
+    b1 = spark.createDataFrame(
+        [("a", 5, 1.0), ("b", 2, 9.0)], "k string, n bigint, mx double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3, 7.5), ("c", 1, 2.0)], "k string, n bigint, mx double"
+    )
+    for b in (b1, b2):
+        fold_into_rollup(b, ["k"], {"n": "sum", "mx": "max"}, store, n_buckets=2)
+    got = {
+        r.k: (r.n, r.mx)
+        for r in read_merge_target(spark, store).drop("_kbucket").collect()
+    }
+    assert got == {"a": (8, 7.5), "b": (2, 9.0), "c": (1, 2.0)}
+
+    with pytest.raises(ValueError, match="non-monoid"):
+        fold_into_rollup(b1, ["k"], {"n": "avg"}, store)
