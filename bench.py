@@ -118,6 +118,14 @@ HEADLINE = [
     "q20_promo_suppliers",
     # continuous-ingestion dedup: fingerprint-store fold across batches
     "dedup_incremental_ingest",
+    # round 5, second batch: sessionization with explicit ids, cohort
+    # retention, median/MAD outlier screen, BM25 retrieval, and the
+    # bloom-pruned semi join (scan-level runtime filtering)
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
 ]
 
 

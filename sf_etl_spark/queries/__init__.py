@@ -132,6 +132,14 @@ _PRIORITY_ORDER = [
     "q11_important_parts",
     "q20_promo_suppliers",
     "dedup_incremental_ingest",
+    # new round-5 surface, second batch (first driver rows):
+    # sessionization/cohort/outlier analytics over events, BM25
+    # retrieval, bloom-pruned semi join
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

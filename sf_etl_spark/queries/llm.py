@@ -989,3 +989,129 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the inverted-index scoring function behind
+# full-text search (Robertson/Spärck Jones; k1=1.2, b=0.75). Like
+# tfidf_top_terms above, the idf keeps its RATIONAL form
+# (N - df + 0.5)/(df + 0.5) instead of its logarithm: divide/multiply
+# are exactly specified by IEEE-754 while libm ln() is not, so scores
+# are bit-equal across engines. The per-term partial scores of the
+# fixed 3-term query are PIVOTED into one column per term and added in
+# a fixed left-to-right order — summation order is part of the
+# contract, so the value hash cannot wobble with aggregation order.
+# Scale: tf/df/avgdl are partial-agged shuffles on (doc, term)/term;
+# the query-term filter prunes the postings join to |q| terms BEFORE
+# the shuffle, and the two scalars (N, avgdl) re-enter as 1-row
+# broadcasts — the classic search-engine scoring plan, no UDFs.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("merge", "window", "shuffle")
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, term FROM words WHERE length(term) > 0
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt
+      FROM toks GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+      GROUP BY term
+    ), partial AS (
+      SELECT t.doc_id, t.term,
+             ((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * ((t.cnt * 2.2)
+                / (t.cnt + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl)))) AS sc
+      FROM tf t
+      JOIN dfreq f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ), pivoted AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term = '{_BM25_TERMS[0]}' THEN sc END), 0.0)
+             + coalesce(max(CASE WHEN term = '{_BM25_TERMS[1]}' THEN sc END), 0.0)
+             + coalesce(max(CASE WHEN term = '{_BM25_TERMS[2]}' THEN sc END), 0.0)
+               AS score
+      FROM partial GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM pivoted
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 top-20 retrieval for a fixed 3-term query (rational idf, pivoted fixed-order sum)",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    dfreq = (
+        tf.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    sc = (
+        ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        * (
+            (F.col("cnt") * F.lit(2.2))
+            / (
+                F.col("cnt")
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+    )
+    partial = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", sc.alias("sc"))
+    )
+
+    def _term_col(t: str) -> F.Column:
+        return F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0)
+        )
+
+    pivoted = partial.groupBy("doc_id").agg(
+        (
+            _term_col(_BM25_TERMS[0])
+            + _term_col(_BM25_TERMS[1])
+            + _term_col(_BM25_TERMS[2])
+        ).alias("score")
+    )
+    # top-20 via orderBy+limit FIRST (Spark plans TakeOrderedAndProject:
+    # per-partition partial top-k, no global sort/shuffle of all docs);
+    # the rank window then runs over 20 rows, not the corpus.
+    top = pivoted.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "score", "rank")
+        .orderBy(F.col("score").desc(), "doc_id")
+    )

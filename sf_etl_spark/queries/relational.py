@@ -1506,3 +1506,59 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned selective semi join (operators/bloom.py). The urgent-
+# orders key set (~20% of orders) is folded into a 16 KiB Bloom bitmap
+# that rides to the lineitem scan as a broadcast 1-row map; ~80% of
+# lineitem rows fail the bit tests INSIDE the scan stage and never
+# reach the join exchange — at 100 TB that is the difference between
+# shuffling the whole fact table and shuffling a fifth of it. False
+# positives are removed by the exact semi join that follows, so the
+# result is exactly the plain semi join the oracle states (the bloom
+# never appears in the oracle — it is a pure bandwidth optimization).
+# Plan-guarded in tests/test_plans.py: the bit-test Filter sits below
+# the semi-join exchange.
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_semi_join_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+                     AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="bloom-filter pre-pruned semi join: urgent-order revenue by returnflag",
+)
+def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.bloom import bloom_build, bloom_prune_literal
+
+    l, o = _t(spark, sf_dir, "lineitem", "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = bloom_build(urgent, "o_orderkey")
+    # literal variant: the lazy crossJoin form gets re-ordered ABOVE
+    # the semi join by PushLeftSemiLeftAntiThroughJoin — see
+    # operators/bloom.py:bloom_prune_literal for the adjudication
+    pruned = bloom_prune_literal(l, "l_orderkey", bloom)
+    return (
+        pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            )
+            .cast("string")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -447,3 +447,253 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization with EXPLICIT session ids. window_session (above)
+# aggregates away event lineage via `F.session_window`; this lane keeps
+# it: every event is assigned a per-user session sequence number
+# (gaps-and-islands: lag → new-session flag → running sum), so the
+# session id can ride along into downstream joins/attribution. The
+# 30-minute inactivity threshold is the classic web-analytics default.
+# Scale: one shuffle on user_id; both window functions and the final
+# per-session aggregation reuse that partitioning (Catalyst collapses
+# them into a single sort+window stage followed by a partial agg).
+# Ties on ts are totally ordered by event_id in BOTH engines, so the
+# lag/flag assignment is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS INT)  AS session_seq,
+           min(ts)                   AS session_start,
+           max(ts)                   AS session_end,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM tagged
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    doc="explicit session-id assignment (30m gap) + per-session stats",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        # microsecond-exact gap test (a long cast would truncate to
+        # whole seconds and disagree with the oracle on sub-second gaps)
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 1_800_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    tagged = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int").alias("session_seq"),
+    )
+    return (
+        tagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_us",
+            F.unix_micros(F.col("session_end").cast("timestamp"))
+            - F.unix_micros(F.col("session_start").cast("timestamp")),
+        )
+        .select(
+            "user_id", "session_seq", "session_start", "session_end", "n_events", "duration_us"
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention matrix — the standard growth-analytics query
+# (cohort = first-activity week; cell = share of the cohort active k
+# weeks later). Scale: the per-user first-seen agg and the distinct
+# (user, week) activity set both partial-aggregate before one shuffle
+# on user_id; the cohort-size table re-enters via broadcast (weeks are
+# few no matter how many users). retention_pct is a single IEEE divide
+# of two exact integers — bit-equal across engines, no rounding hop.
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ), sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    ), cells AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT) AS week_offset,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM activity a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+           CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention_pct
+    FROM cells c JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="weekly cohort retention matrix over events",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median/MAD) — anomaly screening for a
+# metrics stream. Both the median and the MAD are computed by the
+# MANUAL two-position rule (row_number to positions ⌈n/2⌉ and ⌈(n+1)/2⌉,
+# then (lo+hi)/2) rather than percentile()/quantile_cont(): the two
+# engines interpolate percentiles with different arithmetic, while
+# min/max/add/divide on the two middle order statistics is
+# bit-reproducible. The per-type stats re-enter via broadcast (one row
+# per event_type), so the detection pass is a narrow codegen'd map.
+# Scale: two sort-based shuffles on event_type for the order
+# statistics; the event scan itself is never shuffled.
+# ---------------------------------------------------------------------------
+@register(
+    "robust_outliers",
+    """
+    WITH vals AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*)     OVER (PARTITION BY event_type)                AS n
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type, (min(value) + max(value)) / 2.0 AS median_value
+      FROM vals WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    ), devs AS (
+      SELECT e.event_type, abs(e.value - m.median_value) AS dev,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY abs(e.value - m.median_value)) AS rn,
+             count(*)     OVER (PARTITION BY e.event_type)              AS n
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ), mad AS (
+      SELECT event_type, (min(dev) + max(dev)) / 2.0 AS mad
+      FROM devs WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN abs(e.value - m.median_value)
+                              > 3.0 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           m.median_value, d.mad
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, m.median_value, d.mad
+    ORDER BY e.event_type
+    """,
+    doc="median/MAD robust outlier screen per event_type (deterministic order statistics)",
+)
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(
+            ((F.min(col) + F.max(col)) / F.lit(2.0)).alias(out)
+        )
+
+    med = _median_of(e, "value", "median_value")
+    devs = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("median_value")).alias("dev"),
+    )
+    mad = _median_of(devs, "dev", "mad")
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_value", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("median_value"))
+                    > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n_total", "n_outliers", "median_value", "mad")
+        .orderBy("event_type")
+    )

@@ -192,3 +192,42 @@ def test_quality_percentile_threshold_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "documents" in l)
     assert "text" not in scan  # widest column must not ship
+
+
+def test_bloom_prune_filters_before_join_exchange(spark, sf_dir):
+    # The bloom bit-test Filter must sit on the probe (lineitem) side
+    # BELOW the semi-join exchange: pruned rows never shuffle. The
+    # bloom map itself arrives via a broadcast nested-loop/exchange of
+    # a 1-row aggregate, never a per-row shuffle.
+    plan = _plan(spark, sf_dir, "bloom_semi_join_revenue")
+    assert "CartesianProduct" not in plan
+    # the bit tests (element_at on the literal bitmap) must reach the
+    # lineitem scan's DataFilters — i.e. rows are dropped inside the
+    # scan stage, under the semi join, not after it
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "l_extendedprice" in ln
+    ]
+    assert scans and "element_at" in scans[0], plan[:2000]
+
+
+def test_bm25_topk_avoids_global_sort(spark, sf_dir):
+    # top-20 must plan as TakeOrderedAndProject (per-partition partial
+    # top-k), not a global Sort over every scored document.
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_single_shuffle_for_windows_and_agg(spark, sf_dir):
+    # lag, running sum and the per-session aggregation all key on
+    # user_id: one exchange must serve all three (Catalyst reuses the
+    # partitioning; a second user_id exchange means the window specs
+    # diverged).
+    plan = _plan(spark, sf_dir, "sessionize_events")
+    agg_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(agg_exchanges) <= 1, plan

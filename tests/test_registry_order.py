@@ -64,6 +64,12 @@ MUST_BE_IN_WINDOW = [
     "q11_important_parts",
     "q20_promo_suppliers",
     "dedup_incremental_ingest",
+    # new round-5 surface, second batch (first driver rows)
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
 ]
 
 
