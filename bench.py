@@ -126,6 +126,8 @@ HEADLINE = [
     "robust_outliers",
     "bm25_topk",
     "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
 ]
 
 

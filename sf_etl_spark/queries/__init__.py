@@ -140,6 +140,8 @@ _PRIORITY_ORDER = [
     "robust_outliers",
     "bm25_topk",
     "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",
@@ -251,6 +253,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # at call time (driver-visible) instead of breaking package import.
     from sf_etl_spark.queries import (  # noqa: F401
         extensions,
+        graph_analytics,
         llm,
         multimodal,
         relational,

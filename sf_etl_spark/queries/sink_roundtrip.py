@@ -588,3 +588,93 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "merge_time_travel",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    upd AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 5.0 AS o_totalprice
+      FROM base WHERE o_orderkey % 7 = 0
+    ),
+    v2 AS (
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    ),
+    agg1 AS (
+      SELECT 1 AS as_of_version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             {SUMD('o_totalprice')} AS total_price
+      FROM base GROUP BY o_orderstatus
+    ),
+    agg2 AS (
+      SELECT 2 AS as_of_version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             {SUMD('o_totalprice')} AS total_price
+      FROM v2 GROUP BY o_orderstatus
+    )
+    SELECT * FROM agg1 UNION ALL SELECT * FROM agg2
+    ORDER BY as_of_version, o_orderstatus
+    """,
+    doc="time travel: merge v1 then v2, read BOTH snapshots back via archived manifests",
+)
+def merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the manifest-commit merge machinery:
+    bootstrap a keyed target (version 1), apply an update batch
+    (version 2), then read version 1 THROUGH THE ARCHIVED MANIFEST and
+    version 2 through the live one — the oracle restates both epochs
+    from the raw table, so a merge that mutates v1's commit dirs in
+    place, a version file pointing at rewritten buckets, or a
+    double-read of superseded commits all break the hash.
+
+    Scale: identical to sink_merge_cdc (O(touched buckets) per merge);
+    the version archive adds one ~KB JSON write per commit and zero
+    data copies — old snapshots are the SAME immutable commit dirs the
+    copy-on-write merge already produces, retained until vacuum.
+    """
+    from sf_etl_spark.streaming.pipelines import (
+        list_merge_versions,
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 2000)
+    target = tempfile.mkdtemp(prefix="merge_tt_") + "/orders"
+    merge_into_partitioned_parquet(base, ["o_orderkey"], target)
+    upd = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+    )
+    merge_into_partitioned_parquet(upd, ["o_orderkey"], target)
+    assert list_merge_versions(spark, target) == [1, 2]
+
+    def _agg(df: DataFrame, v: int) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .select(
+                F.lit(v).alias("as_of_version"),
+                "o_orderstatus",
+                "n_rows",
+                "total_price",
+            )
+        )
+
+    v1 = read_merge_target(spark, target, version=1).drop("_kbucket")
+    v2 = read_merge_target(spark, target, version=2).drop("_kbucket")
+    return (
+        _agg(v1, 1)
+        .unionByName(_agg(v2, 2))
+        .orderBy("as_of_version", "o_orderstatus")
+    )

@@ -298,6 +298,7 @@ def run_to_memory_table(
 
 BUCKET_COL = "_kbucket"
 MERGE_META = "_merge_meta.json"
+VERSIONS_DIR = "_versions"
 
 
 def _meta_path(spark: SparkSession, target_path):
@@ -336,12 +337,31 @@ def _write_merge_meta(spark: SparkSession, fs, target_path, meta: dict) -> None:
     posix rename underneath on local/HDFS). Readers therefore observe
     either the old manifest or the new, never a torn write: this one
     rename is the merge's commit point.
+
+    Every swap also archives the manifest as an immutable
+    ``_versions/v<k>.json`` (k monotonically increasing), giving the
+    target Delta/Iceberg-style TIME TRAVEL: ``read_merge_target(...,
+    version=k)`` resolves snapshot k for as long as the commit dirs it
+    references survive vacuum. The version file is written BEFORE the
+    live swap — a crash between the two leaves an extra version file
+    and an un-superseded live manifest, both harmless.
     """
     import json
 
     sc = spark.sparkContext
     jvm = sc._jvm
+    prev = _read_merge_meta(spark, fs, target_path)
+    version = (int(prev.get("version", 0)) if prev else 0) + 1
+    meta = dict(meta, version=version)
     payload = json.dumps(meta).encode("utf-8")
+    vfile = jvm.org.apache.hadoop.fs.Path(
+        jvm.org.apache.hadoop.fs.Path(target_path, VERSIONS_DIR), f"v{version}.json"
+    )
+    vout = fs.create(vfile, True)
+    try:
+        vout.write(bytearray(payload))
+    finally:
+        vout.close()
     final = _meta_path(spark, target_path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         target_path, MERGE_META + f".tmp_{uuid.uuid4().hex[:8]}"
@@ -404,23 +424,69 @@ def _read_buckets(
 
 
 def read_merge_target(
-    spark: SparkSession, target_dir: str, buckets=None
+    spark: SparkSession, target_dir: str, buckets=None, version: int | None = None
 ) -> DataFrame:
-    """Read a merge/rollup/SCD2 target as of its current manifest.
+    """Read a merge/rollup/SCD2 target as of its current manifest — or,
+    with ``version=k``, TIME-TRAVEL to archived snapshot k.
 
     THE read path for anything `merge_into_partitioned_parquet`
     maintains — a plain ``spark.read.parquet(target_dir)`` would sweep
     superseded commit directories in with the live ones and double-read
     rows. The manifest resolves to one snapshot; `buckets` prunes the
-    read to the named buckets.
+    read to the named buckets. Old versions stay readable until
+    :func:`vacuum_merge_staging` truncates history (the Delta/Iceberg
+    vacuum-vs-time-travel contract).
     """
+    import json
+
     fs, target_path = _hadoop_fs(spark, target_dir)
-    meta = _read_merge_meta(spark, fs, target_path)
-    if meta is None:
-        raise FileNotFoundError(
-            f"{target_dir} is not a merge target (no {MERGE_META})"
+    if version is None:
+        meta = _read_merge_meta(spark, fs, target_path)
+        if meta is None:
+            raise FileNotFoundError(
+                f"{target_dir} is not a merge target (no {MERGE_META})"
+            )
+    else:
+        jvm = spark.sparkContext._jvm
+        vfile = jvm.org.apache.hadoop.fs.Path(
+            jvm.org.apache.hadoop.fs.Path(target_path, VERSIONS_DIR),
+            f"v{int(version)}.json",
         )
+        if not fs.exists(vfile):
+            raise FileNotFoundError(
+                f"{target_dir} has no archived version {version} "
+                f"(vacuumed, or never written)"
+            )
+        stream = fs.open(vfile)
+        try:
+            data = bytearray()
+            b = stream.read()
+            while b >= 0:
+                data.append(b)
+                b = stream.read()
+            meta = json.loads(bytes(data).decode("utf-8"))
+        finally:
+            stream.close()
     return _read_buckets(spark, target_dir, meta, buckets)
+
+
+def list_merge_versions(spark: SparkSession, target_dir: str) -> list[int]:
+    """Archived snapshot versions still resolvable for time travel,
+    ascending. The live manifest's version is always last."""
+    fs, target_path = _hadoop_fs(spark, target_dir)
+    jvm = spark.sparkContext._jvm
+    vdir = jvm.org.apache.hadoop.fs.Path(target_path, VERSIONS_DIR)
+    if not fs.exists(vdir):
+        return []
+    out = []
+    for st in fs.listStatus(vdir):
+        nm = st.getPath().getName()
+        if nm.startswith("v") and nm.endswith(".json"):
+            try:
+                out.append(int(nm[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def upsert_partitioned_parquet(
@@ -827,4 +893,17 @@ def vacuum_merge_staging(spark: SparkSession, target_dir: str) -> int:
             if nm.startswith("commit_") and nm not in live and st.isDirectory():
                 fs.delete(st.getPath(), True)
                 removed += 1
+        # vacuum truncates time travel: archived manifests other than
+        # the live version reference the commit dirs just collected, so
+        # they are dropped too (Delta's vacuum-invalidates-time-travel
+        # contract, without a retention window).
+        jvm = spark.sparkContext._jvm
+        vdir = jvm.org.apache.hadoop.fs.Path(target_path, VERSIONS_DIR)
+        live_v = f"v{int(meta.get('version', 0))}.json"
+        if fs.exists(vdir):
+            for st in fs.listStatus(vdir):
+                nm = st.getPath().getName()
+                if nm.endswith(".json") and nm != live_v:
+                    fs.delete(st.getPath(), False)
+                    removed += 1
     return removed

@@ -82,3 +82,47 @@ def test_connected_components_falls_back_to_star_on_chains(spark):
         F.count_distinct("component").alias("nc"), F.max("component").alias("mx")
     ).collect()[0]
     assert stats["nc"] == 1 and stats["mx"] == 0
+
+
+def test_pagerank_hand_checkable_star(spark):
+    """Undirected star c0-{s1,s2}: hub gets the mass. Closed-form for
+    the 1-iteration bidirectional star with N=3: hub collects
+    (1-d)/3 + d*(1/3 + 1/3) and each leaf (1-d)/3 + d*(1/3)/2."""
+    from sf_etl_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([("c0", "s1"), ("c0", "s2")], "c string, s string")
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    got = {r.node: r.pr for r in pagerank(edges, iterations=1).collect()}
+    assert set(got) == {"c0", "s1", "s2"}
+    third = 1.0 / 3.0
+    hub = (1.0 - 0.85) / 3.0 + 0.85 * float(str((third + third)))  # decimal hop is lossless here? no:
+    # recompute through the exact decimal(38,10) lane the operator uses
+    from decimal import Decimal
+
+    def dlane(xs):
+        return float(str(sum(Decimal(repr(x)).quantize(Decimal("1E-10")) for x in xs)))
+
+    hub = (1.0 - 0.85) / 3.0 + 0.85 * dlane([third, third])
+    leaf = (1.0 - 0.85) / 3.0 + 0.85 * dlane([third / 2.0])
+    assert abs(got["c0"] - hub) < 1e-12
+    assert abs(got["s1"] - leaf) < 1e-12 and got["s1"] == got["s2"]
+    # mass is conserved up to the decimal-lane rounding
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_more_iterations_converge(spark):
+    """Rank ordering is stable and mass stays ~1 across iterations."""
+    from sf_etl_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("c", "y")], "l string, r string"
+    )
+    edges = pairs.selectExpr("l AS src", "r AS dst").unionAll(
+        pairs.selectExpr("r AS src", "l AS dst")
+    )
+    got = {r.node: r.pr for r in pagerank(edges, iterations=4).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # x (degree 3) outranks y (degree 1) and every left node
+    assert got["x"] == max(got.values())

@@ -70,6 +70,8 @@ MUST_BE_IN_WINDOW = [
     "robust_outliers",
     "bm25_topk",
     "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
 ]
 
 

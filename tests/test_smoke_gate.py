@@ -35,6 +35,7 @@ SPECS = all_queries()
 #: target) — the gate runs real jobs for these.
 EXECUTE_ON_CONSTRUCT = {
     "sink_merge_cdc",
+    "merge_time_travel",
     "zorder_roundtrip",
     "scd2_dimension_history",
     "rollup_incremental_maintenance",

@@ -445,7 +445,9 @@ def test_vacuum_removes_superseded_commits(spark, tmp_path):
         )
     commits = [d for d in os.listdir(target) if d.startswith("commit_")]
     assert len(commits) == 3
-    assert vacuum_merge_staging(spark, target) == 2  # two superseded dirs
+    # two superseded commit dirs + their two archived (time-travel)
+    # manifests, truncated by the same vacuum
+    assert vacuum_merge_staging(spark, target) == 4
     commits = [d for d in os.listdir(target) if d.startswith("commit_")]
     assert len(commits) == 1
     got = {r.v for r in read_merge_target(spark, target).collect()}
@@ -476,3 +478,51 @@ def test_fold_into_rollup_monoid_semantics(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-monoid"):
         fold_into_rollup(b1, ["k"], {"n": "avg"}, store)
+
+
+def test_time_travel_reads_archived_snapshots(spark, tmp_path):
+    """Each manifest swap archives an immutable version; old versions
+    resolve the ORIGINAL rows until vacuum truncates history."""
+    import pytest
+
+    from sf_etl_spark.streaming.pipelines import (
+        list_merge_versions,
+        merge_into_partitioned_parquet,
+        read_merge_target,
+        vacuum_merge_staging,
+    )
+
+    target = str(tmp_path / "tt")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string")
+    merge_into_partitioned_parquet(b1, ["k"], target, n_buckets=2)
+    merge_into_partitioned_parquet(b2, ["k"], target)
+    assert list_merge_versions(spark, target) == [1, 2]
+
+    as_v1 = {(r.k, r.v) for r in read_merge_target(spark, target, version=1).collect()}
+    as_v2 = {(r.k, r.v) for r in read_merge_target(spark, target, version=2).collect()}
+    live = {(r.k, r.v) for r in read_merge_target(spark, target).collect()}
+    assert as_v1 == {(1, "a"), (2, "b")}
+    assert as_v2 == live == {(1, "a"), (2, "B"), (3, "c")}
+
+    # vacuum keeps the live snapshot readable, truncates history
+    vacuum_merge_staging(spark, target)
+    assert list_merge_versions(spark, target) == [2]
+    assert {(r.k, r.v) for r in read_merge_target(spark, target).collect()} == as_v2
+    with pytest.raises(FileNotFoundError, match="version 1"):
+        read_merge_target(spark, target, version=1)
+
+
+def test_time_travel_unknown_version_raises(spark, tmp_path):
+    import pytest
+
+    from sf_etl_spark.streaming.pipelines import (
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "tt2")
+    b1 = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    merge_into_partitioned_parquet(b1, ["k"], target, n_buckets=2)
+    with pytest.raises(FileNotFoundError, match="version 9"):
+        read_merge_target(spark, target, version=9)
