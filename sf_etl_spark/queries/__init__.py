@@ -142,6 +142,14 @@ _PRIORITY_ORDER = [
     "bloom_semi_join_revenue",
     "merge_time_travel",
     "pagerank_topk",
+    # new round-5 surface, third batch (first driver rows): mergeable
+    # summaries (exact heavy hitters, HLL/KLL sketch rollups), one-pass
+    # column profiling, interval union/coverage
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "kll_quantile_merge",
+    "column_profile",
+    "interval_coverage",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",
@@ -256,9 +264,11 @@ def all_queries() -> dict[str, QuerySpec]:
         graph_analytics,
         llm,
         multimodal,
+        profiling,
         relational,
         similarity,
         sink_roundtrip,
+        sketches,
         soql_front,
         streaming_batch,
         streaming_live,

@@ -1,0 +1,267 @@
+"""Mergeable-summary operators — the sub-linear state patterns a
+100 TB engine leans on when exact global state would not fit (or would
+force a full-vocabulary shuffle).
+
+The reference has no sketch surface (SURVEY.md §2 — it is an ETL
+client); this module extends the engine with the three classic
+mergeable summaries, each expressed so the driver's value-hash gate
+still verifies it EXACTLY:
+
+* ``heavy_hitters_twopass`` — frequent-items via bounded-memory
+  per-batch candidate generation + exact recount. The OUTPUT is exact
+  and partitioning-independent (pigeonhole lemma below), so it gets a
+  plain ``GROUP BY … HAVING`` oracle.
+* ``hll_rollup_merge`` — Datasketches HLL distinct-count sketches
+  aggregated per nation and MERGED up to region without rescanning
+  base data (`hll_union_agg`). The oracle verifies the exact counts
+  plus the sketch's accuracy contract as a boolean the engine
+  computes against its own exact lane.
+* ``kll_quantile_merge`` — Datasketches KLL quantile sketches per
+  order priority, plus a global sketch produced by MERGING the
+  per-group sketches (`kll_sketch_merge_double`). Verified the same
+  way: the exact rank of each estimated median must sit inside the
+  sketch's rank-error bound.
+
+Scale rationale (the reason these exist): ``count(DISTINCT x)`` and
+exact percentiles are one-shot shuffles of live keys; a sketch column
+is O(KB) per group, persists in a rollup table, and any later
+re-grouping (nation→region→global, day→month→year) is a merge of
+stored sketches — zero base-data rescans. That is the only workable
+shape for incremental distinct-count / quantile rollups at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sf_etl_spark.queries import register
+from sf_etl_spark.sources import load_table
+
+# Heavy-hitter threshold: report terms with freq * K > n_total
+# (i.e. frequency share > 1/K of the token stream).
+_HH_K = 100
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters.
+#
+# Pass 1 (bounded memory, ZERO shuffle): per Arrow batch, keep terms
+# whose in-batch count clears the same 1/K share threshold locally.
+# Pigeonhole lemma: if a term's global count satisfies cnt·K > n, then
+# summing cnt_b·K ≤ n_b over all batches would give cnt·K ≤ n — a
+# contradiction — so EVERY true heavy hitter clears the bar in at
+# least one batch, for ANY partitioning of the stream into batches.
+# Candidates are therefore a guaranteed superset, ≤ K distinct terms
+# per batch (a count > n_b/K can hold for < K items).
+#
+# Pass 2: exact recount of ONLY the candidate set — the broadcast
+# semi join prunes the token stream before its groupBy, so the
+# aggregation shuffle carries candidate terms only, never the full
+# vocabulary. The global threshold then removes false candidates,
+# making the OUTPUT exact and independent of batching. Contrast with
+# `vocab_top_terms`, whose single-pass groupBy shuffles every distinct
+# term; at web-corpus vocabulary sizes (billions of distinct terms)
+# the two-pass shape is the one that survives.
+#
+# (Classic Misra-Gries keeps O(K) counters by decrementing; the
+# per-batch exact-count variant used here has the identical superset
+# guarantee with memory bounded by the Arrow batch size, and stays
+# vectorized instead of looping per row in Python.)
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitters_twopass",
+    rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    t AS (SELECT term FROM toks WHERE term <> ''),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS freq,
+           (SELECT n_total FROM n)  AS n_total
+    FROM t
+    GROUP BY term
+    HAVING count(*) * {_HH_K} > (SELECT n_total FROM n)
+    ORDER BY freq DESC, term
+    """,
+    doc=f"exact heavy hitters (share > 1/{_HH_K}): bounded-memory candidates + recount",
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+
+    def _candidates(batches):
+        for pdf in batches:
+            vc = pdf["term"].value_counts()
+            keep = vc[vc * _HH_K > len(pdf)]
+            yield pd.DataFrame({"term": keep.index.astype(str)})
+
+    cands = toks.mapInPandas(_candidates, "term string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .join(F.broadcast(total))
+        .filter(F.col("freq") * _HH_K > F.col("n_total"))
+        .select("term", "freq", "n_total")
+        .orderBy(F.col("freq").desc(), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count rollup: nation-level sketches merged to regions.
+#
+# The region estimates are produced ONLY from the 25 nation sketches
+# (hll_union_agg) — the customer table is never rescanned for the
+# rollup, which is the entire point of storing sketch columns. The
+# lane also computes the exact region counts (its own verification
+# yardstick); `sketch_ok` asserts the estimate honors the HLL accuracy
+# contract (lgConfigK=12 ⇒ rsd ≈ 1.6 %; the 5 %/±2 gate is many sigma
+# wide, and at fixture cardinalities the sketch is still in exact
+# sparse mode anyway). The DuckDB oracle restates the exact counts and
+# TRUE — a lost nation sketch, a broken union, or estimate drift
+# beyond contract all flip the flag and break the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "hll_rollup_merge",
+    """
+    SELECT r.r_name,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS sketch_ok
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="HLL sketches per nation, merged to region rollup (hll_union_agg) vs exact",
+)
+def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dims = F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]))
+
+    # Stored-sketch layer: one ~KB sketch per nation. At 100 TB this is
+    # the table you persist; every later rollup is a merge of it.
+    nation_sk = (
+        c.groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk"))
+    )
+    region_est = (
+        nation_sk.join(dims, nation_sk["c_nationkey"] == dims["n_nationkey"])
+        .groupBy("r_name")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        c.join(dims, c["c_nationkey"] == dims["n_nationkey"])
+        .groupBy("r_name")
+        .agg(F.countDistinct("c_custkey").alias("exact_customers"))
+    )
+    return (
+        exact.join(region_est, "r_name")
+        .select(
+            "r_name",
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                <= F.greatest(F.col("exact_customers") * 0.05, F.lit(2.0))
+            ).alias("sketch_ok"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile rollup: per-priority sketches + a GLOBAL median from
+# merging the stored per-group sketches (never rescanning rows).
+#
+# Verification: a KLL(k=200) sketch guarantees the returned quantile's
+# normalized RANK error ≤ ~1.65 % (w.h.p.). The lane computes, for
+# each estimated median, its exact rank in the underlying data — a
+# deterministic integer count — and asserts |rank − 0.5| ≤ 0.05 (3σ
+# headroom; KLL compaction is randomized, so the ESTIMATE itself is
+# not reproducible, but the contract is). The oracle restates the
+# exact group sizes and TRUE flags.
+# ---------------------------------------------------------------------------
+@register(
+    "kll_quantile_merge",
+    """
+    WITH per AS (
+      SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    ),
+    allg AS (SELECT 'ALL' AS grp, CAST(count(*) AS BIGINT) AS n FROM orders)
+    SELECT grp, n, TRUE AS median_rank_ok
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM allg)
+    ORDER BY grp
+    """,
+    doc="KLL quantile sketches per priority + merged global median; exact-rank contract check",
+)
+def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    # Stored-sketch layer (what a rollup table would persist).
+    per_sk = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.kll_sketch_agg_double("o_totalprice", F.lit(200)).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Global sketch = merge of the five stored sketches — no rescan.
+    # kll_sketch_merge_double is a BINARY merge, so fold the collected
+    # sketch array with F.aggregate (JVM-side; the array holds one
+    # ~KB sketch per group, never row data).
+    glob_sk = (
+        per_sk.agg(
+            F.collect_list("sk").alias("sks"),
+            F.sum("n").alias("n"),
+        )
+        .select(
+            F.lit("ALL").alias("grp"),
+            F.aggregate(
+                F.slice(F.col("sks"), 2, F.size("sks") - 1),
+                F.col("sks")[0],
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk"),
+            "n",
+        )
+    )
+    meds = (
+        per_sk.select("grp", "sk", "n")
+        .unionByName(glob_sk)
+        .select(
+            "grp",
+            "n",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("med"),
+        )
+    )
+    # Exact rank of each estimate: tag every row with its own group AND
+    # the ALL group, join the (6-row) medians broadcast, count <= med.
+    tagged = o.select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    ).unionByName(o.select(F.lit("ALL").alias("grp"), "o_totalprice"))
+    ranks = (
+        tagged.join(F.broadcast(meds), "grp")
+        .groupBy("grp", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("med"), 1).otherwise(0)
+            ).alias("n_le")
+        )
+    )
+    return ranks.select(
+        "grp",
+        "n",
+        (
+            F.abs(F.col("n_le") / F.col("n") - F.lit(0.5)) <= F.lit(0.05)
+        ).alias("median_rank_ok"),
+    ).orderBy("grp")

@@ -697,3 +697,104 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_total", "n_outliers", "median_value", "mad")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union / coverage — merge each user's overlapping busy
+# intervals ([ts, ts + value seconds)) and report merged-interval
+# count, total covered time, and busy ratio. The standard
+# availability / utilization / "concurrent session time" primitive;
+# naive approaches self-join intervals (O(n^2) per user).
+#
+# Shape: gaps-and-islands entirely in integer microsecond space —
+# running max of interval end over PRECEDING rows; a row opens a new
+# island iff its start exceeds that max; island id = running sum of
+# the flags; then one agg per island and one per user. All three
+# window specs and both aggs share ONE hashpartitioning(user_id)
+# exchange (Catalyst collapses them into a single sort+window stage) —
+# the minimum possible for a per-user computation. busy_ratio is a
+# single IEEE divide of two exact longs, bit-equal across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                  OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), tagged AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), islands AS (
+      SELECT user_id, island, min(s) AS cs, max(e) AS ce
+      FROM tagged GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)   AS n_intervals,
+           CAST(sum(ce - cs) AS BIGINT) AS coverage_us,
+           CAST(sum(ce - cs) AS DOUBLE) / (max(ce) - min(cs)) AS busy_ratio
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="per-user interval union (gaps-and-islands): merged count, coverage, busy ratio",
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * F.lit(1000000.0))
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    tagged = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    islands = tagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("cs"), F.max("e").alias("ce")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("ce") - F.col("cs")).alias("coverage_us"),
+            (
+                F.sum(F.col("ce") - F.col("cs")).cast("double")
+                / (F.max("ce") - F.min("cs"))
+            ).alias("busy_ratio"),
+        )
+        .orderBy("user_id")
+    )
