@@ -150,6 +150,8 @@ _PRIORITY_ORDER = [
     "kll_quantile_merge",
     "column_profile",
     "interval_coverage",
+    "triangle_count",
+    "merge_change_feed",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

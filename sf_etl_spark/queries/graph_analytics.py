@@ -114,3 +114,107 @@ def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "node", "pr")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the clustering/cohesion primitive (community
+# density, spam/fraud motifs, graph health metrics) over the part
+# co-occurrence graph (parts bought together in one order).
+#
+# Scale shape: the classic degree-ordered node-iterator. Every
+# undirected edge is oriented from its lower-(degree, id) endpoint to
+# the higher one, so each triangle is counted EXACTLY once and — the
+# point — wedge generation is bounded by sum(out_deg^2) where
+# out-degrees are capped by orientation (a hub of degree d that would
+# naively generate C(d,2) wedges fans out only toward HIGHER-degree
+# nodes). All stages are equi-joins: edges x edges on the wedge pivot,
+# wedges x edges on the closing pair. No node ever needs its full
+# neighborhood in memory, unlike adjacency-list formulations.
+#
+# The oracle enumerates the same triangles id-ordered (u<v<w): both
+# orientation schemes count each undirected triangle exactly once, and
+# per-node PARTICIPATION counts (each triangle credits its 3 corners)
+# are orientation-independent, so the hashes agree.
+# ---------------------------------------------------------------------------
+@register(
+    "triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM e a
+      JOIN e b ON a.u = b.u AND a.v < b.v
+      JOIN e c ON c.u = a.v AND c.v = b.v
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tri),
+    nodes AS (
+      SELECT x AS n FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT n AS l_partkey,
+           CAST(count(*) AS BIGINT) AS n_triangles,
+           (SELECT t FROM total)    AS total_triangles
+    FROM nodes
+    GROUP BY n
+    ORDER BY n_triangles DESC, l_partkey
+    LIMIT 50
+    """,
+    doc="degree-ordered triangle counting on the part co-occurrence graph; top-50 nodes",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        # total order aligned with (deg, id): rank fits a long because
+        # both components are < 2^31
+        .select("node", (F.col("deg") * F.lit(4294967296) + F.col("node")).alias("rank"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("rank", "ru"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("rank", "rv"), "v")
+    )
+    oriented = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.greatest("ru", "rv").alias("r_dst"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.r_dst") < F.col("w2.r_dst")),
+    ).select(
+        F.col("w1.src").alias("s"),
+        F.col("w1.dst").alias("x"),
+        F.col("w2.dst").alias("y"),
+    )
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    total = tri.agg(F.count(F.lit(1)).alias("total_triangles"))
+    nodes = tri.select(F.explode(F.array("s", "x", "y")).alias("l_partkey"))
+    return (
+        nodes.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .join(F.broadcast(total))
+        .orderBy(F.col("n_triangles").desc(), "l_partkey")
+        .limit(50)
+        .select("l_partkey", "n_triangles", "total_triangles")
+    )

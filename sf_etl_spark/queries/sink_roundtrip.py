@@ -678,3 +678,142 @@ def merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(v2, 2))
         .orderBy("as_of_version", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed — the diff BETWEEN two table versions, in
+# Delta-CDF row shape (insert / delete / update_preimage /
+# update_postimage). Downstream consumers (incremental materialized
+# views, cache invalidation, audit) need "what changed between v1 and
+# v2", not the full snapshots; with the manifest time travel both
+# snapshots are already on disk, so the feed is a pure read-side
+# derivation — no extra bookkeeping during the merge itself.
+#
+# Scale: ONE full-outer self-join of the two snapshots on the merge
+# key. Both sides come off the same bucket layout (_kbucket =
+# pmod(xxhash64(key), n)), so at scale the join co-partitions
+# bucket-by-bucket; unchanged rows (the overwhelming majority of a
+# 100 TB table) are dropped by the inequality filter BEFORE the
+# pre/post explode. A version-aware reader could prune further to the
+# buckets whose commit id changed between the manifests — the
+# manifest already records exactly that.
+# ---------------------------------------------------------------------------
+@register(
+    "merge_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 2400
+    ),
+    del AS (SELECT * FROM base WHERE o_orderkey % 11 = 0),
+    upd AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 5.0 AS o_totalprice
+      FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'delete' AS _change_type FROM del
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert' FROM ins
+    UNION ALL
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'update_preimage'
+    FROM base b WHERE b.o_orderkey % 7 = 0 AND b.o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'update_postimage' FROM upd
+    ORDER BY o_orderkey, _change_type
+    """,
+    doc="change data feed: CDF-shaped diff of two archived merge snapshots",
+)
+def merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.streaming.pipelines import (
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 2000)
+    target = tempfile.mkdtemp(prefix="merge_cdf_") + "/orders"
+    merge_into_partitioned_parquet(base, ["o_orderkey"], target)
+
+    # One CDC batch carrying all three operations, dispatched by the
+    # ordered WHEN MATCHED clauses on the op column.
+    del_rows = base.filter(F.col("o_orderkey") % 11 == 0).withColumn("op", F.lit("D"))
+    upd_rows = (
+        base.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 11 != 0))
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    ins_rows = o.filter(
+        (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 2400)
+    ).withColumn("op", F.lit("I"))
+    batch = del_rows.unionByName(upd_rows).unionByName(ins_rows)
+    merge_into_partitioned_parquet(
+        batch,
+        ["o_orderkey"],
+        target,
+        when_matched=[
+            (F.col("op") == "D", "delete"),
+            (F.col("op") == "U", "update"),
+        ],
+        not_matched_insert=True,
+        drop_cols=["op"],
+    )
+
+    v1 = read_merge_target(spark, target, version=1).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    v2 = read_merge_target(spark, target, version=2).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("s2"),
+        F.col("o_totalprice").alias("p2"),
+    )
+    joined = v1.join(v2, v1["k1"] == v2["k2"], "full_outer")
+    inserts = joined.filter(F.col("k1").isNull()).select(
+        F.col("k2").alias("o_orderkey"),
+        F.col("s2").alias("o_orderstatus"),
+        F.col("p2").alias("o_totalprice"),
+        F.lit("insert").alias("_change_type"),
+    )
+    deletes = joined.filter(F.col("k2").isNull()).select(
+        F.col("k1").alias("o_orderkey"),
+        F.col("s1").alias("o_orderstatus"),
+        F.col("p1").alias("o_totalprice"),
+        F.lit("delete").alias("_change_type"),
+    )
+    changed = joined.filter(
+        F.col("k1").isNotNull()
+        & F.col("k2").isNotNull()
+        & (
+            ~F.col("s1").eqNullSafe(F.col("s2"))
+            | ~F.col("p1").eqNullSafe(F.col("p2"))
+        )
+    )
+    pre = changed.select(
+        F.col("k1").alias("o_orderkey"),
+        F.col("s1").alias("o_orderstatus"),
+        F.col("p1").alias("o_totalprice"),
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = changed.select(
+        F.col("k2").alias("o_orderkey"),
+        F.col("s2").alias("o_orderstatus"),
+        F.col("p2").alias("o_totalprice"),
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return (
+        inserts.unionByName(deletes)
+        .unionByName(pre)
+        .unionByName(post)
+        .orderBy("o_orderkey", "_change_type")
+    )

@@ -231,3 +231,44 @@ def test_sessionize_single_shuffle_for_windows_and_agg(spark, sf_dir):
         if "Exchange hashpartitioning(user_id" in ln
     ]
     assert len(agg_exchanges) <= 1, plan
+
+
+def test_heavy_hitters_candidates_broadcast_prune(spark, sf_dir):
+    # Pass 1 is the Arrow-batched candidate generator (MapInPandas,
+    # zero shuffle); pass 2 must prune the token stream with a
+    # BROADCAST join against the (<=K-per-batch) candidate set before
+    # the recount aggregation — a SortMergeJoin here would mean the
+    # full token stream shuffles, the exact cost the two-pass design
+    # exists to avoid.
+    plan = _plan(spark, sf_dir, "heavy_hitters_twopass")
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_profile_is_one_scan_with_expand(spark, sf_dir):
+    # Six simultaneous exact-NDV aggregates must plan as ONE scan of
+    # orders + Expand + two-phase aggregation, not one scan per column.
+    plan = _plan(spark, sf_dir, "column_profile")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_interval_coverage_single_user_exchange(spark, sf_dir):
+    # All three window specs and both aggregations key on user_id: one
+    # exchange must serve the whole lane.
+    plan = _plan(spark, sf_dir, "interval_coverage")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(exchanges) <= 1, plan
+
+
+def test_triangle_count_all_equi_joins(spark, sf_dir):
+    # Wedge generation and triangle closing are equi-joins; the only
+    # nested-loop join allowed is the 1-row total-count broadcast.
+    plan = _plan(spark, sf_dir, "triangle_count")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
