@@ -128,6 +128,22 @@ HEADLINE = [
     "bloom_semi_join_revenue",
     "merge_time_travel",
     "pagerank_topk",
+    # round 5, third batch: mergeable summaries (two-pass heavy
+    # hitters, HLL region rollup, KLL quantile merge), one-pass column
+    # profiling, interval union, and the snapshot change feed.
+    # triangle_count stays OUT for a fixture artifact (the synthetic
+    # part co-occurrence graph is dense — 413k triangles at sf0.01 —
+    # so timing it benchmarks triangle materialization, not the
+    # orientation machinery; same policy as dedup_simhash).
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "kll_quantile_merge",
+    "column_profile",
+    "interval_coverage",
+    "merge_change_feed",
+    # exact-fold EWMA and the bigram-novelty LM proxy
+    "ewma_user_value",
+    "bigram_novelty",
 ]
 
 

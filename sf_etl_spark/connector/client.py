@@ -135,6 +135,12 @@ class SfClient:
         self.backoff_base = backoff_base
         self.access_token: str | None = None
         self.instance_url: str | None = None
+        # Credentials retained after login() so an expired session
+        # (401 INVALID_SESSION_ID mid-extraction) can be refreshed
+        # transparently — long-running partitioned scans outlive
+        # Salesforce session TTLs routinely.
+        self._username: str | None = None
+        self._password: str | None = None
 
     # -- transport ---------------------------------------------------------
 
@@ -158,6 +164,7 @@ class SfClient:
         if headers:
             hdrs.update(headers)
         last_err: Exception | None = None
+        refreshed = False
         for attempt in range(self.max_retries + 1):
             req = urllib.request.Request(url, data=body, headers=hdrs, method=method)
             try:
@@ -165,6 +172,22 @@ class SfClient:
                     return resp.status, resp.read(), dict(resp.headers.items())
             except urllib.error.HTTPError as e:
                 payload = e.read()
+                if (
+                    e.code == 401
+                    and not refreshed
+                    and self._username is not None
+                    and "Authorization" in hdrs
+                    and "/services/oauth2/token" not in url
+                ):
+                    # Session expired mid-flight: re-run the password
+                    # grant ONCE and replay with the fresh token. The
+                    # token endpoint itself never carries Authorization
+                    # with stored creds pre-login, and `refreshed`
+                    # guards the replay, so this cannot recurse.
+                    refreshed = True
+                    self.login(self._username, self._password)
+                    hdrs["Authorization"] = f"Bearer {self.access_token}"
+                    continue
                 if e.code in _RETRYABLE_STATUSES and attempt < self.max_retries:
                     last_err = e
                 else:
@@ -223,6 +246,8 @@ class SfClient:
         tok = json.loads(payload)
         self.access_token = tok["access_token"]
         self.instance_url = tok["instance_url"].rstrip("/")
+        self._username = username
+        self._password = password
 
     # -- SOQL query scan (R2, client.rs:199-205) ---------------------------
 

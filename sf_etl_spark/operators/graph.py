@@ -230,9 +230,17 @@ def pagerank(
     the lazy plan stays depth-K; for K ≳ 8 callers should
     ``localCheckpoint`` between iterations like connected_components.
     """
+    # Materialize the edge relation ONCE at entry: callers hand in a
+    # lazy edge derivation (joins/distincts), and deg, n, the rank
+    # init, e2, and every iteration would otherwise each re-execute it
+    # from the source scans (the pathology connected_components
+    # documents; measured ~4 derivations → 1 on the customer↔supplier
+    # lane). e2 is materialized too so iterations read (edge, outdeg)
+    # rows directly instead of replaying the deg join.
+    edges = edges.localCheckpoint()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
-    e2 = edges.join(deg, src)
+    e2 = edges.join(deg, src).localCheckpoint()
     ranks = (
         deg.select(F.col(src).alias("node"))
         .crossJoin(F.broadcast(n))
@@ -254,4 +262,8 @@ def pagerank(
                 + (F.lit(damping) * F.col("s"))
             ).alias("pr"),
         )
+        # Cut the lineage per iteration: the rank vector is O(nodes)
+        # (tiny next to edges); without the cut, iteration k's join
+        # replays iterations 1..k-1 end-to-end.
+        ranks = ranks.localCheckpoint()
     return ranks

@@ -152,6 +152,8 @@ _PRIORITY_ORDER = [
     "interval_coverage",
     "triangle_count",
     "merge_change_feed",
+    "ewma_user_value",
+    "bigram_novelty",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

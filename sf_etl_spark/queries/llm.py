@@ -1115,3 +1115,97 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "rank")
         .orderBy(F.col("score").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty scoring — an n-gram language-model proxy for "how
+# unusual is this document relative to the corpus": share of a doc's
+# word bigrams NOT in the corpus's top-V bigram vocabulary. High
+# novelty flags boilerplate-free (or garbled) text; low novelty flags
+# template/duplicate-heavy text. The cheap stand-in for LM perplexity
+# filtering (pretraining-data curation's workhorse) that needs no
+# model and no libm (a real log-prob sum would hit the ln()
+# cross-engine parity wall documented at tfidf_top_terms).
+#
+# Scale: bigram fan-out is a narrow JVM map (split array materialized
+# ONCE, then transform — PLANS.md pathology 2); the vocab build
+# partial-aggregates before its term shuffle and the top-V cut is
+# TakeOrdered (row_number over V rows, never the full vocabulary);
+# the V-row vocab re-enters via broadcast semi join; one final
+# doc_id shuffle for the per-doc share. novelty is a single IEEE
+# divide of two exact counts — bit-equal, no rounding hop.
+# ---------------------------------------------------------------------------
+_NOVELTY_V = 2000
+
+
+@register(
+    "bigram_novelty",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+      WHERE len(t) >= 2
+    ),
+    vocab AS (
+      SELECT bigram FROM (
+        SELECT bigram,
+               row_number() OVER (ORDER BY count(*) DESC, bigram) AS rnk
+        FROM bg GROUP BY bigram
+      ) WHERE rnk <= {_NOVELTY_V}
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_known,
+           1.0 - CAST(sum(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) AS novelty
+    FROM bg b LEFT JOIN vocab v ON b.bigram = v.bigram
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc=f"doc novelty = share of bigrams outside the top-{_NOVELTY_V} corpus bigram vocab",
+)
+def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("t"), i + 2)),
+            )
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    # (n desc, bigram) is a deterministic TOTAL order, so orderBy+limit
+    # equals the oracle's row_number cut — and plans as TakeOrdered.
+    vocab = counts.orderBy(F.col("n").desc(), "bigram").limit(_NOVELTY_V).select("bigram")
+    flagged = bg.join(
+        F.broadcast(vocab.withColumn("known", F.lit(1))), "bigram", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("known"), F.lit(0))).alias("n_known"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_known",
+            (
+                F.lit(1.0)
+                - F.col("n_known").cast("double") / F.col("n_bigrams")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

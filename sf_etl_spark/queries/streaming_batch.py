@@ -798,3 +798,76 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average per user — the time-decayed
+# smoothing primitive (rate trackers, load estimators, trend scores).
+# EWMA is inherently sequential (acc = acc*(1-a) + x*a), which SQL
+# engines can't window directly; both sides therefore fold the
+# per-user value sequence explicitly, in the SAME order.
+#
+# Cross-engine float determinism, by construction: a = 0.5, so both
+# multiplies are exponent shifts (EXACT in IEEE 754 — no rounding),
+# and the only rounding ops are the additions, which both engines
+# perform in the identical (ts, event_id) order — bit-equal results
+# with NO tolerance or rounding hop. An arbitrary a would need the
+# decimal lane.
+#
+# Scale: one shuffle (groupBy user); the collected sequence is
+# bounded by events-per-user (a retention window at deployment). For
+# unbounded keys the same fold runs incrementally as the
+# transformWithStateInPandas running-stats operator
+# (streaming/pipelines.py) — one acc per key, no sequence at all;
+# this lane is the batch-checkable twin.
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_user_value",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+    FROM seq
+    ORDER BY user_id
+    """,
+    doc="per-user EWMA (a=0.5): explicit ordered fold, bit-equal across engines",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                F.col("event_id").alias("i"),
+                F.col("value").alias("v"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list("rec")).alias("recs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.transform(F.col("recs"), lambda r: r["v"]).alias("vals"),
+        )
+    )
+    # Fold exactly like DuckDB's list_reduce: first element seeds the
+    # accumulator, the rest fold left in sequence order.
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.aggregate(
+            F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+            F.element_at(F.col("vals"), 1),
+            lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+        ).alias("ewma"),
+    ).orderBy("user_id")

@@ -71,6 +71,11 @@ class MockSalesforce:
         self.lock = threading.Lock()
         self.requests_seen: list[str] = []
         self.server: ThreadingHTTPServer | None = None
+        # Rotatable session token: tests flip this to simulate server-
+        # side session expiry (the old bearer then 401s; a fresh
+        # password grant returns the new value).
+        self.valid_token = "MOCK_TOKEN"
+        self.logins = 0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -132,10 +137,11 @@ class MockSalesforce:
             form = parse_qs(body)
             if form.get("client_secret", [""])[0] != "shhh":
                 return h._json(400, {"error": "invalid_client", "error_description": "bad secret"})
+            self.logins += 1
             return h._json(
                 200,
                 {
-                    "access_token": "MOCK_TOKEN",
+                    "access_token": self.valid_token,
                     "instance_url": f"http://{h.headers['Host']}",
                     "id": "https://login.salesforce.test/id/00D/005",
                     "token_type": "Bearer",
@@ -145,7 +151,7 @@ class MockSalesforce:
             )
 
         # everything below requires the bearer token
-        if h.headers.get("Authorization") != "Bearer MOCK_TOKEN":
+        if h.headers.get("Authorization") != f"Bearer {self.valid_token}":
             return h._json(401, [{"errorCode": "INVALID_SESSION_ID", "message": "no session"}])
 
         if method == "GET" and path == f"{API}/query":

@@ -54,6 +54,36 @@ def sf_options(url: str) -> dict[str, str]:
 # -- R1 auth ---------------------------------------------------------------
 
 
+def test_session_refresh_on_401(client, mock_sf):
+    """Server-side session expiry mid-extraction: the client must
+    re-run the password grant once and replay the request with the
+    fresh token (long partitioned scans outlive Salesforce session
+    TTLs routinely). The mock rotates its accepted token, so the old
+    bearer 401s until the re-login lands."""
+    server, _ = mock_sf
+    try:
+        server.valid_token = "ROTATED"
+        logins_before = server.logins
+        pages = list(client.query_pages("SELECT Id FROM Case"))
+        assert sum(len(p.records) for p in pages) == 95
+        assert client.access_token == "ROTATED"
+        assert server.logins == logins_before + 1  # exactly one refresh
+    finally:
+        server.valid_token = "MOCK_TOKEN"
+
+
+def test_no_refresh_without_stored_credentials(mock_sf):
+    """A manually-seeded token (no login(), no stored creds) must NOT
+    attempt a refresh loop — the 401 surfaces as the API error."""
+    _, url = mock_sf
+    c = SfClient(client_id="app", client_secret="shhh", login_url=url, backoff_base=0.01)
+    c.access_token = "STALE"
+    c.instance_url = url
+    with pytest.raises(ResponseError) as ei:
+        list(c.query_pages("SELECT Id FROM Case"))
+    assert ei.value.status == 401
+
+
 def test_login_stores_token(client):
     assert client.access_token == "MOCK_TOKEN"
     assert client.instance_url.startswith("http://127.0.0.1")
