@@ -144,6 +144,8 @@ HEADLINE = [
     # exact-fold EWMA and the bigram-novelty LM proxy
     "ewma_user_value",
     "bigram_novelty",
+    # dynamic partition pruning through the month-partitioned fact
+    "dpp_partitioned_join",
 ]
 
 

@@ -154,6 +154,7 @@ _PRIORITY_ORDER = [
     "merge_change_feed",
     "ewma_user_value",
     "bigram_novelty",
+    "dpp_partitioned_join",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

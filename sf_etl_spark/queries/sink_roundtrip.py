@@ -817,3 +817,60 @@ def merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(post)
         .orderBy("o_orderkey", "_change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning — the scan-reduction mechanism for star
+# joins over PARTITIONED fact tables: the dim side's selective filter
+# becomes a runtime subquery that prunes fact PARTITIONS (whole
+# directories never listed/read), not just rows. At 100 TB a
+# date-partitioned fact joined to a filtered date dim reads only the
+# qualifying dates' partitions — without DPP the scan touches every
+# partition and row-filters after the fact.
+#
+# The lane writes orders partitioned by order month, joins against a
+# month dim filtered to Q1, and aggregates. The plan guard asserts the
+# fact scan carries a `dynamicpruning` PartitionFilter (see
+# tests/test_plans.py). The oracle restates the result from the
+# original table — a pruning bug that drops or double-reads a
+# partition breaks the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "dpp_partitioned_join",
+    f"""
+    SELECT CAST(month(o_orderdate) AS INT) AS o_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {SUMD('o_totalprice')} AS total_price
+    FROM orders
+    WHERE month(o_orderdate) <= 3
+    GROUP BY month(o_orderdate)
+    ORDER BY o_month
+    """,
+    doc="dynamic partition pruning: month-partitioned fact x filtered month dim",
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.month("o_orderdate").cast("int").alias("o_month"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dpp_") + "/orders_by_month"
+    o.write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    # Month dim with a derived quarter; the quarter filter is what DPP
+    # turns into a partition-pruning subquery on the fact scan.
+    dim = (
+        o.select("o_month")
+        .distinct()
+        .select("o_month", ((F.col("o_month") + 2) / 3).cast("int").alias("quarter"))
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("quarter") == 1)), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("o_month", "n_orders", "total_price")
+        .orderBy("o_month")
+    )

@@ -470,6 +470,57 @@ def read_merge_target(
     return _read_buckets(spark, target_dir, meta, buckets)
 
 
+def restore_merge_target(spark: SparkSession, target_dir: str, version: int) -> int:
+    """``RESTORE TABLE ... TO VERSION k``: make archived snapshot ``k``
+    the live table again, as a NEW commit (the Delta semantics —
+    restore never rewinds history, it appends to it, so the
+    pre-restore state itself stays time-travelable and the restore is
+    audit-visible in the version chain).
+
+    Zero data movement: the new manifest simply references snapshot
+    k's immutable commit directories. Fails fast if any referenced
+    commit dir no longer exists (vacuum already truncated that far
+    back) — a manifest pointing at vacuumed dirs would be a corrupt
+    table. Returns the NEW live version number.
+    """
+    import json
+
+    fs, target_path = _hadoop_fs(spark, target_dir)
+    jvm = spark.sparkContext._jvm
+    vfile = jvm.org.apache.hadoop.fs.Path(
+        jvm.org.apache.hadoop.fs.Path(target_path, VERSIONS_DIR),
+        f"v{int(version)}.json",
+    )
+    if not fs.exists(vfile):
+        raise FileNotFoundError(
+            f"{target_dir} has no archived version {version} "
+            f"(vacuumed, or never written)"
+        )
+    stream = fs.open(vfile)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b >= 0:
+            data.append(b)
+            b = stream.read()
+        archived = json.loads(bytes(data).decode("utf-8"))
+    finally:
+        stream.close()
+    for bucket, commit in sorted(archived.get("buckets", {}).items()):
+        cpath = jvm.org.apache.hadoop.fs.Path(target_path, commit)
+        if not fs.exists(cpath):
+            raise FileNotFoundError(
+                f"cannot restore {target_dir} to version {version}: commit dir "
+                f"{commit} (bucket {bucket}) was vacuumed"
+            )
+    # Re-commit the archived bucket mapping; _write_merge_meta assigns
+    # the next version number and archives the restore itself.
+    meta = {k: v for k, v in archived.items() if k != "version"}
+    _write_merge_meta(spark, fs, target_path, meta)
+    live = _read_merge_meta(spark, fs, target_path)
+    return int(live["version"])
+
+
 def list_merge_versions(spark: SparkSession, target_dir: str) -> list[int]:
     """Archived snapshot versions still resolvable for time travel,
     ascending. The live manifest's version is always last."""

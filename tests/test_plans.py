@@ -272,3 +272,21 @@ def test_triangle_count_all_equi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "triangle_count")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    # The dim-side quarter filter must become a runtime partition-
+    # pruning subquery on the month-partitioned fact scan: whole
+    # partition directories are skipped, not row-filtered after read.
+    plan = _plan(spark, sf_dir, "dpp_partitioned_join")
+    fact_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "orders_by_month" in ln
+    ]
+    assert fact_scans, plan[:3000]
+    # the scan line's PartitionFilters list is truncated by toString,
+    # so assert the pruning subquery at plan level: a dynamicpruning
+    # expression fed by a broadcast subquery over the dim
+    assert "dynamicpruning" in plan, plan[:3000]
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan[:3000]

@@ -36,6 +36,9 @@ SPECS = all_queries()
 EXECUTE_ON_CONSTRUCT = {
     "sink_merge_cdc",
     "merge_time_travel",
+    "merge_change_feed",
+    "dedup_incremental_ingest",
+    "dpp_partitioned_join",
     "zorder_roundtrip",
     "scd2_dimension_history",
     "rollup_incremental_maintenance",

@@ -526,3 +526,43 @@ def test_time_travel_unknown_version_raises(spark, tmp_path):
     merge_into_partitioned_parquet(b1, ["k"], target, n_buckets=2)
     with pytest.raises(FileNotFoundError, match="version 9"):
         read_merge_target(spark, target, version=9)
+
+
+def test_restore_merge_target(spark, tmp_path):
+    """RESTORE TO VERSION k re-commits snapshot k as a NEW version
+    (Delta semantics: history is appended to, never rewound), with
+    zero data movement — the restored manifest references the same
+    immutable commit dirs. Vacuuming first makes the restore refuse."""
+    import pytest
+
+    from sf_etl_spark.streaming.pipelines import (
+        list_merge_versions,
+        merge_into_partitioned_parquet,
+        read_merge_target,
+        restore_merge_target,
+        vacuum_merge_staging,
+    )
+
+    target = str(tmp_path / "restore")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string")
+    merge_into_partitioned_parquet(b1, ["k"], target, n_buckets=2)
+    merge_into_partitioned_parquet(b2, ["k"], target)
+
+    new_v = restore_merge_target(spark, target, 1)
+    assert new_v == 3
+    assert list_merge_versions(spark, target) == [1, 2, 3]
+    live = {(r.k, r.v) for r in read_merge_target(spark, target).collect()}
+    assert live == {(1, "a"), (2, "b")}  # v1 content is live again
+    # the pre-restore state is still time-travelable (history appended)
+    as_v2 = {(r.k, r.v) for r in read_merge_target(spark, target, version=2).collect()}
+    assert as_v2 == {(1, "a"), (2, "B"), (3, "c")}
+
+    # restoring forward to v2 also works (its commit dirs still exist)
+    assert restore_merge_target(spark, target, 2) == 4
+    assert {(r.k, r.v) for r in read_merge_target(spark, target).collect()} == as_v2
+
+    # vacuum truncates history; restore to a vacuumed version refuses
+    vacuum_merge_staging(spark, target)
+    with pytest.raises(FileNotFoundError):
+        restore_merge_target(spark, target, 1)
