@@ -146,6 +146,9 @@ HEADLINE = [
     "bigram_novelty",
     # dynamic partition pruning through the month-partitioned fact
     "dpp_partitioned_join",
+    # equi-depth histograms + order-independent table checksum
+    "equidepth_histogram",
+    "table_checksum",
 ]
 
 

@@ -155,6 +155,8 @@ _PRIORITY_ORDER = [
     "ewma_user_value",
     "bigram_novelty",
     "dpp_partitioned_join",
+    "equidepth_histogram",
+    "table_checksum",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

@@ -90,3 +90,131 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select(
         "column_name", "n_rows", "n_nonnull", "ndv", "min_num", "max_num"
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram per group — the CBO histogram type (equal row
+# counts per bucket, data-driven boundaries), complementing the
+# equal-WIDTH `histogram_totalprice` lane. ntile over the exact total
+# order (value, key) makes bucket assignment deterministic and
+# engine-portable; boundaries are observed values (no arithmetic), so
+# min/max hash bit-equal with no float tolerance.
+#
+# Scale: the window partitions by o_orderpriority — each group sorts
+# independently (partition-parallel), never a single global sort. For
+# a single giant group the exact-rank path degrades to one partition;
+# that regime belongs to the KLL sketch lane (`kll_quantile_merge`) or
+# the percentile-cutpoint pattern (`quality_percentile_filter`) —
+# the three lanes are the same primitive at three accuracy/cost
+# points.
+# ---------------------------------------------------------------------------
+@register(
+    "equidepth_histogram",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(bucket AS INT)      AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice)        AS lo,
+           max(o_totalprice)        AS hi
+    FROM ranked
+    GROUP BY o_orderpriority, bucket
+    ORDER BY o_orderpriority, bucket
+    """,
+    doc="per-group equi-depth (quartile) histogram of order totals via ntile",
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("bucket"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum — the replication/migration
+# verification primitive: two copies of a table are byte-equal iff
+# their checksums match, computable on each side WITHOUT moving rows
+# or agreeing on an ordering. Row → canonical string → md5 → top 15
+# hex digits as an integer → exact decimal SUM (a commutative,
+# order-independent reduction). Engine-portable because every piece
+# is: md5 is bit-specified, the canonical string uses only
+# formatting-stable casts (ints, scale-2 decimals, epoch micros),
+# and the decimal sum is exact.
+#
+# Scale: a narrow codegen'd map + one partial-aggregated shuffle of
+# |groups| rows; at 100 TB each replica computes its side locally
+# and ships 5 rows. (An xxhash64-XOR variant would be cheaper per
+# row but xxhash is not cross-engine; md5 is.)
+# ---------------------------------------------------------------------------
+@register(
+    "table_checksum",
+    """
+    WITH rows_ AS (
+      SELECT o_orderstatus,
+             concat_ws('|',
+                       CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       CAST(epoch_us(o_orderdate) AS VARCHAR),
+                       o_orderpriority) AS row_str
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(concat('0x', substring(md5(row_str), 1, 15)) AS BIGINT))
+                AS VARCHAR) AS checksum
+    FROM rows_
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="order-independent md5-sum table checksum per status (replication verification)",
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        o.select("o_orderstatus", row_str.alias("row_str"))
+        .select(
+            "o_orderstatus",
+            F.conv(F.substring(F.md5("row_str"), 1, 15), 16, 10)
+            .cast("decimal(38,0)")
+            .alias("h"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("string").alias("checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
