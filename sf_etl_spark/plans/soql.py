@@ -161,11 +161,19 @@ class _SelectItem:
 
 class _Parser:
     def __init__(
-        self, toks: list[Tok], df: DataFrame | None, polymorphic: dict | None = None
+        self,
+        toks: list[Tok],
+        df: DataFrame | None,
+        polymorphic: dict | None = None,
+        base_fields: list[str] | None = None,
     ):
         self.toks = toks
         self.i = 0
         self.df = df
+        # the queried object's OWN columns in schema order, captured
+        # before relationship-chain joins widen the frame — what
+        # FIELDS(ALL) expands to
+        self.base_fields = base_fields
         # aggregates referenced by HAVING, hoisted into the agg step as
         # hidden columns (Spark can't filter on an aggregate post-agg)
         self.having_aggs: list[Column] = []
@@ -219,11 +227,53 @@ class _Parser:
         return items
 
     def _parse_select_entry(self) -> list[_SelectItem]:
-        # a TYPEOF block expands to one item per branch field; every
-        # other select entry is exactly one item
+        # a TYPEOF block expands to one item per branch field, a
+        # FIELDS(ALL) call to one item per base column; every other
+        # select entry is exactly one item
         if self._at_typeof():
             return self.parse_typeof()
+        if self._at_fields_fn():
+            return self.parse_fields_fn()
         return [self.parse_select_item()]
+
+    def _at_fields_fn(self) -> bool:
+        t, nxt = self.peek(), self.peek(1)
+        return bool(
+            t
+            and t.kind == "ident"
+            and t.text.lower() == "fields"
+            and nxt
+            and nxt.kind == "punct"
+            and nxt.text == "("
+        )
+
+    def parse_fields_fn(self) -> list[_SelectItem]:
+        """``FIELDS(ALL)`` / ``FIELDS(STANDARD)``: expand to every
+        column of the queried object, in schema order (Salesforce's
+        bulk-projection shorthand). The local schema has no
+        custom-field distinction, so STANDARD ≡ ALL here;
+        ``FIELDS(CUSTOM)`` raises a documented error. Expansion
+        happens at PARSE time, so downstream (grouping validation,
+        child subqueries, ORDER BY) sees ordinary select items —
+        exactly as if the user had typed the list."""
+        self.expect("ident")  # fields
+        self.expect("punct", "(")
+        scope_t = self.next()
+        scope = scope_t.text.lower()
+        self.expect("punct", ")")
+        if scope == "custom":
+            raise SoqlError(
+                "FIELDS(CUSTOM) is not supported: the local schema has no "
+                "custom-field metadata (use FIELDS(ALL) or an explicit list)"
+            )
+        if scope not in ("all", "standard"):
+            raise SoqlError(f"FIELDS({scope_t.text}) is not a valid FIELDS scope")
+        if not self.base_fields:
+            raise SoqlError("FIELDS(ALL) requires a resolvable FROM object")
+        return [
+            _SelectItem(F.col(c).alias(_norm(c)), _norm(c), False, c)
+            for c in self.base_fields
+        ]
 
     def parse_select_item(self) -> _SelectItem:
         if self._at_child_subquery():
@@ -729,6 +779,7 @@ def soql_to_df(
     if from_idx is None or from_idx + 1 >= len(toks) or toks[from_idx + 1].kind != "ident":
         raise SoqlError("missing or malformed FROM clause")
     df = resolve(toks[from_idx + 1].text)
+    base_fields = list(df.columns)  # schema order, pre-join (FIELDS(ALL))
     base_cols = set(df.columns)
 
     # bind child-to-parent traversals on the BASE object. Dotted paths
@@ -784,7 +835,7 @@ def soql_to_df(
                 t.text = _flatten_dotted(t.text)
         child_dotted.append(texts)
 
-    p = _Parser(toks, df, polymorphic)
+    p = _Parser(toks, df, polymorphic, base_fields=base_fields)
     p.expect("kw", "select")
     select_items = p.parse_select_list()
     if p.i != from_idx:

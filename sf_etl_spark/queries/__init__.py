@@ -157,6 +157,7 @@ _PRIORITY_ORDER = [
     "dpp_partitioned_join",
     "equidepth_histogram",
     "table_checksum",
+    "soql_fields_all",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

@@ -428,3 +428,24 @@ def soql_typeof(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         },
     )
+
+
+@register(
+    "soql_fields_all",
+    """
+    SELECT r_regionkey, r_name
+    FROM region
+    ORDER BY r_regionkey
+    """,
+    doc="SOQL front door: FIELDS(ALL) bulk projection expands to the object's schema",
+)
+def soql_fields_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT FIELDS(ALL) FROM Region`` — Salesforce's bulk-
+    projection shorthand, expanded at parse time to the queried
+    object's columns in schema order (plans/soql.py:parse_fields_fn).
+    The oracle states the expansion explicitly, so a wrong, reordered,
+    or chain-polluted expansion breaks the schema/hash match."""
+    return soql_to_df(
+        "SELECT FIELDS(ALL) FROM region ORDER BY r_regionkey",
+        _resolver(spark, sf_dir),
+    )

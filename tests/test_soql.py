@@ -577,3 +577,29 @@ def test_typeof_errors(poly_resolve):
             poly_resolve,
             polymorphic=_POLY,
         )
+
+
+def test_fields_all_expands_schema_order(spark, sf_dir):
+    from sf_etl_spark.plans import soql_to_df
+    from sf_etl_spark.sources import load_table
+
+    resolve = lambda name: load_table(spark, sf_dir, name)  # noqa: E731
+    df = soql_to_df("SELECT FIELDS(ALL) FROM nation", resolve)
+    assert df.columns == list(load_table(spark, sf_dir, "nation").columns)
+    # mixes with explicit items and WHERE
+    df2 = soql_to_df(
+        "SELECT FIELDS(STANDARD) FROM region WHERE r_regionkey > 0", resolve
+    )
+    assert df2.count() > 0
+
+
+def test_fields_custom_raises(spark, sf_dir):
+    import pytest
+
+    from sf_etl_spark.plans import soql_to_df
+    from sf_etl_spark.plans.soql import SoqlError
+    from sf_etl_spark.sources import load_table
+
+    resolve = lambda name: load_table(spark, sf_dir, name)  # noqa: E731
+    with pytest.raises(SoqlError, match="FIELDS.CUSTOM"):
+        soql_to_df("SELECT FIELDS(CUSTOM) FROM region", resolve)
