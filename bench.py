@@ -149,6 +149,9 @@ HEADLINE = [
     # equi-depth histograms + order-independent table checksum
     "equidepth_histogram",
     "table_checksum",
+    # market-basket pair mining + Markov transition matrix
+    "market_basket_lift",
+    "event_transitions",
 ]
 
 

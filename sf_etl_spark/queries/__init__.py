@@ -158,6 +158,8 @@ _PRIORITY_ORDER = [
     "equidepth_histogram",
     "table_checksum",
     "soql_fields_all",
+    "market_basket_lift",
+    "event_transitions",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

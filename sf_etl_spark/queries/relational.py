@@ -1562,3 +1562,146 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity — pairwise association mining over order
+# baskets: support (co-occurrence count) and LIFT (observed co-rate /
+# rate expected under independence) for part pairs bought together.
+# The classic retail/recommendation primitive (the "frequent itemsets
+# at k=2" core of Apriori/FP-Growth, which at web scale is exactly a
+# pair-count + two broadcast joins away).
+#
+# Scale: basket fan-out is bounded by items-per-order (≤7 here —
+# pairs are C(n,2) WITHIN an order, never across); pair counts and
+# item counts both partial-aggregate before their shuffles; the item
+# counts re-enter via broadcast (|parts| ≪ |pairs|; at true scale
+# this join becomes a shuffle equi-join with no plan change). Lift is
+# IEEE multiply/divide of exact counts — bit-equal. min-support cuts
+# the tail BEFORE the join; top-20 is TakeOrdered.
+# ---------------------------------------------------------------------------
+@register(
+    "market_basket_lift",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, support,
+           CAST(support AS DOUBLE) * (SELECT n_orders FROM n)
+             / (ia.n_item * ib.n_item) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="pairwise market-basket mining: support >= 3 part pairs ranked by lift, top 20",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix — first-order Markov behavior model over
+# each user's event sequence: counts and probabilities of event_type →
+# next event_type transitions. The product-analytics primitive behind
+# "what do users do after X" and the base for sequence anomaly
+# scoring.
+#
+# Scale: lag over (user_id ORDER BY ts, event_id) is one user shuffle;
+# the transition agg partial-aggregates to |types|² rows; row
+# probabilities divide by a broadcast per-source total. Deterministic:
+# ties in ts break on event_id, so every sequence — and therefore
+# every transition pair — is identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / f.n_from AS p
+    FROM trans t JOIN totals f USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    doc="first-order Markov transition matrix (counts + row probabilities) over user event sequences",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -91,3 +91,94 @@ def test_soql_tokenizer_total(text):
         return
     # tokenization is lossless over non-whitespace spans
     assert all(t.text for t in toks)
+
+
+# -- heavy-hitters pigeonhole guarantee (queries/sketches.py) --------------
+#
+# The two-pass operator's correctness rests on one lemma: for ANY
+# partitioning of a stream into batches, every item with global
+# count*K > n clears the local threshold count_b*K > n_b in at least
+# one batch. Fuzz the lemma directly (pure Python, mirrors the
+# mapInPandas candidate rule bit for bit): the candidate set must be
+# a superset of the true heavy hitters for every random stream and
+# every random batching.
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=400),
+    st.data(),
+)
+@settings(max_examples=300)
+def test_heavy_hitter_candidates_are_superset_under_any_batching(stream, data):
+    from collections import Counter
+
+    K = 10
+    n = len(stream)
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n), max_size=8, unique=True
+            )
+        )
+    )
+    bounds = [0, *cuts, n]
+    candidates: set[int] = set()
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = stream[lo:hi]
+        if not batch:
+            continue
+        for item, c in Counter(batch).items():
+            if c * K > len(batch):
+                candidates.add(item)
+    true_hh = {item for item, c in Counter(stream).items() if c * K > n}
+    assert true_hh <= candidates
+
+
+# -- interval union vs brute force (streaming_batch.interval_coverage) ----
+#
+# The gaps-and-islands formulation (running max of interval end;
+# s > prev_max opens an island) must compute exactly the measure of
+# the union of intervals. Fuzz against the brute-force union.
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            # durations strictly positive, like the lane's (value > 0,
+            # floor(value*1e6) >= 1): a zero-length interval would
+            # count as an island of measure 0, which the point-set
+            # brute force below cannot represent
+            st.integers(min_value=1, max_value=100),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=300)
+def test_gaps_and_islands_equals_brute_force_union(raw):
+    ivs = sorted((s, s + d) for s, d in raw)
+    # gaps-and-islands (mirrors the lane's window logic)
+    n_islands, coverage = 0, 0
+    cur_s = cur_e = None
+    prev_max = None
+    for s, e in ivs:
+        if prev_max is None or s > prev_max:
+            if cur_s is not None:
+                coverage += cur_e - cur_s
+            n_islands += 1
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+        prev_max = e if prev_max is None else max(prev_max, e)
+    coverage += cur_e - cur_s
+    # brute force: measure of the union point set
+    covered = set()
+    for s, e in ivs:
+        covered.update(range(s, e))
+    assert coverage == len(covered)
+    # islands = maximal runs of covered points (closed-open intervals
+    # merge when touching, s == prev_max)
+    runs = 0
+    prev = None
+    for p in sorted(covered):
+        if prev is None or p != prev + 1:
+            runs += 1
+        prev = p
+    assert n_islands == runs
