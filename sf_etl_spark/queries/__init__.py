@@ -78,15 +78,59 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-5 rotation. Every row was green in CORRECTNESS_r4's
-    # window or an earlier round; the front of the ~50-entry window now
-    # re-proves the OLDEST verification vintage: the 33 lanes whose only
-    # green driver row is from round 1 (four fixture regenerations ago —
-    # the same staleness that let the r3 events breakage hide), then the
-    # two never-hashed lanes (now graduated via verifiable companions),
-    # then the 14 r2-vintage TPC-H rows. r3/r4-vintage rows rotate to
-    # the back. ---
-    # r1-vintage: text/embedding/multimodal/extension lanes
+    # --- round-5 rotation, final ordering. The window holds ~50 rows
+    # and there are now 63 candidates that most need one, so the rank
+    # is by information value: (1) the ~30 lanes REGISTERED THIS ROUND
+    # that have never had a driver row at all (no evidence beats stale
+    # evidence as the thing to fix first), (2) the r1-vintage
+    # text/embedding/multimodal lanes the r4 verdict flagged (oldest
+    # rows, four fixture regenerations stale), (3) the r1-vintage
+    # relational long tail — the tail that overflows the window is the
+    # least-risky code in the repo (static pure-relational lanes,
+    # pytest-oracle-green every session) and rotates to round 6's
+    # front. r2-vintage TPC-H and r3/r4-vintage rows follow. ---
+    # (1a) never-verified: round-5 graduation companions of the two
+    # rows-only lanes, plus the rows-only lanes themselves
+    "ann_ivf_kmeans_agreement",
+    "multimodal_features_checksum",
+    "ann_ivf_kmeans_topk",
+    "multimodal_features",
+    # (1b) never-verified: round-5 first batch
+    "soql_typeof",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
+    "dedup_incremental_ingest",
+    # (1c) never-verified: round-5 second batch (sessionization/
+    # cohort/outlier analytics, BM25, bloom-pruned join, time travel,
+    # PageRank)
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
+    # (1d) never-verified: round-5 third/fourth batches (mergeable
+    # summaries, profiling, interval union, triangles, change feed,
+    # EWMA, novelty, DPP, equi-depth, checksum, FIELDS(ALL), basket,
+    # transitions)
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "kll_quantile_merge",
+    "column_profile",
+    "interval_coverage",
+    "triangle_count",
+    "merge_change_feed",
+    "ewma_user_value",
+    "bigram_novelty",
+    "dpp_partitioned_join",
+    "equidepth_histogram",
+    "table_checksum",
+    "soql_fields_all",
+    "market_basket_lift",
+    "event_transitions",
+    # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",
     "token_counts",
@@ -98,7 +142,8 @@ _PRIORITY_ORDER = [
     "dispersion_stats",
     "multimodal_meta_stats",
     "multimodal_frame_sample",
-    # r1-vintage: relational long tail
+    # (3) r1-vintage: relational long tail (window boundary lands in
+    # here; the overflow leads round 6)
     "agg_having",
     "agg_stats_by_status",
     "approx_distinct_custkeys",
@@ -121,45 +166,6 @@ _PRIORITY_ORDER = [
     "set_ops",
     "set_ops_all",
     "string_functions",
-    # never-hashed lanes + their new round-5 verifiable companions
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_kmeans_agreement",
-    "multimodal_features",
-    "multimodal_features_checksum",
-    # new round-5 surface (first driver rows)
-    "soql_typeof",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_promo_suppliers",
-    "dedup_incremental_ingest",
-    # new round-5 surface, second batch (first driver rows):
-    # sessionization/cohort/outlier analytics over events, BM25
-    # retrieval, bloom-pruned semi join
-    "sessionize_events",
-    "cohort_retention",
-    "robust_outliers",
-    "bm25_topk",
-    "bloom_semi_join_revenue",
-    "merge_time_travel",
-    "pagerank_topk",
-    # new round-5 surface, third batch (first driver rows): mergeable
-    # summaries (exact heavy hitters, HLL/KLL sketch rollups), one-pass
-    # column profiling, interval union/coverage
-    "heavy_hitters_twopass",
-    "hll_rollup_merge",
-    "kll_quantile_merge",
-    "column_profile",
-    "interval_coverage",
-    "triangle_count",
-    "merge_change_feed",
-    "ewma_user_value",
-    "bigram_novelty",
-    "dpp_partitioned_join",
-    "equidepth_histogram",
-    "table_checksum",
-    "soql_fields_all",
-    "market_basket_lift",
-    "event_transitions",
     # r2-vintage TPC-H rows
     "q4_order_priority",
     "q7_volume_shipping",

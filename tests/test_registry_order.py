@@ -13,12 +13,52 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 5) — they must sit inside the driver's window. The r5 rotation
-# front-loads the 33 lanes whose only green row is r1-vintage (four
-# fixture regenerations old), the two never-hashed lanes with their new
-# verifiable companions, and the new round-5 surface.
+# (round 5, final ordering) — they must sit inside the driver's ~50-row
+# window. With 63 candidates for 50 slots the rank is by information
+# value: every lane REGISTERED THIS ROUND that has never had a driver
+# row (no evidence beats stale evidence), then the r1-vintage
+# text/embedding/multimodal lanes the r4 verdict flagged. The
+# r1-vintage relational long tail overflows (least-risky code in the
+# repo — static pure-relational lanes, pytest-oracle-green every
+# session) and leads round 6's front instead.
 MUST_BE_IN_WINDOW = [
-    # r1-vintage text/embedding/multimodal/extension lanes
+    # never-verified: rows-only lanes + their verifiable companions
+    "ann_ivf_kmeans_agreement",
+    "multimodal_features_checksum",
+    "ann_ivf_kmeans_topk",
+    "multimodal_features",
+    # never-verified: round-5 first batch
+    "soql_typeof",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
+    "dedup_incremental_ingest",
+    # never-verified: round-5 second batch
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
+    # never-verified: round-5 third/fourth batches
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "kll_quantile_merge",
+    "column_profile",
+    "interval_coverage",
+    "triangle_count",
+    "merge_change_feed",
+    "ewma_user_value",
+    "bigram_novelty",
+    "dpp_partitioned_join",
+    "equidepth_histogram",
+    "table_checksum",
+    "soql_fields_all",
+    "market_basket_lift",
+    "event_transitions",
+    # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
+    # rotation targets with the OLDEST green rows)
     "doc_fingerprint",
     "text_quality",
     "token_counts",
@@ -30,48 +70,6 @@ MUST_BE_IN_WINDOW = [
     "dispersion_stats",
     "multimodal_meta_stats",
     "multimodal_frame_sample",
-    # r1-vintage relational long tail
-    "agg_having",
-    "agg_stats_by_status",
-    "approx_distinct_custkeys",
-    "array_functions",
-    "conditional_predicates",
-    "cube_status_priority",
-    "date_functions",
-    "distinct_flags",
-    "filter_project",
-    "join_anti",
-    "join_left_outer",
-    "join_semi",
-    "json_extract",
-    "map_functions",
-    "math_functions",
-    "min_per_group_joinback",
-    "order_limit_offset",
-    "pivot_returnflag",
-    "rollup_flags",
-    "set_ops",
-    "set_ops_all",
-    "string_functions",
-    # never-hashed lanes + round-5 verifiable companions
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_kmeans_agreement",
-    "multimodal_features",
-    "multimodal_features_checksum",
-    # new round-5 surface (first driver rows)
-    "soql_typeof",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_promo_suppliers",
-    "dedup_incremental_ingest",
-    # new round-5 surface, second batch (first driver rows)
-    "sessionize_events",
-    "cohort_retention",
-    "robust_outliers",
-    "bm25_topk",
-    "bloom_semi_join_revenue",
-    "merge_time_travel",
-    "pagerank_topk",
 ]
 
 
