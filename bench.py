@@ -152,6 +152,8 @@ HEADLINE = [
     # market-basket pair mining + Markov transition matrix
     "market_basket_lift",
     "event_transitions",
+    # GROUPED_AGG pandas UDAF (trimmed mean)
+    "grouped_agg_trimmed_mean",
 ]
 
 

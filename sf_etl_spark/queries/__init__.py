@@ -130,6 +130,7 @@ _PRIORITY_ORDER = [
     "soql_fields_all",
     "market_basket_lift",
     "event_transitions",
+    "grouped_agg_trimmed_mean",
     # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",

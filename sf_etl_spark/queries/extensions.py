@@ -187,3 +187,69 @@ def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(n.alias("n"), var.alias("var_price"), F.sqrt(var).alias("std_price"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (true custom UDAF) — the one UDF flavor
+# the other lanes don't cover: scalar pandas UDF (`pandas_udf_zscore`),
+# UDTF (`udtf_bigrams`), cogrouped map (`asof_pandas_merge`),
+# mapInPandas (multimodal) are all demonstrated; this adds
+# GROUPED_AGG, the Arrow path for aggregation logic Catalyst can't
+# express. The example is a 10%-trimmed mean (robust location
+# estimate): sort, drop the exact bottom/top floor(n/10) values,
+# average the rest.
+#
+# Cross-engine parity: the trim boundaries are integer ranks (exact on
+# both sides); the remaining float mean differs only in summation
+# order, absorbed by ROUND(…, 6) on both sides (the repo-wide
+# float-agg rounding rule — values ~1e2 over ~10² rows leave ~1e-11
+# absolute drift, five orders below the rounding grain).
+#
+# Scale: GROUPED_AGG streams each group through Arrow once — memory is
+# O(group); partial aggregation does NOT apply (the UDAF is a black
+# box to Catalyst), which is exactly why the built-in lanes are
+# preferred for anything expressible — this lane documents the
+# escape hatch and its cost.
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_agg_trimmed_mean",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*)     OVER (PARTITION BY event_type)                          AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           ROUND(avg(value), 6)     AS trimmed_mean
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="custom UDAF via GROUPED_AGG pandas UDF: 10%-trimmed mean per event type",
+)
+def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType
+
+    @pandas_udf(DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values(kind="mergesort").to_numpy()
+        k = len(s) // 10
+        kept = s[k : len(s) - k]
+        return float(kept.mean())
+
+    @pandas_udf(LongType())
+    def trimmed_count(v: pd.Series) -> int:
+        return int(len(v) - 2 * (len(v) // 10))
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        e.groupBy("event_type")
+        .agg(
+            trimmed_count(F.col("value")).alias("n_kept"),
+            F.round(trimmed_mean(F.col("value")), 6).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

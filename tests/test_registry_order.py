@@ -57,6 +57,7 @@ MUST_BE_IN_WINDOW = [
     "soql_fields_all",
     "market_basket_lift",
     "event_transitions",
+    "grouped_agg_trimmed_mean",
     # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
     # rotation targets with the OLDEST green rows)
     "doc_fingerprint",
