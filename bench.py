@@ -154,6 +154,8 @@ HEADLINE = [
     "event_transitions",
     # GROUPED_AGG pandas UDAF (trimmed mean)
     "grouped_agg_trimmed_mean",
+    # SCD2 as-was temporal join
+    "scd2_point_in_time_join",
 ]
 
 

@@ -131,6 +131,7 @@ _PRIORITY_ORDER = [
     "market_basket_lift",
     "event_transitions",
     "grouped_agg_trimmed_mean",
+    "scd2_point_in_time_join",
     # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",

@@ -874,3 +874,81 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_month", "n_orders", "total_price")
         .orderBy("o_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-was) join over the SCD2 dimension — the reason
+# SCD2 history exists: join each fact to the dimension version that
+# was CURRENT AT THE FACT'S OWN TIME, so historical reports read
+# as-was attributes, not today's. A wrong-version join silently
+# reclassifies every fact after an attribute change; the aggregate
+# here makes that visible (the %5 customers' post-change orders must
+# land in 'CHANGED', their earlier orders in the original segment).
+#
+# Scale: the dimension (even with full history) is dimension-sized →
+# broadcast; the join is a hash probe on the business key with the
+# validity-interval test as a residual condition — ONE fact scan,
+# zero pre-aggregation shuffle. At dim sizes beyond broadcast it
+# degrades to a bucket-aligned shuffle join on the key with no plan
+# change.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH facts AS (
+      SELECT o_custkey, o_orderdate FROM orders
+      WHERE o_custkey <= 200 AND o_orderdate >= TIMESTAMP '1996-01-01'
+    ),
+    dim AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 200)
+    SELECT CASE WHEN f.o_custkey % 5 = 0
+                 AND f.o_orderdate >= TIMESTAMP '1999-01-01'
+                THEN 'CHANGED' ELSE d.c_mktsegment END AS segment_as_was,
+           CAST(count(*) AS BIGINT)                    AS n_orders,
+           CAST(count(DISTINCT f.o_custkey) AS BIGINT) AS n_cust
+    FROM facts f JOIN dim d ON f.o_custkey = d.c_custkey
+    GROUP BY segment_as_was
+    ORDER BY segment_as_was
+    """,
+    doc="SCD2 point-in-time join: facts pick the dim version current at their own time",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.scd import IS_CURRENT, VALID_FROM, VALID_TO, scd2_apply
+    from sf_etl_spark.streaming.pipelines import read_merge_target
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = c.filter(F.col("c_custkey") <= 200)
+    dim_dir = tempfile.mkdtemp(prefix="scd2_pit_") + "/customer_dim"
+    t1 = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    scd2_apply(base, dim_dir, ["c_custkey"], ["c_mktsegment", "c_acctbal"], t1)
+    batch2 = base.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    scd2_apply(batch2, dim_dir, ["c_custkey"], ["c_mktsegment", "c_acctbal"], t2)
+
+    hist = read_merge_target(spark, dim_dir).select(
+        "c_custkey", "c_mktsegment", VALID_FROM, VALID_TO
+    )
+    facts = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate").filter(
+        (F.col("o_custkey") <= 200)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    joined = facts.join(
+        F.broadcast(hist),
+        (facts["o_custkey"] == hist["c_custkey"])
+        & (facts["o_orderdate"] >= hist[VALID_FROM])
+        & (hist[VALID_TO].isNull() | (facts["o_orderdate"] < hist[VALID_TO])),
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment_as_was"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+        .orderBy("segment_as_was")
+    )

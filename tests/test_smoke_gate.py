@@ -39,6 +39,7 @@ EXECUTE_ON_CONSTRUCT = {
     "merge_change_feed",
     "dedup_incremental_ingest",
     "dpp_partitioned_join",
+    "scd2_point_in_time_join",
     "zorder_roundtrip",
     "scd2_dimension_history",
     "rollup_incremental_maintenance",
