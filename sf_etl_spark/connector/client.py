@@ -165,7 +165,8 @@ class SfClient:
             hdrs.update(headers)
         last_err: Exception | None = None
         refreshed = False
-        for attempt in range(self.max_retries + 1):
+        attempt = 0
+        while attempt <= self.max_retries:
             req = urllib.request.Request(url, data=body, headers=hdrs, method=method)
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
@@ -183,7 +184,10 @@ class SfClient:
                     # grant ONCE and replay with the fresh token. The
                     # token endpoint itself never carries Authorization
                     # with stored creds pre-login, and `refreshed`
-                    # guards the replay, so this cannot recurse.
+                    # guards the replay, so this cannot recurse. The
+                    # replay does NOT consume a retry attempt (and skips
+                    # the backoff sleep): a refresh succeeding on the
+                    # final attempt must still get its replay.
                     refreshed = True
                     self.login(self._username, self._password)
                     hdrs["Authorization"] = f"Bearer {self.access_token}"
@@ -195,6 +199,7 @@ class SfClient:
             except urllib.error.URLError as e:
                 last_err = e
             time.sleep(self.backoff_base * (2**attempt))
+            attempt += 1
         raise HttpError(f"{method} {url} failed after {self.max_retries + 1} attempts: {last_err}")
 
     @staticmethod

@@ -343,9 +343,17 @@ class SfIncrementalStreamReader(SimpleDataSourceStreamReader):
       instead of the beginning of time (the usual production choice:
       bulk-backfill first, stream from the backfill's high-water mark);
     * ``max_rows_per_batch`` — LIMIT-driven offset advance: each
-      micro-batch pulls at most N rows in watermark order and advances
-      the offset to the max seen, so a cold start drains the object in
-      bounded driver-memory chunks instead of one unbounded list.
+      micro-batch pulls at most N rows in watermark order, so a cold
+      start drains the object in bounded driver-memory chunks instead
+      of one unbounded list. Tie-safety: when the LIMIT is hit, rows
+      sharing the boundary watermark may have been cut off
+      server-side, so the batch delivers only rows strictly below the
+      boundary and advances the offset to the largest delivered value
+      — never past rows it did not fetch. A tie run of >= N rows (one
+      bulk update stamping everything at once) is re-fetched
+      range-bounded and delivered whole: bounded memory in every case
+      EXCEPT a single watermark value carrying more rows than fit,
+      where correctness wins over the bound.
 
     Watermark type contract: the offset is interpolated into the SOQL
     UNQUOTED, which is valid for numeric and datetime/date watermarks
@@ -418,20 +426,43 @@ class SfIncrementalStreamReader(SimpleDataSourceStreamReader):
         if not records:
             return [], None
         new_wm = max(_coerce(r[self.wm_field]) for r in records)
-        return [tuple(r.get(n) for n in self.names) for r in records], new_wm
+        return records, new_wm
+
+    def _project(self, records: list[dict]) -> list[tuple]:
+        return [tuple(r.get(n) for n in self.names) for r in records]
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        rows, new_wm = self._fetch(start.get("wm"), None, limit=self.max_rows)
+        from sf_etl_spark.connector.incremental import _coerce
+
+        records, new_wm = self._fetch(start.get("wm"), None, limit=self.max_rows)
         if new_wm is None:
             return iter([]), start  # no progress — offset unchanged
-        return iter(rows), {"wm": new_wm}
+        if self.max_rows is None or len(records) < self.max_rows:
+            # complete prefix: nothing beyond new_wm was cut off
+            return iter(self._project(records)), {"wm": new_wm}
+        # LIMIT was hit, so rows SHARING the boundary watermark may have
+        # been cut off server-side — advancing the offset to the
+        # boundary would skip them forever (the next batch filters
+        # wm > offset). Deliver only rows strictly below the boundary
+        # and advance to the largest delivered watermark.
+        below = [r for r in records if _coerce(r[self.wm_field]) < new_wm]
+        if below:
+            kept_wm = max(_coerce(r[self.wm_field]) for r in below)
+            return iter(self._project(below)), {"wm": kept_wm}
+        # The entire LIMIT prefix shares one watermark (a tie run at
+        # least max_rows long — e.g. a bulk update stamping everything
+        # with one SystemModstamp). Dropping the boundary can't make
+        # progress; fetch the complete tie run range-bounded (finite:
+        # exactly the rows at <= new_wm) and deliver it whole.
+        records, _ = self._fetch(start.get("wm"), new_wm)
+        return iter(self._project(records)), {"wm": new_wm}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # crash replay: re-serve the (start, end] delta (see the replay
         # caveat in the class doc — live-source replay, keyed dedup
         # downstream). No LIMIT: the range is already bounded by `end`.
-        rows, _ = self._fetch(start.get("wm"), end.get("wm"))
-        return iter(rows)
+        records, _ = self._fetch(start.get("wm"), end.get("wm"))
+        return iter(self._project(records))
 
 
 def register(spark: Any) -> None:

@@ -148,9 +148,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH media AS ({_MEDIA_SQL}),
     e AS (
+      -- zero-byte payloads have no byte features on either side: the
+      -- unnest naturally emits no rows for them, and the engine lane
+      -- filters n_bytes > 0 to match (the rows-only features lane
+      -- keeps its all-null degenerate row; this hash lane is bytes-only)
       SELECT media_id, CAST(payload AS BIT) AS b,
              CAST(unnest(generate_series(0, octet_length(payload) - 1)) AS INT) AS j
       FROM media
+      WHERE octet_length(payload) > 0
     ), v AS (
       SELECT media_id,
              128*get_bit(b, 8*j+0) + 64*get_bit(b, 8*j+1) + 32*get_bit(b, 8*j+2)
@@ -172,6 +177,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    return feats.select(
-        "media_id", "n_bytes", "byte_sum", "byte_min", "byte_max"
-    ).orderBy("media_id")
+    return (
+        feats.filter(F.col("n_bytes") > 0)
+        .select("media_id", "n_bytes", "byte_sum", "byte_min", "byte_max")
+        .orderBy("media_id")
+    )

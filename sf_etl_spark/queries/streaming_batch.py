@@ -722,7 +722,10 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id,
              epoch_us(ts) AS s,
              epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
-      FROM events WHERE value IS NOT NULL
+      -- value > 0: a zero/negative duration would make e <= s, and the
+      -- island algebra (and the property test backing it) assumes
+      -- strictly positive intervals
+      FROM events WHERE value > 0
     ), flagged AS (
       SELECT user_id, s, e, event_id,
              CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
@@ -754,7 +757,9 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # strictly positive durations only — matches the oracle and the
+    # gaps-and-islands property test's precondition
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     iv = ev.select(
         "user_id",
         "event_id",

@@ -107,6 +107,7 @@ def compact_parquet(
     path: str,
     target_rows_per_file: int = 1_000_000,
     partition_by: list[str] | None = None,
+    vacuum: bool = False,
 ) -> int:
     """Small-file compaction — the maintenance pass the write path
     deliberately does not do inline (see module doc).
@@ -133,10 +134,13 @@ def compact_parquet(
     SNAPSHOT-ATOMICALLY: the whole live snapshot is rewritten into one
     fresh commit directory (bucket layout preserved — flattening it
     would mis-bucket the next merge's keys, the exact hazard the
-    manifest exists to prevent), the manifest swaps to reference only
-    that commit, and the superseded commit dirs are garbage-collected
-    by the vacuum. Concurrent readers see old-or-new, never a gap.
-    Passing an explicit ``partition_by`` for a merge target is refused.
+    manifest exists to prevent) and the manifest swaps to reference
+    only that commit. Concurrent readers see old-or-new, never a gap.
+    Superseded commit dirs — and with them ALL archived time-travel
+    versions — are garbage-collected only with ``vacuum=True``; the
+    default keeps history readable/restorable (the Delta OPTIMIZE
+    contract: compaction is not history truncation). Passing an
+    explicit ``partition_by`` for a merge target is refused.
     """
     import math
     import uuid
@@ -185,7 +189,8 @@ def compact_parquet(
             target_path,
             {**meta, "buckets": {str(b): commit for b in present}},
         )
-        vacuum_merge_staging(spark, path)  # superseded commits
+        if vacuum:
+            vacuum_merge_staging(spark, path)  # superseded commits + history
         out = _read_buckets(spark, path, _read_merge_meta(spark, fs, target_path))
         return len([f for f in out.inputFiles() if f.endswith(".parquet")])
 

@@ -305,6 +305,33 @@ def _meta_path(spark: SparkSession, target_path):
     return spark.sparkContext._jvm.org.apache.hadoop.fs.Path(target_path, MERGE_META)
 
 
+def _read_json_file(spark: SparkSession, fs, path) -> dict:
+    """Read one small JSON file off the Hadoop FS — the single shared
+    reader for manifests and version archives. IOUtils drains the
+    stream in ONE py4j round trip (the byte-at-a-time fallback costs a
+    JVM round trip PER BYTE — thousands per manifest)."""
+    import json
+
+    stream = fs.open(path)
+    try:
+        try:
+            data = bytes(
+                spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream
+                )
+            )
+        except Exception:
+            buf = bytearray()
+            b = stream.read()
+            while b >= 0:
+                buf.append(b)
+                b = stream.read()
+            data = bytes(buf)
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
 def _read_merge_meta(spark: SparkSession, fs, target_path) -> dict | None:
     """The merge target's manifest, or None for a fresh path.
 
@@ -319,16 +346,17 @@ def _read_merge_meta(spark: SparkSession, fs, target_path) -> dict | None:
     meta = _meta_path(spark, target_path)
     if not fs.exists(meta):
         return None
-    stream = fs.open(meta)
-    try:
-        data = bytearray()
-        b = stream.read()
-        while b >= 0:
-            data.append(b)
-            b = stream.read()
-        return json.loads(bytes(data).decode("utf-8"))
-    finally:
-        stream.close()
+    parsed = _read_json_file(spark, fs, meta)
+    if "buckets" not in parsed:
+        # pre-manifest-snapshot layout ({n_buckets, bucket_col} only,
+        # buckets written in place): not resolvable through the commit
+        # protocol — fail loud instead of a bare KeyError downstream
+        raise ValueError(
+            f"{target_path} has a legacy (pre-snapshot) merge manifest with no "
+            f"bucket->commit mapping; rewrite the target by re-merging its rows "
+            f"into a fresh directory"
+        )
+    return parsed
 
 
 def _write_merge_meta(spark: SparkSession, fs, target_path, meta: dict) -> None:
@@ -457,16 +485,7 @@ def read_merge_target(
                 f"{target_dir} has no archived version {version} "
                 f"(vacuumed, or never written)"
             )
-        stream = fs.open(vfile)
-        try:
-            data = bytearray()
-            b = stream.read()
-            while b >= 0:
-                data.append(b)
-                b = stream.read()
-            meta = json.loads(bytes(data).decode("utf-8"))
-        finally:
-            stream.close()
+        meta = _read_json_file(spark, fs, vfile)
     return _read_buckets(spark, target_dir, meta, buckets)
 
 
@@ -496,16 +515,7 @@ def restore_merge_target(spark: SparkSession, target_dir: str, version: int) -> 
             f"{target_dir} has no archived version {version} "
             f"(vacuumed, or never written)"
         )
-    stream = fs.open(vfile)
-    try:
-        data = bytearray()
-        b = stream.read()
-        while b >= 0:
-            data.append(b)
-            b = stream.read()
-        archived = json.loads(bytes(data).decode("utf-8"))
-    finally:
-        stream.close()
+    archived = _read_json_file(spark, fs, vfile)
     for bucket, commit in sorted(archived.get("buckets", {}).items()):
         cpath = jvm.org.apache.hadoop.fs.Path(target_path, commit)
         if not fs.exists(cpath):

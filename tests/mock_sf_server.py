@@ -207,7 +207,12 @@ class MockSalesforce:
     def select_rows(self, soql: str) -> tuple[list[str], list[dict]]:
         """Trivial SOQL evaluation: field list + optional integer range
         WHERE on NumCalls (enough for the partitioned-reader tests)."""
-        m = re.match(r"SELECT (.+) FROM (\w+)(?: WHERE (.+))?$", soql, re.I)
+        m = re.match(
+            r"SELECT (.+) FROM (\w+)(?: WHERE (.+?))?"
+            r"(?: ORDER BY (\w+))?(?: LIMIT (\d+))?$",
+            soql,
+            re.I,
+        )
         fields = [f.strip() for f in m.group(1).split(",")]
         rows = self.rows
         where = m.group(3)
@@ -225,6 +230,10 @@ class MockSalesforce:
                     "=": lambda a, b: a == b,
                 }[op]
                 rows = [r for r in rows if ops(int(r[fld]), val)]
+        if m.group(4):  # ORDER BY <numeric field>
+            rows = sorted(rows, key=lambda r: int(r[m.group(4)]))
+        if m.group(5):  # LIMIT n — applied after ordering, like SOQL
+            rows = rows[: int(m.group(5))]
         return fields, rows
 
     def handle_query(self, h, soql, offset):

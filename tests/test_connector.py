@@ -72,6 +72,26 @@ def test_session_refresh_on_401(client, mock_sf):
         server.valid_token = "MOCK_TOKEN"
 
 
+def test_session_refresh_replays_even_with_zero_retries(mock_sf):
+    """The refresh replay must not consume a retry attempt: with
+    max_retries=0 a 401 on the only attempt still re-logins AND
+    replays (the regression was HttpError('... failed after 1
+    attempts: None') after a successful refresh)."""
+    server, url = mock_sf
+    c = SfClient(
+        client_id="app", client_secret="shhh", login_url=url,
+        backoff_base=0.01, max_retries=0,
+    )
+    c.login("user@test", "pw")
+    try:
+        server.valid_token = "ROTATED2"
+        pages = list(c.query_pages("SELECT Id FROM Case"))
+        assert sum(len(p.records) for p in pages) == 95
+        assert c.access_token == "ROTATED2"
+    finally:
+        server.valid_token = "MOCK_TOKEN"
+
+
 def test_no_refresh_without_stored_credentials(mock_sf):
     """A manually-seeded token (no login(), no stored creds) must NOT
     attempt a refresh loop — the 401 surfaces as the API error."""
@@ -381,5 +401,54 @@ def test_stream_reader_full_then_delta(spark, tmp_path):
             if "NumCalls+%3E+24" in r or "NumCalls%20%3E%2024" in r or "NumCalls > 24" in r
         ]
         assert delta_reqs, f"no delta-predicate request seen"
+    finally:
+        server.stop()
+
+
+def test_stream_reader_limit_is_tie_safe(mock_sf):
+    """max_rows_per_batch must never advance the offset past rows it
+    did not fetch. With duplicate watermark values at the LIMIT
+    boundary the batch delivers only rows strictly below the boundary
+    (advancing to the largest delivered value); a tie run >= the limit
+    is re-fetched range-bounded and delivered whole. Union of all
+    batches == all rows, exactly once."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from sf_etl_spark.connector.datasource import SfIncrementalStreamReader
+
+    server = MockSalesforce(n_rows=0, page_size=50)
+    # watermarks: a 3-row tie run at 1 (>= limit), pairs and singles after
+    wms = [1, 1, 1, 2, 2, 3, 4, 4, 5]
+    server.rows = [
+        {"Id": f"500{i:015d}", "NumCalls": str(w)} for i, w in enumerate(wms)
+    ]
+    url = server.start()
+    try:
+        schema = StructType(
+            [StructField("Id", StringType()), StructField("NumCalls", StringType())]
+        )
+        reader = SfIncrementalStreamReader(
+            schema,
+            {
+                **sf_options(url),
+                "object": "Case",
+                "watermark_field": "NumCalls",
+                "max_rows_per_batch": "2",
+            },
+        )
+        seen: list[tuple] = []
+        offset = reader.initialOffset()
+        for _ in range(20):
+            rows, new_offset = reader.read(offset)
+            rows = list(rows)
+            if not rows and new_offset == offset:
+                break
+            seen.extend(rows)
+            offset = new_offset
+        assert sorted(r[0] for r in seen) == sorted(r["Id"] for r in server.rows)
+        assert len(seen) == len(server.rows)  # exactly once, no dupes
+        # the 3-row tie run at wm=1 exceeded the limit of 2 and was
+        # still delivered completely in one batch
+        assert offset == {"wm": 5}
     finally:
         server.stop()

@@ -97,7 +97,6 @@ def test_pagerank_hand_checkable_star(spark):
     got = {r.node: r.pr for r in pagerank(edges, iterations=1).collect()}
     assert set(got) == {"c0", "s1", "s2"}
     third = 1.0 / 3.0
-    hub = (1.0 - 0.85) / 3.0 + 0.85 * float(str((third + third)))  # decimal hop is lossless here? no:
     # recompute through the exact decimal(38,10) lane the operator uses
     from decimal import Decimal
 

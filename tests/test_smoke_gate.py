@@ -30,10 +30,14 @@ from sf_etl_spark.sources import TABLES, load_table
 
 SPECS = all_queries()
 
-#: Lanes whose fn() executes writes/merges during DataFrame
-#: construction (the returned df is a read-back of a just-written
-#: target) — the gate runs real jobs for these.
+#: Lanes whose fn() executes real Spark jobs during DataFrame
+#: construction — either writes/merges (the returned df is a read-back
+#: of a just-written target) or eager computation (bloom collect,
+#: KMeans training, iterative localCheckpoints). The gate runs real
+#: jobs for exactly these; `-m "not smoke_exec"` is the pure-analysis
+#: pass.
 EXECUTE_ON_CONSTRUCT = {
+    # write-side lanes (merges/writes at construct)
     "sink_merge_cdc",
     "merge_time_travel",
     "merge_change_feed",
@@ -50,6 +54,14 @@ EXECUTE_ON_CONSTRUCT = {
     "source_orc_roundtrip",
     "source_json_roundtrip",
     "source_schema_evolution",
+    # job-executing (non-writing) lanes: eager collect / ML fit /
+    # localCheckpoint at DataFrame-construction time
+    "bloom_semi_join_revenue",      # bloom bitmap collect()
+    "pagerank_topk",                # edge/rank localCheckpoints
+    "ann_ivf_kmeans_topk",          # pyspark.ml KMeans.fit
+    "ann_ivf_kmeans_agreement",     # pyspark.ml KMeans.fit
+    "dedup_cluster_components",     # iterative label propagation
+    "dedup_cluster_bigstar",        # iterative star contraction
 }
 
 
