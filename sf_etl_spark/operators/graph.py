@@ -241,10 +241,14 @@ def pagerank(
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     e2 = edges.join(deg, src).localCheckpoint()
-    ranks = (
-        deg.select(F.col(src).alias("node"))
-        .crossJoin(F.broadcast(n))
-        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr"))
+    # The node universe, kept across iterations: rebuilding ranks from
+    # the fan-in sums alone would DROP zero-in-degree nodes (a genuinely
+    # directed graph routinely has them) — they'd lose their (1-d)/n
+    # teleport rank AND stop contributing to their out-neighbors from
+    # iteration 2 on, silently corrupting downstream ranks.
+    nodes = deg.select(F.col(src).alias("node")).localCheckpoint()
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
     dec = f"decimal(38,{sum_scale})"
     for _ in range(iterations):
@@ -255,12 +259,18 @@ def pagerank(
         sums = contrib.groupBy("node").agg(
             F.sum(F.col("c").cast(dec)).cast("string").cast("double").alias("s")
         )
-        ranks = sums.crossJoin(F.broadcast(n)).select(
-            "node",
-            (
-                (F.lit(1.0 - damping) / F.col("n_nodes"))
-                + (F.lit(damping) * F.col("s"))
-            ).alias("pr"),
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0 - damping) / F.col("n_nodes"))
+                    # no in-edges => fan-in sum is exactly 0, keeping the
+                    # damped-teleport floor (true PageRank), not a dropped row
+                    + (F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)))
+                ).alias("pr"),
+            )
         )
         # Cut the lineage per iteration: the rank vector is O(nodes)
         # (tiny next to edges); without the cut, iteration k's join

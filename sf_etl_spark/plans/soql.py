@@ -353,7 +353,13 @@ class _Parser:
                 f"registry (known: {sorted(self.polymorphic or {})})"
             )
         spec = self.polymorphic[rel]
-        items: list[_SelectItem] = []
+        # output name -> branch columns, in first-appearance order. The
+        # same field selected in SEVERAL branches (the canonical usage:
+        # WHEN Lead THEN name WHEN Contact THEN name) must produce ONE
+        # column, not duplicates: branches are type-gated and mutually
+        # exclusive per row, so coalescing the branch columns is exactly
+        # the Salesforce wire value for that row's actual type.
+        by_name: dict[str, list[Column]] = {}
         saw_when = False
         while True:
             t = self.peek()
@@ -377,11 +383,7 @@ class _Parser:
                     fields.append(self.expect("ident").text)
                 for f in fields:
                     name = f"{rel}_{f}".lower()
-                    items.append(
-                        _SelectItem(
-                            F.col(f"{alias}.{f}").alias(name), name, is_agg=False
-                        )
-                    )
+                    by_name.setdefault(name, []).append(F.col(f"{alias}.{f}"))
             elif t and t.kind == "ident" and t.text.lower() == "else":
                 raise SoqlError(
                     "TYPEOF ELSE is not supported: its fields resolve against the "
@@ -391,7 +393,16 @@ class _Parser:
                 self.next()
                 if not saw_when:
                     raise SoqlError("TYPEOF requires at least one WHEN branch")
-                return items
+                return [
+                    _SelectItem(
+                        (cols[0] if len(cols) == 1 else F.coalesce(*cols)).alias(
+                            name
+                        ),
+                        name,
+                        is_agg=False,
+                    )
+                    for name, cols in by_name.items()
+                ]
             else:
                 raise SoqlError(
                     f"expected WHEN/END in TYPEOF, got "

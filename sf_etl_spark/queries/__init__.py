@@ -38,12 +38,24 @@ class QuerySpec:
     fn: SparkQuery
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     doc: str = ""
+    #: fn() runs real Spark jobs at DataFrame-CONSTRUCTION time
+    #: (writes/merges, ML fits, eager collects, localCheckpoints)
+    #: instead of deferring everything to the first action. Declared
+    #: here, AT the lane, so the smoke gate's job-free "pure analysis"
+    #: pass derives from the registry instead of a hand-maintained
+    #: name list that silently drifts.
+    executes_on_construct: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    executes_on_construct: bool = False,
+):
     """Decorator: add a query to the global registry."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -61,7 +73,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
             apply_engine_conf(spark)
             return fn(spark, sf_dir)
 
-        _REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc)
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            doc=doc,
+            executes_on_construct=executes_on_construct,
+        )
         return fn
 
     return deco

@@ -78,6 +78,7 @@ def _pr_sql() -> str:
     "pagerank_topk",
     _pr_sql(),
     doc=f"PageRank ({_PR_ITERS} iterations, d=0.85) on the customer↔supplier graph, top 15",
+    executes_on_construct=True,
 )
 def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link analysis on the bipartite customer↔supplier graph (an edge

@@ -1535,6 +1535,7 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
     doc="bloom-filter pre-pruned semi join: urgent-order revenue by returnflag",
+    executes_on_construct=True,
 )
 def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.operators.bloom import bloom_build, bloom_prune_literal

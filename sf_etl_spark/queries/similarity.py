@@ -336,6 +336,7 @@ IVF_KM_SEED = 7
     "ann_ivf_kmeans_topk",
     None,  # k-means training is not SQL-replayable → rows-only check
     doc=f"IVF ANN over k-means({IVF_KM_K}) cells, nprobe={IVF_KM_NPROBE}, exact top-10",
+    executes_on_construct=True,
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
@@ -418,6 +419,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc=f"k-means({IVF_KM_K}) IVF probed at nprobe=K == exact brute-force top-10",
+    executes_on_construct=True,
 )
 def ann_ivf_kmeans_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans

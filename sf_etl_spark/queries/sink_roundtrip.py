@@ -37,6 +37,7 @@ from sf_etl_spark.sources import load_table
     ORDER BY o_orderstatus
     """,
     doc="write orders partitioned-by-status → read back → agg (lossless sink proof)",
+    executes_on_construct=True,
 )
 def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -68,6 +69,7 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderstatus
     """,
     doc="orders → CSV (header, explicit schema) → read back → agg (lossless CSV source lane)",
+    executes_on_construct=True,
 )
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source proof: Spark's CSV writer emits shortest-round-trip
@@ -114,6 +116,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="lineitem → ORC (zstd) → read back → agg (lossless columnar alt-format lane)",
+    executes_on_construct=True,
 )
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink proof: ORC embeds its schema (unlike CSV no
@@ -150,6 +153,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_mktsegment
     """,
     doc="customer → JSON lines → read back (explicit schema) → agg (REST-shape lane)",
+    executes_on_construct=True,
 )
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines round trip — the reference's REST wire shape
@@ -245,6 +249,7 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     doc="two parquet batches with evolving schema → mergeSchema read → agg",
+    executes_on_construct=True,
 )
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution lane: a long-lived extraction target gains a
@@ -286,6 +291,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderpriority
     """,
     doc="bucketed fact-fact join: both sides bucketBy(orderkey) -> shuffle-free join",
+    executes_on_construct=True,
 )
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-located join lane: both fact tables written ONCE as
@@ -381,6 +387,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_mktsegment
     """,
     doc="MERGE INTO (CDC I/U/D batch) on a bucket-partitioned parquet target; post-merge rollup",
+    executes_on_construct=True,
 )
 def sink_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transactional-format MERGE story on plain parquet: bootstrap
@@ -459,6 +466,7 @@ def sink_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderstatus
     """,
     doc="Z-order clustered write (custkey x totalprice Morton curve) -> read back -> agg",
+    executes_on_construct=True,
 )
 def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout lane: orders rewritten clustered on the Z-curve of
@@ -501,6 +509,7 @@ def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY metric
     """,
     doc="in-flight DQ metrics via df.observe() — zero extra scans over the driven job",
+    executes_on_construct=True,
 )
 def dq_observe_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-shape data-quality pattern at 100 TB: metrics
@@ -546,6 +555,7 @@ def dq_observe_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_custkey
     """,
     doc="SCD Type 2 dimension history: two batch applies -> versioned rows with validity intervals",
+    executes_on_construct=True,
 )
 def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kimball SCD2 over the merge machinery (operators/scd.py):
@@ -621,6 +631,7 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY as_of_version, o_orderstatus
     """,
     doc="time travel: merge v1 then v2, read BOTH snapshots back via archived manifests",
+    executes_on_construct=True,
 )
 def merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel on the manifest-commit merge machinery:
@@ -726,6 +737,7 @@ def merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey, _change_type
     """,
     doc="change data feed: CDF-shaped diff of two archived merge snapshots",
+    executes_on_construct=True,
 )
 def merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.streaming.pipelines import (
@@ -847,6 +859,7 @@ def merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_month
     """,
     doc="dynamic partition pruning: month-partitioned fact x filtered month dim",
+    executes_on_construct=True,
 )
 def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
@@ -910,6 +923,7 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY segment_as_was
     """,
     doc="SCD2 point-in-time join: facts pick the dim version current at their own time",
+    executes_on_construct=True,
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.operators.scd import IS_CURRENT, VALID_FROM, VALID_TO, scd2_apply

@@ -96,14 +96,30 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
 
+    # Pass 1 emits candidates AND one sentinel row (term=NULL) carrying
+    # the batch's token count: the global n derives from pass-1 output
+    # (a handful of rows) instead of a third full scan+tokenize of the
+    # corpus — at 100 TB that third scan is 50% extra read for one
+    # number the candidate pass already observes.
     def _candidates(batches):
         for pdf in batches:
             vc = pdf["term"].value_counts()
             keep = vc[vc * _HH_K > len(pdf)]
-            yield pd.DataFrame({"term": keep.index.astype(str)})
+            yield pd.DataFrame(
+                {
+                    "term": [*keep.index.astype(str), None],
+                    "n_batch": [0] * len(keep) + [len(pdf)],
+                }
+            )
 
-    cands = toks.mapInPandas(_candidates, "term string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # cache: candidates and the total both read pass-1's (tiny) output;
+    # without it each subtree would re-run the scan+tokenize+summary
+    # pipeline and the lane would be back to three corpus reads
+    pass1 = toks.mapInPandas(_candidates, "term string, n_batch long").cache()
+    cands = pass1.filter(F.col("term").isNotNull()).select("term").distinct()
+    total = pass1.filter(F.col("term").isNull()).agg(
+        F.sum("n_batch").alias("n_total")
+    )
     return (
         toks.join(F.broadcast(cands), "term")
         .groupBy("term")

@@ -411,6 +411,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, hour
     """,
     doc="hypertable-style incremental rollup: two delta merges == one direct agg",
+    executes_on_construct=True,
 )
 def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feeds the (user_id, hour) rollup in two chronological batches

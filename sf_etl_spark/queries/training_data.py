@@ -644,6 +644,7 @@ _CLUSTER_SQL = """
     "dedup_cluster_components",
     _CLUSTER_SQL,
     doc="near-dup pairs -> connected components -> canonical doc per cluster",
+    executes_on_construct=True,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.operators.graph import connected_components
@@ -655,6 +656,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_bigstar",
     _CLUSTER_SQL,
     doc="same duplicate clusters via alternating large-star/small-star (O(log n) rounds)",
+    executes_on_construct=True,
 )
 def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.operators.graph import star_components
@@ -913,6 +915,7 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY keeper_doc_id
     """,
     doc="persistent fingerprint store: two ingest batches == one exact dedup agg",
+    executes_on_construct=True,
 )
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -149,10 +149,10 @@ def compact_parquet(
 
     from sf_etl_spark.streaming.pipelines import (
         BUCKET_COL,
+        _commit_snapshot,
         _hadoop_fs,
         _read_buckets,
         _read_merge_meta,
-        _write_merge_meta,
         vacuum_merge_staging,
     )
 
@@ -167,27 +167,17 @@ def compact_parquet(
                 f"pass partition_by=None"
             )
         df = _read_buckets(spark, path, meta)
-        commit = f"commit_{uuid.uuid4().hex[:8]}"
-        commit_dir = path.rstrip("/") + "/" + commit
-        (
-            df.repartition(F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", target_rows_per_file)
-            .partitionBy(BUCKET_COL)
-            .parquet(commit_dir)
-        )
-        jvm = spark.sparkContext._jvm
-        commit_jpath = jvm.org.apache.hadoop.fs.Path(target_path, commit)
-        present = [
-            int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.listStatus(commit_jpath)
-            if st.getPath().getName().startswith(BUCKET_COL + "=")
-        ]
-        _write_merge_meta(
+        # the shared snapshot-commit protocol: the compacted snapshot is
+        # a fresh commit dir replacing EVERY prior bucket mapping
+        _commit_snapshot(
             spark,
             fs,
             target_path,
-            {**meta, "buckets": {str(b): commit for b in present}},
+            path,
+            df.repartition(F.col(BUCKET_COL)),
+            n_buckets=int(meta["n_buckets"]),
+            prior_buckets=None,
+            write_options={"maxRecordsPerFile": str(target_rows_per_file)},
         )
         if vacuum:
             vacuum_merge_staging(spark, path)  # superseded commits + history

@@ -680,10 +680,43 @@ def merge_into_partitioned_parquet(
         out = survivors.unionByName(updates).unionByName(inserts)
     else:
         out = src.filter(not_matched_insert).drop(*drop)
-    commit = f"commit_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-        target_dir.rstrip("/") + "/" + commit
+    _commit_snapshot(
+        spark,
+        fs,
+        target_path,
+        target_dir,
+        out,
+        n_buckets=n_buckets,
+        prior_buckets=meta["buckets"] if exists else None,
+        dropped_buckets=touched if exists else (),
     )
+
+
+def _commit_snapshot(
+    spark: SparkSession,
+    fs,
+    target_path,
+    target_dir: str,
+    out: DataFrame,
+    *,
+    n_buckets: int,
+    prior_buckets: dict[str, str] | None = None,
+    dropped_buckets=(),
+    write_options: dict[str, str] | None = None,
+) -> None:
+    """THE snapshot-commit protocol, shared by every writer that
+    produces a new table version (merge, compaction): write ``out``
+    (already carrying ``_kbucket``) into a fresh immutable
+    ``commit_<id>/`` directory, list the bucket dirs it materialized,
+    fold them over ``prior_buckets`` (minus ``dropped_buckets``), and
+    swap the manifest atomically. One implementation, so a protocol
+    change (naming, manifest fields, listing convention) cannot drift
+    between writers."""
+    commit = f"commit_{uuid.uuid4().hex[:8]}"
+    writer = out.write.mode("overwrite")
+    for k, v in (write_options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy(BUCKET_COL).parquet(target_dir.rstrip("/") + "/" + commit)
     # buckets present in the new commit: directory listing, not a
     # second job — the write already materialized them
     jvm = spark.sparkContext._jvm
@@ -693,8 +726,8 @@ def merge_into_partitioned_parquet(
         for st in fs.listStatus(commit_jpath)
         if st.getPath().getName().startswith(BUCKET_COL + "=")
     ]
-    buckets_map: dict[str, str] = dict(meta["buckets"]) if exists else {}
-    for b in touched:
+    buckets_map: dict[str, str] = dict(prior_buckets or {})
+    for b in dropped_buckets:
         buckets_map.pop(str(b), None)  # emptied buckets drop out here
     for b in present:
         buckets_map[str(b)] = commit

@@ -125,3 +125,24 @@ def test_pagerank_more_iterations_converge(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     # x (degree 3) outranks y (degree 1) and every left node
     assert got["x"] == max(got.values())
+
+
+def test_pagerank_keeps_zero_indegree_nodes(spark):
+    """A genuinely directed graph routinely has nodes nobody links TO
+    (every node still appears as a src, per the contract). They must
+    keep their damped-teleport rank (1-d)/n every iteration AND keep
+    contributing to their out-neighbors — the regression dropped them
+    from the rank vector after iteration 1."""
+    from sf_etl_spark.operators.graph import pagerank
+
+    # a -> b, b -> c, c -> b : 'a' has no in-edges but must persist
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    got = {r.node: r.pr for r in pagerank(edges, iterations=3).collect()}
+    assert set(got) == {"a", "b", "c"}  # nobody dropped
+    floor = (1.0 - 0.85) / 3.0
+    assert abs(got["a"] - floor) < 1e-9  # teleport-only rank, every iter
+    # b receives a's full (damped) rank each iteration; with 'a' dropped
+    # after iter 1, b's rank at iter>=2 would miss that contribution
+    assert got["b"] > got["c"] > got["a"]

@@ -244,6 +244,11 @@ def test_heavy_hitters_candidates_broadcast_prune(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # pass-1 output is cached: candidates AND the global token count
+    # both read the tiny summary relation, so the corpus is scanned
+    # exactly twice at runtime (pass 1 + recount), never a third time
+    # for the count
+    assert plan.count("InMemoryTableScan") == 2
 
 
 def test_column_profile_is_one_scan_with_expand(spark, sf_dir):

@@ -30,38 +30,16 @@ from sf_etl_spark.sources import TABLES, load_table
 
 SPECS = all_queries()
 
-#: Lanes whose fn() executes real Spark jobs during DataFrame
-#: construction — either writes/merges (the returned df is a read-back
-#: of a just-written target) or eager computation (bloom collect,
-#: KMeans training, iterative localCheckpoints). The gate runs real
-#: jobs for exactly these; `-m "not smoke_exec"` is the pure-analysis
-#: pass.
+#: Derived FROM THE REGISTRY (each lane declares
+#: executes_on_construct=True at @register): fn() runs real Spark jobs
+#: at DataFrame-construction time — writes/merges (the returned df is
+#: a read-back of a just-written target) or eager computation (bloom
+#: collect, KMeans training, iterative localCheckpoints). The gate
+#: runs real jobs for exactly these; `-m "not smoke_exec"` is the
+#: pure-analysis pass. A new eager lane that forgets the flag fails
+#: test_construct_declarations_match_behavior below.
 EXECUTE_ON_CONSTRUCT = {
-    # write-side lanes (merges/writes at construct)
-    "sink_merge_cdc",
-    "merge_time_travel",
-    "merge_change_feed",
-    "dedup_incremental_ingest",
-    "dpp_partitioned_join",
-    "scd2_point_in_time_join",
-    "zorder_roundtrip",
-    "scd2_dimension_history",
-    "rollup_incremental_maintenance",
-    "dq_observe_inflight",
-    "bucketed_join_colocated",
-    "sink_roundtrip_partitioned",
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "source_schema_evolution",
-    # job-executing (non-writing) lanes: eager collect / ML fit /
-    # localCheckpoint at DataFrame-construction time
-    "bloom_semi_join_revenue",      # bloom bitmap collect()
-    "pagerank_topk",                # edge/rank localCheckpoints
-    "ann_ivf_kmeans_topk",          # pyspark.ml KMeans.fit
-    "ann_ivf_kmeans_agreement",     # pyspark.ml KMeans.fit
-    "dedup_cluster_components",     # iterative label propagation
-    "dedup_cluster_bigstar",        # iterative star contraction
+    name for name, spec in SPECS.items() if spec.executes_on_construct
 }
 
 
@@ -84,3 +62,54 @@ def test_query_plan_analyzes(spark, sf_dir, name):
     df = SPECS[name].fn(spark, sf_dir)
     # forces analysis; executes jobs only for EXECUTE_ON_CONSTRUCT lanes
     assert df.schema.fields
+
+
+def test_construct_declarations_cover_eager_sources():
+    """Static drift check for the executes_on_construct declarations:
+    a lane whose own source (or its operator helpers) writes temp
+    targets, trains an ML model, collects, or localCheckpoints at
+    construction time must declare the flag — catching the common
+    failure (a new write-side/eager lane forgetting it) without
+    relying on job counting, which can't distinguish eager work from
+    the one parquet footer-inference job every table read costs.
+    The reverse direction (a declared lane going lazy) is reviewed by
+    hand: over-declaring only makes the pure-analysis pass smaller,
+    never incorrect."""
+    import inspect
+
+    EAGER_MARKERS = ("mkdtemp", ".fit(", "localCheckpoint", ".collect()")
+    # operator modules whose helpers are eager; appearing in a lane's
+    # source means the lane executes at construct
+    EAGER_HELPERS = (
+        "merge_into_partitioned_parquet",
+        "scd2_apply",
+        "fold_into_rollup",
+        "maintain_hourly_rollup",
+        "upsert_partitioned_parquet",
+        "compact_parquet",
+        "zorder_write",
+        "bloom_prune_literal",
+        "connected_components",
+        "star_components",
+        "pagerank",
+        "write_parquet",
+        "write_csv",
+        "write_orc",
+        "write_json",
+    )
+    missing = []
+    for name, spec in SPECS.items():
+        if spec.executes_on_construct:
+            continue
+        try:
+            src = inspect.getsource(spec.fn.__wrapped__)
+        except (TypeError, OSError, AttributeError):
+            continue
+        if any(m in src for m in EAGER_MARKERS) or any(
+            h in src for h in EAGER_HELPERS
+        ):
+            missing.append(name)
+    assert not missing, (
+        f"lanes look eager at construction but lack "
+        f"executes_on_construct=True: {missing}"
+    )

@@ -603,3 +603,50 @@ def test_fields_custom_raises(spark, sf_dir):
     resolve = lambda name: load_table(spark, sf_dir, name)  # noqa: E731
     with pytest.raises(SoqlError, match="FIELDS.CUSTOM"):
         soql_to_df("SELECT FIELDS(CUSTOM) FROM region", resolve)
+
+
+def test_typeof_same_field_across_branches_coalesces(spark, sf_dir):
+    """`WHEN Lead THEN name WHEN Contact THEN name` (the canonical
+    TYPEOF usage) must yield ONE column carrying the row's actual-type
+    value — branches are type-gated and mutually exclusive — not two
+    duplicate output columns that break by-name access."""
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.plans import soql_to_df
+    from sf_etl_spark.sources import load_table
+
+    def resolve(name):
+        df = load_table(spark, sf_dir, name)
+        if name == "events":
+            return df.withColumn(
+                "actor_type",
+                F.when(
+                    F.col("event_type").isin("purchase", "signup"), "customer"
+                ).otherwise("supplier"),
+            )
+        if name == "customer":
+            return df.withColumn("display_name", F.col("c_name"))
+        if name == "supplier":
+            return df.withColumn("display_name", F.col("s_name"))
+        return df
+
+    df = soql_to_df(
+        "SELECT event_id, TYPEOF actor WHEN customer THEN display_name "
+        "WHEN supplier THEN display_name END "
+        "FROM events WHERE user_id < 50 ORDER BY event_id LIMIT 20",
+        resolve,
+        polymorphic={
+            "actor": {
+                "type_col": "actor_type",
+                "fk_col": "user_id",
+                "targets": {"customer": "c_custkey", "supplier": "s_suppkey"},
+            }
+        },
+    )
+    assert df.columns.count("actor_display_name") == 1
+    rows = df.collect()
+    names = [r["actor_display_name"] for r in rows if r["actor_display_name"]]
+    # both branch types surface through the ONE coalesced column
+    # (unmatched FKs legitimately stay NULL — the wire shape)
+    assert any(n.startswith("Customer#") for n in names)
+    assert any(n.startswith("Supplier#") for n in names)
