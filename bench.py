@@ -156,6 +156,8 @@ HEADLINE = [
     "grouped_agg_trimmed_mean",
     # SCD2 as-was temporal join
     "scd2_point_in_time_join",
+    # per-segment distribution drift (log-free chi-square)
+    "distribution_drift",
 ]
 
 

@@ -150,6 +150,7 @@ _PRIORITY_ORDER = [
     "event_transitions",
     "grouped_agg_trimmed_mean",
     "scd2_point_in_time_join",
+    "distribution_drift",
     # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",

@@ -218,3 +218,101 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift — data-quality monitoring's core primitive:
+# compare each segment's categorical distribution (event types per
+# weekday here) against the overall corpus distribution and rank
+# segments by drift. The production use is detecting ingestion skew /
+# upstream behavior changes per day/source/shard before they poison
+# training data.
+#
+# Metric: symmetric chi-square distance sum((p-q)^2/(p+q)) — chosen
+# over KL/JS divergence deliberately: it needs NO logarithm, and ln is
+# libm-dependent across engines (the tfidf_top_terms parity wall).
+# Determinism: the per-category terms are summed in a FIXED order (one
+# pivoted expression per category, not a float aggregation), so every
+# arithmetic step is order-stable IEEE; p and q are single divides of
+# exact counts.
+#
+# Scale: two partial-aggregated count shuffles (segment x category,
+# category); the overall distribution re-enters via broadcast; the
+# drift expression is a codegen'd narrow map over |segments| rows.
+# ---------------------------------------------------------------------------
+_DRIFT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _drift_oracle() -> str:
+    terms = " + ".join(
+        f"""(p_{t} - q_{t}) * (p_{t} - q_{t}) / (p_{t} + q_{t})"""
+        for t in _DRIFT_TYPES
+    )
+    pcols = ", ".join(
+        f"""CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) AS p_{t}"""
+        for t in _DRIFT_TYPES
+    )
+    qcols = ", ".join(
+        f"""CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) AS q_{t}"""
+        for t in _DRIFT_TYPES
+    )
+    return f"""
+    WITH seg AS (
+      -- Monday=0 on both engines: DuckDB isodow is 1..7 Mon-first,
+      -- Spark weekday() is 0..6 Mon-first
+      SELECT CAST(isodow(ts) AS INT) - 1 AS weekday,
+             CAST(count(*) AS BIGINT) AS n_events, {pcols}
+      FROM events GROUP BY isodow(ts)
+    ),
+    overall AS (SELECT {qcols} FROM events)
+    SELECT weekday, n_events, {terms} AS chi2_drift
+    FROM seg CROSS JOIN overall
+    ORDER BY weekday
+    """
+
+
+@register(
+    "distribution_drift",
+    _drift_oracle(),
+    doc="per-weekday event-type distribution drift vs corpus (log-free chi-square)",
+)
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.sources import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+
+    def _dist(df: DataFrame, keys: list[str], prefix: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"_n_{prefix}")]
+        for t in _DRIFT_TYPES:
+            aggs.append(
+                (
+                    F.sum(
+                        F.when(F.col("event_type") == t, 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(f"{prefix}_{t}")
+            )
+        return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    seg = _dist(
+        e.withColumn("weekday", F.weekday("ts").cast("int")), ["weekday"], "p"
+    )
+    overall = _dist(e, [], "q")
+    # fixed-order sum of the per-category terms: one expression, not a
+    # float aggregation — order-stable on both engines
+    drift = None
+    for t in _DRIFT_TYPES:
+        p, q = F.col(f"p_{t}"), F.col(f"q_{t}")
+        term = (p - q) * (p - q) / (p + q)
+        drift = term if drift is None else drift + term
+    return (
+        seg.crossJoin(F.broadcast(overall))
+        .select(
+            "weekday",
+            F.col("_n_p").alias("n_events"),
+            drift.alias("chi2_drift"),
+        )
+        .orderBy("weekday")
+    )

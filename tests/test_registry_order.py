@@ -59,6 +59,7 @@ MUST_BE_IN_WINDOW = [
     "event_transitions",
     "grouped_agg_trimmed_mean",
     "scd2_point_in_time_join",
+    "distribution_drift",
     # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
     # rotation targets with the OLDEST green rows)
     "doc_fingerprint",

@@ -566,3 +566,30 @@ def test_restore_merge_target(spark, tmp_path):
     vacuum_merge_staging(spark, target)
     with pytest.raises(FileNotFoundError):
         restore_merge_target(spark, target, 1)
+
+
+def test_merge_schema_mismatch_fails_before_commit(spark, tmp_path):
+    """A batch whose schema drifted from the target must fail CLEANLY
+    before the manifest swap: the merge raises, the target's live
+    manifest is untouched, and the table stays fully readable — the
+    commit protocol's atomicity extends to failed merges."""
+    import pytest
+
+    from sf_etl_spark.streaming.pipelines import (
+        list_merge_versions,
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "drift")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    merge_into_partitioned_parquet(b1, ["k"], target, n_buckets=2)
+
+    drifted = spark.createDataFrame([(1, 99)], "k bigint, other int")
+    with pytest.raises(Exception):
+        merge_into_partitioned_parquet(drifted, ["k"], target, n_buckets=2)
+
+    # live snapshot unharmed: same version, same rows
+    assert list_merge_versions(spark, target) == [1]
+    rows = {(r.k, r.v) for r in read_merge_target(spark, target).drop("_kbucket").collect()}
+    assert rows == {(1, "a"), (2, "b")}
