@@ -158,6 +158,9 @@ HEADLINE = [
     "scd2_point_in_time_join",
     # per-segment distribution drift (log-free chi-square)
     "distribution_drift",
+    # raw-SQL front door + tz conversion
+    "spark_sql_front",
+    "timezone_local_hours",
 ]
 
 

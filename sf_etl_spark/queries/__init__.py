@@ -151,6 +151,8 @@ _PRIORITY_ORDER = [
     "grouped_agg_trimmed_mean",
     "scd2_point_in_time_join",
     "distribution_drift",
+    "spark_sql_front",
+    "timezone_local_hours",
     # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",

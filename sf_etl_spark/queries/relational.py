@@ -1706,3 +1706,84 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw SQL front door — the engine's other user-facing query surface:
+# register the tables as temp views and run plain ANSI SQL through
+# spark.sql(). Every other lane exercises the DataFrame API; a
+# reference user migrating SQL workloads types SQL, and this lane
+# proves the full text path (parser -> Catalyst -> same physical
+# plans) against the oracle running the IDENTICAL statement — the
+# strongest possible parity claim: one query string, two engines,
+# equal hashes.
+#
+# Scale: textual SQL compiles to exactly the plans the DataFrame
+# lanes are plan-guarded on (pushdown/broadcast/partial agg apply
+# unchanged); the view registration is metadata-only.
+# ---------------------------------------------------------------------------
+_SQL_FRONT = """
+    SELECT n.n_name,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o.o_totalprice) AS max_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    HAVING count(*) > 100
+    ORDER BY n_orders DESC, n.n_name
+"""
+
+
+@register(
+    "spark_sql_front",
+    _SQL_FRONT,
+    doc="raw ANSI SQL via spark.sql over temp views — one statement, two engines",
+)
+def spark_sql_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_FRONT)
+
+
+# ---------------------------------------------------------------------------
+# Timezone conversion — a global event stream stores UTC; every
+# regional report needs wall-clock local time, DST included. Both
+# engines resolve zone rules from the IANA tzdb (Spark via the JVM,
+# DuckDB via ICU), so instant->local conversion is engine-portable;
+# the lane buckets events by New York local hour across a DST-stable
+# range, proving the conversion (not just formatting) matches.
+#
+# Scale: convert_timezone is a codegen'd per-row map; one
+# partial-agged shuffle of 24 rows.
+# ---------------------------------------------------------------------------
+@register(
+    "timezone_local_hours",
+    """
+    SELECT CAST(hour(timezone('America/New_York', ts::TIMESTAMPTZ)) AS INT)
+             AS local_hour,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY local_hour
+    ORDER BY local_hour
+    """,
+    doc="UTC -> America/New_York local-hour histogram (IANA tz conversion parity)",
+)
+def timezone_local_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.hour(
+                F.convert_timezone(
+                    F.lit("UTC"), F.lit("America/New_York"), F.col("ts")
+                )
+            )
+            .cast("int")
+            .alias("local_hour")
+        )
+        .groupBy("local_hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("local_hour")
+    )

@@ -60,6 +60,8 @@ MUST_BE_IN_WINDOW = [
     "grouped_agg_trimmed_mean",
     "scd2_point_in_time_join",
     "distribution_drift",
+    "spark_sql_front",
+    "timezone_local_hours",
     # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
     # rotation targets with the OLDEST green rows)
     "doc_fingerprint",
