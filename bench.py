@@ -161,6 +161,9 @@ HEADLINE = [
     # raw-SQL front door + tz conversion
     "spark_sql_front",
     "timezone_local_hours",
+    # null-skew join bypass + hashing-trick encoding
+    "null_skew_outer_join",
+    "feature_hashing",
 ]
 
 

@@ -97,3 +97,32 @@ def key_frequency(df: DataFrame, cols: list[str], top: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), *cols)
         .limit(top)
     )
+
+
+def null_skew_left_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """Left join that routes NULL-key fact rows AROUND the join.
+
+    The classic outer-join skew nobody salts for: every NULL foreign
+    key hashes to the SAME shuffle partition, so one task receives all
+    of them (at 100 TB, a nullable FK with 10% nulls sends 10 TB to
+    one executor). NULL never matches anything in a left join, so the
+    fix is free: split the fact stream on key nullability, join ONLY
+    the non-null branch, and union the null branch back with the dim
+    columns as literal NULLs — same rows, no skewed partition, and the
+    join input carries an IsNotNull filter the scan can push.
+    """
+    from pyspark.sql import functions as F
+
+    dim_cols = [c for c in dim.columns if c != pk]
+    nn = facts.filter(F.col(fk).isNotNull()).join(
+        dim, facts[fk] == dim[pk], "left"
+    ).drop(pk)
+    nulls = facts.filter(F.col(fk).isNull()).select(
+        "*", *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in dim_cols]
+    )
+    return nn.unionByName(nulls)

@@ -153,6 +153,8 @@ _PRIORITY_ORDER = [
     "distribution_drift",
     "spark_sql_front",
     "timezone_local_hours",
+    "null_skew_outer_join",
+    "feature_hashing",
     # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",

@@ -1787,3 +1787,64 @@ def timezone_local_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("local_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-skew outer join — the skew variant salting does not fix:
+# every NULL foreign key hashes to ONE shuffle partition, so a
+# nullable FK with a meaningful null rate melts a single task at
+# scale. NULL never matches in a left join, so the null branch can
+# bypass the join entirely (operators/skew.py:null_skew_left_join);
+# results are row-identical to the plain left join the oracle runs.
+# The fixture FK is non-null, so the lane nulls every 10th key
+# deterministically to create the hazard it mitigates.
+# ---------------------------------------------------------------------------
+@register(
+    "null_skew_outer_join",
+    """
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS fk
+      FROM orders
+    )
+    SELECT CASE WHEN f.fk IS NULL THEN 'unattributed'
+                ELSE c.c_mktsegment END AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL AND f.fk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM f LEFT JOIN customer c ON f.fk = c.c_custkey
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="left join with NULL-key bypass: null FKs route around the join, no skewed partition",
+)
+def null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.skew import null_skew_left_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("fk"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("c_custkey_out"), "c_mktsegment"
+    ).select("c_custkey", "c_custkey_out", "c_mktsegment")
+    joined = null_skew_left_join(o, c, "fk", "c_custkey")
+    return (
+        joined.groupBy(
+            F.when(F.col("fk").isNull(), F.lit("unattributed"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.col("c_custkey_out").isNull() & F.col("fk").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .orderBy("segment")
+    )

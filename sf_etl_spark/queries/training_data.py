@@ -944,3 +944,94 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp", "keeper_doc_id", "n_seen")
         .orderBy("keeper_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick") — fixed-width categorical
+# encoding with no vocabulary pass: bucket = hash(feature) % D. THE
+# standard encoder for unbounded-cardinality categoricals in
+# large-scale training pipelines (no dictionary to build, ship, or
+# keep consistent across workers). D=32 here; collisions are part of
+# the contract.
+#
+# Portability: the bucket hash is md5-prefix % D (bit-specified on
+# both engines) — Spark's xxhash64/hash would be cheaper per row but
+# is not reproducible outside Spark, and a training pipeline's
+# feature mapping MUST be recomputable everywhere (serving parity).
+# Scale: narrow map + one partial-agged shuffle on (user, bucket);
+# the wide vector serializes via fixed-order concat (array positions,
+# not float math).
+# ---------------------------------------------------------------------------
+_FH_D = 32
+
+
+@register(
+    "feature_hashing",
+    f"""
+    WITH feats AS (
+      SELECT user_id,
+             CAST(CAST(concat('0x', substring(
+                    md5(concat(event_type, '#', CAST(isodow(ts) - 1 AS VARCHAR))),
+                    1, 8)) AS BIGINT) % {_FH_D} AS INT) AS bucket
+      FROM events
+    ),
+    cnt AS (
+      SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM feats GROUP BY user_id, bucket
+    )
+    SELECT user_id,
+           string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(n AS VARCHAR), ' '
+                      ORDER BY bucket) AS hashed_features
+    FROM cnt
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=f"hashing-trick encoding: (event_type, weekday) -> {_FH_D} md5 buckets per user",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    feats = e.select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_type"),
+                            F.lit("#"),
+                            F.weekday("ts").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _FH_D
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    cnt = feats.groupBy("user_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bucket"),
+                            F.concat_ws(
+                                ":",
+                                F.col("bucket").cast("string"),
+                                F.col("n").cast("string"),
+                            ).alias("kv"),
+                        )
+                    )
+                ).getField("kv"),
+            ).alias("hashed_features")
+        )
+        .orderBy("user_id")
+    )

@@ -295,3 +295,30 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     # expression fed by a broadcast subquery over the dim
     assert "dynamicpruning" in plan, plan[:3000]
     assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan[:3000]
+
+
+def test_scd2_point_in_time_join_broadcasts_history(spark, sf_dir):
+    # the full-history dimension is dimension-sized: the as-of join
+    # must be a broadcast hash probe on the business key (interval
+    # test as residual), never a cartesian/nested-loop over facts.
+    plan = _plan(spark, sf_dir, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_market_basket_all_equi_joins(spark, sf_dir):
+    # pair generation is an equi-join on the order key (the <
+    # condition is a residual, not a loop); totals re-enter broadcast.
+    plan = _plan(spark, sf_dir, "market_basket_lift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row n_orders
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+
+
+def test_null_skew_join_filters_nulls_below_join(spark, sf_dir):
+    # the joined branch must carry an isnotnull(fk) filter BELOW the
+    # join (pushable to the scan side), so null keys never enter the
+    # join exchange — the point of the bypass.
+    plan = _plan(spark, sf_dir, "null_skew_outer_join")
+    assert "isnotnull" in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -62,6 +62,8 @@ MUST_BE_IN_WINDOW = [
     "distribution_drift",
     "spark_sql_front",
     "timezone_local_hours",
+    "null_skew_outer_join",
+    "feature_hashing",
     # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
     # rotation targets with the OLDEST green rows)
     "doc_fingerprint",
