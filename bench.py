@@ -164,6 +164,8 @@ HEADLINE = [
     # null-skew join bypass + hashing-trick encoding
     "null_skew_outer_join",
     "feature_hashing",
+    # composed per-user behavioral profile
+    "user_behavior_profile",
 ]
 
 

@@ -155,6 +155,7 @@ _PRIORITY_ORDER = [
     "timezone_local_hours",
     "null_skew_outer_join",
     "feature_hashing",
+    "user_behavior_profile",
     # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",

@@ -877,3 +877,85 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
         ).alias("ewma"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Composed event-analytics pipeline — the behavioral-profile build:
+# one row per user combining session structure (gaps-and-islands),
+# smoothed activity level (exact-fold EWMA), and busy-time coverage
+# (interval union). The composition proof for the event surface, like
+# corpus_prep_pipeline is for documents: operators chain as plans
+# (no materialization between stages), and because every stage keys
+# on user_id the exchanges ALIGN — Catalyst reuses one
+# hashpartitioning(user_id) across sessionize windows, the fold agg,
+# the coverage windows, and the final joins.
+# ---------------------------------------------------------------------------
+@register(
+    "user_behavior_profile",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             CAST(count(DISTINCT seq) AS BIGINT) AS n_sessions,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM (SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS seq
+            FROM flagged)
+      GROUP BY user_id
+    ), ew AS (
+      SELECT user_id,
+             list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ), iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+      FROM events WHERE value > 0
+    ), fl2 AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN max(e) OVER w2 IS NULL OR s > max(e) OVER w2
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY s, e, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), cov AS (
+      SELECT user_id, CAST(sum(ce - cs) AS BIGINT) AS coverage_us
+      FROM (SELECT user_id, island, min(s) AS cs, max(e) AS ce
+            FROM (SELECT user_id, s, e,
+                         sum(ni) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                  FROM fl2)
+            GROUP BY user_id, island)
+      GROUP BY user_id
+    )
+    SELECT s.user_id, s.n_sessions, s.n_events, e.ewma, c.coverage_us
+    FROM sess s JOIN ew e USING (user_id) JOIN cov c USING (user_id)
+    ORDER BY s.user_id
+    """,
+    doc="composed per-user profile: sessions + EWMA + busy coverage, exchange-aligned",
+)
+def user_behavior_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = (
+        sessionize_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    ew = ewma_user_value(spark, sf_dir).select("user_id", "ewma")
+    cov = interval_coverage(spark, sf_dir).select("user_id", "coverage_us")
+    return (
+        sessions.join(ew, "user_id")
+        .join(cov, "user_id")
+        .select("user_id", "n_sessions", "n_events", "ewma", "coverage_us")
+        .orderBy("user_id")
+    )

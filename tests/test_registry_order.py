@@ -64,6 +64,7 @@ MUST_BE_IN_WINDOW = [
     "timezone_local_hours",
     "null_skew_outer_join",
     "feature_hashing",
+    "user_behavior_profile",
     # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
     # rotation targets with the OLDEST green rows)
     "doc_fingerprint",
