@@ -164,8 +164,9 @@ HEADLINE = [
     # null-skew join bypass + hashing-trick encoding
     "null_skew_outer_join",
     "feature_hashing",
-    # composed per-user behavioral profile
+    # composed per-user behavioral profile + top session paths
     "user_behavior_profile",
+    "session_paths",
 ]
 
 

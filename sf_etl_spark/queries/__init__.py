@@ -108,11 +108,12 @@ _PRIORITY_ORDER = [
     # pytest-oracle-green every session) and rotates to round 6's
     # front. r2-vintage TPC-H and r3/r4-vintage rows follow. ---
     # (1a) never-verified: round-5 graduation companions of the two
-    # rows-only lanes, plus the rows-only lanes themselves
+    # rows-only lanes (the rows-only lanes themselves yield their
+    # window slots — they carry only a rows-only check while their
+    # companions carry the hash evidence; they sit right after the
+    # stale-vintage block)
     "ann_ivf_kmeans_agreement",
     "multimodal_features_checksum",
-    "ann_ivf_kmeans_topk",
-    "multimodal_features",
     # (1b) never-verified: round-5 first batch
     "soql_typeof",
     "q2_min_cost_supplier",
@@ -156,6 +157,7 @@ _PRIORITY_ORDER = [
     "null_skew_outer_join",
     "feature_hashing",
     "user_behavior_profile",
+    "session_paths",
     # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",
@@ -168,6 +170,10 @@ _PRIORITY_ORDER = [
     "dispersion_stats",
     "multimodal_meta_stats",
     "multimodal_frame_sample",
+    # rows-only lanes (weaker check by design; hash-verified via their
+    # companions above)
+    "ann_ivf_kmeans_topk",
+    "multimodal_features",
     # (3) r1-vintage: relational long tail (window boundary lands in
     # here; the overflow leads round 6)
     "agg_having",

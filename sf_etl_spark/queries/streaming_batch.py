@@ -959,3 +959,94 @@ def user_behavior_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_sessions", "n_events", "ewma", "coverage_us")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path analysis — the full ordered event-type path per session
+# (vs `event_transitions`' first-order pairs): which complete journeys
+# are most common. Product analytics' "top user flows" query; paths
+# are also the unit for sequence-model training data.
+#
+# Shape: reuse the sessionization island assignment (same single
+# user_id exchange), then ONE ordered collect per session —
+# sort_array(collect_list(struct(ts, event_id, type))) keeps the
+# aggregation partial-aggregable and the order total, so the path
+# string is deterministic on both engines. Top-20 is TakeOrdered.
+# ---------------------------------------------------------------------------
+@register(
+    "session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM tagged GROUP BY user_id, seq
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    doc="top-20 complete session paths (ordered event-type journeys)",
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 1_800_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    tagged = flagged.withColumn(
+        "seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        tagged.groupBy("user_id", "seq")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                            F.col("event_id").alias("i"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ).getField("et"),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

@@ -22,11 +22,11 @@ DRIVER_WINDOW = 50
 # repo — static pure-relational lanes, pytest-oracle-green every
 # session) and leads round 6's front instead.
 MUST_BE_IN_WINDOW = [
-    # never-verified: rows-only lanes + their verifiable companions
+    # never-verified: the verifiable companions of the rows-only lanes
+    # (the rows-only lanes themselves sit just past the boundary: they
+    # carry only rows-only checks, their hash evidence lives here)
     "ann_ivf_kmeans_agreement",
     "multimodal_features_checksum",
-    "ann_ivf_kmeans_topk",
-    "multimodal_features",
     # never-verified: round-5 first batch
     "soql_typeof",
     "q2_min_cost_supplier",
@@ -65,6 +65,7 @@ MUST_BE_IN_WINDOW = [
     "null_skew_outer_join",
     "feature_hashing",
     "user_behavior_profile",
+    "session_paths",
     # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
     # rotation targets with the OLDEST green rows)
     "doc_fingerprint",
