@@ -167,6 +167,8 @@ HEADLINE = [
     # composed per-user behavioral profile + top session paths
     "user_behavior_profile",
     "session_paths",
+    # blocked Levenshtein record linkage
+    "fuzzy_name_match",
 ]
 
 

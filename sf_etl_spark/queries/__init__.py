@@ -158,6 +158,7 @@ _PRIORITY_ORDER = [
     "feature_hashing",
     "user_behavior_profile",
     "session_paths",
+    "fuzzy_name_match",
     # (2) r1-vintage: text/embedding/multimodal/extension lanes
     "doc_fingerprint",
     "text_quality",

@@ -1848,3 +1848,64 @@ def null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching — the record-linkage primitive: candidate
+# pairs via a cheap blocking key (first name token), verified with
+# edit distance. Unblocked fuzzy join is O(n²) string comparisons;
+# blocking bounds it to within-block pairs — the same
+# candidates-then-verify shape as the MinHash/IVF dedup lanes, on
+# strings. Levenshtein with unit costs is exactly specified, so the
+# distances (and everything derived) hash-match across engines.
+# Output is the per-block match profile; at production scale the pair
+# stream itself would feed a clerical-review or merge queue.
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_name_match",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.blk, levenshtein(a.p_name, b.p_name) AS d
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    )
+    SELECT blk,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN d > 0 AND d <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_close
+    FROM pairs
+    GROUP BY blk
+    ORDER BY blk
+    """,
+    doc="record linkage: blocked candidate pairs scored by Levenshtein, per-block profile",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("d"),
+    )
+    return (
+        pairs.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).alias("n_exact"),
+            F.sum(
+                F.when((F.col("d") > 0) & (F.col("d") <= 3), 1).otherwise(0)
+            ).alias("n_close"),
+        )
+        .orderBy("blk")
+    )

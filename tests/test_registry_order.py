@@ -66,6 +66,7 @@ MUST_BE_IN_WINDOW = [
     "feature_hashing",
     "user_behavior_profile",
     "session_paths",
+    "fuzzy_name_match",
     # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
     # rotation targets with the OLDEST green rows)
     "doc_fingerprint",
