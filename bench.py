@@ -19,12 +19,13 @@ import time
 # Headline set: one per operator family (scan+agg, join-heavy, window,
 # sessionization, as-of, interval join, dedup exact + sketch, ANN
 # brute/IVF/LSH, fingerprinting, text analysis, multimodal metadata).
-# ngram_jaccard and dedup_embedding_cosine are excluded: they are the
-# exact O(n²) verification stages meant to run downstream of LSH
-# candidates, not full-corpus headline ops. dedup_simhash is excluded
-# for a fixture artifact: ~8% of ALL fixture doc pairs are within
-# hamming 6, so its complete output is itself quadratic (~1M pairs at
-# sf0.1) — timing it benchmarks result materialization, not blocking.
+# dedup_embedding_cosine stays excluded: it is the exact O(n²)
+# verification stage meant to run downstream of LSH candidates, not a
+# full-corpus headline op. dedup_simhash and ngram_jaccard_pairs were
+# excluded through r5 for their dense fixture output (~8% of ALL doc
+# pairs within hamming 6 → ~1M result pairs at sf0.1); from r6 they
+# run under count() at fixed sf, which tracks the blocking machinery
+# round-over-round without serializing the pair set (see list tail).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -169,6 +170,17 @@ HEADLINE = [
     "session_paths",
     # blocked Levenshtein record linkage
     "fuzzy_name_match",
+    # round 6 additions: the two previously-bench-invisible dedup
+    # lanes. Their complete fixture output IS quadratic-ish (dense
+    # synthetic near-dup structure — documented at the lanes), but the
+    # terminal action here is count() (no result serialization), so
+    # what the row measures is the blocking/banding machinery plus
+    # pair materialization at a FIXED sf — stable round-over-round,
+    # which is exactly what the headline exists to track.
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    # round 6: real container decode (PPM/PGM/WAV) via mapInPandas
+    "multimodal_decode_stats",
 ]
 
 

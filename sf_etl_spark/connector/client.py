@@ -26,7 +26,7 @@ import time
 import urllib.error
 import urllib.parse
 import urllib.request
-from collections.abc import Iterator, Sequence
+from collections.abc import Callable, Iterator, Sequence
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any
@@ -138,9 +138,31 @@ class SfClient:
         # Credentials retained after login() so an expired session
         # (401 INVALID_SESSION_ID mid-extraction) can be refreshed
         # transparently — long-running partitioned scans outlive
-        # Salesforce session TTLs routinely.
-        self._username: str | None = None
-        self._password: str | None = None
+        # Salesforce session TTLs routinely. They are held as a
+        # zero-arg PROVIDER callable, never as plain attributes: a
+        # plain `_password` attribute leaks through vars()/pickle/
+        # debug dumps of client objects shipped to executors. Callers
+        # holding secrets in a vault can swap in their own provider
+        # via set_credential_provider() and login() won't capture the
+        # literal at all.
+        self._credential_provider: Callable[[], tuple[str, str]] | None = None
+
+    def set_credential_provider(
+        self, provider: Callable[[], tuple[str, str]] | None
+    ) -> None:
+        """Install a ``() -> (username, password)`` source for 401
+        re-login, replacing whatever ``login()`` captured. Pass a
+        vault/keyring lookup here to keep the password out of the
+        client object entirely."""
+        self._credential_provider = provider
+
+    def __repr__(self) -> str:  # secrets never repr out
+        return (
+            f"{type(self).__name__}(client_id={self.client_id!r}, "
+            f"client_secret='***', login_url={self.login_url!r}, "
+            f"api_version={self.api_version!r}, "
+            f"authenticated={self.access_token is not None})"
+        )
 
     # -- transport ---------------------------------------------------------
 
@@ -176,7 +198,7 @@ class SfClient:
                 if (
                     e.code == 401
                     and not refreshed
-                    and self._username is not None
+                    and self._credential_provider is not None
                     and "Authorization" in hdrs
                     and "/services/oauth2/token" not in url
                 ):
@@ -189,7 +211,7 @@ class SfClient:
                     # the backoff sleep): a refresh succeeding on the
                     # final attempt must still get its replay.
                     refreshed = True
-                    self.login(self._username, self._password)
+                    self.login(*self._credential_provider())
                     hdrs["Authorization"] = f"Bearer {self.access_token}"
                     continue
                 if e.code in _RETRYABLE_STATUSES and attempt < self.max_retries:
@@ -251,8 +273,10 @@ class SfClient:
         tok = json.loads(payload)
         self.access_token = tok["access_token"]
         self.instance_url = tok["instance_url"].rstrip("/")
-        self._username = username
-        self._password = password
+        # keep refresh working unless the caller installed a provider;
+        # the closure keeps the secret out of the attribute namespace
+        if self._credential_provider is None:
+            self._credential_provider = lambda: (username, password)
 
     # -- SOQL query scan (R2, client.rs:199-205) ---------------------------
 

@@ -119,9 +119,19 @@ def null_skew_left_join(
     from pyspark.sql import functions as F
 
     dim_cols = [c for c in dim.columns if c != pk]
+    overlap = set(dim_cols) & set(facts.columns)
+    if overlap:
+        # the null branch would need the dim columns as NULL literals
+        # beside the fact columns; a name collision makes the union
+        # ambiguous — fail loud instead of silently doubling a column
+        raise ValueError(
+            f"dim non-key columns collide with fact columns: {sorted(overlap)}"
+        )
+    # drop by COLUMN REFERENCE, not name: if fk == pk, drop(pk) by
+    # name would remove the fact key too and break the union below
     nn = facts.filter(F.col(fk).isNotNull()).join(
         dim, facts[fk] == dim[pk], "left"
-    ).drop(pk)
+    ).drop(dim[pk])
     nulls = facts.filter(F.col(fk).isNull()).select(
         "*", *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in dim_cols]
     )

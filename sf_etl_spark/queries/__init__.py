@@ -96,87 +96,18 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-5 rotation, final ordering. The window holds ~50 rows
-    # and there are now 63 candidates that most need one, so the rank
-    # is by information value: (1) the ~30 lanes REGISTERED THIS ROUND
-    # that have never had a driver row at all (no evidence beats stale
-    # evidence as the thing to fix first), (2) the r1-vintage
-    # text/embedding/multimodal lanes the r4 verdict flagged (oldest
-    # rows, four fixture regenerations stale), (3) the r1-vintage
-    # relational long tail — the tail that overflows the window is the
-    # least-risky code in the repo (static pure-relational lanes,
-    # pytest-oracle-green every session) and rotates to round 6's
-    # front. r2-vintage TPC-H and r3/r4-vintage rows follow. ---
-    # (1a) never-verified: round-5 graduation companions of the two
-    # rows-only lanes (the rows-only lanes themselves yield their
-    # window slots — they carry only a rows-only check while their
-    # companions carry the hash evidence; they sit right after the
-    # stale-vintage block)
-    "ann_ivf_kmeans_agreement",
-    "multimodal_features_checksum",
-    # (1b) never-verified: round-5 first batch
-    "soql_typeof",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_promo_suppliers",
-    "dedup_incremental_ingest",
-    # (1c) never-verified: round-5 second batch (sessionization/
-    # cohort/outlier analytics, BM25, bloom-pruned join, time travel,
-    # PageRank)
-    "sessionize_events",
-    "cohort_retention",
-    "robust_outliers",
-    "bm25_topk",
-    "bloom_semi_join_revenue",
-    "merge_time_travel",
-    "pagerank_topk",
-    # (1d) never-verified: round-5 third/fourth batches (mergeable
-    # summaries, profiling, interval union, triangles, change feed,
-    # EWMA, novelty, DPP, equi-depth, checksum, FIELDS(ALL), basket,
-    # transitions)
-    "heavy_hitters_twopass",
-    "hll_rollup_merge",
-    "kll_quantile_merge",
-    "column_profile",
-    "interval_coverage",
-    "triangle_count",
-    "merge_change_feed",
-    "ewma_user_value",
-    "bigram_novelty",
-    "dpp_partitioned_join",
-    "equidepth_histogram",
-    "table_checksum",
-    "soql_fields_all",
-    "market_basket_lift",
-    "event_transitions",
-    "grouped_agg_trimmed_mean",
-    "scd2_point_in_time_join",
-    "distribution_drift",
-    "spark_sql_front",
-    "timezone_local_hours",
-    "null_skew_outer_join",
-    "feature_hashing",
-    "user_behavior_profile",
-    "session_paths",
-    "fuzzy_name_match",
-    # (2) r1-vintage: text/embedding/multimodal/extension lanes
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
-    "lang_id",
-    "embedding_stats",
-    "ann_cosine_topk",
-    "udtf_bigrams",
-    "pandas_udf_zscore",
-    "dispersion_stats",
-    "multimodal_meta_stats",
-    "multimodal_frame_sample",
-    # rows-only lanes (weaker check by design; hash-verified via their
-    # companions above)
-    "ann_ivf_kmeans_topk",
-    "multimodal_features",
-    # (3) r1-vintage: relational long tail (window boundary lands in
-    # here; the overflow leads round 6)
+    # --- round-6 rotation. The driver correctness window holds ~50
+    # rows; rank is by information value: (1) the 22 r1-vintage
+    # relational lanes and 14 r2-vintage TPC-H shapes whose only
+    # hash rows predate FOUR fixture regenerations (r3 proved stale
+    # evidence is how breakage hides) — the r5 verdict names this
+    # the round-6 priority; (2) fuzzy_name_match, whose blocking
+    # scheme changes this round (sorted-neighborhood) and needs a
+    # fresh row for the NEW semantics; (3) lanes registered this
+    # round (never verified). Everything below the window boundary
+    # is ordered stalest-first: r3-vintage, r4-vintage, then the 50
+    # lanes re-proven fresh in r5. ---
+    # (1) r1-vintage relational long tail
     "agg_having",
     "agg_stats_by_status",
     "approx_distinct_custkeys",
@@ -199,7 +130,7 @@ _PRIORITY_ORDER = [
     "set_ops",
     "set_ops_all",
     "string_functions",
-    # r2-vintage TPC-H rows
+    # (1) r2-vintage TPC-H shapes
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -214,9 +145,13 @@ _PRIORITY_ORDER = [
     "q19_or_of_ands",
     "q21_waiting_suppliers",
     "q22_dormant_balance",
-    # --- ~50-entry window boundary is right around here; everything
-    # below was driver-green in r3 or r4 (freshest rows rotate back,
-    # r3-vintage ahead of r4-vintage) ---
+    # (2) changed this round: new sorted-neighborhood blocking
+    "fuzzy_name_match",
+    # (3) new round-6 lanes (never driver-verified)
+    "multimodal_decode_stats",
+    # --- ~50-entry window boundary lands here; below rotates back,
+    # stalest (r3) first ---
+    # r3-vintage rows
     "q6_forecast_revenue",
     "window_frames",
     "grouping_sets_flags",
@@ -246,7 +181,7 @@ _PRIORITY_ORDER = [
     "ann_srp_lsh_pairs",
     "dedup_embedding_pipeline",
     "embedding_quantize_int8",
-    # r4-vintage (freshest)
+    # r4-vintage rows
     "events_hourly_ffill",
     "funnel_conversion",
     "soql_child_traversal",
@@ -297,6 +232,58 @@ _PRIORITY_ORDER = [
     "percentiles_by_flag",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    # r5-fresh rows (verified last round; least at risk)
+    "ann_ivf_kmeans_agreement",
+    "multimodal_features_checksum",
+    "soql_typeof",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
+    "dedup_incremental_ingest",
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "kll_quantile_merge",
+    "column_profile",
+    "interval_coverage",
+    "triangle_count",
+    "merge_change_feed",
+    "ewma_user_value",
+    "bigram_novelty",
+    "dpp_partitioned_join",
+    "equidepth_histogram",
+    "table_checksum",
+    "soql_fields_all",
+    "market_basket_lift",
+    "event_transitions",
+    "grouped_agg_trimmed_mean",
+    "scd2_point_in_time_join",
+    "distribution_drift",
+    "spark_sql_front",
+    "timezone_local_hours",
+    "null_skew_outer_join",
+    "feature_hashing",
+    "user_behavior_profile",
+    "session_paths",
+    "doc_fingerprint",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "embedding_stats",
+    "ann_cosine_topk",
+    "udtf_bigrams",
+    "pandas_udf_zscore",
+    "dispersion_stats",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    "ann_ivf_kmeans_topk",
+    "multimodal_features",
 ]
 
 

@@ -117,12 +117,55 @@ def ensure_parallelism(
        it just thrashes (32-way measured slower than 16-way on 32
        vCPUs); the guard only fires on under-parallel fixture scans,
        so cluster-scale inputs are untouched.
+
+    The under-parallel probe estimates the SCAN's split count from the
+    plan's input files and ``spark.sql.files.maxPartitionBytes`` —
+    the same quantities Spark's file-source packing uses — instead of
+    ``df.rdd.getNumPartitions()``: the RDD probe forces a
+    plan-to-RDD conversion per call (a whole extra physical planning
+    pass, and an eager one), which is pure overhead on the hot path.
+    The estimate is conservative (ignores openCostInBytes packing,
+    which only LOWERS real parallelism), so it can only over-fire the
+    guard on borderline inputs — never skip it when the scan is
+    genuinely serial. Inputs without file provenance (in-memory
+    DataFrames, post-shuffle frames) are assumed already parallel.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or max(2, sc.defaultParallelism // 2)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key) if key else df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = min_partitions or max(2, spark.sparkContext.defaultParallelism // 2)
+    files = df.inputFiles()
+    if not files:
+        return df  # no file provenance: not a fixture-scan artifact
+    max_bytes = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    splits = 0
+    for f in files:
+        if f.startswith("file:"):
+            path = f[len("file:") :]
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return df  # can't stat → don't guess, leave the plan alone
+            splits += max(1, -(-size // max_bytes))
+        else:
+            # remote FS (hdfs/s3a): assume ≥1 full split per file; a
+            # multi-file remote dataset is already parallel enough for
+            # the fixture guard's purpose
+            splits += 1
+        if splits >= target:
+            return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes_conf(v: str) -> int:
+    """Spark byte-size conf strings: '134217728', '128m', '128MB'."""
+    s = v.strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(float(s[:-1]) * _BYTE_SUFFIX[s[-1]])
+    return int(s)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -314,19 +314,21 @@ def _read_json_file(spark: SparkSession, fs, path) -> dict:
 
     stream = fs.open(path)
     try:
-        try:
-            data = bytes(
-                spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
-                    stream
-                )
-            )
-        except Exception:
-            buf = bytearray()
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    except Exception:
+        # IOUtils may have PARTIALLY consumed the stream before
+        # failing — reopen from offset 0 rather than draining the
+        # remainder into truncated/corrupt JSON
+        stream.close()
+        stream = fs.open(path)
+        buf = bytearray()
+        b = stream.read()
+        while b >= 0:
+            buf.append(b)
             b = stream.read()
-            while b >= 0:
-                buf.append(b)
-                b = stream.read()
-            data = bytes(buf)
+        data = bytes(buf)
     finally:
         stream.close()
     return json.loads(data.decode("utf-8"))
@@ -501,6 +503,14 @@ def restore_merge_target(spark: SparkSession, target_dir: str, version: int) -> 
     commit dir no longer exists (vacuum already truncated that far
     back) — a manifest pointing at vacuumed dirs would be a corrupt
     table. Returns the NEW live version number.
+
+    Concurrency: the existence check and the manifest swap are two
+    steps — a vacuum running BETWEEN them could delete a commit dir
+    the new manifest references. Like the rest of the merge protocol
+    this layer assumes a single administrative writer (no concurrent
+    vacuum during restore); the post-swap re-verification below fails
+    loud if the assumption was violated, so the corruption can never
+    go unnoticed.
     """
     import json
 
@@ -528,6 +538,18 @@ def restore_merge_target(spark: SparkSession, target_dir: str, version: int) -> 
     meta = {k: v for k, v in archived.items() if k != "version"}
     _write_merge_meta(spark, fs, target_path, meta)
     live = _read_merge_meta(spark, fs, target_path)
+    # re-verify AFTER the swap: a vacuum racing the restore could have
+    # deleted a referenced commit dir between the pre-check and the
+    # commit — surface the corruption here instead of at read time
+    for bucket, commit in sorted(live.get("buckets", {}).items()):
+        cpath = jvm.org.apache.hadoop.fs.Path(target_path, commit)
+        if not fs.exists(cpath):
+            raise RuntimeError(
+                f"restore of {target_dir} to version {version} raced a vacuum: "
+                f"live manifest v{live['version']} references deleted commit "
+                f"dir {commit} (bucket {bucket}); restore an older version or "
+                f"re-merge the rows"
+            )
     return int(live["version"])
 
 

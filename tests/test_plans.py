@@ -322,3 +322,14 @@ def test_null_skew_join_filters_nulls_below_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "null_skew_outer_join")
     assert "isnotnull" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_name_match_is_equi_join_bounded(spark, sf_dir):
+    # sorted-neighborhood candidates: the pair join must be a pure
+    # equi-join on (blk, rank) — no cartesian, no nested loop over
+    # blocks (the r5-flagged O(n²/B) all-pairs shape is banned) — and
+    # the explode fan-out that bounds candidates to n·W must be there.
+    plan = _plan(spark, sf_dir, "fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan, plan[:3000]
