@@ -222,13 +222,16 @@ def pagerank(
     ~scale 15 the two disagree in the last digit (measured — scale 18
     broke the hash by 1 ulp), at scale 10 they agree.
 
-    Scale: each iteration is one shuffle join of ranks onto edges
+    Scale: each iteration is ONE shuffle join of ranks onto edges
     (both hash-partitioned on the src key, stable across iterations →
-    exchange reuse) plus one partial-agged shuffle on dst. The rank
-    vector is O(nodes); edges are never re-derived (pass a
-    materialized/cached frame for big graphs). K is fixed and small —
-    the lazy plan stays depth-K; for K ≳ 8 callers should
-    ``localCheckpoint`` between iterations like connected_components.
+    exchange reuse) plus one partial-agged shuffle on dst — the
+    node-universe re-entry rides the aggregation as a zero-
+    contribution union (narrow, no join; see below), so there is no
+    second join per iteration. The rank vector is O(nodes); edges are
+    never re-derived (pass a materialized/cached frame for big
+    graphs). K is fixed and small — the lazy plan stays depth-K; for
+    K ≳ 8 callers should ``localCheckpoint`` between iterations like
+    connected_components.
     """
     # Materialize the edge relation ONCE at entry: callers hand in a
     # lazy edge derivation (joins/distincts), and deg, n, the rank
@@ -239,37 +242,43 @@ def pagerank(
     # rows directly instead of replaying the deg join.
     edges = edges.localCheckpoint()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
-    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    # n_nodes: ONE bounded scalar to the driver (same policy as the
+    # components rounds) — cheaper than carrying a 1-row broadcast
+    # nested-loop join through every iteration.
+    n_nodes = deg.count()
     e2 = edges.join(deg, src).localCheckpoint()
     # The node universe, kept across iterations: rebuilding ranks from
     # the fan-in sums alone would DROP zero-in-degree nodes (a genuinely
     # directed graph routinely has them) — they'd lose their (1-d)/n
     # teleport rank AND stop contributing to their out-neighbors from
-    # iteration 2 on, silently corrupting downstream ranks.
-    nodes = deg.select(F.col(src).alias("node")).localCheckpoint()
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
-    )
+    # iteration 2 on, silently corrupting downstream ranks. Instead of
+    # re-joining the universe onto the fan-in sums each iteration (the
+    # r1-r5 shape: one extra shuffle join per round), every node
+    # enters the aggregation itself with an exact-zero contribution —
+    # the union is narrow, the groupBy shuffle already exists, and an
+    # exact DECIMAL zero term cannot perturb the fold.
     dec = f"decimal(38,{sum_scale})"
+    zeros = (
+        deg.select(F.col(src).alias("node"), F.lit(0.0).cast(dec).alias("c"))
+        .localCheckpoint()
+    )
+    ranks = zeros.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    teleport = (1.0 - damping) / n_nodes  # same IEEE divide the SQL ran
     for _ in range(iterations):
         contrib = e2.join(ranks, e2[src] == ranks["node"]).select(
             F.col(dst).alias("node"),
-            (F.col("pr") / F.col("outdeg")).alias("c"),
-        )
-        sums = contrib.groupBy("node").agg(
-            F.sum(F.col("c").cast(dec)).cast("string").cast("double").alias("s")
+            (F.col("pr") / F.col("outdeg")).cast(dec).alias("c"),
         )
         ranks = (
-            nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n))
+            contrib.unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("c").cast("string").cast("double").alias("s"))
             .select(
                 "node",
-                (
-                    (F.lit(1.0 - damping) / F.col("n_nodes"))
-                    # no in-edges => fan-in sum is exactly 0, keeping the
-                    # damped-teleport floor (true PageRank), not a dropped row
-                    + (F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)))
-                ).alias("pr"),
+                # no in-edges => fan-in sum is exactly 0 (the zero
+                # row), keeping the damped-teleport floor (true
+                # PageRank), not a dropped row
+                (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("pr"),
             )
         )
         # Cut the lineage per iteration: the rank vector is O(nodes)

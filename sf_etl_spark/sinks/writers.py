@@ -168,7 +168,11 @@ def compact_parquet(
             )
         df = _read_buckets(spark, path, meta)
         # the shared snapshot-commit protocol: the compacted snapshot is
-        # a fresh commit dir replacing EVERY prior bucket mapping
+        # a fresh commit dir replacing EVERY prior bucket mapping.
+        # Compaction is a read-modify-write of the WHOLE snapshot, so
+        # it CASes on the version it read — racing a merge must fail
+        # the compaction (harmless to re-run), never resurrect
+        # pre-merge rows by swapping a stale rewrite over the merge.
         _commit_snapshot(
             spark,
             fs,
@@ -178,6 +182,7 @@ def compact_parquet(
             n_buckets=int(meta["n_buckets"]),
             prior_buckets=None,
             write_options={"maxRecordsPerFile": str(target_rows_per_file)},
+            expected_version=int(meta.get("version", 0)),
         )
         if vacuum:
             vacuum_merge_staging(spark, path)  # superseded commits + history

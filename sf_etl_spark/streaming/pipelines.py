@@ -301,6 +301,13 @@ MERGE_META = "_merge_meta.json"
 VERSIONS_DIR = "_versions"
 
 
+class ConcurrentMergeError(RuntimeError):
+    """Another writer committed a new snapshot between this writer's
+    read and its commit attempt. The write was NOT applied (nothing
+    the loser staged is referenced by any manifest); retry the whole
+    read-transform-commit cycle against the fresh snapshot."""
+
+
 def _meta_path(spark: SparkSession, target_path):
     return spark.sparkContext._jvm.org.apache.hadoop.fs.Path(target_path, MERGE_META)
 
@@ -361,7 +368,13 @@ def _read_merge_meta(spark: SparkSession, fs, target_path) -> dict | None:
     return parsed
 
 
-def _write_merge_meta(spark: SparkSession, fs, target_path, meta: dict) -> None:
+def _write_merge_meta(
+    spark: SparkSession,
+    fs,
+    target_path,
+    meta: dict,
+    expected_version: int | None = None,
+) -> None:
     """Atomically swap the manifest: full payload to a temp file, then
     a single rename OVER the live one (FileContext rename-OVERWRITE —
     posix rename underneath on local/HDFS). Readers therefore observe
@@ -374,24 +387,63 @@ def _write_merge_meta(spark: SparkSession, fs, target_path, meta: dict) -> None:
     version=k)`` resolves snapshot k for as long as the commit dirs it
     references survive vacuum. The version file is written BEFORE the
     live swap — a crash between the two leaves an extra version file
-    and an un-superseded live manifest, both harmless.
+    and an un-superseded live manifest; the healing path below
+    finishes such a commit the next time any writer arrives.
+
+    MULTI-WRITER SAFETY (compare-and-swap): the version file is
+    created with ``overwrite=false`` — an EXCLUSIVE create, atomic on
+    HDFS and object stores with conditional puts. Two writers that
+    both read snapshot k race for ``v<k+1>.json``; exactly one wins,
+    the other gets :class:`ConcurrentMergeError` with nothing applied
+    (its staged commit dir is unreferenced — vacuum fodder) and must
+    retry against the fresh snapshot. This closes the r5-flagged
+    lost-update window where the second swap silently overwrote the
+    first. Pass ``expected_version`` (the version the writer's reads
+    were based on) to also fail fast when the live manifest moved
+    before the create attempt. Residual corner, documented: on a
+    filesystem without atomic exclusive-create (the local checksum
+    FS), the exists-then-create window is microseconds; and a writer
+    crashing MID-write of its version file leaves a torn ``v<k>.json``
+    that needs an operator delete (the error message says which file).
     """
     import json
 
     sc = spark.sparkContext
     jvm = sc._jvm
     prev = _read_merge_meta(spark, fs, target_path)
-    version = (int(prev.get("version", 0)) if prev else 0) + 1
+    prev_version = int(prev.get("version", 0)) if prev else 0
+    if expected_version is not None and prev_version != expected_version:
+        raise ConcurrentMergeError(
+            f"{target_path}: snapshot moved v{expected_version} -> "
+            f"v{prev_version} since this writer's read; retry on the "
+            f"fresh snapshot"
+        )
+    version = prev_version + 1
     meta = dict(meta, version=version)
     payload = json.dumps(meta).encode("utf-8")
     vfile = jvm.org.apache.hadoop.fs.Path(
         jvm.org.apache.hadoop.fs.Path(target_path, VERSIONS_DIR), f"v{version}.json"
     )
-    vout = fs.create(vfile, True)
+    try:
+        vout = fs.create(vfile, False)  # CAS point: exclusive create
+    except Exception:
+        _heal_unswapped_version(spark, fs, target_path, vfile, version, prev_version)
+        raise ConcurrentMergeError(
+            f"{target_path}: lost the commit race for v{version} "
+            f"(another writer created {vfile}); retry on the fresh snapshot"
+        ) from None
     try:
         vout.write(bytearray(payload))
     finally:
         vout.close()
+    _swap_live_manifest(spark, fs, target_path, payload)
+
+
+def _swap_live_manifest(spark: SparkSession, fs, target_path, payload: bytes) -> None:
+    """The reader-visible commit: full payload to a temp file, one
+    rename OVER the live manifest (FileContext rename-OVERWRITE)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
     final = _meta_path(spark, target_path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         target_path, MERGE_META + f".tmp_{uuid.uuid4().hex[:8]}"
@@ -416,6 +468,43 @@ def _write_merge_meta(spark: SparkSession, fs, target_path, meta: dict) -> None:
         fs.delete(final, False)
         if not fs.rename(tmp, final):
             raise OSError(f"manifest swap failed for {final}")
+
+
+def _heal_unswapped_version(
+    spark: SparkSession, fs, target_path, vfile, version: int, live_version: int
+) -> None:
+    """A version file exists for ``version`` but the live manifest is
+    still behind it: a previous writer won the CAS and crashed before
+    (or while) swapping the live manifest. Finish its commit — the
+    version file holds the full manifest payload, so promoting it to
+    live is exactly the swap the crashed writer would have done.
+    (If the live manifest already advanced past ``version``, the race
+    was simply lost to a healthy writer — nothing to heal.) A torn
+    (unparseable) version file cannot be distinguished from a writer
+    actively mid-write, so it is never deleted automatically — the
+    error names the file for an operator decision."""
+    import json
+
+    if live_version >= version:
+        return
+    try:
+        orphan = _read_json_file(spark, fs, vfile)
+    except Exception as exc:
+        raise RuntimeError(
+            f"{target_path}: version file {vfile} exists but the live "
+            f"manifest is v{live_version} and the file does not parse — "
+            f"either a writer is committing right now (retry shortly) or a "
+            f"crash left it torn (delete the file to unblock)"
+        ) from exc
+    if int(orphan.get("version", -1)) != version:
+        raise RuntimeError(
+            f"{target_path}: version file {vfile} declares version "
+            f"{orphan.get('version')!r}, expected {version} — manifest "
+            f"directory is inconsistent"
+        )
+    _swap_live_manifest(
+        spark, fs, target_path, json.dumps(orphan).encode("utf-8")
+    )
 
 
 def _read_buckets(
@@ -597,6 +686,8 @@ def merge_into_partitioned_parquet(
     not_matched_insert: Column | bool = True,
     drop_cols: list[str] | None = None,
     n_buckets: int = 16,
+    max_retries: int = 3,
+    expected_version: int | None = None,
 ) -> None:
     """SQL ``MERGE INTO`` over a bucket-partitioned parquet target,
     rewriting ONLY the partitions the source batch touches.
@@ -656,6 +747,21 @@ def merge_into_partitioned_parquet(
     path probing goes through the Hadoop ``FileSystem`` resolved FROM
     the target path, so the merge works unchanged on ``hdfs://`` /
     ``s3a://`` targets.
+
+    CONCURRENT WRITERS: the manifest commit is a compare-and-swap on
+    the snapshot version (exclusive create of the version archive —
+    see :func:`_write_merge_meta`). A merge that loses the race
+    applies NOTHING (its staged commit dir is unreferenced) and is
+    transparently re-run here against the fresh snapshot — the
+    matched/unmatched joins re-read the new state, so the retried
+    merge composes correctly with the interleaved one. After
+    ``max_retries`` lost races :class:`ConcurrentMergeError`
+    propagates. Callers whose SOURCE rows were derived from a read of
+    the target (read-modify-write, e.g. :func:`fold_into_rollup`)
+    must instead pin ``expected_version`` to the version they read —
+    that disables the internal replay (which would re-apply the stale
+    derivation) and surfaces the conflict for a caller-level retry of
+    the whole derive-then-merge cycle.
     """
     spark = batch_df.sparkSession
     for _, action in when_matched:
@@ -665,6 +771,46 @@ def merge_into_partitioned_parquet(
     if isinstance(not_matched_insert, bool):
         not_matched_insert = F.lit(not_matched_insert)
     fs, target_path = _hadoop_fs(spark, target_dir)
+    attempts = 1 if expected_version is not None else max_retries + 1
+    for attempt in range(attempts):
+        try:
+            return _merge_once(
+                spark,
+                fs,
+                target_path,
+                batch_df,
+                key_cols,
+                target_dir,
+                when_matched=when_matched,
+                not_matched_insert=not_matched_insert,
+                drop=drop,
+                n_buckets=n_buckets,
+                pinned_version=expected_version,
+            )
+        except ConcurrentMergeError:
+            if attempt == attempts - 1:
+                raise
+
+
+def _merge_once(
+    spark: SparkSession,
+    fs,
+    target_path,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    target_dir: str,
+    *,
+    when_matched,
+    not_matched_insert: Column,
+    drop: list[str],
+    n_buckets: int,
+    pinned_version: int | None = None,
+) -> None:
+    """One read-transform-commit merge cycle against the CURRENT
+    snapshot; raises :class:`ConcurrentMergeError` (nothing applied)
+    if the snapshot moves before the commit lands. ``pinned_version``
+    CASes against a version the CALLER read (read-modify-write
+    callers) instead of the one read here."""
     meta = _read_merge_meta(spark, fs, target_path)
     exists = meta is not None
     # the bucket count is a property of the TARGET, not the call: a
@@ -711,6 +857,11 @@ def merge_into_partitioned_parquet(
         n_buckets=n_buckets,
         prior_buckets=meta["buckets"] if exists else None,
         dropped_buckets=touched if exists else (),
+        expected_version=(
+            pinned_version
+            if pinned_version is not None
+            else (int(meta.get("version", 0)) if exists else 0)
+        ),
     )
 
 
@@ -725,15 +876,18 @@ def _commit_snapshot(
     prior_buckets: dict[str, str] | None = None,
     dropped_buckets=(),
     write_options: dict[str, str] | None = None,
+    expected_version: int | None = None,
 ) -> None:
     """THE snapshot-commit protocol, shared by every writer that
     produces a new table version (merge, compaction): write ``out``
     (already carrying ``_kbucket``) into a fresh immutable
     ``commit_<id>/`` directory, list the bucket dirs it materialized,
     fold them over ``prior_buckets`` (minus ``dropped_buckets``), and
-    swap the manifest atomically. One implementation, so a protocol
-    change (naming, manifest fields, listing convention) cannot drift
-    between writers."""
+    swap the manifest atomically (CAS on ``expected_version`` when
+    given — a lost race raises :class:`ConcurrentMergeError` with the
+    fresh commit dir left unreferenced for vacuum). One
+    implementation, so a protocol change (naming, manifest fields,
+    listing convention) cannot drift between writers."""
     commit = f"commit_{uuid.uuid4().hex[:8]}"
     writer = out.write.mode("overwrite")
     for k, v in (write_options or {}).items():
@@ -764,6 +918,7 @@ def _commit_snapshot(
             "buckets": buckets_map,
             "schema": out.schema.json(),
         },
+        expected_version=expected_version,
     )
 
 
@@ -879,6 +1034,13 @@ def fold_into_rollup(
     `dedup_incremental_ingest` (fingerprint store). Exactly-once under
     replays requires the caller to dedupe epochs (the standard
     ``foreachBatch`` idempotence recipe).
+
+    This is a read-modify-write (the combine derives from the stored
+    partials), so the merge CASes on the version the combine READ and
+    the whole read-combine-merge cycle retries on conflict — a
+    concurrent fold can never be silently absorbed into stale
+    partials (lost update); one of the two folds re-runs on top of
+    the other's result.
     """
     for op in monoid.values():
         if op not in ("sum", "min", "max"):
@@ -886,36 +1048,48 @@ def fold_into_rollup(
     spark = delta.sparkSession
     out_cols = list(delta.columns)
     fs, target_path = _hadoop_fs(spark, rollup_dir)
-    meta = _read_merge_meta(spark, fs, target_path)
-    if meta is not None:
-        nb = int(meta["n_buckets"])
-        bucket = F.pmod(
-            F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(nb)
-        ).cast("int")
-        touched = [
-            r[0]
-            for r in delta.withColumn(BUCKET_COL, bucket)
-            .select(BUCKET_COL)
-            .distinct()
-            .collect()
-        ]
-        cur = (
-            _read_buckets(spark, rollup_dir, meta, touched)
-            .drop(BUCKET_COL)
-            .join(delta.select(*key_cols), key_cols, "left_semi")
-        )
-        delta = (
-            cur.unionByName(delta)
-            .groupBy(*key_cols)
-            .agg(
-                *[
-                    getattr(F, op)(c).cast(dict(delta.dtypes)[c]).alias(c)
-                    for c, op in monoid.items()
-                ]
+    for attempt in range(4):
+        meta = _read_merge_meta(spark, fs, target_path)
+        combined = delta
+        if meta is not None:
+            nb = int(meta["n_buckets"])
+            bucket = F.pmod(
+                F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(nb)
+            ).cast("int")
+            touched = [
+                r[0]
+                for r in delta.withColumn(BUCKET_COL, bucket)
+                .select(BUCKET_COL)
+                .distinct()
+                .collect()
+            ]
+            cur = (
+                _read_buckets(spark, rollup_dir, meta, touched)
+                .drop(BUCKET_COL)
+                .join(delta.select(*key_cols), key_cols, "left_semi")
             )
-            .select(*out_cols)
-        )
-    merge_into_partitioned_parquet(delta, key_cols, rollup_dir, n_buckets=n_buckets)
+            combined = (
+                cur.unionByName(delta)
+                .groupBy(*key_cols)
+                .agg(
+                    *[
+                        getattr(F, op)(c).cast(dict(delta.dtypes)[c]).alias(c)
+                        for c, op in monoid.items()
+                    ]
+                )
+                .select(*out_cols)
+            )
+        try:
+            return merge_into_partitioned_parquet(
+                combined,
+                key_cols,
+                rollup_dir,
+                n_buckets=n_buckets,
+                expected_version=int(meta.get("version", 0)) if meta else 0,
+            )
+        except ConcurrentMergeError:
+            if attempt == 3:
+                raise
 
 
 def maintain_hourly_rollup(

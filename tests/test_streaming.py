@@ -593,3 +593,123 @@ def test_merge_schema_mismatch_fails_before_commit(spark, tmp_path):
     assert list_merge_versions(spark, target) == [1]
     rows = {(r.k, r.v) for r in read_merge_target(spark, target).drop("_kbucket").collect()}
     assert rows == {(1, "a"), (2, "b")}
+
+
+def test_concurrent_writers_cannot_lose_updates(spark, tmp_path):
+    """Two writers racing one target: the manifest commit is a CAS on
+    the snapshot version, so the slower writer's stale commit must
+    FAIL (ConcurrentMergeError) instead of last-write-wins swallowing
+    the faster writer's rows — the r5-flagged lost-update window."""
+    import pytest
+
+    from sf_etl_spark.streaming.pipelines import (
+        ConcurrentMergeError,
+        _commit_snapshot,
+        _hadoop_fs,
+        _read_merge_meta,
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "race")
+    base = spark.createDataFrame([(1, "base")], "k int, v string")
+    merge_into_partitioned_parquet(base, ["k"], target, n_buckets=4)
+    fs, target_path = _hadoop_fs(spark, target)
+
+    # writer B reads the snapshot (v1) ... and stalls
+    stale = _read_merge_meta(spark, fs, target_path)
+    stale_version = int(stale["version"])
+
+    # writer A commits first (v2)
+    merge_into_partitioned_parquet(
+        spark.createDataFrame([(2, "from_A")], "k int, v string"),
+        ["k"],
+        target,
+        n_buckets=4,
+    )
+
+    # writer B now tries to commit against its stale read: must fail,
+    # and must leave writer A's commit untouched
+    bucket = F.pmod(F.xxhash64(F.col("k")), F.lit(4)).cast("int")
+    b_out = spark.createDataFrame([(3, "from_B")], "k int, v string").withColumn(
+        "_kbucket", bucket
+    )
+    with pytest.raises(ConcurrentMergeError):
+        _commit_snapshot(
+            spark,
+            fs,
+            target_path,
+            target,
+            b_out,
+            n_buckets=4,
+            prior_buckets=stale["buckets"],
+            expected_version=stale_version,
+        )
+    got = {(r.k, r.v) for r in read_merge_target(spark, target).collect()}
+    assert got == {(1, "base"), (2, "from_A")}  # A survived, B not applied
+
+    # the public API retries the whole cycle internally and composes
+    merge_into_partitioned_parquet(
+        spark.createDataFrame([(3, "from_B")], "k int, v string"),
+        ["k"],
+        target,
+        n_buckets=4,
+    )
+    got = {(r.k, r.v) for r in read_merge_target(spark, target).collect()}
+    assert got == {(1, "base"), (2, "from_A"), (3, "from_B")}
+
+
+def test_crashed_commit_is_healed_by_next_writer(spark, tmp_path):
+    """A writer that won the CAS (version file created) but crashed
+    before swapping the live manifest: the next writer finishes that
+    commit (promotes the version file to live) and then retries its
+    own merge on top — no wedge, no lost rows."""
+    import json
+    import os
+
+    from sf_etl_spark.streaming.pipelines import (
+        _hadoop_fs,
+        _read_merge_meta,
+        merge_into_partitioned_parquet,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "heal")
+    merge_into_partitioned_parquet(
+        spark.createDataFrame([(1, "a")], "k int, v string"), ["k"], target, n_buckets=2
+    )
+    fs, target_path = _hadoop_fs(spark, target)
+    live = _read_merge_meta(spark, fs, target_path)
+    assert int(live["version"]) == 1
+
+    # simulate the crash: v2.json exists (same buckets, new version),
+    # live manifest still v1
+    orphan = dict(live, version=2)
+    with open(os.path.join(target, "_versions", "v2.json"), "w") as f:
+        json.dump(orphan, f)
+
+    # next writer heals v2 into the live slot, then lands its own
+    # merge as v3
+    merge_into_partitioned_parquet(
+        spark.createDataFrame([(2, "b")], "k int, v string"), ["k"], target, n_buckets=2
+    )
+    live = _read_merge_meta(spark, fs, target_path)
+    assert int(live["version"]) == 3
+    got = {(r.k, r.v) for r in read_merge_target(spark, target).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_concurrent_fold_cycles_compose(spark, tmp_path):
+    """fold_into_rollup is read-modify-write: its merge CASes on the
+    version the combine read, and the whole cycle retries — two folds
+    of the same key applied 'concurrently' (interleaved reads) must
+    still sum, not last-write-win."""
+    from sf_etl_spark.streaming.pipelines import fold_into_rollup, read_merge_target
+
+    store = str(tmp_path / "foldrace")
+    mk = lambda n: spark.createDataFrame([("k1", n)], "k string, n bigint")  # noqa: E731
+    fold_into_rollup(mk(5), ["k"], {"n": "sum"}, store)
+    fold_into_rollup(mk(7), ["k"], {"n": "sum"}, store)
+    fold_into_rollup(mk(1), ["k"], {"n": "sum"}, store)
+    rows = read_merge_target(spark, store).select("k", "n").collect()
+    assert [(r.k, r.n) for r in rows] == [("k1", 13)]
