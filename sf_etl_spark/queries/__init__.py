@@ -149,6 +149,8 @@ _PRIORITY_ORDER = [
     "fuzzy_name_match",
     # (3) new round-6 lanes (never driver-verified)
     "multimodal_decode_stats",
+    "time_weighted_average",
+    "cusum_drift_detection",
     # --- ~50-entry window boundary lands here; below rotates back,
     # stalest (r3) first ---
     # r3-vintage rows

@@ -1050,3 +1050,168 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — the irregular-time-series mean:
+# each event's value is "held" until the user's next event, and the
+# average weights each value by its holding duration. The finance/
+# metering staple (`time_weighted_average` in TimescaleDB, TWAP in
+# market data) that a plain avg() gets wrong on irregular samples.
+#
+# Shape: ONE user_id exchange — lead() over (user_id | ts, event_id)
+# gives each row its holding interval, then a partial-aggregable
+# groupBy(user_id) folds value×duration. All arithmetic is exact
+# until the final single divide: values scale to integer micro-units
+# (the interval_coverage convention), products go through
+# DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) (no precision-loss
+# rounding in either engine), and the decimal→double hop is via
+# string (see relational.dsum) so both engines round identically.
+# Scale: window + agg share one hashpartitioning(user_id); no
+# skew risk beyond per-user event counts (bounded by sessionization
+# reality); 100 TB cost is one shuffle of (user_id, t, v_scaled).
+# ---------------------------------------------------------------------------
+@register(
+    "time_weighted_average",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_scaled
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_holds,
+           CAST(sum(t_next - t) AS BIGINT) AS held_us,
+           CAST(CAST(sum(CAST(v_scaled AS DECIMAL(19,0))
+                         * CAST(t_next - t AS DECIMAL(19,0))) AS VARCHAR)
+                AS DOUBLE)
+             / CAST(sum(t_next - t) AS DOUBLE) / 1000000.0 AS twap
+    FROM seq
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="per-user time-weighted average value (last-value-held), exact decimal fold",
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # t = unix_micros(ts) is strictly monotone in ts, so ordering by
+    # (t, event_id) is the oracle's (ts, event_id) total order
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v_scaled"),
+    ).withColumn("t_next", F.lead("t").over(w))
+    held = seq.filter(F.col("t_next").isNotNull()).withColumn(
+        "dur", F.col("t_next") - F.col("t")
+    )
+    num = F.sum(
+        F.col("v_scaled").cast("decimal(19,0)") * F.col("dur").cast("decimal(19,0)")
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_holds"),
+            F.sum("dur").alias("held_us"),
+            (
+                num.cast("string").cast("double")
+                / F.sum("dur").cast("double")
+                / F.lit(1000000.0)
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — sequential change-point monitoring on the
+# per-type daily value series (Page 1954). The one-sided CUSUM with
+# reset, s_i = max(0, s_{i-1} + (x_i - target)), has the prefix-min
+# closed form s_i = S_i - min_{j<=i} S_j over the cumulative sum
+# S of deviations — which makes it TWO window functions instead of a
+# sequential fold, so it stays a declarative plan (one exchange per
+# event_type, both windows share the sort).
+#
+# Exactness: deviations are scaled through by n_days
+# (dev = n*x - total) so the per-type mean target needs NO division —
+# every intermediate is a BIGINT and both engines agree bit-for-bit.
+# The drift flag compares the scaled statistic against n*mean = total
+# (i.e. unscaled CUSUM > mean daily total), all in integers.
+# Scale: daily pre-aggregation shrinks the series to |types|×|days|
+# rows before any window work; the window partitions by event_type
+# (bounded cardinality — for high-cardinality keys the same plan
+# hash-partitions cleanly).
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_drift_detection",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), stats AS (
+      SELECT event_type, day, x,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM daily
+    ), cum AS (
+      SELECT event_type, day, n, total,
+             CAST(sum(n * x - total) OVER (PARTITION BY event_type ORDER BY day
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS s_raw
+      FROM stats
+    ), st AS (
+      SELECT event_type, day, total,
+             s_raw - min(s_raw) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS s
+      FROM cum
+    )
+    SELECT event_type, day,
+           CAST(s AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN s > total THEN 1 ELSE 0 END AS INT) AS is_drift
+    FROM st
+    ORDER BY event_type, day
+    """,
+    doc="one-sided CUSUM per event_type via prefix-min closed form, all-integer",
+)
+def cusum_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("x"))
+    )
+    per_type = Window.partitionBy("event_type")
+    ordered = Window.partitionBy("event_type").orderBy("day")
+    run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stats = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(per_type).alias("n"),
+        F.sum("x").over(per_type).alias("total"),
+    )
+    cum = stats.withColumn(
+        "s_raw", F.sum(F.col("n") * F.col("x") - F.col("total")).over(run)
+    )
+    st = cum.withColumn("s", F.col("s_raw") - F.min("s_raw").over(run))
+    return st.select(
+        "event_type",
+        "day",
+        F.col("s").cast("bigint").alias("cusum_scaled"),
+        F.when(F.col("s") > F.col("total"), 1).otherwise(0).cast("int").alias("is_drift"),
+    ).orderBy("event_type", "day")

@@ -13,73 +13,59 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 5, final ordering) — they must sit inside the driver's ~50-row
-# window. With 63 candidates for 50 slots the rank is by information
-# value: every lane REGISTERED THIS ROUND that has never had a driver
-# row (no evidence beats stale evidence), then the r1-vintage
-# text/embedding/multimodal lanes the r4 verdict flagged. The
-# r1-vintage relational long tail overflows (least-risky code in the
-# repo — static pure-relational lanes, pytest-oracle-green every
-# session) and leads round 6's front instead.
+# (round 6 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r5 verdict's ask #1):
+# (1) the 22 r1-vintage relational lanes and 14 r2-vintage TPC-H
+# shapes whose only hash rows predate FOUR fixture regenerations,
+# (2) fuzzy_name_match, whose blocking scheme CHANGED this round
+# (sorted-neighborhood) so its old row proves the wrong semantics,
+# (3) every lane registered in round 6 (never driver-verified).
+# Everything re-proven fresh in r5 rotates behind the boundary.
 MUST_BE_IN_WINDOW = [
-    # never-verified: the verifiable companions of the rows-only lanes
-    # (the rows-only lanes themselves sit just past the boundary: they
-    # carry only rows-only checks, their hash evidence lives here)
-    "ann_ivf_kmeans_agreement",
-    "multimodal_features_checksum",
-    # never-verified: round-5 first batch
-    "soql_typeof",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_promo_suppliers",
-    "dedup_incremental_ingest",
-    # never-verified: round-5 second batch
-    "sessionize_events",
-    "cohort_retention",
-    "robust_outliers",
-    "bm25_topk",
-    "bloom_semi_join_revenue",
-    "merge_time_travel",
-    "pagerank_topk",
-    # never-verified: round-5 third/fourth batches
-    "heavy_hitters_twopass",
-    "hll_rollup_merge",
-    "kll_quantile_merge",
-    "column_profile",
-    "interval_coverage",
-    "triangle_count",
-    "merge_change_feed",
-    "ewma_user_value",
-    "bigram_novelty",
-    "dpp_partitioned_join",
-    "equidepth_histogram",
-    "table_checksum",
-    "soql_fields_all",
-    "market_basket_lift",
-    "event_transitions",
-    "grouped_agg_trimmed_mean",
-    "scd2_point_in_time_join",
-    "distribution_drift",
-    "spark_sql_front",
-    "timezone_local_hours",
-    "null_skew_outer_join",
-    "feature_hashing",
-    "user_behavior_profile",
-    "session_paths",
+    # (1) r1-vintage relational long tail
+    "agg_having",
+    "agg_stats_by_status",
+    "approx_distinct_custkeys",
+    "array_functions",
+    "conditional_predicates",
+    "cube_status_priority",
+    "date_functions",
+    "distinct_flags",
+    "filter_project",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "map_functions",
+    "math_functions",
+    "min_per_group_joinback",
+    "order_limit_offset",
+    "pivot_returnflag",
+    "rollup_flags",
+    "set_ops",
+    "set_ops_all",
+    "string_functions",
+    # (1) r2-vintage TPC-H shapes
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_or_of_ands",
+    "q21_waiting_suppliers",
+    "q22_dormant_balance",
+    # (2) semantics changed this round
     "fuzzy_name_match",
-    # r1-vintage text/embedding/multimodal/extension lanes (r4 verdict
-    # rotation targets with the OLDEST green rows)
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
-    "lang_id",
-    "embedding_stats",
-    "ann_cosine_topk",
-    "udtf_bigrams",
-    "pandas_udf_zscore",
-    "dispersion_stats",
-    "multimodal_meta_stats",
-    "multimodal_frame_sample",
+    # (3) round-6 lanes, never driver-verified
+    "multimodal_decode_stats",
+    "time_weighted_average",
+    "cusum_drift_detection",
 ]
 
 
