@@ -151,6 +151,8 @@ _PRIORITY_ORDER = [
     "multimodal_decode_stats",
     "time_weighted_average",
     "cusum_drift_detection",
+    "pareto_frontier_parts",
+    "kmv_set_overlap",
     # --- ~50-entry window boundary lands here; below rotates back,
     # stalest (r3) first ---
     # r3-vintage rows

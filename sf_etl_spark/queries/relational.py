@@ -1930,3 +1930,77 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — the parts no other part beats on BOTH
+# price (lower is better) and size (higher is better). The classic
+# skyline operator (Börzsönyi et al., ICDE 2001) relational engines
+# lack as a primitive; here it is two window passes, no self-join.
+#
+# Scale shape — frontier-of-frontiers: skyline(S) =
+# skyline(∪_i skyline(S_i)) for any partition of S, so pass 1 prunes
+# LOCALLY inside 32 hash buckets (window over (salt | price-cents)),
+# and only local survivors — bounded by the # of distinct sizes per
+# bucket, NOT by |S| — reach the global pass. The global window is
+# single-partition but its input is ≤ buckets × |size domain| rows
+# (~1.6k), constant in data size; the naive alternative (one global
+# window, or the oracle's NOT-EXISTS self-join) degrades with n.
+# Dominance test per pass: a row survives iff no strictly-cheaper row
+# has size ≥ its own (running max over RANGE … 1 PRECEDING on exact
+# integer cents) AND it has the max size within its exact price tie
+# group — both windows share one sort.
+# ---------------------------------------------------------------------------
+@register(
+    "pareto_frontier_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, p_retailprice, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+        AND (b.cents < a.cents OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_retailprice, a.p_partkey
+    """,
+    doc="2-D skyline of part (min price, max size) via salted frontier-of-frontiers",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+
+    def frontier(df: DataFrame, *salt: str) -> DataFrame:
+        lt = (
+            Window.partitionBy(*salt)
+            .orderBy("cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        tie = Window.partitionBy(*salt, "cents")
+        best_cheaper = F.max("p_size").over(lt)
+        best_tie = F.max("p_size").over(tie)
+        return (
+            df.withColumn("_bc", best_cheaper)
+            .withColumn("_bt", best_tie)
+            .filter(
+                (F.col("_bc").isNull() | (F.col("p_size") > F.col("_bc")))
+                & (F.col("p_size") == F.col("_bt"))
+            )
+            .drop("_bc", "_bt")
+        )
+
+    local = frontier(part.withColumn("_salt", F.pmod(F.hash("p_partkey"), F.lit(32))), "_salt")
+    return (
+        frontier(local.drop("_salt"))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

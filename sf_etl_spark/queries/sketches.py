@@ -281,3 +281,150 @@ def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_le") / F.col("n") - F.lit(0.5)) <= F.lit(0.05)
         ).alias("median_rank_ok"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) set-overlap sketch — distinct-count UNION and
+# INTERSECTION estimates from two tiny mergeable summaries (Beyer et
+# al., SIGMOD 2007: "On synopses for distinct-value estimation under
+# multiset operations"). HLL (above) unions cheaply but cannot
+# intersect; KMV is the classic synopsis that estimates J(A,B) and
+# |A∩B| from k hash values per side — the building block for audience
+# overlap, join-size estimation, and containment scoring.
+#
+# Sketch build = per-side bottom-k over a keyed 64-bit hash:
+# TakeOrderedAndProject, so each partition contributes its local
+# bottom-k and only k rows per partition reach the driver-side merge —
+# the mergeable-summary shape (union of sketches re-bottom-k'd IS the
+# sketch of the union; that exact merge is how K_U is built below).
+# Estimators (all deterministic, so the lane is hash-verifiable,
+# unlike opaque sketch binaries): with the merged sketch K_U of size k
+# and kth-smallest hash v_k normalized to u∈(0,1),
+#   |A∪B|^ = (k-1)/u          (or the exact size if the sketch holds
+#                              the whole union: u is then meaningless)
+#   J^     = |K_U ∩ K_A ∩ K_B| / k
+#   |A∩B|^ = J^ · |A∪B|^
+# The oracle restates sketch construction AND the exact cardinalities
+# the estimates are judged against; both engines evaluate the same
+# md5-derived hash, so every row is bit-equal.
+# Scale: two parallel bottom-k scans + three broadcast semi joins over
+# ≤k-row frames; nothing grows with |orders| except the scans.
+# ---------------------------------------------------------------------------
+_KMV_K = 200
+
+# DuckDB twin of llm._md5_hash64 for the custkey domain
+_KMV_SQL_H = (
+    "CAST(CAST(('0x' || substring(md5('ck' || CAST(k AS VARCHAR)),1,16)) AS UBIGINT) - "
+    "CASE WHEN CAST(('0x' || substring(md5('ck' || CAST(k AS VARCHAR)),1,16)) AS UBIGINT) "
+    ">= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+)
+
+
+@register(
+    "kmv_set_overlap",
+    f"""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    ha AS (SELECT {_KMV_SQL_H} AS h FROM a),
+    hb AS (SELECT {_KMV_SQL_H} AS h FROM b),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    ku AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+           ORDER BY h LIMIT {_KMV_K}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS v_k FROM ku),
+    inter AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+              FROM ku WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+    exact AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a_exact,
+                     (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b_exact,
+                     (SELECT CAST(count(*) AS BIGINT)
+                      FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_inter_exact),
+    est AS (
+      SELECT n_sketch, n_both, n_a_exact, n_b_exact, n_inter_exact,
+             CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                  ELSE CAST({_KMV_K} - 1 AS DOUBLE)
+                       / (CAST(v_k AS DOUBLE) / 18446744073709551616.0 + 0.5)
+             END AS union_est
+      FROM m, inter, exact
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k_param,
+           n_sketch, n_both, n_a_exact, n_b_exact, n_inter_exact,
+           union_est,
+           (CAST(n_both AS DOUBLE) / CAST(n_sketch AS DOUBLE)) * union_est AS inter_est
+    FROM est
+    """,
+    doc="KMV bottom-k sketch: union/intersection cardinality estimates + exact ground truth",
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.queries.llm import _md5_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def sketch(status: str) -> DataFrame:
+        keys = (
+            orders.filter(F.col("o_orderstatus") == status)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+        hashed = keys.select(
+            _md5_hash64(F.concat(F.lit("ck"), F.col("k").cast("string"))).alias("h")
+        )
+        # bottom-k = TakeOrderedAndProject: k rows per partition max
+        return hashed.orderBy("h").limit(_KMV_K)
+
+    def dset(status: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+
+    ka, kb = sketch("F"), sketch("O")
+    # sketch MERGE: union the two summaries, re-bottom-k — never the base data
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(_KMV_K)
+    m = ku.agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("v_k")
+    )
+    n_both = (
+        ku.join(F.broadcast(ka), "h", "left_semi")
+        .join(F.broadcast(kb), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    exact = (
+        dset("F")
+        .agg(F.count(F.lit(1)).alias("n_a_exact"))
+        .crossJoin(dset("O").agg(F.count(F.lit(1)).alias("n_b_exact")))
+        .crossJoin(
+            dset("F")
+            .join(dset("O"), "k", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+        )
+    )
+    est = (
+        m.crossJoin(n_both)
+        .crossJoin(exact)
+        .withColumn(
+            "union_est",
+            F.when(
+                F.col("n_sketch") < _KMV_K, F.col("n_sketch").cast("double")
+            ).otherwise(
+                F.lit(float(_KMV_K - 1))
+                / (
+                    F.col("v_k").cast("double") / F.lit(18446744073709551616.0)
+                    + F.lit(0.5)
+                )
+            ),
+        )
+    )
+    return est.select(
+        F.lit(_KMV_K).cast("bigint").alias("k_param"),
+        "n_sketch",
+        "n_both",
+        "n_a_exact",
+        "n_b_exact",
+        "n_inter_exact",
+        "union_est",
+        (
+            (F.col("n_both").cast("double") / F.col("n_sketch").cast("double"))
+            * F.col("union_est")
+        ).alias("inter_est"),
+    )

@@ -66,6 +66,8 @@ MUST_BE_IN_WINDOW = [
     "multimodal_decode_stats",
     "time_weighted_average",
     "cusum_drift_detection",
+    "pareto_frontier_parts",
+    "kmv_set_overlap",
 ]
 
 
