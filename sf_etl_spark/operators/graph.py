@@ -286,3 +286,48 @@ def pagerank(
         # replays iterations 1..k-1 end-to-end.
         ranks = ranks.localCheckpoint()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first min-hop distances from a source node set, bounded
+    by ``max_hops`` rounds. Returns ``(node, hops)`` — the recursive-
+    CTE ``min(d)`` fixpoint, computed frontier-synchronously (each
+    node is labeled the FIRST round it is reached, which is its
+    minimum hop count; later arrivals are dropped by the anti-join).
+
+    ``sources`` must be a 1-column ``node`` frame (hops 0 rows).
+
+    Scale: per round ONE frontier⋈edges equi-join (frontier is the
+    small side — broadcastable when it fits) + a partial-agged
+    distinct + an anti-join against visited. All three frames are
+    ``localCheckpoint``'d so round k never replays rounds 1..k-1, and
+    the only driver traffic is one bounded scalar per round (frontier
+    size, for the early-exit — the connected_components policy).
+    State is O(reached nodes); rounds bounded by ``max_hops``, the
+    graph analogue of a watermark bound on stream state.
+    """
+    edges = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint()
+    visited = sources.select("node", F.lit(0).alias("hops")).localCheckpoint()
+    frontier = visited.select("node")
+    for d in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges["_src"] == frontier["node"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(d).alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:  # bounded scalar, one per round
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

@@ -153,6 +153,8 @@ _PRIORITY_ORDER = [
     "cusum_drift_detection",
     "pareto_frontier_parts",
     "kmv_set_overlap",
+    "keyword_textrank",
+    "bfs_shortest_paths",
     # --- ~50-entry window boundary lands here; below rotates back,
     # stalest (r3) first ---
     # r3-vintage rows

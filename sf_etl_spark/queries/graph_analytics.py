@@ -22,10 +22,14 @@ from sf_etl_spark.sources import load_table
 _PR_ITERS = 3
 
 
-def _pr_sql() -> str:
+def _pr_sql(edges_cte: str, topk: int) -> str:
     """Chained-CTE replay of the 3-iteration power method, mirroring
     operators/graph.py:pagerank op for op (same parenthesization, same
-    decimal lane)."""
+    decimal lane). ``edges_cte`` must define an ``edges(src, dst)``
+    relation (plus any CTEs it needs); the replay assumes every node
+    has at least one in-edge (true for any both-orientations
+    undirected edge set — the engine's zero-contribution union would
+    otherwise keep teleport-only nodes this SQL drops)."""
     its = []
     prev = "pr0"
     for k in range(1, _PR_ITERS + 1):
@@ -50,15 +54,7 @@ def _pr_sql() -> str:
         prev = f"pr{k}"
     chain = ", ".join(its)
     return f"""
-    WITH pairs AS (
-      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
-                      's' || CAST(l.l_suppkey AS VARCHAR) AS s
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ), edges AS (
-      SELECT c AS src, s AS dst FROM pairs
-      UNION ALL
-      SELECT s AS src, c AS dst FROM pairs
-    ), deg AS (
+    WITH {edges_cte}, deg AS (
       SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
     ), n AS (
       SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg
@@ -70,13 +66,24 @@ def _pr_sql() -> str:
              CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT) AS rank
       FROM {prev}
     )
-    SELECT rank, node, pr FROM ranked WHERE rank <= 15 ORDER BY rank
+    SELECT rank, node, pr FROM ranked WHERE rank <= {topk} ORDER BY rank
     """
+
+
+_CS_EDGES_CTE = """pairs AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    )"""
 
 
 @register(
     "pagerank_topk",
-    _pr_sql(),
+    _pr_sql(_CS_EDGES_CTE, 15),
     doc=f"PageRank ({_PR_ITERS} iterations, d=0.85) on the customer↔supplier graph, top 15",
     executes_on_construct=True,
 )
@@ -218,4 +225,149 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "l_partkey")
         .limit(50)
         .select("l_partkey", "n_triangles", "total_triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+# SAME pagerank operator re-targeted at a word co-occurrence graph:
+# nodes are tokens of the English corpus, an (undirected) edge links
+# words that appear adjacent in any document. Centrality in that
+# graph ranks corpus keywords — the classic unsupervised keyword/
+# keyphrase primitive, and the operator-reuse proof for the graph
+# surface (one pagerank implementation, two domains).
+#
+# Determinism: the co-occurrence edge set is canonicalized
+# (least, greatest) + distinct, so multiplicity and orientation are
+# identical in both engines; the power iteration itself rides the
+# exact-decimal fan-in lane (operators/graph.py). Scale: the edge
+# derivation is one narrow tokenize→explode + partial-agged distinct;
+# the graph is vocabulary-sized (<< corpus-sized), so iterations cost
+# O(|vocab edges|), independent of document count beyond the scan.
+# ---------------------------------------------------------------------------
+_WORD_EDGES_CTE = """toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents WHERE lang = 'en'
+    ), adj AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks
+    ), cpairs AS (
+      SELECT DISTINCT least(string_split(b, ' ')[1], string_split(b, ' ')[2]) AS w1,
+                      greatest(string_split(b, ' ')[1], string_split(b, ' ')[2]) AS w2
+      FROM adj
+      WHERE string_split(b, ' ')[1] <> string_split(b, ' ')[2]
+    ), edges AS (
+      SELECT w1 AS src, w2 AS dst FROM cpairs
+      UNION ALL
+      SELECT w2 AS src, w1 AS dst FROM cpairs
+    )"""
+
+
+@register(
+    "keyword_textrank",
+    _pr_sql(_WORD_EDGES_CTE, 20),
+    doc="TextRank keywords: pagerank over the word-adjacency graph, top 20",
+    executes_on_construct=True,
+)
+def keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = d.select(F.split("text", " ").alias("t"))
+    adj = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("a"),
+                    F.element_at(F.col("t"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cpairs = (
+        adj.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("w1"),
+            F.greatest("a", "b").alias("w2"),
+        )
+        .distinct()
+    )
+    edges = cpairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).unionAll(
+        cpairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=0.85)
+    top = ranks.orderBy(F.col("pr").desc(), "node").limit(20)
+    w = Window.orderBy(F.col("pr").desc(), "node")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "node", "pr")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop reachability — breadth-first min-hop distances from a
+# source node, bounded depth. The "blast radius" / neighborhood-
+# expansion primitive (fraud rings around a flagged account, supply-
+# chain exposure, recommendation candidates N hops out); the oracle is
+# a recursive CTE, which makes this the registry's proof that the
+# engine's ITERATIVE frontier expansion matches the declarative
+# fixpoint semantics exactly.
+#
+# Scale: see operators/graph.py:bfs_hops — per round ONE frontier⋈edges
+# equi-join + distinct + anti-join against the visited set; every
+# frame is localCheckpoint'd so the plan never deepens, and the only
+# driver traffic is the per-round frontier count (a bounded scalar,
+# same policy as connected_components). State is O(reached nodes),
+# rounds are bounded by max_hops — watermark-like state bounding for
+# graphs.
+# ---------------------------------------------------------------------------
+@register(
+    "bfs_shortest_paths",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ), walk(node, d) AS (
+      SELECT 'c1' AS node, 0 AS d
+      UNION
+      SELECT e.dst AS node, w.d + 1 AS d
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 4
+    )
+    SELECT node, CAST(min(d) AS INT) AS hops
+    FROM walk
+    GROUP BY node
+    ORDER BY hops, node
+    """,
+    doc="BFS min-hop distances from customer c1, depth<=4, vs recursive-CTE fixpoint",
+    executes_on_construct=True,
+)
+def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.graph import bfs_hops
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    sources = spark.createDataFrame([("c1",)], ["node"])
+    return (
+        bfs_hops(edges, sources, max_hops=4)
+        .select("node", F.col("hops").cast("int").alias("hops"))
+        .orderBy("hops", "node")
     )

@@ -68,6 +68,8 @@ MUST_BE_IN_WINDOW = [
     "cusum_drift_detection",
     "pareto_frontier_parts",
     "kmv_set_overlap",
+    "keyword_textrank",
+    "bfs_shortest_paths",
 ]
 
 
