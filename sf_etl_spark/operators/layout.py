@@ -116,3 +116,41 @@ def file_column_spans(path: str, column: str) -> list[tuple[float, float]]:
         if lo is not None:
             spans.append((lo, hi))
     return spans
+
+
+def build_zone_map(spark, path: str, column: str):
+    """Zone map build: per-FILE (min, max, row count) of ``column``,
+    computed as ONE distributed scan grouped by ``input_file_name()``
+    — the stored-statistics table a lakehouse keeps beside the data
+    (Delta's add-file stats, Iceberg's manifest metrics, the classic
+    "small materialized aggregates" of Moerkotte, VLDB 1998).
+
+    Built engine-side (not by footer-walking on the driver like
+    :func:`file_column_spans`, which is the per-file VERIFICATION
+    tool): at 100 TB the stats build parallelizes like any scan and
+    in practice is folded into the write path; reading the result is
+    O(#files), never O(rows).
+    """
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(column).alias("zmin"),
+            F.max(column).alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def prune_files_by_zone(zone_map_df, lo, hi) -> list[str]:
+    """File-skipping decision from a zone map: keep files whose
+    [zmin, zmax] interval intersects [lo, hi]. Returns the kept file
+    list — a bounded-METADATA collect (O(#files), the same class as a
+    manifest read; at 100 TB this list feeds the reader as a pruned
+    manifest, it is never row data)."""
+    kept = (
+        zone_map_df.filter((F.col("zmax") >= lo) & (F.col("zmin") <= hi))
+        .select("file")
+        .collect()
+    )
+    return sorted(r["file"] for r in kept)

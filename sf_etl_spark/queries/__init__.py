@@ -155,6 +155,8 @@ _PRIORITY_ORDER = [
     "kmv_set_overlap",
     "keyword_textrank",
     "bfs_shortest_paths",
+    "ivm_join_deltas",
+    "zone_map_pruned_scan",
     # --- ~50-entry window boundary lands here; below rotates back,
     # stalest (r3) first ---
     # r3-vintage rows

@@ -966,3 +966,67 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_as_was")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scan — file-level data skipping driven by a STORED
+# stats table, end-to-end: (1) lineitem is rewritten range-clustered
+# on l_orderkey (8 files, disjoint key ranges — the layout that makes
+# zone maps bite; an unclustered copy would give every file the full
+# key span and prune nothing); (2) a zone map (per-file min/max/count,
+# operators/layout.py:build_zone_map) is built as one distributed
+# scan; (3) a selective key-range predicate consults the ZONE MAP —
+# not the data — to shortlist files; (4) only shortlisted files are
+# read, with the residual filter applied on top. The oracle answers
+# the same predicate from the original table, so a pruning bug that
+# drops a file with matching rows breaks the hash — correctness of
+# the SKIPPING decision is what's under test. tests/test_layout.py
+# asserts the shortlist is a strict subset (the skipping actually
+# happens).
+#
+# 100 TB: this is partition-pruning's finer-grained sibling — the
+# scan cost tracks the SELECTED key range, not the table; the prune
+# itself is O(#files) metadata. The kept-list collect is bounded
+# metadata (a manifest, not rows).
+# ---------------------------------------------------------------------------
+@register(
+    "zone_map_pruned_scan",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+                AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 300 AND 700
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="file skipping via stored zone map over a range-clustered rewrite",
+    executes_on_construct=True,
+)
+def zone_map_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.layout import build_zone_map, prune_files_by_zone
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="zonemap_") + "/lineitem_clustered"
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    zmap = build_zone_map(spark, out, "l_orderkey")
+    lo, hi = 300, 700
+    kept = prune_files_by_zone(zmap, lo, hi)
+    back = spark.read.parquet(*kept)
+    return (
+        back.filter(F.col("l_orderkey").between(lo, hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1215,3 +1215,81 @@ def cusum_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("bigint").alias("cusum_scaled"),
         F.when(F.col("s") > F.col("total"), 1).otherwise(0).cast("int").alias("is_drift"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view — the delta rule
+# dV = dA⋈B + A⋈dB + dA⋈dB applied to the revenue-by-(status, flag)
+# view over orders⋈lineitem. `rollup_incremental_maintenance` covers
+# single-table aggregate IVM; this lane covers the JOIN case, where
+# BOTH base tables receive a batch and the view must advance without
+# rejoining old-with-old.
+#
+# The engine computes the view as V_old(A⋈B) + the three delta terms
+# and monoid-merges them; the oracle recomputes the full join from
+# scratch — equality IS the delta-rule correctness proof. Each delta
+# term's big-side scan carries the delta's pushed date predicate, so
+# at 100 TB the maintenance cost is O(|dA|·fanout + |dB|·fanout),
+# never O(|A⋈B|); the merge is exact because every partial aggregate
+# stays in DECIMAL(38,10) until the single final string→double hop
+# (the dsum lane split across batches — disjoint-class partition of
+# the full join, so the fold re-associates exactly).
+# Here V_old is computed inline (the fixture has no stored view);
+# in production it is the stored rollup, making the incremental cost
+# just the three delta joins.
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_join_deltas",
+    f"""
+    SELECT o.o_orderstatus, l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {{SUMD}} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus, l.l_returnflag
+    ORDER BY o.o_orderstatus, l.l_returnflag
+    """.format(
+        SUMD="CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    ),
+    doc="join-view IVM: V_old + dA⋈B + A⋈dB + dA⋈dB equals the full recompute",
+)
+def ivm_join_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.queries.relational import DEC
+
+    o_cut = F.lit("2000-01-01").cast("timestamp_ntz")
+    l_cut = F.lit("2000-06-01").cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    a, da = orders.filter(F.col("o_orderdate") < o_cut), orders.filter(
+        F.col("o_orderdate") >= o_cut
+    )
+    b, db = li.filter(F.col("l_shipdate") < l_cut), li.filter(
+        F.col("l_shipdate") >= l_cut
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+
+    def term(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
+        # partial aggregate per term: counts + exact-decimal revenue —
+        # the mergeable (monoid) state the stored view would hold
+        return (
+            o_side.join(l_side, o_side["o_orderkey"] == l_side["l_orderkey"])
+            .groupBy("o_orderstatus", "l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"), F.sum(rev).alias("revd"))
+        )
+
+    merged = (
+        term(a, b)  # V_old — in production: read from the stored view
+        .unionByName(term(da, b))
+        .unionByName(term(a, db))
+        .unionByName(term(da, db))
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("revd").cast("string").cast("double").alias("revenue"),
+        )
+    )
+    return merged.orderBy("o_orderstatus", "l_returnflag")

@@ -5,6 +5,8 @@ own column and fail the other; random layout fails both."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sf_etl_spark.operators.layout import file_column_spans, write_zordered
 from sf_etl_spark.sources import load_table
 
@@ -59,3 +61,35 @@ def test_zorder_roundtrip_schema_clean(spark, sf_dir, tmp_path):
     back = spark.read.parquet(zdir)
     assert sorted(back.columns) == sorted(orders.columns)
     assert back.count() == orders.count()
+
+
+def test_zone_map_prunes_and_loses_nothing(spark, sf_dir, tmp_path):
+    from sf_etl_spark.operators.layout import build_zone_map, prune_files_by_zone
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "zm")
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    zmap = build_zone_map(spark, out, "l_orderkey")
+    n_files = zmap.count()
+    lo, hi = 300, 700
+    kept = prune_files_by_zone(zmap, lo, hi)
+    # the skipping actually happens: a selective range must NOT keep
+    # every file of a range-clustered layout
+    assert 0 < len(kept) < n_files
+    # and loses nothing: pruned scan == full scan under the predicate
+    full = (
+        spark.read.parquet(out)
+        .filter(F.col("l_orderkey").between(lo, hi))
+        .count()
+    )
+    pruned = (
+        spark.read.parquet(*kept)
+        .filter(F.col("l_orderkey").between(lo, hi))
+        .count()
+    )
+    assert pruned == full > 0

@@ -70,6 +70,8 @@ MUST_BE_IN_WINDOW = [
     "kmv_set_overlap",
     "keyword_textrank",
     "bfs_shortest_paths",
+    "ivm_join_deltas",
+    "zone_map_pruned_scan",
 ]
 
 
