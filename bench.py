@@ -181,6 +181,20 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     # round 6: real container decode (PPM/PGM/WAV) via mapInPandas
     "multimodal_decode_stats",
+    # round 6 second batch: irregular time series (TWAP), change-point
+    # detection, skyline, KMV overlap sketch, join-view IVM, TextRank
+    # keyword graph, bounded BFS, and the zone-map pruned scan
+    # (write+stats+skip-read throughput)
+    "time_weighted_average",
+    "cusum_drift_detection",
+    "pareto_frontier_parts",
+    "kmv_set_overlap",
+    "ivm_join_deltas",
+    "keyword_textrank",
+    "bfs_shortest_paths",
+    "zone_map_pruned_scan",
+    "rolling_median_7d",
+    "phrase_search_positional",
 ]
 
 

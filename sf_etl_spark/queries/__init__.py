@@ -157,6 +157,8 @@ _PRIORITY_ORDER = [
     "bfs_shortest_paths",
     "ivm_join_deltas",
     "zone_map_pruned_scan",
+    "rolling_median_7d",
+    "phrase_search_positional",
     # --- ~50-entry window boundary lands here; below rotates back,
     # stalest (r3) first ---
     # r3-vintage rows

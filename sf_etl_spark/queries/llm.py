@@ -1209,3 +1209,106 @@ def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search — exact phrase matching over a positional
+# inverted index, the retrieval primitive BM25's bag-of-words scoring
+# cannot express ("new york" ≠ "york new"). The corpus's most frequent
+# trigram is the query phrase (self-contained and non-empty by
+# construction under any fixture regeneration, with a deterministic
+# tie-break), and matching runs as the classic postings-intersection:
+# tokenize→posexplode builds (doc_id, token, pos) postings ONCE, then
+# the three phrase terms positionally self-join on
+# (doc_id, pos), (doc_id, pos+1), (doc_id, pos+2).
+#
+# The oracle never builds an index: it explodes trigrams and counts
+# them directly per document — so an off-by-one in the position join,
+# a posting lost in the explode, or a tie-break divergence in the
+# phrase pick all break the hash. The engine-side join is the shape
+# that scales: postings are filtered to the THREE phrase terms before
+# any join (broadcast of a 1-row phrase frame), so the join input is
+# term-selective, never corpus × corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "phrase_search_positional",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE lang = 'en'
+    ), tg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks
+    ), top AS (
+      SELECT g FROM tg GROUP BY g
+      ORDER BY count(*) DESC, g
+      LIMIT 1
+    )
+    SELECT tg.doc_id,
+           (SELECT g FROM top) AS phrase,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM tg JOIN top ON tg.g = top.g
+    GROUP BY tg.doc_id
+    ORDER BY n_hits DESC, tg.doc_id
+    LIMIT 25
+    """,
+    doc="exact phrase match via positional postings join; query = corpus top trigram",
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # positional postings: (doc_id, pos, token) — built once; at scale
+    # this is the stored inverted index, not a per-query derivation
+    postings = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "token")
+    )
+    # query selection: the corpus's most frequent trigram (count desc,
+    # lexicographic tie-break) — a 1-row frame
+    tg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + 1),
+                    F.element_at(F.col("t"), i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    top = (
+        tg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "g")
+        .limit(1)
+        .select(
+            F.split("g", " ").getItem(0).alias("w0"),
+            F.split("g", " ").getItem(1).alias("w1"),
+            F.split("g", " ").getItem(2).alias("w2"),
+            F.col("g").alias("phrase"),
+        )
+    )
+    # postings intersection: filter postings to the phrase terms FIRST
+    # (broadcast 1-row phrase), then positional equi-joins
+    p0 = postings.join(F.broadcast(top), postings["token"] == top["w0"]).select(
+        "doc_id", "pos", "phrase"
+    )
+    p1 = postings.join(
+        F.broadcast(top.select("w1")), postings["token"] == F.col("w1")
+    ).select(F.col("doc_id").alias("d1"), F.col("pos").alias("pos1"))
+    p2 = postings.join(
+        F.broadcast(top.select("w2")), postings["token"] == F.col("w2")
+    ).select(F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"))
+    hits = p0.join(
+        p1, (F.col("doc_id") == F.col("d1")) & (F.col("pos1") == F.col("pos") + 1)
+    ).join(p2, (F.col("doc_id") == F.col("d2")) & (F.col("pos2") == F.col("pos") + 2))
+    return (
+        hits.groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select("doc_id", "phrase", "n_hits")
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(25)
+    )

@@ -1293,3 +1293,78 @@ def ivm_join_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("o_orderstatus", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Rolling median — exact per-type 7-point rolling median of the daily
+# value series. Spark has no built-in median window function (and
+# percentile_approx is banned from hash-verified lanes); the engine
+# recipe is collect_list over the ROWS frame → array_sort → middle
+# element(s) — the bounded-frame composition pattern that turns ANY
+# order-statistic into a window op when the frame is small. The
+# oracle replays the identical list-sort-index arithmetic (DuckDB's
+# native windowed median interpolates through a different float path,
+# so both sides compute the SAME explicit formula instead).
+#
+# Exactness: the series values are scaled BIGINTs (cusum convention);
+# the even-frame midpoint (a+b)/2.0 is one IEEE op on integers well
+# under 2^52 — bit-equal everywhere. Scale: the frame is O(7), so
+# state per row is constant; one event_type exchange (shared with the
+# daily pre-agg family); no whole-partition buffering, unlike a
+# naive percentile-over-window.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_median_7d",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), framed AS (
+      SELECT event_type, day,
+             list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      FROM daily
+    )
+    SELECT event_type, day,
+           CAST(len(win) AS INT) AS n_win,
+           CASE WHEN len(win) % 2 = 1
+                THEN CAST(win[(len(win) + 1) // 2] AS DOUBLE)
+                ELSE (CAST(win[len(win) // 2] AS DOUBLE)
+                      + CAST(win[len(win) // 2 + 1] AS DOUBLE)) / 2.0
+           END AS med_scaled
+    FROM framed
+    ORDER BY event_type, day
+    """,
+    doc="exact 7-point rolling median via frame-collect + sort (no native median window)",
+)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("x"))
+    )
+    frame = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    framed = daily.withColumn("win", F.array_sort(F.collect_list("x").over(frame)))
+    n = F.size("win")
+    odd = F.element_at("win", ((n + 1) / 2).cast("int")).cast("double")
+    even = (
+        F.element_at("win", (n / 2).cast("int")).cast("double")
+        + F.element_at("win", (n / 2 + 1).cast("int")).cast("double")
+    ) / F.lit(2.0)
+    return framed.select(
+        "event_type",
+        "day",
+        n.cast("int").alias("n_win"),
+        F.when(n % 2 == 1, odd).otherwise(even).alias("med_scaled"),
+    ).orderBy("event_type", "day")

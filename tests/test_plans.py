@@ -333,3 +333,48 @@ def test_fuzzy_name_match_is_equi_join_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan, plan[:3000]
+
+
+def test_twap_single_user_exchange(spark, sf_dir):
+    # lead() window and the groupBy(user_id) must share ONE
+    # hashpartitioning(user_id) — the aligned-exchange family the
+    # event surface is built on; and there is no join anywhere.
+    plan = _plan(spark, sf_dir, "time_weighted_average")
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_pareto_frontier_no_join_and_salted_local_pass(spark, sf_dir):
+    # skyline must NOT plan the oracle's NOT-EXISTS self-join shape:
+    # no cartesian/nested-loop, pure window passes; the first pass
+    # must be partitioned on the salt (the data-sized stage), so the
+    # only unpartitioned window runs on bounded local survivors.
+    plan = _plan(spark, sf_dir, "pareto_frontier_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "_salt" in plan
+
+
+def test_kmv_sketches_are_bottom_k_not_global_sort(spark, sf_dir):
+    # each KMV sketch must plan as TakeOrderedAndProject (per-partition
+    # bottom-k, k rows to the driver-side merge) — never a global Sort
+    # of the hashed key space.
+    plan = _plan(spark, sf_dir, "kmv_set_overlap")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the only sorts allowed are inside TakeOrdered operators
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Sort ") or line.strip().startswith("Sort "):
+            raise AssertionError(f"global sort leaked into KMV plan: {line}")
+
+
+def test_ivm_delta_scans_push_date_predicates(spark, sf_dir):
+    # the three delta terms must push their date cutoffs into the
+    # parquet scans — O(|delta|) maintenance depends on it.
+    plan = _plan(spark, sf_dir, "ivm_join_deltas")
+    assert "o_orderdate" in plan and "l_shipdate" in plan
+    assert plan.count("PushedFilters: [IsNotNull") + plan.count(
+        "PushedFilters: [Gr"
+    ) + plan.count("PushedFilters: [Le") > 0
+    assert "CartesianProduct" not in plan

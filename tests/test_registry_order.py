@@ -72,6 +72,8 @@ MUST_BE_IN_WINDOW = [
     "bfs_shortest_paths",
     "ivm_join_deltas",
     "zone_map_pruned_scan",
+    "rolling_median_7d",
+    "phrase_search_positional",
 ]
 
 
