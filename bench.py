@@ -195,6 +195,7 @@ HEADLINE = [
     "zone_map_pruned_scan",
     "rolling_median_7d",
     "phrase_search_positional",
+    "exact_median_histogram",
 ]
 
 

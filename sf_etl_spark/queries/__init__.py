@@ -159,6 +159,7 @@ _PRIORITY_ORDER = [
     "zone_map_pruned_scan",
     "rolling_median_7d",
     "phrase_search_positional",
+    "exact_median_histogram",
     # --- ~50-entry window boundary lands here; below rotates back,
     # stalest (r3) first ---
     # r3-vintage rows

@@ -316,3 +316,68 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact median without a global sort — the distributed-selection
+# operator (operators/orderstats.py) driven end-to-end: iterative
+# histogram narrowing finds the exact middle rank(s) of the order-
+# price distribution in O(log_B range) bounded scans, with O(B)
+# integers of driver traffic per round. The third point of the
+# quantile triangle the registry now covers: `percentiles_by_flag`
+# (small-group exact), `kll_quantile_merge` (mergeable approximate),
+# and this (global EXACT at scale — where a sort-based OFFSET k dies
+# and a sketch only bounds the error).
+#
+# The oracle IS the global sort (row_number over ORDER BY cents) —
+# the narrowing must agree with it to the cent, for both middle ranks
+# and the even-n midpoint.
+# ---------------------------------------------------------------------------
+@register(
+    "exact_median_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders FROM c
+    ), r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c
+    ), ks AS (
+      SELECT n_orders,
+             CASE WHEN n_orders % 2 = 1 THEN (n_orders + 1) // 2 ELSE n_orders // 2 END AS k1,
+             CASE WHEN n_orders % 2 = 1 THEN (n_orders + 1) // 2 ELSE n_orders // 2 + 1 END AS k2
+      FROM nn
+    )
+    SELECT ks.n_orders,
+           (SELECT cents FROM r WHERE rn = ks.k1) AS v1_cents,
+           (SELECT cents FROM r WHERE rn = ks.k2) AS v2_cents,
+           ((SELECT CAST(cents AS DOUBLE) FROM r WHERE rn = ks.k1)
+            + (SELECT CAST(cents AS DOUBLE) FROM r WHERE rn = ks.k2)) / 2.0 / 100.0
+             AS median_price
+    FROM ks
+    """,
+    doc="exact global median via iterative histogram narrowing (no global sort)",
+    executes_on_construct=True,
+)
+def exact_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.orderstats import exact_median
+
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents")
+        )
+    )
+    n, v1, v2 = exact_median(cents, "cents")
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_orders"),
+        F.lit(v1).cast("bigint").alias("v1_cents"),
+        F.lit(v2).cast("bigint").alias("v2_cents"),
+        (
+            (F.lit(v1).cast("double") + F.lit(v2).cast("double"))
+            / F.lit(2.0)
+            / F.lit(100.0)
+        ).alias("median_price"),
+    )

@@ -182,3 +182,37 @@ def test_gaps_and_islands_equals_brute_force_union(raw):
             runs += 1
         prev = p
     assert n_islands == runs
+
+
+def test_kth_smallest_matches_python_sort(spark):
+    import random
+
+    from sf_etl_spark.operators.orderstats import exact_median, kth_smallest
+
+    rng = random.Random(42)
+    # adversarial spread: heavy duplicates + huge outliers so buckets
+    # are skewed and multiple narrowing rounds actually run
+    vals = (
+        [rng.randint(0, 50) for _ in range(500)]
+        + [rng.randint(10**12, 10**12 + 10) for _ in range(7)]
+        + [0, 0, 0]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    ordered = sorted(vals)
+    for k in [1, 2, 17, 255, 256, len(vals) - 1, len(vals)]:
+        assert kth_smallest(df, "x", k, n_buckets=16) == ordered[k - 1], k
+    n, v1, v2 = exact_median(df, "x")
+    assert n == len(vals)
+    assert v1 == ordered[(n - 1) // 2] and v2 == ordered[n // 2]
+
+
+def test_kth_smallest_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from sf_etl_spark.operators.orderstats import kth_smallest
+
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    with _pytest.raises(ValueError):
+        kth_smallest(df, "x", 0)
+    with _pytest.raises(ValueError):
+        kth_smallest(df, "x", 3)

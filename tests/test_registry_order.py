@@ -74,6 +74,7 @@ MUST_BE_IN_WINDOW = [
     "zone_map_pruned_scan",
     "rolling_median_7d",
     "phrase_search_positional",
+    "exact_median_histogram",
 ]
 
 
