@@ -196,6 +196,11 @@ HEADLINE = [
     "rolling_median_7d",
     "phrase_search_positional",
     "exact_median_histogram",
+    # round 6 third batch: sketch family completion, seasonal anomaly
+    # profiling, and the full linkage pipeline (pairs→components→merge)
+    "countmin_point_estimates",
+    "seasonal_anomaly_slots",
+    "linkage_survivorship",
 ]
 
 

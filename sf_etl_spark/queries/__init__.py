@@ -160,8 +160,12 @@ _PRIORITY_ORDER = [
     "rolling_median_7d",
     "phrase_search_positional",
     "exact_median_histogram",
-    # --- ~50-entry window boundary lands here; below rotates back,
-    # stalest (r3) first ---
+    "linkage_survivorship",
+    # --- ~50-entry window boundary lands here; below rotates back ---
+    # round-6 lanes that did not fit the window: first in line for r7
+    "countmin_point_estimates",
+    "seasonal_anomaly_slots",
+    # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",
     "window_frames",

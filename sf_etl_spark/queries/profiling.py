@@ -381,3 +381,82 @@ def exact_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection — hour-of-week profiling: each
+# (event_type, weekday, hour) slot has a seasonal baseline (its mean
+# occupancy across all weeks), and a concrete (day, hour) occurrence
+# is anomalous when it exceeds 2× its slot baseline. The ops-
+# monitoring staple (traffic spikes judged against "Tuesday 3 pm
+# normal", not a global mean) — complements `cusum_drift_detection`
+# (sustained level shifts) with point-in-season outliers.
+#
+# All-integer: the flag test  n_slot · n_occurrences > 2 · slot_total
+# clears denominators, so no float ever appears and both engines
+# agree bit-for-bit. ISO weekday (Mon=1) on both sides.
+# Scale: one partial-agged groupBy to (type, day, hour) occupancy —
+# the only n-sized stage — then a window over the 168·|types| slot
+# partitioning; flagged rows only are emitted.
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_anomaly_slots",
+    """
+    WITH occ AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             isodow(ts) AS dow,
+             hour(ts) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE), isodow(ts), hour(ts)
+    ), base AS (
+      SELECT event_type, day, dow, hod, n,
+             CAST(sum(n) OVER w AS BIGINT) AS slot_total,
+             CAST(count(*) OVER w AS BIGINT) AS n_occ
+      FROM occ
+      WINDOW w AS (PARTITION BY event_type, dow, hod)
+    )
+    SELECT event_type, day, CAST(hod AS INT) AS hod,
+           n, slot_total, n_occ
+    FROM base
+    WHERE n * n_occ > 2 * slot_total
+    ORDER BY event_type, day, hod
+    """,
+    doc="hour-of-week seasonal baseline: flag slots >2x their seasonal mean, all-integer",
+)
+def seasonal_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    occ = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            (F.weekday("ts") + 1).alias("dow"),  # ISO: Mon=1 like isodow()
+            F.hour("ts").alias("hod"),
+        )
+        .groupBy("event_type", "day", "dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type", "dow", "hod")
+    base = occ.select(
+        "event_type",
+        "day",
+        "hod",
+        "n",
+        F.sum("n").over(w).alias("slot_total"),
+        F.count(F.lit(1)).over(w).alias("n_occ"),
+    )
+    return (
+        base.filter(F.col("n") * F.col("n_occ") > 2 * F.col("slot_total"))
+        .select(
+            "event_type",
+            "day",
+            F.col("hod").cast("int").alias("hod"),
+            "n",
+            "slot_total",
+            "n_occ",
+        )
+        .orderBy("event_type", "day", "hod")
+    )

@@ -2004,3 +2004,127 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Record-linkage survivorship — the third stage of the linkage
+# pipeline `fuzzy_name_match` starts: candidate pairs (sorted-
+# neighborhood blocking) → match decision (Levenshtein ≤ 3) →
+# CLUSTER (connected components over the match graph) → survivorship
+# (one canonical record per cluster with deterministic field rules:
+# longest name wins, lexicographic + key tie-breaks; totals fold the
+# whole cluster). This is the master-data-management merge step —
+# what a downstream system actually consumes from entity resolution.
+#
+# The oracle replays clustering as a recursive-CTE transitive closure
+# (bounded: match clusters are neighborhood-sized by construction) —
+# so the engine's iterative min-label components must agree with the
+# declarative fixpoint on REAL match edges, not just synthetic test
+# graphs. Scale: pairs are n·W (linkage.py bound), the components
+# operator is the measured O(log n) machinery from dedup, and the
+# survivorship picks are one window + one agg on cluster-sized
+# groups.
+# ---------------------------------------------------------------------------
+@register(
+    "linkage_survivorship",
+    f"""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    ), r AS (
+      SELECT blk, p_name, p_partkey,
+             row_number() OVER (PARTITION BY blk ORDER BY p_name, p_partkey) AS rn
+      FROM p
+    ), mpairs AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM r a JOIN r b
+        ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 8
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ), edges AS (
+      SELECT u, v FROM mpairs UNION SELECT v, u FROM mpairs
+    ), reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT rr.a, e.v FROM reach rr JOIN edges e ON rr.b = e.u
+      WHERE e.v <> rr.a
+    ), members AS (
+      SELECT a AS p_partkey, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    ), attrs AS (
+      SELECT m.cluster, p.p_partkey, p.p_name, p.cents
+      FROM members m JOIN p ON p.p_partkey = m.p_partkey
+    ), ranked AS (
+      SELECT cluster, p_name,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY len(p_name) DESC, p_name, p_partkey)
+               AS pick
+      FROM attrs
+    )
+    SELECT CAST(g.cluster AS BIGINT) AS cluster,
+           g.n_members, s.survivor_name, g.total_cents
+    FROM (SELECT cluster,
+                 CAST(count(*) AS BIGINT) AS n_members,
+                 CAST(sum(cents) AS BIGINT) AS total_cents
+          FROM attrs GROUP BY cluster HAVING count(*) >= 2) g
+    JOIN (SELECT cluster, p_name AS survivor_name
+          FROM ranked WHERE pick = 1) s USING (cluster)
+    ORDER BY cluster
+    """,
+    doc="linkage survivorship: match pairs → components → canonical record per cluster",
+    executes_on_construct=True,
+)
+def linkage_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.graph import connected_components
+    from sf_etl_spark.operators.linkage import sorted_neighborhood_pairs
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    mpairs = (
+        sorted_neighborhood_pairs(
+            p,
+            "blk",
+            order_cols=["p_name", "p_partkey"],
+            window=8,
+            payload_cols=["p_name", "p_partkey"],
+        )
+        .filter(F.levenshtein(F.col("a_p_name"), F.col("b_p_name")) <= 3)
+        .select(F.col("a_p_partkey").alias("src"), F.col("b_p_partkey").alias("dst"))
+    )
+    verts = mpairs.select(F.col("src").alias("vertex")).unionByName(
+        mpairs.select(F.col("dst").alias("vertex"))
+    ).distinct()
+    comp = connected_components(verts, mpairs, vertex_col="vertex")
+    attrs = comp.join(p, comp["vertex"] == p["p_partkey"]).select(
+        F.col("component").alias("cluster"), "p_partkey", "p_name", "cents"
+    )
+    pick = Window.partitionBy("cluster").orderBy(
+        F.length("p_name").desc(), "p_name", "p_partkey"
+    )
+    survivors = (
+        attrs.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select("cluster", F.col("p_name").alias("survivor_name"))
+    )
+    stats = (
+        attrs.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return (
+        stats.join(survivors, "cluster")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            "survivor_name",
+            "total_cents",
+        )
+        .orderBy("cluster")
+    )

@@ -428,3 +428,118 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("union_est")
         ).alias("inter_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch point estimates — the frequency-query synopsis that
+# completes the sketch family (HLL: distinct counts; KLL: quantiles;
+# KMV: set overlap; heavy hitters: top items; CM: "how often does X
+# occur?" for ANY X, from d×w counters). Cormode & Muthukrishnan,
+# J. Algorithms 2005. The estimate min_i C[i][h_i(x)] is a guaranteed
+# OVERestimate (collisions only add), with error ≤ εN at probability
+# 1-δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉.
+#
+# Deterministic md5-derived row hashes make the whole sketch — and
+# therefore the estimates — hash-verifiable; the lane emits the exact
+# count beside each estimate so the overestimate-only contract is
+# visible data, and a guard column (est >= exact) would break the
+# hash if a collision were LOST rather than added.
+#
+# Scale: the sketch is a FIXED d×w=4×256 counter grid built by a
+# partial-aggregated groupBy over (row, cell) — mergeable by cell-wise
+# sum (the same rollup-store shape as the HLL lane); point queries are
+# a broadcast of the query set against the 1024-row sketch.
+# ---------------------------------------------------------------------------
+_CM_D = 4
+_CM_W = 256
+
+
+def _cm_sql_h(i: int) -> str:
+    """DuckDB twin of the engine's row-i cell hash: non-negative
+    md5-int64 mod w."""
+    u = f"CAST(('0x' || substring(md5('cm{i}:' || tok),1,16)) AS UBIGINT)"
+    signed = (
+        f"CAST({u} - CASE WHEN {u} >= 9223372036854775808 "
+        f"THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+    )
+    # pmod: DuckDB % keeps the dividend sign; normalize like Spark pmod
+    return f"(({signed} % {_CM_W}) + {_CM_W}) % {_CM_W}"
+
+
+@register(
+    "countmin_point_estimates",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE lang = 'en'
+    ), exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS row_i, {_cm_sql_h(i)} AS cell, n FROM exact"
+          for i in range(_CM_D)
+      )}
+    ), sketch AS (
+      SELECT row_i, cell, CAST(sum(n) AS BIGINT) AS c
+      FROM cells GROUP BY row_i, cell
+    ), q AS (
+      SELECT tok, n FROM exact ORDER BY n DESC, tok LIMIT 10
+    ), probes AS (
+      {" UNION ALL ".join(
+          f"SELECT tok, n, {i} AS row_i, {_cm_sql_h(i)} AS cell FROM q"
+          for i in range(_CM_D)
+      )}
+    )
+    SELECT p.tok, p.n AS exact_n,
+           CAST(min(s.c) AS BIGINT) AS cm_est,
+           CAST(min(s.c) - p.n AS BIGINT) AS overcount
+    FROM probes p JOIN sketch s ON p.row_i = s.row_i AND p.cell = s.cell
+    GROUP BY p.tok, p.n
+    ORDER BY exact_n DESC, p.tok
+    """,
+    doc=f"count-min sketch ({_CM_D}x{_CM_W}): point frequency estimates vs exact, top-10 tokens",
+)
+def countmin_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.queries.llm import _md5_hash64
+
+    def h(i: int, tok_col) -> F.Column:
+        return F.pmod(
+            _md5_hash64(F.concat(F.lit(f"cm{i}:"), tok_col)), F.lit(_CM_W)
+        )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    exact = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # build the d×w grid from the per-token exact counts (same result
+    # as hashing the raw stream, one shuffle cheaper); partial aggs
+    # shrink each row's contribution to ≤w cells map-side
+    cells = None
+    for i in range(_CM_D):
+        part = exact.select(
+            F.lit(i).alias("row_i"), h(i, F.col("tok")).alias("cell"), "n"
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    sketch = cells.groupBy("row_i", "cell").agg(F.sum("n").alias("c"))
+    q = exact.orderBy(F.col("n").desc(), "tok").limit(10)
+    probes = None
+    for i in range(_CM_D):
+        part = q.select(
+            "tok", "n", F.lit(i).alias("row_i"), h(i, F.col("tok")).alias("cell")
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["row_i", "cell"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "tok",
+            F.col("n").alias("exact_n"),
+            F.col("cm_est").cast("bigint").alias("cm_est"),
+            (F.col("cm_est") - F.col("n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "tok")
+    )

@@ -75,6 +75,7 @@ MUST_BE_IN_WINDOW = [
     "rolling_median_7d",
     "phrase_search_positional",
     "exact_median_histogram",
+    "linkage_survivorship",
 ]
 
 
