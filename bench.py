@@ -206,6 +206,8 @@ HEADLINE = [
     # and covered by pytest every session.
     "countmin_point_estimates",
     "seasonal_anomaly_slots",
+    "asof_nearest_click",
+    "funnel_time_to_convert",
 ]
 
 

@@ -104,6 +104,89 @@ def asof_join(
     return out
 
 
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Nearest-neighbor as-of join, BOTH directions: for each left row
+    the closest right row in time — before OR after — within the same
+    key (``pd.merge_asof(direction='nearest')``; plain ASOF only looks
+    backward). Ties (equidistant, or a right row at exactly left_ts)
+    resolve backward, matching the inclusive semantics of
+    :func:`asof_join`.
+
+    Same union+window recipe, one extra frame: the tagged union is
+    scanned with last(payload) over the PRECEDING frame (backward
+    match, ties inclusive — a right row at left_ts sorts first) and
+    first(payload) over the FOLLOWING frame starting at the current
+    row (strictly-after match — the equal-ts right row sorted BEFORE
+    the left row, so it is never double-counted forward). Both frames
+    ride ONE shuffle + ONE sort on the key; still no per-key row
+    multiplication, so a key with millions of rows on both sides
+    costs O(n log n) like the one-directional join.
+    """
+    lcols = left.columns
+    payload_struct = F.struct(
+        F.col(right_ts).alias("_ats"), *[F.col(c).alias(c) for c in right_payload]
+    )
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload_struct.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in lcols if c != on],
+    )
+    back = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = (
+        l.unionByName(r)
+        .withColumn("_b", F.last("_payload", ignorenulls=True).over(back))
+        .withColumn("_f", F.first("_payload", ignorenulls=True).over(fwd))
+    )
+    # distances in MICROSECONDS (unix_micros), not a seconds-truncating
+    # long cast — a sub-second asymmetry must still pick the true
+    # nearest side, and the SQL oracle compares epoch_us
+    lts = F.unix_micros(F.col("_ts").cast("timestamp"))
+    b_ts = F.unix_micros(F.col("_b").getField("_ats").cast("timestamp"))
+    f_ts = F.unix_micros(F.col("_f").getField("_ats").cast("timestamp"))
+    use_back = F.col("_f").isNull() | (
+        F.col("_b").isNotNull() & ((lts - b_ts) <= (f_ts - lts))
+    )
+    nearest = F.when(use_back, F.col("_b")).otherwise(F.col("_f"))
+    out = unioned.filter(F.col("_side") == 1).select(
+        F.col(on),
+        *[F.col(c) for c in lcols if c != on],
+        *[
+            nearest.getField(c).alias(f"asof_{c}")
+            for c in ["_ats", *right_payload]
+        ],
+        F.when(nearest.isNull(), F.lit(None).cast("string"))
+        .when(use_back, F.lit("b"))
+        .otherwise(F.lit("f"))
+        .alias("asof_direction"),
+    )
+    return out.withColumnRenamed("asof__ats", "asof_ts")
+
+
 def range_join_buckets(
     left: DataFrame,
     right: DataFrame,

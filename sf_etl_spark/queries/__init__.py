@@ -165,6 +165,8 @@ _PRIORITY_ORDER = [
     # round-6 lanes that did not fit the window: first in line for r7
     "countmin_point_estimates",
     "seasonal_anomaly_slots",
+    "asof_nearest_click",
+    "funnel_time_to_convert",
     # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",

@@ -1368,3 +1368,152 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("int").alias("n_win"),
         F.when(n % 2 == 1, odd).otherwise(even).alias("med_scaled"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join — both directions: each purchase matched to its
+# CLOSEST click in time, before or after (`merge_asof(
+# direction='nearest')`); plain ASOF (and `asof_purchase_click`
+# above) only looks backward. Attribution pipelines want this when a
+# click can legitimately land just after the purchase event (clock
+# skew between trackers, receipt-then-click flows). Ties — including
+# a click at exactly the purchase timestamp — resolve backward.
+#
+# operators/joins.py:asof_nearest_join runs the union+window recipe
+# with one extra frame (first-following beside last-preceding), so
+# the bidirectional match still costs ONE user_id shuffle + ONE sort,
+# never a pairwise inequality join. The oracle restates it as two
+# DuckDB ASOF joins (>= backward, < forward) + an epoch_us distance
+# CASE, so frame off-by-ones and tie-direction bugs break the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_nearest_click",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT p.event_id, p.user_id, p.ts, cb.ts AS b_ts, cb.value AS b_val
+      FROM p ASOF LEFT JOIN c cb ON p.user_id = cb.user_id AND p.ts >= cb.ts
+    ), f AS (
+      SELECT p.event_id, cf.ts AS f_ts, cf.value AS f_val
+      FROM p ASOF LEFT JOIN c cf ON p.user_id = cf.user_id AND p.ts < cf.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN f.f_ts IS NULL THEN b.b_ts
+                WHEN b.b_ts IS NULL THEN f.f_ts
+                WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_ts
+                ELSE f.f_ts END AS asof_ts,
+           CASE WHEN f.f_ts IS NULL THEN b.b_val
+                WHEN b.b_ts IS NULL THEN f.f_val
+                WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_val
+                ELSE f.f_val END AS asof_value,
+           CASE WHEN f.f_ts IS NULL AND b.b_ts IS NULL THEN NULL
+                WHEN f.f_ts IS NULL THEN 'b'
+                WHEN b.b_ts IS NULL THEN 'f'
+                WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN 'b'
+                ELSE 'f' END AS asof_direction
+    FROM b JOIN f USING (event_id)
+    ORDER BY b.event_id
+    """,
+    doc="nearest-neighbor as-of join (both directions, backward ties) in one shuffle",
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.joins import asof_nearest_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return (
+        asof_nearest_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["value"],
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "asof_ts",
+            F.col("asof_value").alias("asof_value"),
+            "asof_direction",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency — time-to-convert from a user's FIRST view to their
+# first purchase AFTER it. `funnel_conversion` counts who advances;
+# this measures HOW LONG advancing takes — the metric product teams
+# actually alert on. One row of corpus-level stats; latencies stay in
+# integer microseconds, the mean is sum/count with a single divide
+# (both engines run the identical IEEE op on exact inputs).
+#
+# Shape: two min-aggregations per user (first view; first purchase
+# after it via a conditional min) — both ride one user_id exchange —
+# then a 1-row global fold. No window needed at all: min over a
+# filtered stream IS the "first event after t0" once t0 is joined
+# back, and the t0 join is exchange-aligned with the aggs.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+      SELECT v.user_id,
+             min(epoch_us(e.ts) - epoch_us(v.t0)) AS lat_us
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase' AND e.ts >= v.t0
+      GROUP BY v.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(lat_us) AS BIGINT) AS min_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us,
+           CAST(sum(lat_us) AS BIGINT) AS total_us,
+           CAST(sum(lat_us) AS DOUBLE) / count(*) AS avg_us
+    FROM conv
+    """,
+    doc="funnel latency: first view to first subsequent purchase, exact-integer stats",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("t0").cast("timestamp"))
+            ).alias("lat_us")
+        )
+    )
+    n_viewers = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lat_us").alias("min_us"),
+        F.max("lat_us").alias("max_us"),
+        F.sum("lat_us").alias("total_us"),
+        (F.sum("lat_us").cast("double") / F.count(F.lit(1))).alias("avg_us"),
+    ).crossJoin(F.broadcast(n_viewers)).select(
+        "n_viewers", "n_converted", "min_us", "max_us", "total_us", "avg_us"
+    )
