@@ -208,6 +208,7 @@ HEADLINE = [
     "seasonal_anomaly_slots",
     "asof_nearest_click",
     "funnel_time_to_convert",
+    "multimodal_resize_stats",
 ]
 
 

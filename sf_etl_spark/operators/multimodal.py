@@ -393,3 +393,61 @@ def shannon_entropy(counts: list[int]) -> float:
     """Reference scalar entropy (test oracle for extract_features)."""
     total = sum(counts)
     return -sum(c / total * math.log2(c / total) for c in counts if c)
+
+
+RESIZE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_sampled", LongType()),
+        StructField("s_sum", LongType()),
+        StructField("s_min", IntegerType()),
+        StructField("s_max", IntegerType()),
+    ]
+)
+
+
+def resize_stats(encoded: DataFrame, dst_w: int = 8, dst_h: int = 8) -> DataFrame:
+    """REAL nearest-neighbor resize of decoded rasters (PPM/PGM only —
+    resize is an image op; WAV rows are filtered out JVM-side before
+    any Python runs). Each image decodes via ``decode_media``, the
+    resampled grid picks source indices with the standard NN rule
+    src = (dst_index * src_extent) // dst_extent (pure integer
+    arithmetic → bit-equal restatable in SQL), and the lane reduces
+    the resized pixels to exact integer stats the hash gate can
+    verify. Degenerate upscales (src smaller than dst) repeat pixels,
+    as NN defines. Scale: narrow Arrow-batched mapInPandas, payloads
+    partition-local, one row out per image."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, fmt, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["payload"], strict=True
+            ):
+                got_fmt, values, meta = decode_media(bytes(payload), fmt)
+                w, h = int(meta["width"]), int(meta["height"])
+                ch = int(meta["channels"])
+                if w < 1 or h < 1:
+                    continue
+                arr = values.reshape(h, w, ch)
+                ys = (np.arange(dst_h) * h) // dst_h
+                xs = (np.arange(dst_w) * w) // dst_w
+                small = arr[ys][:, xs, :]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "format": got_fmt,
+                        "n_sampled": int(small.size),
+                        "s_sum": int(small.sum(dtype="int64")),
+                        "s_min": int(small.min()),
+                        "s_max": int(small.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_STATS_SCHEMA.fields]
+            )
+
+    images = encoded.filter(F.col("format") != "wav")
+    return images.mapInPandas(_batches, schema=RESIZE_STATS_SCHEMA)

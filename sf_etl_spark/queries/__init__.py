@@ -167,6 +167,7 @@ _PRIORITY_ORDER = [
     "seasonal_anomaly_slots",
     "asof_nearest_click",
     "funnel_time_to_convert",
+    "multimodal_resize_stats",
     # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",

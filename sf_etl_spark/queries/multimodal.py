@@ -259,3 +259,79 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = encode_media_from_documents(load_table(spark, sf_dir, "documents"))
     return decode_stats(encoded).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Real nearest-neighbor resize — closes the decode/feature/RESIZE/
+# frame-sample quartet with actual pixel resampling (resize_plan
+# above tracks only the metadata side). Images decode through the
+# dependency-free container parser, resample to an 8×8 grid with the
+# integer NN rule src = (i · src_extent) // dst_extent, and reduce to
+# exact stats. The oracle re-derives every sampled byte's offset from
+# the RAW payload bytes (the fixture geometry: one-row rasters, so
+# row repetition multiplies the sum by dst_h and leaves min/max
+# alone) — a wrong stride, channel interleave, or rounding rule in
+# the resize breaks the hash. WAV rows are excluded JVM-side (resize
+# is an image op).
+# ---------------------------------------------------------------------------
+_RSZ_W = 8
+_RSZ_H = 8
+
+
+@register(
+    "multimodal_resize_stats",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS m,
+             encode(text) AS payload
+      FROM documents
+    ),
+    g AS (
+      SELECT media_id, m, CAST(payload AS BIT) AS b,
+             CAST(octet_length(payload) AS INT) AS nb
+      FROM media
+      WHERE m <> 2 AND octet_length(payload) > 0
+    ),
+    dims AS (
+      SELECT media_id, m, b, nb,
+             CASE WHEN m = 0 THEN (nb - nb % 3) // 3 ELSE nb END AS w,
+             CASE WHEN m = 0 THEN 3 ELSE 1 END AS ch
+      FROM g
+    ),
+    idx AS (
+      SELECT d.media_id, d.m, d.b, d.w, d.ch,
+             CAST(CASE WHEN d.m = 0
+                       THEN 3 * ((c.c * d.w) // {_RSZ_W}) + chn.chn
+                       ELSE (c.c * d.w) // {_RSZ_W} END AS INT) AS j
+      FROM dims d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_RSZ_W} - 1)) AS c) c
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS chn) chn
+      WHERE d.w >= 1 AND chn.chn < d.ch
+    ),
+    px AS (
+      SELECT media_id, m,
+             128*get_bit(b, 8*j+0) + 64*get_bit(b, 8*j+1) + 32*get_bit(b, 8*j+2)
+           + 16*get_bit(b, 8*j+3) +  8*get_bit(b, 8*j+4) +  4*get_bit(b, 8*j+5)
+           +  2*get_bit(b, 8*j+6) +      get_bit(b, 8*j+7) AS v
+      FROM idx
+    )
+    SELECT media_id,
+           CASE WHEN m = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+           CAST({_RSZ_H} * count(*) AS BIGINT) AS n_sampled,
+           CAST({_RSZ_H} * sum(v) AS BIGINT) AS s_sum,
+           CAST(min(v) AS INT) AS s_min,
+           CAST(max(v) AS INT) AS s_max
+    FROM px
+    GROUP BY media_id, m
+    ORDER BY media_id
+    """,
+    doc="real NN resize of decoded rasters to 8x8 vs byte-offset restatement",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.multimodal import (
+        encode_media_from_documents,
+        resize_stats,
+    )
+
+    encoded = encode_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return resize_stats(encoded, dst_w=_RSZ_W, dst_h=_RSZ_H).orderBy("media_id")
