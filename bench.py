@@ -209,6 +209,7 @@ HEADLINE = [
     "asof_nearest_click",
     "funnel_time_to_convert",
     "multimodal_resize_stats",
+    "agms_join_size",
 ]
 
 

@@ -168,6 +168,7 @@ _PRIORITY_ORDER = [
     "asof_nearest_click",
     "funnel_time_to_convert",
     "multimodal_resize_stats",
+    "agms_join_size",
     # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",
