@@ -378,3 +378,24 @@ def test_ivm_delta_scans_push_date_predicates(spark, sf_dir):
         "PushedFilters: [Gr"
     ) + plan.count("PushedFilters: [Le") > 0
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_is_single_shuffle_no_join(spark, sf_dir):
+    # the bidirectional nearest match must stay the union+window
+    # recipe: ONE user_id exchange shared by both frames, and no
+    # join node anywhere (a pairwise inequality join is the shape
+    # this operator exists to avoid).
+    plan = _plan(spark, sf_dir, "asof_nearest_click")
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_agms_sketches_partial_aggregate(spark, sf_dir):
+    # both signed grids must partial-aggregate (HashAggregate pairs)
+    # and the dot product must be an equi-join — no cartesian.
+    plan = _plan(spark, sf_dir, "agms_join_size")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 1  # the single 1-row exact-count crossJoin is the only allowed BNLJ
