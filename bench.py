@@ -210,6 +210,7 @@ HEADLINE = [
     "funnel_time_to_convert",
     "multimodal_resize_stats",
     "agms_join_size",
+    "ann_recall_metrics",
 ]
 
 

@@ -169,6 +169,7 @@ _PRIORITY_ORDER = [
     "funnel_time_to_convert",
     "multimodal_resize_stats",
     "agms_join_size",
+    "ann_recall_metrics",
     # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",

@@ -689,3 +689,184 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return exact_cosine_pairs(n, cand_ids)
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation harness — recall@10 and reciprocal rank of the IVF
+# probe against brute-force ground truth, over a 5-query set. The
+# missing third leg of the similarity stool: index build
+# (`ann_ivf_topk`), agreement-at-full-probe (`ann_ivf_kmeans_
+# agreement`), and now QUALITY AT THE PRODUCTION OPERATING POINT
+# (nprobe=2 of 8) — the number a platform team actually tunes nprobe
+# against. Both rankings are deterministic (seeded centroids, exact
+# IEEE fold order, total tie-breaks), so the metric itself is
+# hash-verifiable, not just eyeballed.
+#
+# Scale: queries broadcast (5 rows); brute side is one corpus scan ×
+# |Q| with a per-query TakeOrdered-shaped window; IVF side reuses the
+# broadcast-centroid assignment and probes nprobe/K of the corpus per
+# query. At 100 TB the brute side runs on a SAMPLE of queries
+# exactly like this — recall estimation never needs the full query
+# log.
+# ---------------------------------------------------------------------------
+_EVAL_QUERIES = (0, 10, 20, 30, 40)  # disjoint from seed centroids 1..8
+
+
+@register(
+    "ann_recall_metrics",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS qid, v AS qv, nm AS qn FROM n
+      WHERE vec_id IN {_EVAL_QUERIES}
+    ), brute AS (
+      SELECT qs.qid, n.vec_id,
+             row_number() OVER (
+               PARTITION BY qs.qid
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='qs.qv')} / (n.nm * qs.qn) DESC,
+                        n.vec_id
+             ) AS brank
+      FROM n, qs WHERE n.vec_id <> qs.qid
+    ), truth AS (
+      SELECT qid, vec_id, brank FROM brute WHERE brank <= 10
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv, nm AS cn FROM n
+      WHERE vec_id BETWEEN 1 AND {IVF_K}
+    ), cscored AS (
+      SELECT n.vec_id, n.v, n.nm, cents.cid,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='cents.cv')} / (n.nm * cents.cn) DESC,
+                        cents.cid
+             ) AS rn
+      FROM n CROSS JOIN cents
+    ), assign AS (
+      SELECT vec_id, v, nm, cid FROM cscored WHERE rn = 1
+    ), qprobe AS (
+      SELECT qs.qid, s.cid FROM cscored s JOIN qs ON s.vec_id = qs.qid
+      WHERE s.rn <= {IVF_NPROBE}
+    ), approx AS (
+      SELECT p.qid, a.vec_id,
+             row_number() OVER (
+               PARTITION BY p.qid
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='a.v', v='qs.qv')} / (a.nm * qs.qn) DESC,
+                        a.vec_id
+             ) AS arank
+      FROM assign a JOIN qprobe p ON a.cid = p.cid JOIN qs ON qs.qid = p.qid
+      WHERE a.vec_id <> p.qid
+    ), atop AS (
+      SELECT qid, vec_id, arank FROM approx WHERE arank <= 10
+    ), overlap AS (
+      SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM truth t JOIN atop a ON t.qid = a.qid AND t.vec_id = a.vec_id
+      GROUP BY t.qid
+    ), rr AS (
+      SELECT t.qid,
+             coalesce(1.0 / CAST(a.arank AS DOUBLE), 0.0) AS reciprocal_rank
+      FROM truth t
+      LEFT JOIN atop a ON t.qid = a.qid AND t.vec_id = a.vec_id
+      WHERE t.brank = 1
+    )
+    SELECT qs.qid AS query_id,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / 10.0 AS recall_at_10,
+           rr.reciprocal_rank
+    FROM qs
+    LEFT JOIN overlap o ON o.qid = qs.qid
+    JOIN rr ON rr.qid = qs.qid
+    ORDER BY query_id
+    """,
+    doc=f"IVF recall@10 + MRR vs brute force over {len(_EVAL_QUERIES)} queries at nprobe={IVF_NPROBE}",
+)
+def ann_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nm"))
+    qs = (
+        n.filter(F.col("vec_id").isin(*_EVAL_QUERIES))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nm").alias("qn"),
+        )
+    )
+    qcos = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    brank = Window.partitionBy("qid").orderBy(F.col("_c").desc(), "vec_id")
+    brute = (
+        n.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_c", qcos)
+        .withColumn("brank", F.row_number().over(brank))
+    )
+    truth = brute.filter(F.col("brank") <= 10).select("qid", "vec_id", "brank")
+    cents = (
+        n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nm").alias("cn"),
+        )
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cn"))
+    cscored = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("_cc", ccos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("_cc").desc(), "cid")
+            ),
+        )
+    )
+    assign = cscored.filter(F.col("rn") == 1).select("vec_id", "v", "nm", "cid")
+    qprobe = (
+        cscored.join(
+            F.broadcast(qs.select("qid")), cscored["vec_id"] == F.col("qid")
+        )
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    approx = (
+        assign.join(F.broadcast(qprobe), "cid")
+        .join(F.broadcast(qs), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_c", qcos)
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("_c").desc(), "vec_id")
+            ),
+        )
+    )
+    atop = approx.filter(F.col("arank") <= 10).select("qid", "vec_id", "arank")
+    overlap = (
+        truth.join(atop, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    rr = (
+        truth.filter(F.col("brank") == 1)
+        .join(atop, ["qid", "vec_id"], "left")
+        .select(
+            "qid",
+            F.coalesce(
+                F.lit(1.0) / F.col("arank").cast("double"), F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+    )
+    return (
+        qs.select("qid")
+        .join(overlap, "qid", "left")
+        .join(rr, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+            "reciprocal_rank",
+        )
+        .orderBy("query_id")
+    )
