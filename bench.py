@@ -211,6 +211,8 @@ HEADLINE = [
     "multimodal_resize_stats",
     "agms_join_size",
     "ann_recall_metrics",
+    "target_encoding_smoothed",
+    "forecast_feature_matrix",
 ]
 
 

@@ -170,6 +170,8 @@ _PRIORITY_ORDER = [
     "multimodal_resize_stats",
     "agms_join_size",
     "ann_recall_metrics",
+    "target_encoding_smoothed",
+    "forecast_feature_matrix",
     # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",

@@ -1517,3 +1517,66 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(n_viewers)).select(
         "n_viewers", "n_converted", "min_us", "max_us", "total_us", "avg_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecasting feature matrix — per-(type, day) lag and rolling
+# features (lag-1, lag-7, 7-day rolling sum and exact mean), the
+# feature-prep step in front of any demand/traffic model. Joins the
+# seasonal/CUSUM/rolling-median family on the SAME daily pre-agg
+# shape: the n-sized stage is one partial-agged groupBy, every
+# window rides one event_type exchange, frames are O(7). Values stay
+# scaled BIGINTs; the mean is one divide of exact integers.
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_feature_matrix",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, day, x,
+           lag(x, 1) OVER w AS lag_1,
+           lag(x, 7) OVER w AS lag_7,
+           CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sum_7,
+           CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma_7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type, day
+    """,
+    doc="lag/rolling feature matrix over the per-type daily series, exact integers",
+)
+def forecast_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    frame = w.rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x", 1).over(w).alias("lag_1"),
+        F.lag("x", 7).over(w).alias("lag_7"),
+        F.sum("x").over(frame).cast("bigint").alias("sum_7"),
+        (
+            F.sum("x").over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("ma_7"),
+    ).orderBy("event_type", "day")

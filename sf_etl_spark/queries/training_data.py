@@ -1035,3 +1035,88 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (m-estimate / CatBoost-style prior
+# blending) — the third leg of the categorical-feature trio beside
+# `feature_hashing` (vocabulary-free buckets) and the equi-depth
+# binning lanes: enc(c) = (pos(c) + m·prior) / (n(c) + m), shrinking
+# small categories toward the global rate so rare levels don't
+# memorize their few labels. Here: order priority encoded against
+# the "order is high-value" target (total price above the global
+# mean — itself computed in-engine).
+#
+# Determinism: counts are exact integers; prior, the m·prior product,
+# the numerator add, and the final divide are each a SINGLE IEEE op
+# in a fixed order, so both engines produce bit-equal doubles with
+# no rounding hop. Scale: two partial-agged passes (global stats =
+# one 1-row broadcast; per-category stats = |categories| rows), then
+# a narrow map — the encoding table is dimension-sized and broadcast
+# back to label rows at serving time.
+# ---------------------------------------------------------------------------
+_TE_M = 10.0
+
+
+@register(
+    "target_encoding_smoothed",
+    f"""
+    WITH g AS (
+      SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS mean_price
+      FROM orders
+    ), lab AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_totalprice > g.mean_price THEN 1 ELSE 0 END AS y
+      FROM orders, g
+    ), cat AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM lab GROUP BY o_orderpriority
+    ), pri AS (
+      SELECT CAST(sum(n_pos) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS prior FROM cat
+    )
+    SELECT cat.o_orderpriority, cat.n, cat.n_pos,
+           pri.prior,
+           (CAST(cat.n_pos AS DOUBLE) + ({_TE_M} * pri.prior))
+             / (CAST(cat.n AS DOUBLE) + {_TE_M}) AS encoding
+    FROM cat, pri
+    ORDER BY cat.o_orderpriority
+    """,
+    doc="m-estimate smoothed target encoding of order priority, bit-equal doubles",
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price")
+    )
+    lab = o.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") > F.col("mean_price"), 1).otherwise(0).alias("y"),
+    )
+    cat = lab.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    pri = cat.agg(
+        (F.sum("n_pos").cast("double") / F.sum("n").cast("double")).alias("prior")
+    )
+    return (
+        cat.crossJoin(F.broadcast(pri))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            "prior",
+            (
+                (F.col("n_pos").cast("double") + (F.lit(_TE_M) * F.col("prior")))
+                / (F.col("n").cast("double") + F.lit(_TE_M))
+            ).alias("encoding"),
+        )
+        .orderBy("o_orderpriority")
+    )
