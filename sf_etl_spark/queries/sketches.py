@@ -514,22 +514,48 @@ def countmin_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     # build the d×w grid from the per-token exact counts (same result
-    # as hashing the raw stream, one shuffle cheaper); partial aggs
-    # shrink each row's contribution to ≤w cells map-side
-    cells = None
-    for i in range(_CM_D):
-        part = exact.select(
-            F.lit(i).alias("row_i"), h(i, F.col("tok")).alias("cell"), "n"
+    # as hashing the raw stream, one shuffle cheaper). The d rows are
+    # an EXPLODE of d per-row structs, not d unionByName branches: a
+    # union of projections over an AGGREGATED frame makes Spark
+    # re-run the token groupBy once per branch (measured 12 scans on
+    # the AGMS twin below); the explode computes all d cells in one
+    # pass over one aggregation
+    sketch = (
+        exact.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_i"),
+                            h(i, F.col("tok")).alias("cell"),
+                        )
+                        for i in range(_CM_D)
+                    ]
+                )
+            ).alias("rc"),
+            "n",
         )
-        cells = part if cells is None else cells.unionByName(part)
-    sketch = cells.groupBy("row_i", "cell").agg(F.sum("n").alias("c"))
+        .select("rc.row_i", "rc.cell", "n")
+        .groupBy("row_i", "cell")
+        .agg(F.sum("n").alias("c"))
+    )
     q = exact.orderBy(F.col("n").desc(), "tok").limit(10)
-    probes = None
-    for i in range(_CM_D):
-        part = q.select(
-            "tok", "n", F.lit(i).alias("row_i"), h(i, F.col("tok")).alias("cell")
-        )
-        probes = part if probes is None else probes.unionByName(part)
+    # same explode-not-union rule for the probe rows: q sits on top of
+    # the token aggregation, and a 4-branch union would re-run it 4×
+    probes = q.select(
+        "tok",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), h(i, F.col("tok")).alias("cell")
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "n", "rc.row_i", "rc.cell")
     return (
         F.broadcast(probes)
         .join(sketch, ["row_i", "cell"])
@@ -651,15 +677,36 @@ def agms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def sketch(fdf: DataFrame, out: str) -> DataFrame:
-        parts = None
-        for i in range(_AGMS_D):
-            p = fdf.select(
-                F.lit(i).alias("row_i"),
-                cell(i, F.col("k")).alias("cell"),
-                (sign(i, F.col("k")) * F.col("n")).alias("sn"),
+        # d rows via ONE explode over the frequency aggregation — a
+        # d-branch unionByName re-runs the groupBy per branch
+        # (measured: 12 FileScans for this lane's whole plan; the
+        # explode form plans 3 — at 100 TB, 5 redundant base scans vs
+        # one). The repartition matters: AQE coalesces the small freq
+        # shuffle to ONE partition, which would serialize the 2d md5
+        # chains onto one thread (measured 5.2 s vs 1.6 s at sf0.1);
+        # spreading the key table first keeps the hash work parallel
+        # for one tiny extra exchange.
+        par = fdf.sparkSession.sparkContext.defaultParallelism
+        return (
+            fdf.repartition(par)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("row_i"),
+                                cell(i, F.col("k")).alias("cell"),
+                                (sign(i, F.col("k")) * F.col("n")).alias("sn"),
+                            )
+                            for i in range(_AGMS_D)
+                        ]
+                    )
+                ).alias("rc")
             )
-            parts = p if parts is None else parts.unionByName(p)
-        return parts.groupBy("row_i", "cell").agg(F.sum("sn").alias(out))
+            .select("rc.row_i", "rc.cell", "rc.sn")
+            .groupBy("row_i", "cell")
+            .agg(F.sum("sn").alias(out))
+        )
 
     so = sketch(freq(orders, "o_orderkey"), "a")
     sl = sketch(freq(li, "l_orderkey"), "b")
