@@ -2098,7 +2098,14 @@ def linkage_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = mpairs.select(F.col("src").alias("vertex")).unionByName(
         mpairs.select(F.col("dst").alias("vertex"))
     ).distinct()
-    comp = connected_components(verts, mpairs, vertex_col="vertex")
+    # label_rounds=2: sorted-neighborhood match graphs are name-sorted
+    # CHAINS (high diameter — measured 56 components over 20k verts at
+    # sf0.1), so min-label propagation cannot converge in any small
+    # round budget; failing over to the O(log n) star contraction
+    # after 2 rounds instead of 8 cuts ~35% of the wall (20.7 → 13.3 s
+    # measured) with identical labels (min vertex id is
+    # method-independent).
+    comp = connected_components(verts, mpairs, vertex_col="vertex", label_rounds=2)
     attrs = comp.join(p, comp["vertex"] == p["p_partkey"]).select(
         F.col("component").alias("cluster"), "p_partkey", "p_name", "cents"
     )
