@@ -146,6 +146,10 @@ class SfClient:
         # via set_credential_provider() and login() won't capture the
         # literal at all.
         self._credential_provider: Callable[[], tuple[str, str]] | None = None
+        # distinguishes a caller-installed vault provider (never
+        # overwritten) from the login()-captured fallback (refreshed
+        # on every successful login so rotation works)
+        self._provider_is_custom = False
 
     def set_credential_provider(
         self, provider: Callable[[], tuple[str, str]] | None
@@ -153,8 +157,10 @@ class SfClient:
         """Install a ``() -> (username, password)`` source for 401
         re-login, replacing whatever ``login()`` captured. Pass a
         vault/keyring lookup here to keep the password out of the
-        client object entirely."""
+        client object entirely. Passing ``None`` reverts to
+        login()-captured credentials."""
         self._credential_provider = provider
+        self._provider_is_custom = provider is not None
 
     def __repr__(self) -> str:  # secrets never repr out
         return (
@@ -273,9 +279,14 @@ class SfClient:
         tok = json.loads(payload)
         self.access_token = tok["access_token"]
         self.instance_url = tok["instance_url"].rstrip("/")
-        # keep refresh working unless the caller installed a provider;
-        # the closure keeps the secret out of the attribute namespace
-        if self._credential_provider is None:
+        # keep refresh working unless the caller installed their own
+        # provider; the closure keeps the secret out of the attribute
+        # namespace. login()-captured providers are REPLACED on every
+        # successful login — after a password rotation, the 401
+        # refresh must replay the credentials that just worked, not
+        # the first login's stale ones (which would fail repeatedly
+        # and can lock the account).
+        if not self._provider_is_custom:
             self._credential_provider = lambda: (username, password)
 
     # -- SOQL query scan (R2, client.rs:199-205) ---------------------------

@@ -210,7 +210,11 @@ def pagerank(
     Contract: every node must appear as a ``src`` at least once (no
     dangling nodes) — callers with undirected graphs get this for free
     by unioning both orientations. The node universe is the distinct
-    ``src`` set.
+    ``src`` set; a dst-only node VIOLATES the contract and since the
+    r6 zero-union rework would surface in the output with a rank
+    inconsistent with the n_nodes denominator (r1-r5 silently dropped
+    it) — symmetrize or add self-loops first, as both registered
+    lanes do.
 
     Determinism: the per-edge contribution pr(u)/outdeg(u) is a single
     IEEE divide, and the per-node fan-in sum goes through the exact
@@ -246,6 +250,10 @@ def pagerank(
     # components rounds) — cheaper than carrying a 1-row broadcast
     # nested-loop join through every iteration.
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty edge set: return the empty rank vector instead of a
+        # ZeroDivisionError from the teleport term (the r1-r5 shape)
+        return deg.select(F.col(src).alias("node"), F.lit(0.0).alias("pr"))
     e2 = edges.join(deg, src).localCheckpoint()
     # The node universe, kept across iterations: rebuilding ranks from
     # the fan-in sums alone would DROP zero-in-degree nodes (a genuinely

@@ -147,14 +147,19 @@ def asof_nearest_join(
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         *[F.col(c) for c in lcols if c != on],
     )
+    # _payload as the final sort key makes the order TOTAL when
+    # several right rows share one timestamp (struct comparison is
+    # field-wise) — last()/first() would otherwise pick a
+    # partition-order-dependent payload and the result could flap
+    # across runs
     back = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fwd = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_payload")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     unioned = (

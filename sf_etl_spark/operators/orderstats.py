@@ -56,8 +56,17 @@ def kth_smallest(
             return int(lo)
         span = hi - lo + 1
         width = -(-span // n_buckets)  # ceil; >= 1
+        # bucket index in EXACT decimal arithmetic: the double-divide
+        # form ((c-lo)/width).cast(long) disagrees with the integer
+        # narrowing filter once values exceed 2^53 (a boundary value
+        # can round into the neighboring bucket), and c - lo itself
+        # can wrap int64 when lo < 0 with a 2^63-wide span. DECIMAL(38)
+        # holds any int64 difference exactly, and (a - a mod w) / w is
+        # an exact integral quotient.
+        a = c.cast("decimal(38,0)") - F.lit(lo).cast("decimal(38,0)")
+        b = (a - F.pmod(a, F.lit(width))) / F.lit(width)
         hist = (
-            scope.groupBy(((c - F.lit(lo)) / F.lit(width)).cast("long").alias("b"))
+            scope.groupBy(b.cast("long").alias("b"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()  # <= n_buckets rows: bounded metadata
         )

@@ -273,7 +273,10 @@ def keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.operators.graph import pagerank
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    toks = d.select(F.split("text", " ").alias("t"))
+    # size >= 2 guard: Spark's sequence(1, n-1) DESCENDS for n < 2
+    # (element_at(t, 0) crash on a 1-token doc) where DuckDB's
+    # generate_series is empty — filter short docs on both sides
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
     adj = toks.select(
         F.explode(
             F.transform(

@@ -1263,7 +1263,13 @@ def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # guard docs shorter than one trigram BEFORE the index fan-outs:
+    # Spark's sequence(1, n-2) DESCENDS for n<3 (→ element_at(t, 0)
+    # crash) where DuckDB's generate_series is empty — the size filter
+    # makes both sides skip short docs identically
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
     # positional postings: (doc_id, pos, token) — built once; at scale
     # this is the stored inverted index, not a per-query derivation
     postings = toks.select(

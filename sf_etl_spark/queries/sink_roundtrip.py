@@ -1018,7 +1018,13 @@ def zone_map_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     zmap = build_zone_map(spark, out, "l_orderkey")
     lo, hi = 300, 700
     kept = prune_files_by_zone(zmap, lo, hi)
-    back = spark.read.parquet(*kept)
+    if kept:
+        back = spark.read.parquet(*kept)
+    else:
+        # an empty shortlist is a LEGITIMATE pruning outcome (the
+        # range misses every file's [min,max]); the answer is zero
+        # rows, not a reader error on an empty path list
+        back = spark.read.parquet(out).filter(F.lit(False))
     return (
         back.filter(F.col("l_orderkey").between(lo, hi))
         .groupBy("l_returnflag")

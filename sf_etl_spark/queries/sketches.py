@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sf_etl_spark.queries import register
+from sf_etl_spark.queries.llm import _SQL_MD5_H64
 from sf_etl_spark.sources import load_table
 
 # Heavy-hitter threshold: report terms with freq * K > n_total
@@ -312,12 +313,10 @@ def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _KMV_K = 200
 
-# DuckDB twin of llm._md5_hash64 for the custkey domain
-_KMV_SQL_H = (
-    "CAST(CAST(('0x' || substring(md5('ck' || CAST(k AS VARCHAR)),1,16)) AS UBIGINT) - "
-    "CASE WHEN CAST(('0x' || substring(md5('ck' || CAST(k AS VARCHAR)),1,16)) AS UBIGINT) "
-    ">= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
-)
+# DuckDB twin of llm._md5_hash64 for the custkey domain — built on
+# the ONE shared signed-int64 md5 twin (llm._SQL_MD5_H64) so a fix to
+# the hash expression can never leave the sketch oracles behind
+_KMV_SQL_H = _SQL_MD5_H64("'ck' || CAST(k AS VARCHAR)")
 
 
 @register(
@@ -456,13 +455,9 @@ _CM_W = 256
 
 def _cm_sql_h(i: int) -> str:
     """DuckDB twin of the engine's row-i cell hash: non-negative
-    md5-int64 mod w."""
-    u = f"CAST(('0x' || substring(md5('cm{i}:' || tok),1,16)) AS UBIGINT)"
-    signed = (
-        f"CAST({u} - CASE WHEN {u} >= 9223372036854775808 "
-        f"THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
-    )
-    # pmod: DuckDB % keeps the dividend sign; normalize like Spark pmod
+    md5-int64 mod w (pmod normalization — DuckDB % keeps the dividend
+    sign). Shares llm._SQL_MD5_H64 for the signed hash itself."""
+    signed = _SQL_MD5_H64(f"'cm{i}:' || tok")
     return f"(({signed} % {_CM_W}) + {_CM_W}) % {_CM_W}"
 
 
@@ -597,17 +592,15 @@ _AGMS_W = 1024
 
 
 def _agms_sql_cell(i: int, expr: str) -> str:
-    u = f"CAST(('0x' || substring(md5('cj{i}:' || {expr}),1,16)) AS UBIGINT)"
-    signed = (
-        f"CAST({u} - CASE WHEN {u} >= 9223372036854775808 "
-        f"THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
-    )
+    signed = _SQL_MD5_H64(f"'cj{i}:' || {expr}")
     return f"(({signed} % {_AGMS_W}) + {_AGMS_W}) % {_AGMS_W}"
 
 
 def _agms_sql_sign(i: int, expr: str) -> str:
-    u = f"CAST(('0x' || substring(md5('cs{i}:' || {expr}),1,16)) AS UBIGINT)"
-    return f"(1 - 2 * CAST({u} % 2 AS BIGINT))"
+    # low bit of the signed hash (& 1 == the unsigned parity: two's
+    # complement preserves low bits), mapped to ±1
+    signed = _SQL_MD5_H64(f"'cs{i}:' || {expr}")
+    return f"(1 - 2 * ({signed} & 1))"
 
 
 @register(

@@ -1169,9 +1169,12 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS s_raw
       FROM stats
     ), st AS (
+      -- the prefix-min must include the EMPTY prefix S_0 = 0
+      -- (least(0, ...)): without it, s_1 is forced to 0 and a series
+      -- that starts above target under-reports the whole run-up
       SELECT event_type, day, total,
-             s_raw - min(s_raw) OVER (PARTITION BY event_type ORDER BY day
-                                      ROWS UNBOUNDED PRECEDING) AS s
+             s_raw - least(0, min(s_raw) OVER (PARTITION BY event_type ORDER BY day
+                                               ROWS UNBOUNDED PRECEDING)) AS s
       FROM cum
     )
     SELECT event_type, day,
@@ -1208,7 +1211,12 @@ def cusum_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = stats.withColumn(
         "s_raw", F.sum(F.col("n") * F.col("x") - F.col("total")).over(run)
     )
-    st = cum.withColumn("s", F.col("s_raw") - F.min("s_raw").over(run))
+    # least(0, prefix-min): the empty prefix S_0 = 0 belongs in the
+    # min — see the oracle comment; without it drift starting on day 1
+    # is systematically understated
+    st = cum.withColumn(
+        "s", F.col("s_raw") - F.least(F.lit(0), F.min("s_raw").over(run))
+    )
     return st.select(
         "event_type",
         "day",

@@ -16,6 +16,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -141,7 +142,9 @@ def ensure_parallelism(
     splits = 0
     for f in files:
         if f.startswith("file:"):
-            path = f[len("file:") :]
+            # inputFiles() returns percent-encoded URIs — a path with
+            # a space stats as '%20' and would silently skip the guard
+            path = urllib.parse.unquote(f[len("file:") :])
             try:
                 size = os.path.getsize(path)
             except OSError:

@@ -138,6 +138,7 @@ class MockSalesforce:
             if form.get("client_secret", [""])[0] != "shhh":
                 return h._json(400, {"error": "invalid_client", "error_description": "bad secret"})
             self.logins += 1
+            self.last_password = form.get("password", [""])[0]
             return h._json(
                 200,
                 {

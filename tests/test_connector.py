@@ -452,3 +452,37 @@ def test_stream_reader_limit_is_tie_safe(mock_sf):
         assert offset == {"wm": 5}
     finally:
         server.stop()
+
+
+def test_session_refresh_uses_rotated_credentials(mock_sf):
+    """A second login() with new credentials must update the captured
+    refresh provider: after a password rotation the 401 re-login has
+    to replay the credentials that just worked, not the first login's
+    stale ones (which would fail repeatedly and can lock the
+    account)."""
+    server, url = mock_sf
+    c = SfClient(login_url=url, client_id="app", client_secret="shhh")
+    c.login("user@test", "old_pw")
+    c.login("user@test", "new_pw")  # rotation
+    try:
+        server.valid_token = "ROTATED2"
+        list(c.query_pages("SELECT Id FROM Case"))
+        assert server.last_password == "new_pw"
+        assert c.access_token == "ROTATED2"
+    finally:
+        server.valid_token = "MOCK_TOKEN"
+
+
+def test_custom_provider_survives_login(mock_sf):
+    """A caller-installed vault provider must NOT be overwritten by a
+    later login() capture."""
+    server, url = mock_sf
+    c = SfClient(login_url=url, client_id="app", client_secret="shhh")
+    c.set_credential_provider(lambda: ("user@test", "vault_pw"))
+    c.login("user@test", "typed_pw")
+    try:
+        server.valid_token = "ROTATED3"
+        list(c.query_pages("SELECT Id FROM Case"))
+        assert server.last_password == "vault_pw"
+    finally:
+        server.valid_token = "MOCK_TOKEN"

@@ -216,3 +216,48 @@ def test_kth_smallest_rejects_bad_k(spark):
         kth_smallest(df, "x", 0)
     with _pytest.raises(ValueError):
         kth_smallest(df, "x", 3)
+
+
+def test_kth_smallest_exact_beyond_double_precision(spark):
+    from sf_etl_spark.operators.orderstats import kth_smallest
+
+    # values beyond 2^53 and a negative lo: the bucket index must be
+    # computed in exact arithmetic or boundary values land in the
+    # wrong bucket / the lo-subtraction wraps int64
+    base = 1 << 62
+    vals = [-base, -base + 1, 0, base - 3, base - 2, base - 1, base]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    ordered = sorted(vals)
+    for k in range(1, len(vals) + 1):
+        assert kth_smallest(df, "x", k, n_buckets=4) == ordered[k - 1], k
+
+
+def test_cusum_closed_form_includes_empty_prefix(spark):
+    """The prefix-min closed form must include S_0 = 0: a series that
+    starts ABOVE target (all prefix sums positive) accumulates from
+    day one — the review-found bug forced s_1 = 0 and understated the
+    whole run-up."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    devs = [18, 18, -18, -18]  # n*x - total for a 4-day series
+    # reference: one-sided CUSUM with reset
+    s, ref = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        ref.append(s)
+    assert ref == [18, 36, 18, 0]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(devs)], ["day", "dev"]
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        df.withColumn("s_raw", F.sum("dev").over(run))
+        .withColumn(
+            "s", F.col("s_raw") - F.least(F.lit(0), F.min("s_raw").over(run))
+        )
+        .orderBy("day")
+        .select("s")
+        .collect()
+    )
+    assert [r["s"] for r in out] == ref
