@@ -213,6 +213,7 @@ HEADLINE = [
     "ann_recall_metrics",
     "target_encoding_smoothed",
     "forecast_feature_matrix",
+    "group_median_twophase",
 ]
 
 

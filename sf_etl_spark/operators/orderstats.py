@@ -27,7 +27,7 @@ exact-and-scalable third option.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -110,3 +110,107 @@ def exact_median(df: DataFrame, col: str) -> tuple[int, int, int]:
         v1 = kth_smallest(df, col, k1)
         v2 = kth_smallest(df, col, k2)
     return n, v1, v2
+
+
+def grouped_median_twophase(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact per-group median of an integer column in TWO fixed
+    passes, without sorting any full group.
+
+    Pass 1: ONE scan builds per-(group, bucket) counts over an
+    equi-width histogram of the global value range — a partial-agged
+    groupBy whose output is ≤ |groups|·B rows. The driver walks each
+    group's prefix sums (bounded metadata, same budget class as the
+    zone-map shortlist) and derives, per group, the bucket(s) holding
+    the middle rank(s) and the residual ranks within them.
+
+    Pass 2: ONE scan keeps only rows inside their group's selected
+    bucket ranges (a broadcast join on the bounds frame — the scan
+    filter is group-specific), ranks them per group with a window
+    over ~n/B-sized slices, and picks the residual ranks. For even
+    group sizes the median is the exact midpoint of the two middle
+    values (one IEEE divide of integers).
+
+    Contrast: `percentiles_by_flag` window-sorts each whole group —
+    right when groups fit a partition; this shape is the one that
+    survives when a single group holds billions of rows. One level of
+    narrowing suffices when bucket populations fit pass 2's window
+    (n/B per group on average); recurse with :func:`kth_smallest` per
+    group for adversarial skew.
+
+    Returns (group, n, v_lo, v_hi, median) — v_lo/v_hi are the middle
+    rank values (equal for odd n).
+    """
+    g, c = F.col(group_col), F.col(col)
+    bounds = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        raise ValueError(f"grouped_median_twophase on all-null column {col!r}")
+    span = int(hi) - int(lo) + 1
+    width = -(-span // n_buckets)
+    a = c.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
+    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    hist = (
+        df.groupBy(g.alias("_g"), bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()  # ≤ |groups| × n_buckets rows: bounded metadata
+    )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
+    # per group: locate the bucket + residual rank for ranks k1, k2
+    plans = []  # (group, bucket, residual_rank, slot) slot∈{1,2}
+    sizes = {}
+    for grp, counts in per_group.items():
+        n = sum(counts.values())
+        sizes[grp] = n
+        k1 = (n + 1) // 2
+        k2 = n // 2 + 1 if n % 2 == 0 else k1
+        for slot, k in ((1, k1), (2, k2)):
+            cum = 0
+            for b in sorted(counts):
+                if cum + counts[b] >= k:
+                    plans.append((grp, b, k - cum, slot))
+                    break
+                cum += counts[b]
+    spark = df.sparkSession
+    plan_df = F.broadcast(
+        spark.createDataFrame(plans, [group_col, "_b", "_k", "_slot"])
+    )
+    ranked = (
+        df.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
+        .join(plan_df.select(group_col, "_b").distinct(), [group_col, "_b"], "left_semi")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(group_col, "_b").orderBy(col)
+            ),
+        )
+    )
+    picked = ranked.join(plan_df, [group_col, "_b"]).filter(
+        F.col("_rk") == F.col("_k")
+    )
+    wide = (
+        picked.groupBy(group_col)
+        .pivot("_slot", [1, 2])
+        .agg(F.first(col))
+        .withColumnRenamed("1", "v_lo")
+        .withColumnRenamed("2", "v_hi")
+    )
+    size_df = F.broadcast(
+        spark.createDataFrame(list(sizes.items()), [group_col, "n"])
+    )
+    return wide.join(size_df, group_col).select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("v_lo").cast("bigint").alias("v_lo"),
+        F.col("v_hi").cast("bigint").alias("v_hi"),
+        (
+            (F.col("v_lo").cast("double") + F.col("v_hi").cast("double"))
+            / F.lit(2.0)
+        ).alias("median"),
+    )

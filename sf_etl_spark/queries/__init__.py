@@ -172,6 +172,7 @@ _PRIORITY_ORDER = [
     "ann_recall_metrics",
     "target_encoding_smoothed",
     "forecast_feature_matrix",
+    "group_median_twophase",
     # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",

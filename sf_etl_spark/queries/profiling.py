@@ -460,3 +460,60 @@ def seasonal_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day", "hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact medians in two fixed passes (operators/orderstats.py
+# grouped_median_twophase): pass 1 = one scan → per-(group, bucket)
+# histogram (bounded metadata to the driver), pass 2 = one scan over
+# only the middle-rank buckets, windowed on ~n/B-row slices. The
+# at-scale companion to `percentiles_by_flag` (which window-sorts
+# whole groups): when one group holds billions of rows, sorting the
+# group dies and this shape doesn't. The oracle window-sorts each
+# group (row_number) — exactly the plan the operator avoids — and
+# both middle ranks plus the midpoint must agree to the cent.
+# ---------------------------------------------------------------------------
+@register(
+    "group_median_twophase",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT) AS v_lo,
+           CAST(max(CASE WHEN rn = (CASE WHEN n % 2 = 0 THEN n // 2 + 1
+                                         ELSE (n + 1) // 2 END)
+                    THEN cents END) AS BIGINT) AS v_hi,
+           (CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS DOUBLE)
+            + CAST(max(CASE WHEN rn = (CASE WHEN n % 2 = 0 THEN n // 2 + 1
+                                            ELSE (n + 1) // 2 END)
+                       THEN cents END) AS DOUBLE)) / 2.0 AS median
+    FROM r
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="per-group exact median via two-pass histogram narrowing (no group sort)",
+    executes_on_construct=True,
+)
+def group_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.orderstats import grouped_median_twophase
+
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    return grouped_median_twophase(cents, "o_orderpriority", "cents").orderBy(
+        "o_orderpriority"
+    )

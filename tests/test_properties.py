@@ -261,3 +261,36 @@ def test_cusum_closed_form_includes_empty_prefix(spark):
         .collect()
     )
     assert [r["s"] for r in out] == ref
+
+
+def test_grouped_median_matches_python_reference(spark):
+    import random
+    import statistics
+
+    from sf_etl_spark.operators.orderstats import grouped_median_twophase
+
+    rng = random.Random(7)
+    rows = []
+    # skewed groups: one tiny, one duplicate-heavy, one spread over a
+    # huge range (forces distinct buckets and residual-rank walking)
+    for g, vals in {
+        "tiny": [5],
+        "dups": [3] * 40 + [9] * 40,
+        "spread": [rng.randint(0, 10**12) for _ in range(101)],
+        "even": [1, 2, 3, 10],
+    }.items():
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {
+        r["g"]: (r["n"], r["v_lo"], r["v_hi"], r["median"])
+        for r in grouped_median_twophase(df, "g", "x", n_buckets=16).collect()
+    }
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        s = sorted(vals)
+        n = len(s)
+        v_lo, v_hi = s[(n - 1) // 2], s[n // 2]
+        assert got[g] == (n, v_lo, v_hi, (v_lo + v_hi) / 2.0), g
+        assert got[g][3] == statistics.median(vals)
