@@ -399,3 +399,19 @@ def test_agms_sketches_partial_aggregate(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan or plan.count(
         "BroadcastNestedLoopJoin"
     ) <= 1  # the single 1-row exact-count crossJoin is the only allowed BNLJ
+
+
+def test_rolling_median_rides_one_type_exchange(spark, sf_dir):
+    # daily pre-agg shuffles (type, day); the frame windows must ride
+    # ONE further event_type exchange — and never a global sort
+    plan = _plan(spark, sf_dir, "rolling_median_7d")
+    assert plan.count("hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_phrase_search_filters_postings_before_positional_joins(spark, sf_dir):
+    # the positional self-joins must consume term-filtered postings
+    # (broadcast 1-row phrase) — never corpus × corpus
+    plan = _plan(spark, sf_dir, "phrase_search_positional")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
