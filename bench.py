@@ -214,6 +214,7 @@ HEADLINE = [
     "target_encoding_smoothed",
     "forecast_feature_matrix",
     "group_median_twophase",
+    "window_sliding_distinct",
 ]
 
 

@@ -173,6 +173,7 @@ _PRIORITY_ORDER = [
     "target_encoding_smoothed",
     "forecast_feature_matrix",
     "group_median_twophase",
+    "window_sliding_distinct",
     # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",

@@ -1588,3 +1588,58 @@ def forecast_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(frame)
         ).alias("ma_7"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Distinct counts under SLIDING windows — unique users per 1h window
+# sliding every 30m. The "concurrent users" / rolling-reach metric,
+# and the painful one: every event belongs to TWO windows, and
+# count(DISTINCT) cannot partial-aggregate, so the shape that
+# matters is dedup-BEFORE-fan-out: distinct (user, 30m half-window)
+# first (partial-aggregable, shrinks the stream to ≤2·|users| rows
+# per slide), THEN expand each half-window row to its two covering
+# windows and count. Fan-out of the deduplicated keys, never of the
+# raw event stream — at 100 TB that ordering is the whole game.
+# In streaming form the same plan runs as dropDuplicates within the
+# watermark + windowed count (stream_dedup_exactly_once's state
+# story applied per window).
+# ---------------------------------------------------------------------------
+@register(
+    "window_sliding_distinct",
+    """
+    WITH halves AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL '30 minutes', ts) AS h
+      FROM events
+    ), fanned AS (
+      SELECT user_id,
+             unnest([h, h - INTERVAL '30 minutes']) AS window_start
+      FROM halves
+    )
+    SELECT window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM fanned
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    doc="distinct users per sliding 1h/30m window: dedup-before-fan-out shape",
+)
+def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    halves = (
+        e.select(
+            "user_id",
+            F.window("ts", "30 minutes").getField("start").alias("h"),
+        )
+        .distinct()
+    )
+    fanned = halves.select(
+        "user_id",
+        F.explode(
+            F.array(F.col("h"), F.col("h") - F.expr("INTERVAL 30 MINUTES"))
+        ).alias("window_start"),
+    )
+    return (
+        fanned.groupBy("window_start")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("window_start")
+    )
