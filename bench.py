@@ -215,6 +215,7 @@ HEADLINE = [
     "forecast_feature_matrix",
     "group_median_twophase",
     "window_sliding_distinct",
+    "attribution_channels",
 ]
 
 

@@ -174,6 +174,7 @@ _PRIORITY_ORDER = [
     "forecast_feature_matrix",
     "group_median_twophase",
     "window_sliding_distinct",
+    "attribution_channels",
     # stalest (r3) first
     # r3-vintage rows
     "q6_forecast_revenue",

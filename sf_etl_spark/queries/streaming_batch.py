@@ -1643,3 +1643,124 @@ def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution — last-touch AND first-touch revenue credit
+# per channel, in one pipeline: channel comes out of the JSON props
+# (the Jsonb lane), last touch is the as-of join (each purchase's
+# most recent prior click), first touch is the user's earliest click
+# (min_by over one user exchange), and the credit fan-in rides the
+# exact-decimal sum lane. The composition proof for the attribution
+# surface: json extraction + union+window as-of + broadcast-joined
+# first-touch table + partial-agged credit sums, with every shuffle
+# on user_id until the final |channels|-row aggregation.
+#
+# Credit rule: purchases with no prior click in either model land in
+# channel -1 ("direct") so total credited revenue is conserved —
+# the invariant attribution dashboards are audited against.
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_channels",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts,
+             CAST(json_extract_string(props, '$.k') AS INT) % 5 AS channel
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), last_touch AS (
+      SELECT p.event_id, p.value, coalesce(c.channel, -1) AS channel
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ), first_click AS (
+      SELECT user_id, arg_min(channel, ts) AS channel, min(ts) AS first_ts
+      FROM clicks GROUP BY user_id
+    ), first_touch AS (
+      SELECT p.event_id, p.value,
+             CASE WHEN f.first_ts IS NOT NULL AND f.first_ts <= p.ts
+                  THEN f.channel ELSE -1 END AS channel
+      FROM purchases p LEFT JOIN first_click f ON p.user_id = f.user_id
+    ), lt AS (
+      SELECT channel, CAST(count(*) AS BIGINT) AS lt_purchases,
+             CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+               AS lt_revenue
+      FROM last_touch GROUP BY channel
+    ), ft AS (
+      SELECT channel, CAST(count(*) AS BIGINT) AS ft_purchases,
+             CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+               AS ft_revenue
+      FROM first_touch GROUP BY channel
+    )
+    SELECT coalesce(lt.channel, ft.channel) AS channel,
+           coalesce(lt_purchases, 0) AS lt_purchases,
+           coalesce(lt_revenue, 0.0) AS lt_revenue,
+           coalesce(ft_purchases, 0) AS ft_purchases,
+           coalesce(ft_revenue, 0.0) AS ft_revenue
+    FROM lt FULL OUTER JOIN ft ON lt.channel = ft.channel
+    ORDER BY channel
+    """,
+    doc="last-touch + first-touch channel attribution; revenue-conserving, exact sums",
+)
+def attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    last_touch = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["channel"],
+    ).select(
+        "event_id",
+        "value",
+        F.coalesce(F.col("asof_channel"), F.lit(-1)).alias("channel"),
+    )
+    first_click = clicks.groupBy("user_id").agg(
+        F.min_by("channel", "ts").alias("fchannel"), F.min("ts").alias("first_ts")
+    )
+    first_touch = (
+        purchases.join(F.broadcast(first_click), "user_id", "left")
+        .select(
+            "event_id",
+            "value",
+            F.when(
+                F.col("first_ts").isNotNull() & (F.col("first_ts") <= F.col("ts")),
+                F.col("fchannel"),
+            )
+            .otherwise(F.lit(-1))
+            .alias("channel"),
+        )
+    )
+
+    def credit(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy("channel").agg(
+            F.count(F.lit(1)).alias(f"{prefix}_purchases"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias(f"{prefix}_revenue"),
+        )
+
+    lt, ft = credit(last_touch, "lt"), credit(first_touch, "ft")
+    return (
+        lt.join(ft, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("lt_purchases", F.lit(0)).alias("lt_purchases"),
+            F.coalesce("lt_revenue", F.lit(0.0)).alias("lt_revenue"),
+            F.coalesce("ft_purchases", F.lit(0)).alias("ft_purchases"),
+            F.coalesce("ft_revenue", F.lit(0.0)).alias("ft_revenue"),
+        )
+        .orderBy("channel")
+    )
