@@ -41,10 +41,16 @@ def kth_smallest(
     """Exact k-th smallest (1-based) of an integer column, by
     iterative histogram narrowing. Returns the value as a Python int
     (a bounded scalar — the caller re-enters it as a literal/1-row
-    frame, the same policy as pagerank's n_nodes)."""
+    frame, the same policy as pagerank's n_nodes).
+
+    NULL semantics: ranks are over the NON-NULL values (SQL ordered-
+    set-function convention). The filter is applied here rather than
+    assumed of the caller — r6 ADVICE: an unfiltered frame used to
+    send null hash-bucket rows to the driver walk and TypeError."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     c = F.col(col)
+    df = df.filter(c.isNotNull())
     bounds = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
@@ -117,6 +123,7 @@ def grouped_median_twophase(
     group_col: str,
     col: str,
     n_buckets: int = 1024,
+    max_meta_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact per-group median of an integer column in TWO fixed
     passes, without sorting any full group.
@@ -143,9 +150,21 @@ def grouped_median_twophase(
     group for adversarial skew.
 
     Returns (group, n, v_lo, v_hi, median) — v_lo/v_hi are the middle
-    rank values (equal for odd n).
+    rank values (equal for odd n). Medians are over the NON-NULL
+    values per group (nulls filtered here, not assumed away — r6
+    ADVICE); all-null groups drop out, matching ``median() FILTER
+    (WHERE x IS NOT NULL)`` semantics.
+
+    Driver-metadata budget (r6 verdict task 5): the collected
+    histogram is ≤ |groups|·B rows, which is "bounded metadata" only
+    while |groups| is dimension-sized. ``max_meta_rows`` makes that
+    assumption explicit — past it the call FAILS LOUD (with the knobs
+    that fix it: shrink ``n_buckets``, or use the fully-distributed
+    window path ``percentiles_by_flag`` models) instead of silently
+    OOMing the driver on a high-cardinality group column.
     """
     g, c = F.col(group_col), F.col(col)
+    df = df.filter(c.isNotNull())
     bounds = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
@@ -154,11 +173,20 @@ def grouped_median_twophase(
     width = -(-span // n_buckets)
     a = c.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
     bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
-    hist = (
-        df.groupBy(g.alias("_g"), bucket.alias("_b"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()  # ≤ |groups| × n_buckets rows: bounded metadata
+    hist_df = df.groupBy(g.alias("_g"), bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n")
     )
+    # limit(budget+1) caps what can ever reach the driver; one extra
+    # row distinguishes "at budget" from "over budget" without a
+    # separate count job.
+    hist = hist_df.limit(max_meta_rows + 1).collect()
+    if len(hist) > max_meta_rows:
+        raise ValueError(
+            f"grouped_median_twophase: per-(group,bucket) histogram exceeds "
+            f"max_meta_rows={max_meta_rows} (high-cardinality {group_col!r}?); "
+            f"lower n_buckets, raise max_meta_rows, or use a window-based "
+            f"per-group median instead"
+        )
     per_group: dict = {}
     for r in hist:
         per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])

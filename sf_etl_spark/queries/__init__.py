@@ -96,73 +96,19 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-6 rotation. The driver correctness window holds ~50
-    # rows; rank is by information value: (1) the 22 r1-vintage
-    # relational lanes and 14 r2-vintage TPC-H shapes whose only
-    # hash rows predate FOUR fixture regenerations (r3 proved stale
-    # evidence is how breakage hides) — the r5 verdict names this
-    # the round-6 priority; (2) fuzzy_name_match, whose blocking
-    # scheme changes this round (sorted-neighborhood) and needs a
-    # fresh row for the NEW semantics; (3) lanes registered this
-    # round (never verified). Everything below the window boundary
-    # is ordered stalest-first: r3-vintage, r4-vintage, then the 50
-    # lanes re-proven fresh in r5. ---
-    # (1) r1-vintage relational long tail
-    "agg_having",
-    "agg_stats_by_status",
-    "approx_distinct_custkeys",
-    "array_functions",
-    "conditional_predicates",
-    "cube_status_priority",
-    "date_functions",
-    "distinct_flags",
-    "filter_project",
-    "join_anti",
-    "join_left_outer",
-    "join_semi",
-    "json_extract",
-    "map_functions",
-    "math_functions",
-    "min_per_group_joinback",
-    "order_limit_offset",
-    "pivot_returnflag",
-    "rollup_flags",
-    "set_ops",
-    "set_ops_all",
-    "string_functions",
-    # (1) r2-vintage TPC-H shapes
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_or_of_ands",
-    "q21_waiting_suppliers",
-    "q22_dormant_balance",
-    # (2) changed this round: new sorted-neighborhood blocking
-    "fuzzy_name_match",
-    # (3) new round-6 lanes (never driver-verified)
-    "multimodal_decode_stats",
-    "time_weighted_average",
-    "cusum_drift_detection",
-    "pareto_frontier_parts",
-    "kmv_set_overlap",
-    "keyword_textrank",
-    "bfs_shortest_paths",
-    "ivm_join_deltas",
-    "zone_map_pruned_scan",
-    "rolling_median_7d",
-    "phrase_search_positional",
-    "exact_median_histogram",
-    "linkage_survivorship",
-    # --- ~50-entry window boundary lands here; below rotates back ---
-    # round-6 lanes that did not fit the window: first in line for r7
+    # --- round-7 rotation (the r6 verdict's task 1): the ~50-row
+    # driver window goes to (1) the 12 round-6 lanes that landed past
+    # the r6 window boundary and have NEVER been driver-hashed — two
+    # of them (`attribution_channels`, `group_median_twophase`) also
+    # changed this round (broadcast-hint drop; null/budget hardening),
+    # so their first row verifies the NEW code; (2) the 29 r3-vintage
+    # rows, now the stalest evidence in the repo (three fixture
+    # generations old); (3) the round-7 lanes registered this round
+    # (never verified). 12+29+9 = 50. Below the boundary the order is
+    # stalest-first for the NEXT rotation: the r4-vintage block (50
+    # rows, fronted now for r8 per the r6 verdict's task 10), then the
+    # lanes re-proven fresh in r6, then the r5-fresh block. ---
+    # (1) late-round-6 lanes, never driver-verified
     "countmin_point_estimates",
     "seasonal_anomaly_slots",
     "asof_nearest_click",
@@ -175,8 +121,7 @@ _PRIORITY_ORDER = [
     "group_median_twophase",
     "window_sliding_distinct",
     "attribution_channels",
-    # stalest (r3) first
-    # r3-vintage rows
+    # (2) r3-vintage rows (stalest driver evidence)
     "q6_forecast_revenue",
     "window_frames",
     "grouping_sets_flags",
@@ -206,7 +151,19 @@ _PRIORITY_ORDER = [
     "ann_srp_lsh_pairs",
     "dedup_embedding_pipeline",
     "embedding_quantize_int8",
-    # r4-vintage rows
+    # (3) new round-7 lanes (never verified)
+    "snapshot_diff_cdc",
+    "stratified_sample_exact",
+    "gap_islands_activity",
+    "mode_per_group",
+    "regression_by_group",
+    "geo_nearest_hub",
+    "correlation_matrix",
+    "ab_test_lift",
+    "decile_lift_table",
+    # --- ~50-entry window boundary lands here; below rotates back ---
+    # r4-vintage rows: stalest after this window clears — first in
+    # line for the r8 rotation (r6 verdict task 10)
     "events_hourly_ffill",
     "funnel_conversion",
     "soql_child_traversal",
@@ -257,6 +214,57 @@ _PRIORITY_ORDER = [
     "percentiles_by_flag",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    # r6-fresh rows (re-proven last round)
+    "agg_having",
+    "agg_stats_by_status",
+    "approx_distinct_custkeys",
+    "array_functions",
+    "conditional_predicates",
+    "cube_status_priority",
+    "date_functions",
+    "distinct_flags",
+    "filter_project",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "map_functions",
+    "math_functions",
+    "min_per_group_joinback",
+    "order_limit_offset",
+    "pivot_returnflag",
+    "rollup_flags",
+    "set_ops",
+    "set_ops_all",
+    "string_functions",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_or_of_ands",
+    "q21_waiting_suppliers",
+    "q22_dormant_balance",
+    "fuzzy_name_match",
+    "multimodal_decode_stats",
+    "time_weighted_average",
+    "cusum_drift_detection",
+    "pareto_frontier_parts",
+    "kmv_set_overlap",
+    "keyword_textrank",
+    "bfs_shortest_paths",
+    "ivm_join_deltas",
+    "zone_map_pruned_scan",
+    "rolling_median_7d",
+    "phrase_search_positional",
+    "exact_median_histogram",
+    "linkage_survivorship",
     # r5-fresh rows (verified last round; least at risk)
     "ann_ivf_kmeans_agreement",
     "multimodal_features_checksum",
@@ -321,6 +329,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so a syntax error in one module surfaces
     # at call time (driver-visible) instead of breaking package import.
     from sf_etl_spark.queries import (  # noqa: F401
+        analytics,
         extensions,
         graph_analytics,
         llm,

@@ -1,0 +1,556 @@
+"""Statistical / BI analytics lanes — round-7 surface.
+
+The reference pushes every aggregate semantics through opaque SOQL
+(`oxidized-force/src/client.rs:199-205`); these lanes make the
+statistics a warehouse actually runs on extracted data first-class:
+per-group mode, grouped OLS regression, a correlation matrix, an A/B
+test read-out, a decile lift table, and nearest-hub assignment.
+
+Numeric parity follows relational.py's rules: per-row double
+arithmetic is left unrounded (identical IEEE ops on identical inputs
+are bit-equal across engines); every SUM over doubles goes through
+the exact-decimal ``dsum``/``SUMD`` pair so summation order can't
+flip a bit; and every derived statistic (slope, r², z-score, lift)
+is written as the SAME expression tree on both sides, fed only by
+those bit-identical inputs.
+
+Scale rules applied throughout: moments are one map-side-partial
+aggregation pass (never a self-join, never a collect); fixed-domain
+frames (5 priorities, 5 hubs, 10 deciles) are the only broadcast
+hints; per-entity frames (users, customers) always shuffle on their
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sf_etl_spark.queries import register
+from sf_etl_spark.queries.relational import DEC, SUMD, dsum
+from sf_etl_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Per-group mode — the categorical analogue of the exact-median lane
+# (operators/orderstats.py). Deterministic tie policy: highest count,
+# then SMALLEST value (a bare mode() is underspecified in both
+# engines and would flap the hash on the uniform-quantity fixture,
+# where ties are the common case, not the corner case).
+#
+# Scale: groupBy(group, value) partial-aggregates the fact down to
+# |groups|·|distinct values| rows BEFORE the only shuffle; the
+# row_number window then partitions by group over that already-small
+# frame. No global sort, no self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "mode_per_group",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n_mode
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), r AS (
+      SELECT l_returnflag, l_quantity, n_mode,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n_mode DESC, l_quantity) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n_mode
+    FROM r WHERE rk = 1
+    ORDER BY l_returnflag
+    """,
+    doc="exact per-group mode with deterministic (max count, min value) tie-break",
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n_mode")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n_mode"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n_mode")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression (price on quantity per return flag) from
+# exact-decimal moment sums: n, Σx, Σy, Σx², Σy², Σxy per group in
+# ONE partial-aggregated pass, then slope/intercept/r² as closed
+# forms. The built-in regr_slope/corr aggregates are double
+# accumulators — order-dependent, so they can't cross the value-hash
+# gate; the moment route is order-free AND the 100 TB shape (six
+# map-side-combined sums vs. any second pass).
+# ---------------------------------------------------------------------------
+@register(
+    "regression_by_group",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             {SUMD('l_quantity')} AS sx,
+             {SUMD('l_extendedprice')} AS sy,
+             {SUMD('l_quantity * l_quantity')} AS sxx,
+             {SUMD('l_extendedprice * l_extendedprice')} AS syy,
+             {SUMD('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, n, sx, sy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS denx,
+             n * syy - sy * sy AS deny
+      FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           num / denx AS slope,
+           (sy - (num / denx) * sx) / n AS intercept,
+           (num * num) / (denx * deny) AS r2
+    FROM d
+    ORDER BY l_returnflag
+    """,
+    doc="per-group OLS slope/intercept/r² from one pass of exact-decimal moments",
+)
+def regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    d = m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        (n * F.col("sxy") - sx * sy).alias("num"),
+        (n * F.col("sxx") - sx * sx).alias("denx"),
+        (n * F.col("syy") - sy * sy).alias("deny"),
+    )
+    num, denx, deny = F.col("num"), F.col("denx"), F.col("deny")
+    return d.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (num / denx).alias("slope"),
+        ((sy - (num / denx) * sx) / n).alias("intercept"),
+        ((num * num) / (denx * deny)).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix over the four numeric lineitem
+# measures, as the upper triangle in long form (var_a < var_b). ONE
+# global aggregation computes all 14 moment sums (4 sums + 4 squares
+# + 6 cross-products) map-side-partial in a single fact pass; the
+# 1-row result is then expanded to 6 rows JVM-side (inline struct
+# array — no driver round-trip, no second scan). The naive
+# alternative — corr() per pair — is 6 passes and order-dependent.
+# ---------------------------------------------------------------------------
+_CM_VARS = [
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+def _cm_oracle() -> str:
+    sums = ",\n             ".join(
+        f"{SUMD(expr)} AS s_{k}" for k, expr in _CM_VARS
+    ) + ",\n             " + ",\n             ".join(
+        f"{SUMD(f'{ea} * {eb}')} AS s_{a}_{b}"
+        for i, (a, ea) in enumerate(_CM_VARS)
+        for b, eb in [v for v in _CM_VARS[i:]]
+    )
+    pair_rows = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS var_a, '{b}' AS var_b, "
+        f"(n * s_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * s_{a}_{a} - s_{a} * s_{a}) * (n * s_{b}_{b} - s_{b} * s_{b})) "
+        f"AS pearson_r FROM m"
+        for i, (a, _) in enumerate(_CM_VARS)
+        for b, _eb in _CM_VARS[i + 1 :]
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             {sums}
+      FROM lineitem
+    )
+    {pair_rows}
+    ORDER BY var_a, var_b
+    """
+
+
+@register(
+    "correlation_matrix",
+    _cm_oracle(),
+    doc="pairwise Pearson matrix (4 measures, 6 pairs) from one moment-sum pass",
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {k: F.col(e) for k, e in _CM_VARS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [dsum(c).alias(f"s_{k}") for k, c in cols.items()]
+    keys = list(cols)
+    for i, a in enumerate(keys):
+        for b in keys[i:]:
+            aggs.append(dsum(cols[a] * cols[b]).alias(f"s_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def r(a: str, b: str) -> Column:
+        n = F.col("n")
+        num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        db = n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return num / F.sqrt(da * db)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                r(a, b).alias("pearson_r"),
+            )
+            for i, a in enumerate(keys)
+            for b in keys[i + 1 :]
+        ]
+    )
+    return (
+        m.select(F.explode(pairs).alias("p"))
+        .select("p.var_a", "p.var_b", "p.pearson_r")
+        .orderBy("var_a", "var_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test read-out: users hash-split 50/50 by the engine-portable
+# md5-top-64 (the split_train_test trick — deterministic under retry,
+# never rand()), conversion = user with ≥ _AB_CONV_MIN purchases (the
+# fixture's per-user purchase count straddles this at every SF, so
+# both cohorts have conversions AND non-conversions — a ≥1 definition
+# converts ~everyone and degenerates the z-score to 0/0), revenue =
+# exact-decimal purchase value. One row out: cohort sizes, conversion
+# rates, relative lift, and the two-proportion z-score — all written
+# as the identical expression tree on both sides over bit-identical
+# counts/sums.
+#
+# Scale: the only shuffles are the two user_id aggregations (distinct
+# users; per-user revenue) — both partial-agged; the final 1-row
+# conditional aggregation is map-side-combinable. Nothing is
+# broadcast and nothing touches the driver.
+# ---------------------------------------------------------------------------
+_AB_SALT = "ab:v1:"
+_AB_CONV_MIN = 14
+
+
+@register(
+    "ab_test_lift",
+    f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), v AS (
+      SELECT user_id,
+             CAST(CAST(('0x' || substring(md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 2 AS INT) AS grp
+      FROM u
+    ), pu AS (
+      SELECT user_id, count(*) AS n_purch, {SUMD('value')} AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), j AS (
+      SELECT v.user_id, v.grp, pu.rev,
+             CASE WHEN coalesce(pu.n_purch, 0) >= {_AB_CONV_MIN} THEN 1 END AS conv
+      FROM v LEFT JOIN pu USING (user_id)
+    ), agg AS (
+      SELECT CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_control,
+             CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_treat,
+             CAST(count(CASE WHEN grp = 0 THEN conv END) AS BIGINT) AS conv_control,
+             CAST(count(CASE WHEN grp = 1 THEN conv END) AS BIGINT) AS conv_treat,
+             CAST(CAST(sum(CASE WHEN grp = 0 THEN CAST(rev AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE) AS rev_control,
+             CAST(CAST(sum(CASE WHEN grp = 1 THEN CAST(rev AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE) AS rev_treat
+      FROM j
+    ), rates AS (
+      SELECT *,
+             CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS rate_control,
+             CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS rate_treat,
+             CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE) AS p_pool
+      FROM agg
+    )
+    SELECT n_control, n_treat, conv_control, conv_treat, rev_control, rev_treat,
+           rate_control, rate_treat,
+           (rate_treat - rate_control) / rate_control AS rel_lift,
+           (rate_treat - rate_control) /
+             sqrt(p_pool * (1.0 - p_pool) *
+                  (1.0 / CAST(n_control AS DOUBLE) + 1.0 / CAST(n_treat AS DOUBLE))) AS z_score
+    FROM rates
+    """,
+    doc="A/B read-out: md5-split cohorts, conversion lift, two-proportion z",
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grp = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_AB_SALT), F.col("user_id").cast("string"))),
+                1,
+                16,
+            ),
+            16,
+            10,
+        ).cast("decimal(20,0)"),
+        F.lit(2),
+    ).cast("int")
+    users = ev.select("user_id").distinct().withColumn("grp", grp)
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purch"), dsum("value").alias("rev"))
+    )
+    j = users.join(per_user, "user_id", "left").withColumn(
+        "conv",
+        F.when(F.coalesce(F.col("n_purch"), F.lit(0)) >= _AB_CONV_MIN, 1),
+    )
+    g = F.col("grp")
+    rev = F.col("rev")
+    agg = j.agg(
+        F.count(F.when(g == 0, 1)).alias("n_control"),
+        F.count(F.when(g == 1, 1)).alias("n_treat"),
+        F.count(F.when(g == 0, F.col("conv"))).alias("conv_control"),
+        F.count(F.when(g == 1, F.col("conv"))).alias("conv_treat"),
+        F.sum(F.when(g == 0, rev.cast(DEC))).cast("string").cast("double").alias("rev_control"),
+        F.sum(F.when(g == 1, rev.cast(DEC))).cast("string").cast("double").alias("rev_treat"),
+    )
+    rates = agg.select(
+        "*",
+        (F.col("conv_control").cast("double") / F.col("n_control").cast("double")).alias("rate_control"),
+        (F.col("conv_treat").cast("double") / F.col("n_treat").cast("double")).alias("rate_treat"),
+        (
+            (F.col("conv_control") + F.col("conv_treat")).cast("double")
+            / (F.col("n_control") + F.col("n_treat")).cast("double")
+        ).alias("p_pool"),
+    )
+    rc, rt, pp = F.col("rate_control"), F.col("rate_treat"), F.col("p_pool")
+    return rates.select(
+        "n_control",
+        "n_treat",
+        "conv_control",
+        "conv_treat",
+        "rev_control",
+        "rev_treat",
+        "rate_control",
+        "rate_treat",
+        ((rt - rc) / rc).alias("rel_lift"),
+        (
+            (rt - rc)
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (
+                    F.lit(1.0) / F.col("n_control").cast("double")
+                    + F.lit(1.0) / F.col("n_treat").cast("double")
+                )
+            )
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table: customers scored by account balance, outcome =
+# lifetime order spend; report per-decile spend, cumulative capture,
+# and cumulative lift — the standard read-out for any propensity
+# score. Deciles are ntile(10) over a TOTAL order (score desc, key) so
+# ties can't flap bucket boundaries between engines.
+#
+# Spend stays DECIMAL end-to-end (per-customer sum → per-decile sum →
+# cumulative/total window sums), converting to double only at the
+# output boundary via the varchar route. Re-casting an intermediate
+# COMPUTED double back to decimal would hit the HALF_UP-vs-binary
+# rounding split the module docstring warns about — a 1-ulp capture
+# mismatch observed in development came exactly from that — whereas
+# decimal→decimal sums are exact at every stage.
+#
+# Scale: the per-customer spend aggregate and the customer join both
+# shuffle on custkey; the global ntile is a sort of the CUSTOMER
+# DIMENSION (not the fact). For a fact-scale scored table the recipe
+# is KLL cut-points (queries/sketches.py) + a range filter per
+# decile — noted here because a global ntile over 100 TB of facts
+# would serialize on one sort.
+# ---------------------------------------------------------------------------
+_D2S = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
+@register(
+    "decile_lift_table",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,10))) AS spend
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             coalesce(s.spend, CAST(0 AS DECIMAL(38,10))) AS spend
+      FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    ), t AS (
+      SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile, spend
+      FROM scored
+    ), g AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(spend) AS dspend
+      FROM t GROUP BY decile
+    ), c AS (
+      SELECT decile, n_customers, dspend,
+             sum(dspend) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cspend,
+             sum(n_customers) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             sum(dspend) OVER () AS tspend,
+             sum(n_customers) OVER () AS tot_n
+      FROM g
+    )
+    SELECT CAST(decile AS INT) AS decile, n_customers,
+           {_D2S.format(x='dspend')} AS decile_spend,
+           {_D2S.format(x='cspend')} AS cum_spend,
+           {_D2S.format(x='cspend')} / {_D2S.format(x='tspend')} AS capture,
+           ({_D2S.format(x='cspend')} / CAST(cum_n AS DOUBLE)) /
+           ({_D2S.format(x='tspend')} / CAST(tot_n AS DOUBLE)) AS lift
+    FROM c
+    ORDER BY decile
+    """,
+    doc="decile lift/capture table over balance-scored customers, decimal end-to-end",
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend")
+    )
+    scored = cust.join(
+        spend, cust["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce(F.col("spend"), F.lit(0).cast(DEC)).alias("spend"),
+    )
+    t = scored.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+        .alias("decile"),
+        "spend",
+    )
+    g = t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend").alias("dspend"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = g.select(
+        "decile",
+        "n_customers",
+        F.col("dspend"),
+        F.sum("dspend").over(w_cum).alias("cspend"),
+        F.sum("n_customers").over(w_cum).alias("cum_n"),
+        F.sum("dspend").over(w_all).alias("tspend"),
+        F.sum("n_customers").over(w_all).alias("tot_n"),
+    )
+    d2s = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
+    return c.select(
+        "decile",
+        "n_customers",
+        d2s("dspend").alias("decile_spend"),
+        d2s("cspend").alias("cum_spend"),
+        (d2s("cspend") / d2s("tspend")).alias("capture"),
+        (
+            (d2s("cspend") / F.col("cum_n").cast("double"))
+            / (d2s("tspend") / F.col("tot_n").cast("double"))
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Nearest-hub assignment: every customer mapped to its closest of K
+# fixed hubs — the K-fixed-centers special case of the IVF assignment
+# pass (similarity.py), on synthetic-but-deterministic coordinates
+# (integer congruences of the key → exact, engine-portable; hub
+# coordinates are quarter-degree values, exact in binary64, so no
+# literal-rounding skew). Tie policy: min distance, then min hub id —
+# expressed as a lexicographic struct-min in Spark (partial-aggable,
+# no window) and the equivalent min-dist + min-id join-back in SQL.
+#
+# Scale: K hubs broadcast (bounded literal); the K·|customers| fan-out
+# collapses map-side via the struct-min partial aggregation — the
+# per-customer shuffle carries ONE row per customer, not K.
+# ---------------------------------------------------------------------------
+_HUBS = [
+    (1, 37.75, -122.25),
+    (2, 40.75, -74.0),
+    (3, 51.5, -0.25),
+    (4, 35.75, 139.75),
+    (5, -33.75, 151.25),
+]
+
+
+@register(
+    "geo_nearest_hub",
+    f"""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 7919) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(90 AS DOUBLE) AS lat,
+             CAST((c_custkey * 104729) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) - CAST(180 AS DOUBLE) AS lon
+      FROM customer
+    ), h AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, CAST({la} AS DOUBLE), CAST({lo} AS DOUBLE))" for i, la, lo in _HUBS)})
+        AS t(hub_id, hub_lat, hub_lon)
+    ), x AS (
+      SELECT c_custkey, hub_id,
+             sqrt((lat - hub_lat) * (lat - hub_lat) + (lon - hub_lon) * (lon - hub_lon)) AS d
+      FROM c CROSS JOIN h
+    ), b AS (
+      SELECT c_custkey, min(d) AS md FROM x GROUP BY c_custkey
+    ), pick AS (
+      SELECT x.c_custkey, min(x.hub_id) AS hub_id, min(x.d) AS d
+      FROM x JOIN b ON x.c_custkey = b.c_custkey AND x.d = b.md
+      GROUP BY x.c_custkey
+    )
+    SELECT CAST(hub_id AS INT) AS hub_id,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {SUMD('d')} / CAST(count(*) AS DOUBLE) AS avg_dist
+    FROM pick GROUP BY hub_id ORDER BY hub_id
+    """,
+    doc="nearest-of-K-hubs assignment (broadcast centers, struct-min argmin), per-hub stats",
+)
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    c = cust.select(
+        "c_custkey",
+        (((k * 7919) % 18000).cast("double") / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+        (((k * 104729) % 36000).cast("double") / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+    )
+    hubs = spark.createDataFrame(
+        _HUBS, "hub_id int, hub_lat double, hub_lon double"
+    )
+    dla = F.col("lat") - F.col("hub_lat")
+    dlo = F.col("lon") - F.col("hub_lon")
+    x = c.crossJoin(F.broadcast(hubs)).select(
+        "c_custkey",
+        "hub_id",
+        F.sqrt(dla * dla + dlo * dlo).alias("d"),
+    )
+    pick = x.groupBy("c_custkey").agg(
+        F.min(F.struct(F.col("d"), F.col("hub_id"))).alias("m")
+    )
+    return (
+        pick.select(F.col("m.hub_id").alias("hub_id"), F.col("m.d").alias("d"))
+        .groupBy("hub_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (dsum("d") / F.count(F.lit(1)).cast("double")).alias("avg_dist"),
+        )
+        .orderBy("hub_id")
+    )

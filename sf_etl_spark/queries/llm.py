@@ -303,9 +303,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # sizes is a PER-DOCUMENT aggregate — O(|corpus|), unbounded — so
+    # no broadcast hint (r7 quarantine guard class): unhinted, the two
+    # joins hash-partition on doc_a/doc_b, which the pair aggregation
+    # upstream already produces, and AQE still broadcasts when the
+    # runtime size is actually small.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.30)
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")

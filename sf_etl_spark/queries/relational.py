@@ -1629,9 +1629,12 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    # item is a PER-ITEM aggregate over the whole catalog — unbounded
+    # (r7 quarantine guard class) — so the frequency joins carry no
+    # broadcast hint; only the 1-row basket total stays hinted.
     return (
-        pair.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
         .join(F.broadcast(n))
         .select(
             "part_a",
@@ -2075,7 +2078,7 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes_on_construct=True,
 )
 def linkage_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sf_etl_spark.operators.graph import connected_components
+    from sf_etl_spark.operators.graph import star_components
     from sf_etl_spark.operators.linkage import sorted_neighborhood_pairs
 
     p = load_table(spark, sf_dir, "part").select(
@@ -2098,14 +2101,16 @@ def linkage_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = mpairs.select(F.col("src").alias("vertex")).unionByName(
         mpairs.select(F.col("dst").alias("vertex"))
     ).distinct()
-    # label_rounds=2: sorted-neighborhood match graphs are name-sorted
-    # CHAINS (high diameter — measured 56 components over 20k verts at
-    # sf0.1), so min-label propagation cannot converge in any small
-    # round budget; failing over to the O(log n) star contraction
-    # after 2 rounds instead of 8 cuts ~35% of the wall (20.7 → 13.3 s
-    # measured) with identical labels (min vertex id is
-    # method-independent).
-    comp = connected_components(verts, mpairs, vertex_col="vertex", label_rounds=2)
+    # Star contraction FIRST-CLASS (r6 verdict task 6): sorted-
+    # neighborhood match graphs are name-sorted CHAINS (high diameter
+    # — measured 56 components over 20k verts at sf0.1), so min-label
+    # propagation can NEVER converge within a small round budget here
+    # and the r6 shape (label_rounds=2 then fall back) just burned two
+    # full propagation rounds before every run restarted on the
+    # O(log n) large-star/small-star machinery. Calling it directly
+    # removes those dead rounds; labels are identical (component min
+    # is method-independent — the oracle hash is unchanged).
+    comp = star_components(verts, mpairs, vertex_col="vertex")
     attrs = comp.join(p, comp["vertex"] == p["p_partkey"]).select(
         F.col("component").alias("cluster"), "p_partkey", "p_name", "cents"
     )

@@ -1390,9 +1390,14 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/joins.py:asof_nearest_join runs the union+window recipe
 # with one extra frame (first-following beside last-preceding), so
 # the bidirectional match still costs ONE user_id shuffle + ONE sort,
-# never a pairwise inequality join. The oracle restates it as two
-# DuckDB ASOF joins (>= backward, < forward) + an epoch_us distance
-# CASE, so frame off-by-ones and tie-direction bugs break the hash.
+# never a pairwise inequality join. The oracle restates each side as
+# an explicit two-step argmax — nearest ts, then the engine's payload
+# tie-break (MAX value backward / MIN value forward, the total order
+# the sort key (_ts, _side, _payload) induces) — instead of a bare
+# DuckDB ASOF join, which leaves the equal-ts pick UNSPECIFIED and
+# could flap the hash if a fixture regeneration ever emits duplicate
+# (user_id, ts) clicks with different values (r6 ADVICE). Frame
+# off-by-ones and tie-direction bugs still break the hash.
 # ---------------------------------------------------------------------------
 @register(
     "asof_nearest_click",
@@ -1401,12 +1406,22 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ), c AS (
       SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ), b0 AS (
+      SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS b_ts
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.event_id, p.user_id, p.ts
     ), b AS (
-      SELECT p.event_id, p.user_id, p.ts, cb.ts AS b_ts, cb.value AS b_val
-      FROM p ASOF LEFT JOIN c cb ON p.user_id = cb.user_id AND p.ts >= cb.ts
+      SELECT b0.event_id, b0.user_id, b0.ts, b0.b_ts, max(c.value) AS b_val
+      FROM b0 LEFT JOIN c ON c.user_id = b0.user_id AND c.ts = b0.b_ts
+      GROUP BY b0.event_id, b0.user_id, b0.ts, b0.b_ts
+    ), f0 AS (
+      SELECT p.event_id, p.user_id, min(c.ts) AS f_ts
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts > p.ts
+      GROUP BY p.event_id, p.user_id
     ), f AS (
-      SELECT p.event_id, cf.ts AS f_ts, cf.value AS f_val
-      FROM p ASOF LEFT JOIN c cf ON p.user_id = cf.user_id AND p.ts < cf.ts
+      SELECT f0.event_id, f0.f_ts, min(c.value) AS f_val
+      FROM f0 LEFT JOIN c ON c.user_id = f0.user_id AND c.ts = f0.f_ts
+      GROUP BY f0.event_id, f0.f_ts
     )
     SELECT b.event_id, b.user_id, b.ts,
            CASE WHEN f.f_ts IS NULL THEN b.b_ts
@@ -1726,11 +1741,17 @@ def attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.coalesce(F.col("asof_channel"), F.lit(-1)).alias("channel"),
     )
+    # first_click is a PER-USER aggregate — O(|users|) rows, unbounded
+    # in data size — so it must NOT carry a broadcast hint (r6 ADVICE/
+    # verdict task 2: forcing it risks driver OOM at the 100 TB scale
+    # this lane targets). Unhinted, the join is exchange-aligned with
+    # the user_id partitioning the aggregate itself produces, and AQE
+    # is still free to broadcast when the runtime size is small.
     first_click = clicks.groupBy("user_id").agg(
         F.min_by("channel", "ts").alias("fchannel"), F.min("ts").alias("first_ts")
     )
     first_touch = (
-        purchases.join(F.broadcast(first_click), "user_id", "left")
+        purchases.join(first_click, "user_id", "left")
         .select(
             "event_id",
             "value",
@@ -1763,4 +1784,144 @@ def attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ft_revenue", F.lit(0.0)).alias("ft_revenue"),
         )
         .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user runs of CONSECUTIVE active days — the
+# classic sessionization-at-day-granularity shape (streak detection,
+# retention runs). The island key is the standard row_number trick:
+# within a user, consecutive days share (day - row_number), so one
+# window + one aggregation finds every island with no self-join and
+# no iteration. Days are epoch-day integers (engine-portable; both
+# sides truncate the same UTC timestamp to the same calendar date).
+#
+# Scale: distinct() and the window both partition by user_id — ONE
+# shuffle alignment; per-user day lists are bounded by the calendar
+# span, so no skew from hot users beyond days-in-range.
+# ---------------------------------------------------------------------------
+@register(
+    "gap_islands_activity",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+    ), r AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d
+    )
+    SELECT user_id,
+           CAST(min(day) AS BIGINT) AS start_day,
+           CAST(max(day) AS BIGINT) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM r GROUP BY user_id, day - rn
+    ORDER BY user_id, start_day
+    """,
+    doc="gaps-and-islands: per-user consecutive-active-day runs via the rn-diff trick",
+)
+def gap_islands_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return (
+        r.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Read-side CDC by snapshot diff — the complement of the write-side
+# change feed (`merge_change_feed`, sink_roundtrip.py): given two
+# as-of states of a per-customer aggregate (orders before T1 vs
+# before T2), emit the change set a downstream consumer would apply.
+# Orders are append-only, so the legal transitions are 'insert' (new
+# customer) and 'update' (more orders); unchanged customers are
+# filtered OUT — the change set is the delta, not a copy of the
+# snapshot. Detection compares the order COUNT (monotone append ⇒
+# equal count ⇔ identical order set), never the float total.
+#
+# Scale: both snapshots come off ONE scan shape (same groupBy key),
+# the full-outer join rides the same o_custkey exchange, and the
+# delta is the only thing that leaves the join — at 100 TB this is
+# the o_custkey-aligned three-stage pipeline, no broadcast, no
+# collect. Totals are exact-decimal so 'update' rows hash identically
+# across engines.
+# ---------------------------------------------------------------------------
+_SNAP_T1, _SNAP_T2 = "1997-01-01", "1999-01-01"
+
+
+@register(
+    "snapshot_diff_cdc",
+    f"""
+    WITH a AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_T1} 00:00:00'
+      GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_T2} 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT b.o_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+           coalesce(a.n, 0) AS old_n, b.n AS new_n,
+           coalesce(a.total, 0.0) AS old_total, b.total AS new_total
+    FROM b LEFT JOIN a ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR a.n <> b.n
+    ORDER BY b.o_custkey
+    """,
+    doc="read-side CDC: diff of two as-of per-customer snapshots → insert/update delta",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+                .cast("string")
+                .cast("double")
+                .alias("total"),
+            )
+        )
+
+    a = snap(_SNAP_T1).select(
+        F.col("o_custkey").alias("a_key"),
+        F.col("n").alias("old_n"),
+        F.col("total").alias("old_total"),
+    )
+    b = snap(_SNAP_T2)
+    return (
+        b.join(a, b["o_custkey"] == a["a_key"], "left")
+        .filter(F.col("a_key").isNull() | (F.col("old_n") != F.col("n")))
+        .select(
+            "o_custkey",
+            F.when(F.col("a_key").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.coalesce("old_n", F.lit(0)).alias("old_n"),
+            F.col("n").alias("new_n"),
+            F.coalesce("old_total", F.lit(0.0)).alias("old_total"),
+            F.col("total").alias("new_total"),
+        )
+        .orderBy("o_custkey")
     )

@@ -500,8 +500,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64(F.expr("substring(text, i, 50)")).alias("h"))
         .distinct()
     )
+    # the >10-occurrence stop-shingle set grows with the corpus —
+    # unbounded, so no broadcast hint (r7 quarantine guard class); the
+    # anti-join rides the h-partitioning the count itself produces and
+    # AQE broadcasts when the runtime size is small
     common = w.groupBy("h").count().filter(F.col("count") > 10).select("h")
-    rw = w.join(F.broadcast(common), "h", "left_anti")
+    rw = w.join(common, "h", "left_anti")
     a = rw.select(F.col("doc_id").alias("doc_a"), "h")
     b = rw.select(F.col("doc_id").alias("doc_b"), "h")
     return (
@@ -678,8 +682,12 @@ def _cluster_report(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
         .select("doc_id", F.xxhash64(F.expr("substring(text, i, 50)")).alias("h"))
         .distinct()
     )
+    # the >10-occurrence stop-shingle set grows with the corpus —
+    # unbounded, so no broadcast hint (r7 quarantine guard class); the
+    # anti-join rides the h-partitioning the count itself produces and
+    # AQE broadcasts when the runtime size is small
     common = w.groupBy("h").count().filter(F.col("count") > 10).select("h")
-    rw = w.join(F.broadcast(common), "h", "left_anti")
+    rw = w.join(common, "h", "left_anti")
     edges = (
         rw.select(F.col("doc_id").alias("src"), "h")
         .join(rw.select(F.col("doc_id").alias("dst"), "h"), "h")
@@ -1119,4 +1127,103 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("encoding"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXACT proportional stratified sampling — the allocation-correct
+# sibling of `sample_per_label_cap` (which takes a fixed per-class
+# cap). Here the total sample size is EXACT (= _STRAT_N rows) and
+# per-stratum counts follow largest-remainder (Hamilton) rounding of
+# proportional quotas: base_h = floor(N·n_h / n), and the leftover
+# r = N − Σ base_h goes to the r strata with the largest remainders
+# (ties broken on stratum name). Everything is INTEGER arithmetic —
+# no double division anywhere in the allocation, so both engines
+# agree exactly. Row selection within a stratum is the house salted-
+# md5 order (deterministic under retry; never rand()).
+#
+# Scale: the allocation lives on a |strata|-row frame (fixed domain:
+# 5 order priorities) — windows over it are free, and it re-enters
+# the plan as a broadcast-joined dimension. The per-stratum
+# row_number is the one real cost: a per-stratum sort. For a
+# 100 TB fact with a hot stratum the recipe is the same two-phase
+# top-k used elsewhere (per-partition rank cut at k, then exact rank
+# over survivors) — at k ≤ alloc that prefilter bounds the sort
+# input to ~k rows per partition.
+# ---------------------------------------------------------------------------
+_STRAT_N = 1000
+_STRAT_SALT = "strat:v1:"
+
+
+@register(
+    "stratified_sample_exact",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+    ), t AS (
+      SELECT *, sum(n) OVER () AS tot FROM s
+    ), q AS (
+      SELECT o_orderpriority,
+             ({_STRAT_N} * n) // tot AS base,
+             ({_STRAT_N} * n) % tot AS rem
+      FROM t
+    ), a AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, o_orderpriority) AS rk,
+             {_STRAT_N} - sum(base) OVER () AS extra
+      FROM q
+    ), alloc AS (
+      SELECT o_orderpriority,
+             base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS k
+      FROM a
+    ), ranked AS (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5('{_STRAT_SALT}' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    SELECT r.o_orderpriority, r.o_orderkey, CAST(r.rn AS INT) AS rn
+    FROM ranked r JOIN alloc USING (o_orderpriority)
+    WHERE r.rn <= alloc.k
+    ORDER BY o_orderpriority, rn
+    """,
+    doc=f"exact {_STRAT_N}-row proportional stratified sample (largest-remainder allocation)",
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    t = stats.withColumn("tot", F.sum("n").over(w_all))
+    q = t.select(
+        "o_orderpriority",
+        F.expr(f"({_STRAT_N} * n) div tot").alias("base"),
+        F.expr(f"({_STRAT_N} * n) % tot").alias("rem"),
+    )
+    a = q.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("o_orderpriority")))
+        .alias("rk"),
+        (F.lit(_STRAT_N) - F.sum("base").over(w_all)).alias("extra"),
+    )
+    alloc = a.select(
+        "o_orderpriority",
+        (F.col("base") + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)).alias("k"),
+    )
+    w_strat = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.concat(F.lit(_STRAT_SALT), F.col("o_orderkey").cast("string"))),
+        F.col("o_orderkey"),
+    )
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w_strat).alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "o_orderpriority")
+        .filter(F.col("rn") <= F.col("k"))
+        .select("o_orderpriority", "o_orderkey", "rn")
+        .orderBy("o_orderpriority", "rn")
     )

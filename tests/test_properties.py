@@ -294,3 +294,44 @@ def test_grouped_median_matches_python_reference(spark):
         v_lo, v_hi = s[(n - 1) // 2], s[n // 2]
         assert got[g] == (n, v_lo, v_hi, (v_lo + v_hi) / 2.0), g
         assert got[g][3] == statistics.median(vals)
+
+
+def test_kth_smallest_ignores_nulls(spark):
+    """r6 ADVICE: ranks are over the NON-NULL values — a null bucket
+    used to TypeError the driver-side histogram walk."""
+    from sf_etl_spark.operators.orderstats import exact_median, kth_smallest
+
+    df = spark.createDataFrame(
+        [(None,), (7,), (None,), (1,), (5,), (None,)], "x int"
+    )
+    assert [kth_smallest(df, "x", k, n_buckets=4) for k in (1, 2, 3)] == [1, 5, 7]
+    n, v1, v2 = exact_median(df, "x")
+    assert (n, v1, v2) == (3, 5, 5)
+
+
+def test_grouped_median_ignores_nulls_and_drops_allnull_groups(spark):
+    from sf_etl_spark.operators.orderstats import grouped_median_twophase
+
+    rows = [("a", 1), ("a", None), ("a", 3), ("b", None), ("c", 10)]
+    df = spark.createDataFrame(rows, "g string, x int")
+    got = {
+        r["g"]: (r["n"], r["median"])
+        for r in grouped_median_twophase(df, "g", "x", n_buckets=8).collect()
+    }
+    assert got == {"a": (2, 2.0), "c": (1, 10.0)}
+
+
+def test_grouped_median_fails_loud_past_meta_budget(spark):
+    """r6 verdict task 5: the |groups|·B histogram is driver-side
+    metadata — a high-cardinality group column must raise, not OOM."""
+    import pytest
+
+    from sf_etl_spark.operators.orderstats import grouped_median_twophase
+
+    # 500 distinct groups × ≥1 occupied bucket > a 100-row budget
+    df = spark.range(500).selectExpr("cast(id as string) as g", "id as x")
+    with pytest.raises(ValueError, match="max_meta_rows"):
+        grouped_median_twophase(df, "g", "x", n_buckets=4, max_meta_rows=100)
+    # at/under budget still computes (each group occupies 1 bucket)
+    out = grouped_median_twophase(df, "g", "x", n_buckets=4, max_meta_rows=500)
+    assert out.count() == 500

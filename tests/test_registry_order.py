@@ -13,69 +13,69 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 6 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r5 verdict's ask #1):
-# (1) the 22 r1-vintage relational lanes and 14 r2-vintage TPC-H
-# shapes whose only hash rows predate FOUR fixture regenerations,
-# (2) fuzzy_name_match, whose blocking scheme CHANGED this round
-# (sorted-neighborhood) so its old row proves the wrong semantics,
-# (3) every lane registered in round 6 (never driver-verified).
-# Everything re-proven fresh in r5 rotates behind the boundary.
+# (round 7 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r6 verdict's ask #1):
+# (1) the 12 late-round-6 lanes that landed past the r6 window
+# boundary and have NEVER been driver-hashed — two of them also
+# changed this round (attribution broadcast-hint drop; grouped-median
+# null/budget hardening), so their first row verifies the NEW code;
+# (2) the 29 r3-vintage rows, now the stalest evidence in the repo;
+# (3) every lane registered in round 7 (never driver-verified).
+# Everything re-proven fresh in r5/r6 rotates behind the boundary.
 MUST_BE_IN_WINDOW = [
-    # (1) r1-vintage relational long tail
-    "agg_having",
-    "agg_stats_by_status",
-    "approx_distinct_custkeys",
-    "array_functions",
-    "conditional_predicates",
-    "cube_status_priority",
-    "date_functions",
-    "distinct_flags",
-    "filter_project",
-    "join_anti",
-    "join_left_outer",
-    "join_semi",
-    "json_extract",
-    "map_functions",
-    "math_functions",
-    "min_per_group_joinback",
-    "order_limit_offset",
-    "pivot_returnflag",
-    "rollup_flags",
-    "set_ops",
-    "set_ops_all",
-    "string_functions",
-    # (1) r2-vintage TPC-H shapes
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_or_of_ands",
-    "q21_waiting_suppliers",
-    "q22_dormant_balance",
-    # (2) semantics changed this round
-    "fuzzy_name_match",
-    # (3) round-6 lanes, never driver-verified
-    "multimodal_decode_stats",
-    "time_weighted_average",
-    "cusum_drift_detection",
-    "pareto_frontier_parts",
-    "kmv_set_overlap",
-    "keyword_textrank",
-    "bfs_shortest_paths",
-    "ivm_join_deltas",
-    "zone_map_pruned_scan",
-    "rolling_median_7d",
-    "phrase_search_positional",
-    "exact_median_histogram",
-    "linkage_survivorship",
+    # (1) late-round-6 lanes, never driver-verified
+    "countmin_point_estimates",
+    "seasonal_anomaly_slots",
+    "asof_nearest_click",
+    "funnel_time_to_convert",
+    "multimodal_resize_stats",
+    "agms_join_size",
+    "ann_recall_metrics",
+    "target_encoding_smoothed",
+    "forecast_feature_matrix",
+    "group_median_twophase",
+    "window_sliding_distinct",
+    "attribution_channels",
+    # (2) r3-vintage rows (stalest driver evidence)
+    "q6_forecast_revenue",
+    "window_frames",
+    "grouping_sets_flags",
+    "vocab_top_terms",
+    "unpivot_metrics",
+    "null_semantics",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "dq_validation_report",
+    "source_schema_evolution",
+    "bucketed_join_colocated",
+    "dedup_cluster_components",
+    "dedup_cluster_bigstar",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "decontaminate_ngram_overlap",
+    "domain_mix_rebalance",
+    "corpus_prep_pipeline",
+    "split_train_test",
+    "sample_per_label_cap",
+    "pack_token_shards",
+    "clean_text_normalize",
+    "repetition_metrics",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_srp_lsh_pairs",
+    "dedup_embedding_pipeline",
+    "embedding_quantize_int8",
+    # (3) new round-7 lanes (never verified)
+    "snapshot_diff_cdc",
+    "stratified_sample_exact",
+    "gap_islands_activity",
+    "mode_per_group",
+    "regression_by_group",
+    "geo_nearest_hub",
+    "correlation_matrix",
+    "ab_test_lift",
+    "decile_lift_table",
 ]
 
 
