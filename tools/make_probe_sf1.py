@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Generate a 10x-scaled (sf~1) probe dataset from sf0.1 into
+.probe/sf1, preserving each probe lane's WORKLOAD STRUCTURE:
+
+- orders/lineitem: 10 disjoint replicas with shifted keys
+  (o_orderkey/l_orderkey += k*1e9, o_custkey += k*1e8,
+  l_suppkey += k*1e7, l_partkey += k*1e8). Disjoint key spaces keep
+  join fan-outs and graph topology per-replica identical to sf0.1 —
+  the scan/join/shuffle volume grows 10x while per-key semantics
+  stay fixed, which is exactly what an sf-scaling probe should vary.
+- part: 10 replicas with a distinct first-token prefix ('r<k> ') on
+  p_name, so sorted-neighborhood blocking windows never span
+  replicas (linkage clusters stay replica-local; without the prefix,
+  'name' and 'name' in two replicas are Levenshtein-0 and every
+  cluster would 10x, changing the workload instead of scaling it).
+- every other table: copied through unchanged (dimension-sized).
+
+Used by the PLANS.md round-7 sf1 probes (r6 verdict task 7); output
+is gitignored scratch, not a fixture.
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sf_etl_spark.session import get_spark  # noqa: E402
+from sf_etl_spark.sources import load_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".probe", "sf1")
+REPLICAS = 10
+
+
+def main() -> None:
+    spark = get_spark("sf1-probe-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(DST, exist_ok=True)
+    k = F.col("_rep")
+
+    def replicate(df):
+        return df.crossJoin(
+            spark.range(REPLICAS).select(F.col("id").cast("int").alias("_rep"))
+        )
+
+    o = replicate(load_table(spark, SRC, "orders")).select(
+        (F.col("o_orderkey") + k.cast("long") * 1_000_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + k.cast("long") * 100_000_000).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    o.write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
+
+    li = replicate(load_table(spark, SRC, "lineitem")).select(
+        (F.col("l_orderkey") + k.cast("long") * 1_000_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + k.cast("long") * 100_000_000).alias("l_partkey"),
+        (F.col("l_suppkey") + k.cast("long") * 10_000_000).alias("l_suppkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
+    li.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
+
+    p = replicate(load_table(spark, SRC, "part")).select(
+        (F.col("p_partkey") + k.cast("long") * 100_000_000).alias("p_partkey"),
+        F.concat(F.lit("r"), k.cast("string"), F.lit(" "), F.col("p_name")).alias("p_name"),
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    )
+    p.write.mode("overwrite").parquet(os.path.join(DST, "part.parquet"))
+
+    for t in ["region", "nation", "customer", "supplier", "events", "documents", "embeddings"]:
+        src, dst = os.path.join(SRC, f"{t}.parquet"), os.path.join(DST, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copyfile(src, dst)
+    print("wrote", DST)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
