@@ -283,8 +283,11 @@ def main() -> None:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
         history = []
         if os.path.exists(path):
-            with open(path) as f:
-                history = json.load(f)
+            try:
+                with open(path) as f:
+                    history = json.load(f)
+            except ValueError:
+                history = []  # corrupt/partial file: restart history, don't wedge
         history.append(
             {
                 "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -293,8 +296,12 @@ def main() -> None:
                 **result,
             }
         )
-        with open(path, "w") as f:
+        # write-to-tmp + atomic rename: an interrupted run must never
+        # leave a truncated file that poisons every later invocation
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(history, f, indent=1)
+        os.replace(tmp, path)
     except OSError:
         pass  # read-only checkout: the stdout line above still lands
 

@@ -103,9 +103,13 @@ def _iter_fields(data: bytes) -> Iterator[tuple[int, int, Any]]:
             val = data[pos : pos + ln]
             pos += ln
         elif wt == 5:
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32 field")
             val = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4
         elif wt == 1:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64 field")
             val = int.from_bytes(data[pos : pos + 8], "little")
             pos += 8
         else:
@@ -355,13 +359,23 @@ class Message:
         if fd.oneof_index is not None:
             for other in self.DESCRIPTOR.fields:
                 if other.oneof_index == fd.oneof_index and other.name != fname:
-                    self._values.pop(other.name, None)
+                    evicted = self._values.pop(other.name, None)
                     self._present.discard(other.name)
+                    if isinstance(evicted, Message):
+                        # a retained reference to the evicted child
+                        # must not keep writing presence into us
+                        object.__setattr__(evicted, "_parent_hook", None)
         self._present.add(fname)
         hook = self._parent_hook
         if hook is not None:
             parent, pname = hook
-            parent._mark_present(pname)
+            # a oneof switch or a parse-reset may have detached us
+            # from the parent after this reference was handed out;
+            # only a child the parent still holds may mark presence
+            if parent._values.get(pname) is self:
+                parent._mark_present(pname)
+            else:
+                object.__setattr__(self, "_parent_hook", None)
 
     # -- attribute protocol -------------------------------------------------
 
@@ -395,6 +409,9 @@ class Message:
         if fd.type == TYPE_MESSAGE and not fd.is_repeated:
             if not isinstance(value, Message):
                 raise TypeError(f"{name} expects a message, got {type(value).__name__}")
+            replaced = self._values.get(name)
+            if isinstance(replaced, Message) and replaced is not value:
+                object.__setattr__(replaced, "_parent_hook", None)
             object.__setattr__(value, "_parent_hook", (self, name))
         if fd.type == TYPE_STRING and isinstance(value, bytes):
             value = value.decode("utf-8")
@@ -427,7 +444,11 @@ class Message:
             if fd.type == TYPE_MESSAGE or fd.oneof_index is not None:
                 if name not in self._present:
                     continue
-                self._emit(out, fd, self._values.get(name, fd.default()))
+                value = self._values.get(name)
+                if fd.type == TYPE_MESSAGE and not isinstance(value, Message):
+                    # present-but-unstored (defensive): an empty child
+                    value = fd.message_type._concrete_class()  # type: ignore[union-attr]
+                self._emit(out, fd, value if value is not None else fd.default())
                 continue
             value = self._values.get(name, fd.default())
             if value == fd.default():
@@ -451,6 +472,11 @@ class Message:
             out += payload
 
     def ParseFromString(self, data: bytes) -> int:
+        for old in self._values.values():
+            if isinstance(old, Message):
+                # a retained reference to a pre-parse child must not
+                # keep writing presence into this message
+                object.__setattr__(old, "_parent_hook", None)
         self._values.clear()
         self._present.clear()
         self.MergeFromString(data)
@@ -477,10 +503,15 @@ class Message:
                 if lst:
                     self._present.add(fd.name)
             elif fd.type == TYPE_MESSAGE:
-                child = fd.message_type._concrete_class()  # type: ignore[union-attr]
+                # repeated occurrences of a singular message field MERGE
+                # field-by-field (the concatenation rule of the spec),
+                # so reuse an existing child rather than replacing it
+                child = self._values.get(fd.name)
+                if not isinstance(child, Message):
+                    child = fd.message_type._concrete_class()  # type: ignore[union-attr]
+                    object.__setattr__(child, "_parent_hook", (self, fd.name))
+                    self._values[fd.name] = child
                 child.MergeFromString(raw)
-                object.__setattr__(child, "_parent_hook", (self, fd.name))
-                self._values[fd.name] = child
                 self._mark_present(fd.name)
             else:
                 self._values[fd.name] = self._decode_value(fd, raw)
@@ -497,9 +528,9 @@ class Message:
     def _decode_scalar(fd: FieldDescriptor, v: int) -> Any:
         if fd.type == TYPE_BOOL:
             return bool(v)
-        if fd.type in (TYPE_INT32, TYPE_INT64):
-            return _signed(v)
-        return v  # uint32/uint64/enum
+        if fd.type in (TYPE_INT32, TYPE_INT64, TYPE_ENUM):
+            return _signed(v)  # enums are int32 on the wire
+        return v  # uint32/uint64
 
     def __repr__(self) -> str:  # debugging aid, not the text format
         body = ", ".join(f"{k}={self._values[k]!r}" for k in sorted(self._present))

@@ -28,7 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sf_etl_spark.queries import register
-from sf_etl_spark.queries.relational import DEC, SUMD, dsum
+from sf_etl_spark.queries.relational import DEC, DEC2DBL, SUMD, dec2dbl, dsum
 from sf_etl_spark.sources import load_table
 
 
@@ -384,7 +384,6 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decile — noted here because a global ntile over 100 TB of facts
 # would serialize on one sort.
 # ---------------------------------------------------------------------------
-_D2S = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
 
 
 @register(
@@ -414,11 +413,11 @@ _D2S = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
       FROM g
     )
     SELECT CAST(decile AS INT) AS decile, n_customers,
-           {_D2S.format(x='dspend')} AS decile_spend,
-           {_D2S.format(x='cspend')} AS cum_spend,
-           {_D2S.format(x='cspend')} / {_D2S.format(x='tspend')} AS capture,
-           ({_D2S.format(x='cspend')} / CAST(cum_n AS DOUBLE)) /
-           ({_D2S.format(x='tspend')} / CAST(tot_n AS DOUBLE)) AS lift
+           {DEC2DBL('dspend')} AS decile_spend,
+           {DEC2DBL('cspend')} AS cum_spend,
+           {DEC2DBL('cspend')} / {DEC2DBL('tspend')} AS capture,
+           ({DEC2DBL('cspend')} / CAST(cum_n AS DOUBLE)) /
+           ({DEC2DBL('tspend')} / CAST(tot_n AS DOUBLE)) AS lift
     FROM c
     ORDER BY decile
     """,
@@ -458,16 +457,15 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dspend").over(w_all).alias("tspend"),
         F.sum("n_customers").over(w_all).alias("tot_n"),
     )
-    d2s = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
     return c.select(
         "decile",
         "n_customers",
-        d2s("dspend").alias("decile_spend"),
-        d2s("cspend").alias("cum_spend"),
-        (d2s("cspend") / d2s("tspend")).alias("capture"),
+        dec2dbl("dspend").alias("decile_spend"),
+        dec2dbl("cspend").alias("cum_spend"),
+        (dec2dbl("cspend") / dec2dbl("tspend")).alias("capture"),
         (
-            (d2s("cspend") / F.col("cum_n").cast("double"))
-            / (d2s("tspend") / F.col("tot_n").cast("double"))
+            (dec2dbl("cspend") / F.col("cum_n").cast("double"))
+            / (dec2dbl("tspend") / F.col("tot_n").cast("double"))
         ).alias("lift"),
     ).orderBy("decile")
 

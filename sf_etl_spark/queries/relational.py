@@ -59,6 +59,21 @@ def SUMD(expr: str) -> str:
     return f"CAST(CAST(sum(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
 
 
+def dec2dbl(col: Column | str) -> Column:
+    """Decimal → double via the string route (see :func:`dsum` — a
+    direct decimal→double cast can be off by 1 ulp in DuckDB, so BOTH
+    engines go through the correctly-rounding string parser). Use
+    whenever a kept-decimal pipeline (exact cumulative sums, decimal
+    window aggregates) crosses to double at an output boundary."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string").cast("double")
+
+
+def DEC2DBL(expr: str) -> str:
+    """Oracle-side twin of :func:`dec2dbl`."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def AVGD(expr: str) -> str:
     return f"{SUMD(expr)} / count({expr})"
 

@@ -138,3 +138,68 @@ def test_descriptor_pool_parsed_shapes():
     assert f.message_type.name == "StatefulProcessorCall"
     hs = d.enum_types_by_name["HandleState"]
     assert hs.values_by_name["CREATED"] == pb2.CREATED
+
+
+# --- round-7 review regressions -------------------------------------------
+
+
+def test_stale_hook_after_oneof_switch_cannot_corrupt_parent():
+    """A child handed out via auto-vivification, then evicted by a
+    oneof switch, must NOT re-mark itself present in the parent (it
+    used to clear the active member and crash SerializeToString)."""
+    r = pb2.StateRequest()
+    child = r.statefulProcessorCall  # auto-vivified, not present
+    r.implicitGroupingKeyRequest = pb2.ImplicitGroupingKeyRequest(
+        removeImplicitKey=pb2.RemoveImplicitKey()
+    )
+    child.setHandleState.state = pb2.CLOSED  # write through the STALE ref
+    assert r.WhichOneof("method") == "implicitGroupingKeyRequest"
+    b = r.SerializeToString()  # used to raise AttributeError on int 0
+    chk = pb2.StateRequest()
+    chk.ParseFromString(b)
+    assert chk.HasField("implicitGroupingKeyRequest")
+    assert not chk.HasField("statefulProcessorCall")
+
+
+def test_stale_hook_after_parse_reset():
+    r = pb2.StateRequest(statefulProcessorCall=pb2.StatefulProcessorCall())
+    child = r.statefulProcessorCall
+    r.ParseFromString(b"")  # reset detaches previously handed-out children
+    child.setHandleState.state = pb2.CREATED
+    assert not r.HasField("statefulProcessorCall")
+    assert r.SerializeToString() == b""
+
+
+def test_singular_message_field_merges_across_occurrences():
+    """Concatenating two serialized partials must MERGE the singular
+    message field, not replace it (the spec's concatenation rule)."""
+    b = pb2.StateCallCommand()
+    b.ttl.durationMs = 9
+    m = pb2.StatefulProcessorCall()
+    m.ParseFromString(
+        pb2.StatefulProcessorCall(
+            getValueState=pb2.StateCallCommand(stateName="s")
+        ).SerializeToString()
+        + pb2.StatefulProcessorCall(getValueState=b).SerializeToString()
+    )
+    assert m.getValueState.stateName == "s"  # first occurrence survives...
+    assert m.getValueState.ttl.durationMs == 9  # ...merged with the second
+
+
+def test_truncated_fixed_fields_raise():
+    with pytest.raises(ValueError, match="truncated fixed64"):
+        list(rt._iter_fields(bytes([ (1 << 3) | 1, 0x01, 0x02 ])))
+    with pytest.raises(ValueError, match="truncated fixed32"):
+        list(rt._iter_fields(bytes([ (1 << 3) | 5, 0x01 ])))
+
+
+def test_negative_enum_sign_extends():
+    md = rt.Descriptor("E", ".E")
+    md.add_field(rt.FieldDescriptor("e", 1, rt.TYPE_ENUM, 1))
+    cls = rt.build_message_class(md)
+    buf = bytearray()
+    rt._write_varint(buf, (1 << 3) | 0)
+    rt._write_varint(buf, -1)  # enum -1: 10-byte two's-complement varint
+    m = cls()
+    m.ParseFromString(bytes(buf))
+    assert m.e == -1
