@@ -229,6 +229,12 @@ HEADLINE = [
     "gap_islands_activity",
     "snapshot_diff_cdc",
     "stratified_sample_exact",
+    # round 7 second batch: conjunctive boolean retrieval, libm-free
+    # weighted priority sampling, Benford + chi-square independence DQ
+    "boolean_search_and",
+    "weighted_sample_priority",
+    "benford_first_digit",
+    "chi_square_independence",
 ]
 
 

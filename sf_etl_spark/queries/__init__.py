@@ -162,6 +162,13 @@ _PRIORITY_ORDER = [
     "ab_test_lift",
     "decile_lift_table",
     # --- ~50-entry window boundary lands here; below rotates back ---
+    # round-7 second-batch lanes (registered after the window filled):
+    # never driver-verified — first in line for the r8 window, AHEAD
+    # of the r4-vintage block
+    "boolean_search_and",
+    "weighted_sample_priority",
+    "benford_first_digit",
+    "chi_square_independence",
     # r4-vintage rows: stalest after this window clears — first in
     # line for the r8 rotation (r6 verdict task 10)
     "events_hourly_ffill",

@@ -1329,3 +1329,69 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_hits").desc(), "doc_id")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive boolean retrieval (term1 AND term2 AND term3) — the
+# postings-intersection primitive underneath every search engine's
+# AND query, complementing bm25_topk (ranked union) and
+# phrase_search_positional (ordered adjacency). Ranking is the total
+# term frequency — an INTEGER, so the score is exact by construction
+# and the hash gate needs no float discipline at all. The
+# intersection itself is the pivot trick: one (doc, term) partial
+# aggregation filtered to the query terms BEFORE the shuffle, then
+# "all three non-null" instead of three self-joins.
+# Scale: identical to bm25's plan — postings pruned to |q| terms at
+# the scan side of the one shuffle; no joins at all.
+# ---------------------------------------------------------------------------
+_BOOL_TERMS = ("merge", "window", "shuffle")
+
+
+@register(
+    "boolean_search_and",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM words
+      WHERE term IN ('{_BOOL_TERMS[0]}', '{_BOOL_TERMS[1]}', '{_BOOL_TERMS[2]}')
+      GROUP BY doc_id, term
+    ), pivoted AS (
+      SELECT doc_id,
+             max(CASE WHEN term = '{_BOOL_TERMS[0]}' THEN cnt END) AS c0,
+             max(CASE WHEN term = '{_BOOL_TERMS[1]}' THEN cnt END) AS c1,
+             max(CASE WHEN term = '{_BOOL_TERMS[2]}' THEN cnt END) AS c2
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, c0 + c1 + c2 AS tf_total,
+           CAST(row_number() OVER (ORDER BY c0 + c1 + c2 DESC, doc_id) AS INT) AS rank
+    FROM pivoted
+    WHERE c0 IS NOT NULL AND c1 IS NOT NULL AND c2 IS NOT NULL
+    ORDER BY rank
+    """,
+    doc="conjunctive AND retrieval via pivoted postings intersection, integer tf ranking",
+)
+def boolean_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term").isin(*_BOOL_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    piv = tf.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("cnt"))).alias(f"c{i}")
+            for i, t in enumerate(_BOOL_TERMS)
+        ]
+    )
+    hits = piv.filter(
+        F.col("c0").isNotNull() & F.col("c1").isNotNull() & F.col("c2").isNotNull()
+    )
+    total = (F.col("c0") + F.col("c1") + F.col("c2")).alias("tf_total")
+    w = Window.orderBy(F.desc(F.col("c0") + F.col("c1") + F.col("c2")), F.asc("doc_id"))
+    return (
+        hits.select("doc_id", total, F.row_number().over(w).cast("int").alias("rank"))
+        .orderBy("rank")
+    )

@@ -517,3 +517,146 @@ def group_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_median_twophase(cents, "o_orderpriority", "cents").orderBy(
         "o_orderpriority"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit screen — the classic fabricated-
+# data / unit-error detector for money columns. The digit comes from
+# the CENTS-integer's decimal string (floor(x*100+0.5) is within an
+# ulp of the true integer for 2-decimal money, so the rounding mode
+# can't flip it; extracting from the DOUBLE's formatted string would
+# hang on engine-specific float formatting). Expected Benford masses
+# log10(1+1/d) are injected as IDENTICAL repr() literals on both
+# sides — computed once in Python, so no libm call runs in either
+# engine. Per-digit chi-square terms only: a 9-term total would sum
+# doubles in engine-chosen order; the consumer folds the bounded
+# 9-row result instead.
+# Scale: one partial-agged scan to 9 rows; the 1-row total re-enters
+# the 9-row frame via window (bounded metadata, no second scan).
+# ---------------------------------------------------------------------------
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+def _benford_case_sql() -> str:
+    whens = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    return f"CASE digit {whens} END"
+
+
+@register(
+    "benford_first_digit",
+    f"""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+    ), digits AS (
+      SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT digit, n_obs, sum(n_obs) OVER () AS n FROM obs
+    )
+    SELECT digit, n_obs,
+           CAST(n AS DOUBLE) * {_benford_case_sql()} AS n_expected,
+           (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * {_benford_case_sql()})
+           * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * {_benford_case_sql()})
+           / (CAST(n AS DOUBLE) * {_benford_case_sql()}) AS chi2_term
+    FROM tot
+    ORDER BY digit
+    """,
+    doc="Benford first-digit screen on the money column (per-digit chi-square terms)",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.substring(c.cast("string"), 1, 1).cast("int")
+    obs = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.withColumn("n", F.sum("n_obs").over(Window.partitionBy()))
+    expr = None
+    for d, lit in _BENFORD_P.items():
+        branch = (F.col("digit") == d, F.lit(float(lit)))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    n_exp = F.col("n").cast("double") * expr
+    dev = F.col("n_obs").cast("double") - n_exp
+    return tot.select(
+        "digit",
+        "n_obs",
+        n_exp.alias("n_expected"),
+        (dev * dev / n_exp).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence over a contingency table (order
+# status × priority) — the 2-way sibling of distribution_drift's
+# 1-way goodness-of-fit. Row/column totals are INTEGER window sums
+# over the 15-cell table (exact), expected = row·col/n converts three
+# exact integers through two IEEE-correctly-rounded ops — identical
+# bits both engines, no float aggregation anywhere. Per-cell terms
+# only (same 9-row rationale as the Benford lane).
+# Scale: the fact collapses to |status|·|priority| cells in ONE
+# partial-agged pass; everything after is bounded-domain metadata.
+# ---------------------------------------------------------------------------
+@register(
+    "chi_square_independence",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), tot AS (
+      SELECT o_orderstatus, o_orderpriority, n_obs,
+             sum(n_obs) OVER (PARTITION BY o_orderstatus) AS row_n,
+             sum(n_obs) OVER (PARTITION BY o_orderpriority) AS col_n,
+             sum(n_obs) OVER () AS n
+      FROM cells
+    )
+    SELECT o_orderstatus, o_orderpriority, n_obs,
+           CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE) AS n_expected,
+           (CAST(n_obs AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n_obs AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_term
+    FROM tot
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="chi-square independence terms over the status x priority contingency table",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = cells.select(
+        "*",
+        F.sum("n_obs").over(Window.partitionBy("o_orderstatus")).alias("row_n"),
+        F.sum("n_obs").over(Window.partitionBy("o_orderpriority")).alias("col_n"),
+        F.sum("n_obs").over(Window.partitionBy()).alias("n"),
+    )
+    n_exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("n_obs").cast("double") - n_exp
+    return tot.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_obs",
+        n_exp.alias("n_expected"),
+        (dev * dev / n_exp).alias("chi2_term"),
+    ).orderBy("o_orderstatus", "o_orderpriority")

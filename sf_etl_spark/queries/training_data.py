@@ -1227,3 +1227,58 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderkey", "rn")
         .orderBy("o_orderpriority", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted priority sampling — pick k rows with
+# inclusion preference proportional to a weight, reproducibly (the
+# corpus-sampling primitive for quality-weighted training mixes; the
+# unweighted salted-hash variants above can't express "prefer heavy
+# documents"). Each row gets priority = hash/weight: a salted-md5
+# uniform divided by the integer weight, so heavier rows
+# stochastically-but-deterministically sink toward the front of the
+# ascending order (Duffield et al.'s priority-sampling shape). Both
+# operands are integers that convert to double exactly as specified
+# by IEEE round-to-nearest, and a single division is correctly
+# rounded — NO libm call anywhere, so the ordering is bit-identical
+# across engines (an exp/ln-based Efraimidis–Spirakis key would hang
+# the hash gate on libm's unspecified last ulp).
+#
+# Scale: ORDER BY + LIMIT plans as TakeOrderedAndProject — per-
+# partition top-k then a k·P-row merge, never a global sort shuffle.
+# ---------------------------------------------------------------------------
+_WSP_K = 200
+_WSP_SALT = "wsp:v1:"
+
+
+@register(
+    "weighted_sample_priority",
+    f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST({_sql_md5_u64(f"'{_WSP_SALT}' || CAST(o_orderkey AS VARCHAR)")} AS DOUBLE)
+               / CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+               AS priority
+      FROM orders
+    )
+    SELECT o_orderkey, cents, priority
+    FROM w
+    ORDER BY priority, o_orderkey
+    LIMIT {_WSP_K}
+    """,
+    doc=f"deterministic weighted priority sample (top-{_WSP_K} by hash/weight, libm-free)",
+)
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    h = _md5_u64(F.concat(F.lit(_WSP_SALT), F.col("o_orderkey").cast("string")))
+    return (
+        o.select(
+            "o_orderkey",
+            cents.alias("cents"),
+            (h.cast("double") / cents.cast("double")).alias("priority"),
+        )
+        .orderBy("priority", "o_orderkey")
+        .limit(_WSP_K)
+    )
