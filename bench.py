@@ -235,6 +235,7 @@ HEADLINE = [
     "weighted_sample_priority",
     "benford_first_digit",
     "chi_square_independence",
+    "group_p90_twophase",
 ]
 
 

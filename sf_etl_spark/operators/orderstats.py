@@ -242,3 +242,90 @@ def grouped_median_twophase(
             / F.lit(2.0)
         ).alias("median"),
     )
+
+
+def grouped_quantile_twophase(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    q_num: int,
+    q_den: int,
+    n_buckets: int = 1024,
+    max_meta_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact per-group discrete quantile (``percentile_disc``
+    semantics: the value at rank ceil(q·n), 1-based) of an integer
+    column — the arbitrary-q generalization of
+    :func:`grouped_median_twophase`, same two fixed passes:
+    histogram-narrow, then rank only the selected bucket slices.
+
+    q is a RATIONAL (q_num/q_den) so the target rank
+    ceil(q·n) = -(-q_num·n // q_den) stays in integer arithmetic —
+    a float q would put an IEEE rounding boundary exactly where
+    the rank flips and make the result engine- and libm-dependent.
+
+    NULL/budget semantics match grouped_median_twophase: non-null
+    ranks, all-null groups drop, |groups|·B driver metadata fails
+    loud past ``max_meta_rows``.
+
+    Returns (group, n, value).
+    """
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"q must be in (0, 1]: got {q_num}/{q_den}")
+    g, c = F.col(group_col), F.col(col)
+    df = df.filter(c.isNotNull())
+    bounds = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        raise ValueError(f"grouped_quantile_twophase on all-null column {col!r}")
+    span = int(hi) - int(lo) + 1
+    width = -(-span // n_buckets)
+    a = c.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
+    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    hist_df = df.groupBy(g.alias("_g"), bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    hist = hist_df.limit(max_meta_rows + 1).collect()
+    if len(hist) > max_meta_rows:
+        raise ValueError(
+            f"grouped_quantile_twophase: per-(group,bucket) histogram exceeds "
+            f"max_meta_rows={max_meta_rows} (high-cardinality {group_col!r}?); "
+            f"lower n_buckets, raise max_meta_rows, or use a window-based "
+            f"per-group quantile instead"
+        )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
+    plans = []  # (group, bucket, residual_rank)
+    sizes = {}
+    for grp, counts in per_group.items():
+        n = sum(counts.values())
+        sizes[grp] = n
+        k = -(-q_num * n // q_den)  # ceil(q*n), integer-exact
+        cum = 0
+        for b in sorted(counts):
+            if cum + counts[b] >= k:
+                plans.append((grp, b, k - cum))
+                break
+            cum += counts[b]
+    spark = df.sparkSession
+    plan_df = F.broadcast(  # bounded: one row per group, budget-guarded above
+        spark.createDataFrame(plans, [group_col, "_b", "_k"])
+    )
+    ranked = (
+        df.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
+        .join(plan_df.select(group_col, "_b"), [group_col, "_b"], "left_semi")
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy(group_col, "_b").orderBy(col)),
+        )
+    )
+    picked = ranked.join(plan_df, [group_col, "_b"]).filter(F.col("_rk") == F.col("_k"))
+    size_df = F.broadcast(  # bounded: one row per group
+        spark.createDataFrame(list(sizes.items()), [group_col, "n"])
+    )
+    return picked.join(size_df, group_col).select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.col(col).cast("bigint").alias("value"),
+    )

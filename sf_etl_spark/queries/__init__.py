@@ -169,6 +169,7 @@ _PRIORITY_ORDER = [
     "weighted_sample_priority",
     "benford_first_digit",
     "chi_square_independence",
+    "group_p90_twophase",
     # r4-vintage rows: stalest after this window clears — first in
     # line for the r8 rotation (r6 verdict task 10)
     "events_hourly_ffill",

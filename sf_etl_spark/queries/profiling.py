@@ -520,6 +520,58 @@ def group_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-group exact p90 — the arbitrary-q generalization of the median
+# lane above (operators/orderstats.py grouped_quantile_twophase, same
+# two-pass histogram narrowing; percentile_disc semantics = value at
+# rank ceil(0.9·n)). p90/p95/p99 are THE ops-metrics aggregates; the
+# rank is computed in integer arithmetic from the rational 9/10, so
+# no float decides which row wins. The oracle again window-sorts
+# every group — the avoided plan — and must agree to the cent.
+# ---------------------------------------------------------------------------
+@register(
+    "group_p90_twophase",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n,
+           -- ceil(9n/10) as (9n+9)//10: DuckDB's // TRUNCATES toward
+           -- zero (unlike Python's floor), so the -(-a//b) ceil trick
+           -- is off by one here; the +9 form is division-mode-proof
+           -- for positive operands
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT) AS value
+    FROM r
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="per-group exact p90 (percentile_disc) via two-pass histogram narrowing",
+    executes_on_construct=True,
+)
+def group_p90_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.orderstats import grouped_quantile_twophase
+
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    return grouped_quantile_twophase(
+        cents, "o_orderpriority", "cents", q_num=9, q_den=10
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
 # Benford first-significant-digit screen — the classic fabricated-
 # data / unit-error detector for money columns. The digit comes from
 # the CENTS-integer's decimal string (floor(x*100+0.5) is within an

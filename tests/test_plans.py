@@ -494,6 +494,7 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
 # in any registered lane. Audit taxonomy is the same as above.
 _BROADCAST_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
     "group_median_twophase": (3, "bounded: ≤max_meta_rows bucket plan re-entry (budget-guarded) + 1-row bounds"),
+    "group_p90_twophase": (3, "bounded: per-group rank plan joined twice (semi + pick) + per-group sizes (budget-guarded)"),
     "ann_ivf_kmeans_agreement": (3, "bounded: K centroids + probe lists + 1-row query"),
     "ann_ivf_kmeans_topk": (3, "bounded: K centroids + probe lists + 1-row query"),
     "dpp_partitioned_join": (1, "dim: month dimension"),

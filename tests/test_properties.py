@@ -335,3 +335,46 @@ def test_grouped_median_fails_loud_past_meta_budget(spark):
     # at/under budget still computes (each group occupies 1 bucket)
     out = grouped_median_twophase(df, "g", "x", n_buckets=4, max_meta_rows=500)
     assert out.count() == 500
+
+
+def test_grouped_quantile_matches_python_reference(spark):
+    """grouped_quantile_twophase must equal the percentile_disc
+    reference (value at rank ceil(q*n)) on adversarial group shapes:
+    duplicate-heavy, single-row, and wide-spread groups."""
+    import math
+
+    from sf_etl_spark.operators.orderstats import grouped_quantile_twophase
+
+    data = {
+        "dups": [5] * 40 + [1] * 9 + [9],
+        "single": [123],
+        "wide": list(range(-(10**9), -(10**9) + 7)) + [10**12],
+        "two": [10, 20],
+    }
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, x long")
+    for q_num, q_den in ((1, 2), (9, 10), (99, 100), (1, 100), (1, 1)):
+        got = {
+            r["g"]: (r["n"], r["value"])
+            for r in grouped_quantile_twophase(
+                df, "g", "x", q_num, q_den, n_buckets=16
+            ).collect()
+        }
+        want = {}
+        for g, vals in data.items():
+            s = sorted(vals)
+            k = math.ceil(q_num * len(s) / q_den)
+            want[g] = (len(s), s[k - 1])
+        assert got == want, (q_num, q_den)
+
+
+def test_grouped_quantile_rejects_bad_q(spark):
+    import pytest
+
+    from sf_etl_spark.operators.orderstats import grouped_quantile_twophase
+
+    df = spark.range(5).selectExpr("'a' as g", "id as x")
+    with pytest.raises(ValueError, match="q must be"):
+        grouped_quantile_twophase(df, "g", "x", 0, 10)
+    with pytest.raises(ValueError, match="q must be"):
+        grouped_quantile_twophase(df, "g", "x", 11, 10)
