@@ -13,6 +13,7 @@ from sf_etl_spark.streaming.pipelines import (
     events_stream,
     foreach_batch_upsert_parquet,
     read_merge_target,
+    run_timered_to_memory_table,
     run_to_memory_table,
     upsert_partitioned_parquet,
     stage_events_as_stream_source,
@@ -21,6 +22,7 @@ from sf_etl_spark.streaming.pipelines import (
     stream_session_agg,
     stream_sliding_agg,
     stream_stateful_user_counts,
+    stream_tws_session_audit,
     stream_tws_user_counts,
     stream_tumbling_agg,
 )
@@ -29,6 +31,7 @@ __all__ = [
     "events_stream",
     "foreach_batch_upsert_parquet",
     "read_merge_target",
+    "run_timered_to_memory_table",
     "run_to_memory_table",
     "stage_events_as_stream_source",
     "stream_click_attribution",
@@ -36,6 +39,7 @@ __all__ = [
     "stream_session_agg",
     "stream_sliding_agg",
     "stream_stateful_user_counts",
+    "stream_tws_session_audit",
     "stream_tws_user_counts",
     "stream_tumbling_agg",
     "upsert_partitioned_parquet",

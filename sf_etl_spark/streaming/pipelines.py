@@ -276,6 +276,49 @@ def stream_stateful_user_counts(events: DataFrame, watermark: str = "10 minutes"
 # ---------------------------------------------------------------------------
 
 
+def run_timered_to_memory_table(
+    plan: DataFrame,
+    output_mode: str,
+    min_rows: int,
+    timeout_s: float = 300.0,
+    checkpoint_dir: str | None = None,
+) -> tuple[str, object]:
+    """Run a TIMERED streaming plan (timeMode != "None") into a memory
+    sink until the sink holds ``min_rows`` rows, then stop it.
+
+    Why not :func:`run_to_memory_table`: with processing-time timers,
+    ``availableNow`` does NOT terminate after the data is exhausted —
+    MicroBatchExecution keeps scheduling empty micro-batches to give
+    pending timers a chance to fire (measured: 44 epochs in 90 s on a
+    one-batch source), so ``awaitTermination()`` hangs forever. A
+    timered query is conceptually continuous; the bounded-test recipe
+    is poll-the-sink-then-stop, which this helper packages.
+    """
+    import time as _time
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    spark = plan.sparkSession
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
+        if spark.table(name).count() >= min_rows:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    return name, q
+
+
 def run_to_memory_table(
     plan: DataFrame, output_mode: str, checkpoint_dir: str | None = None
 ) -> tuple[str, object]:
@@ -1007,6 +1050,111 @@ def stream_tws_user_counts(events: DataFrame, watermark: str = "10 minutes") -> 
             outputStructType=_USER_STATS_OUTPUT,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+# -- composite-state audit operator: ListState + MapState + timers ----------
+
+
+_AUDIT_OUTPUT = (
+    "user_id bigint, n_types int, n_vals int, total_value double, n_timers int"
+)
+
+
+class _SessionAuditProcessor(StatefulProcessor):
+    """Per-user audit on the FULL Spark 4 composite-state surface:
+    typed ValueState (last-seen micros), ListState (per-event values,
+    appended then read back), MapState (per-event-type counts via
+    containsKey/getValue/updateValue/iterator), and processing-time
+    TIMERS (each batch clears the previous expiry timer via
+    listTimers+deleteTimer and re-arms one far in the future — the
+    idle-session-reaper pattern).
+
+    Exists precisely to drive every message family of the TWS state
+    protocol end-to-end — ValueStateCall, ListStateCall (put/append/
+    get with iterator paging), MapStateCall (all six verbs), and
+    TimerStateCallCommand (register/delete/list) — against the JVM
+    state server; tests/test_streaming.py checks the emitted audit
+    against batch aggregation. The r7 mini-protobuf runtime
+    (google/protobuf) is what makes this executable in this
+    container, so this operator doubles as its integration surface.
+    """
+
+    IDLE_TIMEOUT_MS = 30 * 24 * 3600 * 1000  # far future: never fires in tests
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._last = handle.getValueState("last_seen", "last_us bigint")
+        self._vals = handle.getListState("vals", "v double")
+        self._counts = handle.getMapState("type_counts", "t string", "n bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        last_us = self._last.get()[0] if self._last.exists() else 0
+        for pdf in rows:
+            for v in pdf["value"].fillna(0.0):
+                self._vals.appendValue((float(v),))
+            for t in pdf["event_type"]:
+                t = str(t)
+                n = self._counts.getValue((t,))[0] if self._counts.containsKey((t,)) else 0
+                self._counts.updateValue((t,), (n + 1,))
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        self._last.update((last_us,))
+
+        # re-arm the idle reaper: drop any previous timer via
+        # listTimers+deleteTimer, then register a fresh one
+        for expiry_ms in list(self._handle.listTimers()):
+            self._handle.deleteTimer(expiry_ms)
+        now_ms = timer_values.getCurrentProcessingTimeInMs()
+        self._handle.registerTimer(now_ms + self.IDLE_TIMEOUT_MS)
+        n_timers = sum(1 for _ in self._handle.listTimers())
+
+        total = 0.0
+        n_vals = 0
+        for row in self._vals.get():  # ListStateGet round-trip (paged)
+            total += float(row[0])
+            n_vals += 1
+        n_types = sum(1 for _ in self._counts.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_types": [n_types],
+                "n_vals": [n_vals],
+                "total_value": [total],
+                "n_timers": [n_timers],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        # the reaper path: emit a tombstone row for the idle user. The
+        # far-future expiry keeps this out of deterministic tests; the
+        # code path is the documented pattern.
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_types": [0],
+                "n_vals": [0],
+                "total_value": [0.0],
+                "n_timers": [0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_tws_session_audit(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Composite-state per-user audit on ``transformWithStateInPandas``
+    with ProcessingTime timers — see :class:`_SessionAuditProcessor`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionAuditProcessor(),
+            outputStructType=_AUDIT_OUTPUT,
+            outputMode="Update",
+            timeMode="ProcessingTime",
         )
     )
 

@@ -713,3 +713,56 @@ def test_concurrent_fold_cycles_compose(spark, tmp_path):
     fold_into_rollup(mk(1), ["k"], {"n": "sum"}, store)
     rows = read_merge_target(spark, store).select("k", "n").collect()
     assert [(r.k, r.n) for r in rows] == [("k1", 13)]
+
+
+def test_tws_composite_state_and_timers(spark, sf_dir, tmp_path):
+    """Drive EVERY TWS state-protocol message family live: ListState
+    append/get (with iterator paging), MapState's six verbs, timer
+    register/list/delete, plus ValueState — the integration surface
+    of the vendored mini-protobuf runtime. The emitted audit must
+    match batch aggregation exactly (counts) and to float tolerance
+    (the list-state read-back sum, whose fold order is insertion
+    order rather than Spark's)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from sf_etl_spark.sources import load_table
+    from sf_etl_spark.streaming import (
+        events_stream,
+        run_timered_to_memory_table,
+        stream_tws_session_audit,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "events_src_audit")
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    ev.coalesce(1).write.parquet(src)
+    name, _ = run_timered_to_memory_table(
+        stream_tws_session_audit(events_stream(spark, src)),
+        output_mode="update",
+        min_rows=n_users,
+    )
+    got = {
+        r["user_id"]: (r["n_types"], r["n_vals"], r["total_value"], r["n_timers"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r["user_id"]: (r["nt"], r["nv"], r["tv"])
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.countDistinct("event_type").alias("nt"),
+                F.count(F.lit(1)).alias("nv"),
+                F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for uid, (nt, nv, tv, n_timers) in got.items():
+        assert (nt, nv) == want[uid][:2], uid
+        assert abs(tv - want[uid][2]) < 1e-6 * max(1.0, abs(want[uid][2])), uid
+        assert n_timers == 1, uid  # exactly the re-armed reaper timer
