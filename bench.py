@@ -236,6 +236,9 @@ HEADLINE = [
     "benford_first_digit",
     "chi_square_independence",
     "group_p90_twophase",
+    # JDBC source/sink leg via embedded Derby (write batch + 4-way
+    # striped parallel read + pushed predicate)
+    "source_jdbc_roundtrip",
 ]
 
 

@@ -170,6 +170,7 @@ _PRIORITY_ORDER = [
     "benford_first_digit",
     "chi_square_independence",
     "group_p90_twophase",
+    "source_jdbc_roundtrip",
     # r4-vintage rows: stalest after this window clears — first in
     # line for the r8 rotation (r6 verdict task 10)
     "events_hourly_ffill",

@@ -1036,3 +1036,84 @@ def zone_map_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# JDBC source/sink round trip — the relational-database leg of the
+# source matrix (SURVEY §2.2 "Scans/sources": spark.read.jdbc). The
+# container ships no server database, but Spark bundles Apache Derby
+# (its metastore engine), whose embedded JDBC driver exercises the
+# very same code path: DataFrameWriter.jdbc batching on write,
+# JDBCRelation with FILTER PUSHDOWN (the plan guard asserts
+# `PushedFilters: [*GreaterThan...]` — the * marks source-evaluated)
+# and a PARTITIONED PARALLEL READ (partitionColumn/lower/upper/
+# numPartitions → one JDBC cursor per stride) on read — the recipe
+# that keeps a 100 TB-adjacent warehouse extract from serializing on
+# one connection. Money crosses as CENTS BIGINT (JDBC DOUBLE
+# round-trips bit-exactly, but integer cents make the lane's parity
+# independent of any driver's float text formatting).
+# ---------------------------------------------------------------------------
+_JDBC_MIN_CENTS = 10_000_00
+
+
+@register(
+    "source_jdbc_roundtrip",
+    f"""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM c
+    WHERE cents > {_JDBC_MIN_CENTS}
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="orders → Derby via JDBC → partitioned parallel read + pushed predicate → agg",
+    executes_on_construct=True,
+)
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = tempfile.mkdtemp(prefix="jdbc_rt_") + "/derby"
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    (
+        orders.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_rt")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_rt")
+        .option("driver", driver)
+        # 4 concurrent cursors striped on the key — the parallel-read
+        # shape; a read without partitionColumn is ONE connection
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", str(bounds["lo"]))
+        .option("upperBound", str(bounds["hi"] + 1))
+        .option("numPartitions", "4")
+        .load()
+    )
+    return (
+        back.filter(F.col("cents") > _JDBC_MIN_CENTS)  # pushed to JDBC
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -571,3 +571,16 @@ def test_fk_orphan_anti_join_shuffles_for_large_parent(spark):
     assert "SortMergeJoin" in physical or "ShuffledHashJoin" in physical
     # correctness unchanged: every child key has a parent
     assert out.first()["n_violations"] == 0
+
+
+def test_jdbc_roundtrip_pushes_filter_and_partitions_read(spark, sf_dir):
+    """The JDBC read must show (a) the cents predicate as a
+    source-evaluated pushed filter and (b) the 4-way striped parallel
+    read — one cursor per key stride, not one connection."""
+    from sf_etl_spark.queries import all_queries
+
+    df = all_queries()["source_jdbc_roundtrip"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "numPartitions=4" in plan
+    assert "*GreaterThan(CENTS" in plan or "*GreaterThan(cents" in plan
