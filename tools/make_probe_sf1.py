@@ -13,7 +13,16 @@
   replicas (linkage clusters stay replica-local; without the prefix,
   'name' and 'name' in two replicas are Levenshtein-0 and every
   cluster would 10x, changing the workload instead of scaling it).
-- every other table: copied through unchanged (dimension-sized).
+- documents: 10 replicas where replica k>0 suffixes EVERY token with
+  ``_k`` — a BIJECTIVE token rename, so every set-similarity metric
+  (shingle Jaccard, minhash, simhash hamming structure) is EXACTLY
+  preserved within a replica while replicas share no tokens at all
+  (no cross-replica near-dup pairs). This is what lets the dedup
+  lanes be probed at 10x volume with the sf0.1 cluster structure
+  intact, just 10 of it.
+- every other table: copied through unchanged (dimension-sized, or —
+  embeddings — vectors whose replication would CHANGE the workload:
+  10 exact copies of every point would merge ANN clusters).
 
 Used by the PLANS.md round-7 sf1 probes (r6 verdict task 7); output
 is gitignored scratch, not a fixture.
@@ -81,7 +90,24 @@ def main() -> None:
     )
     p.write.mode("overwrite").parquet(os.path.join(DST, "part.parquet"))
 
-    for t in ["region", "nation", "customer", "supplier", "events", "documents", "embeddings"]:
+    d = replicate(load_table(spark, SRC, "documents")).select(
+        (F.col("doc_id") + k.cast("long") * 100_000_000).alias("doc_id"),
+        F.when(k == 0, F.col("text"))
+        .otherwise(
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1_"), k.cast("string")),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    d.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
+
+    for t in ["region", "nation", "customer", "supplier", "events", "embeddings"]:
         src, dst = os.path.join(SRC, f"{t}.parquet"), os.path.join(DST, f"{t}.parquet")
         if os.path.isdir(src):
             shutil.copytree(src, dst, dirs_exist_ok=True)
