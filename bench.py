@@ -239,6 +239,9 @@ HEADLINE = [
     # JDBC source/sink leg via embedded Derby (write batch + 4-way
     # striped parallel read + pushed predicate)
     "source_jdbc_roundtrip",
+    # sequence-regex behavioral matching + hierarchical shares
+    "event_pattern_regex",
+    "ratio_to_parent_share",
 ]
 
 

@@ -171,6 +171,8 @@ _PRIORITY_ORDER = [
     "chi_square_independence",
     "group_p90_twophase",
     "source_jdbc_roundtrip",
+    "event_pattern_regex",
+    "ratio_to_parent_share",
     # r4-vintage rows: stalest after this window clears — first in
     # line for the r8 rotation (r6 verdict task 10)
     "events_hourly_ffill",

@@ -2155,3 +2155,69 @@ def linkage_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical ratio-to-parent (the RATIO_TO_REPORT verb): each
+# nation's revenue as a share of its REGION and of the TOTAL, from
+# one aggregation plus two window sums over the 25-row nation frame.
+# Revenue stays exact-decimal through both windows (the window
+# denominators are sums of sums — re-casting a computed double would
+# hit the HALF_UP/binary split; see decile_lift_table), converting
+# via the varchar route only at the output boundary, so the two
+# share divisions run on bit-identical doubles in both engines.
+# Scale: the fact aggregates once on custkey→nation (partial-agged),
+# dims broadcast; the windows run over a |nations|-row frame.
+# ---------------------------------------------------------------------------
+@register(
+    "ratio_to_parent_share",
+    f"""
+    WITH rev AS (
+      SELECT n.n_name, r.r_name,
+             sum(CAST(o.o_totalprice AS DECIMAL(38,10))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name
+    ), w AS (
+      SELECT r_name, n_name, rev,
+             sum(rev) OVER (PARTITION BY r_name) AS region_rev,
+             sum(rev) OVER () AS total_rev
+      FROM rev
+    )
+    SELECT r_name, n_name,
+           {DEC2DBL('rev')} AS revenue,
+           {DEC2DBL('rev')} / {DEC2DBL('region_rev')} AS share_of_region,
+           {DEC2DBL('rev')} / {DEC2DBL('total_rev')} AS share_of_total
+    FROM w
+    ORDER BY r_name, n_name
+    """,
+    doc="RATIO_TO_REPORT: nation revenue share of region and of total, decimal windows",
+)
+def ratio_to_parent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    w = rev.select(
+        "r_name",
+        "n_name",
+        "rev",
+        F.sum("rev").over(Window.partitionBy("r_name")).alias("region_rev"),
+        F.sum("rev").over(Window.partitionBy()).alias("total_rev"),
+    )
+    return w.select(
+        "r_name",
+        "n_name",
+        dec2dbl("rev").alias("revenue"),
+        (dec2dbl("rev") / dec2dbl("region_rev")).alias("share_of_region"),
+        (dec2dbl("rev") / dec2dbl("total_rev")).alias("share_of_total"),
+    ).orderBy("r_name", "n_name")

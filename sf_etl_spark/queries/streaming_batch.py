@@ -1925,3 +1925,61 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's event
+# history becomes an ordered initial-character string and a REGEX
+# expresses the behavioral pattern — here "a view, then a click, then
+# a purchase, with no error anywhere between" (v[^e]*c[^e]*p). This
+# is the pattern language funnels can't express (funnel_conversion
+# counts stage reachability; the regex constrains what happens
+# BETWEEN stages). The per-user string is built deterministically
+# (sort by ts, event_id) and the character classes used are semantics-
+# identical across Java regex (Spark) and RE2 (DuckDB) — no
+# backreferences/lookaround, which RE2 lacks, are allowed here.
+#
+# Scale: ONE user_id shuffle builds the per-user strings via
+# partial-aggregable collect_list (per-user event counts are
+# session-history-sized); the regex is a narrow JVM map over one
+# string per user. No joins, no window sort.
+# ---------------------------------------------------------------------------
+_SEQ_PATTERN = "v[^e]*c[^e]*p"
+
+
+@register(
+    "event_pattern_regex",
+    f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(CASE WHEN regexp_matches(s, '{_SEQ_PATTERN}') THEN 1 END) AS BIGINT) AS n_matched,
+           CAST(count(CASE WHEN regexp_matches(s, '{_SEQ_PATTERN}') THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS match_rate
+    FROM seq
+    """,
+    doc=f"MATCH_RECOGNIZE-lite: users whose ordered event string matches {_SEQ_PATTERN!r}",
+)
+def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["c"]), ""
+            ).alias("s")
+        )
+    )
+    hit = F.when(F.col("s").rlike(_SEQ_PATTERN), 1)
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(hit).alias("n_matched"),
+        (F.count(hit).cast("double") / F.count(F.lit(1)).cast("double")).alias("match_rate"),
+    )

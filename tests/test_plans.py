@@ -485,6 +485,7 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "pandas_udf_zscore": (1, "domain: per-status moments"),
     "geo_nearest_hub": (1, "bounded: 5 hub-coordinate literals"),
     "stratified_sample_exact": (1, "domain: 5 order priorities' allocations"),
+    "ratio_to_parent_share": (2, "dim: nation + region"),
 }
 
 
