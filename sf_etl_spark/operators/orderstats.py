@@ -101,6 +101,93 @@ def kth_smallest(
     return int(row["v"])
 
 
+def rank_cutpoints(
+    df: DataFrame,
+    key_col: str,
+    tie_col: str,
+    ks: list[int],
+    n_buckets: int = 1024,
+) -> dict[int, tuple[int, int]]:
+    """Exact (key, tie) pairs at the given ascending 1-based ranks of
+    the ordering ``(key ASC, tie ASC)`` — ALL ranks from ONE histogram
+    pass plus ONE pick pass, never a global sort (r7 verdict task 1a:
+    the scalable replacement for a partition-less ``ntile``/rank
+    window). ``key`` must be integer (use an order-isomorphic integer
+    image of the real sort column — e.g. cents of a 2-decimal price;
+    negate for DESC); ``tie`` must make the composite key unique.
+
+    Pass 1 reuses :func:`kth_smallest`'s equi-width histogram (the
+    bucketing is exact decimal arithmetic, see the comment there); the
+    driver walks the ≤B prefix sums once per requested rank — bounded
+    metadata. Pass 2 scans only rows in the ≤len(ks) selected buckets
+    (scan-side range filter), ranks those slices with a window
+    PARTITIONED BY BUCKET (each slice ~n/B rows — one narrowing level,
+    same skew caveat as :func:`grouped_median_twophase`), and returns
+    the ≤len(ks) picked rows. Returns ``{k: (key, tie)}``; the caller
+    re-enters them as literals (the kth_smallest scalar policy).
+    """
+    if not ks:
+        return {}
+    if min(ks) < 1:
+        raise ValueError(f"ranks must be >= 1, got {sorted(ks)[0]}")
+    key, tie = F.col(key_col), F.col(tie_col)
+    df = df.filter(key.isNotNull())
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    n, lo, hi = int(stats["n"]), stats["lo"], stats["hi"]
+    if n == 0:
+        raise ValueError(f"rank_cutpoints on empty/all-null column {key_col!r}")
+    if max(ks) > n:
+        raise ValueError(f"rank {max(ks)} exceeds non-null rows ({n}) of {key_col!r}")
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    width = -(-span // n_buckets)
+    a = key.cast("decimal(38,0)") - F.lit(lo).cast("decimal(38,0)")
+    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    hist = (
+        df.groupBy(bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()  # <= n_buckets rows: bounded metadata
+    )
+    counts = {int(r["_b"]): int(r["_n"]) for r in hist}
+    order = sorted(counts)
+    prefix: dict[int, int] = {}
+    cum = 0
+    for b in order:
+        prefix[b] = cum  # rows strictly before bucket b
+        cum += counts[b]
+    plans: dict[tuple[int, int], list[int]] = {}  # (bucket, resid) -> [k...]
+    for k in ks:
+        c = 0
+        for b in order:
+            if c + counts[b] >= k:
+                plans.setdefault((b, k - c), []).append(k)
+                break
+            c += counts[b]
+    sel = sorted({b for b, _ in plans})
+    pick_cond = None
+    for b, r in plans:
+        term = (F.col("_b") == b) & (F.col("_rk") == r)
+        pick_cond = term if pick_cond is None else (pick_cond | term)
+    picked = (
+        df.select(key.alias("_k"), tie.alias("_t"), bucket.alias("_b"))
+        .filter(F.col("_b").isin(sel))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("_b").orderBy("_k", "_t")),
+        )
+        .filter(pick_cond)
+        .collect()  # <= len(ks) rows
+    )
+    got = {(int(r["_b"]), int(r["_rk"])): (int(r["_k"]), int(r["_t"])) for r in picked}
+    out: dict[int, tuple[int, int]] = {}
+    for (b, r), klist in plans.items():
+        for k in klist:
+            out[k] = got[(b, r)]
+    return out
+
+
 def exact_median(df: DataFrame, col: str) -> tuple[int, int, int]:
     """Exact median helpers: returns (n, v_at_k1, v_at_k2) where
     k1/k2 are the middle rank(s) — equal for odd n. The caller forms

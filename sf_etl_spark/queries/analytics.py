@@ -377,12 +377,21 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mismatch observed in development came exactly from that — whereas
 # decimal→decimal sums are exact at every stage.
 #
-# Scale: the per-customer spend aggregate and the customer join both
-# shuffle on custkey; the global ntile is a sort of the CUSTOMER
-# DIMENSION (not the fact). For a fact-scale scored table the recipe
-# is KLL cut-points (queries/sketches.py) + a range filter per
-# decile — noted here because a global ntile over 100 TB of facts
-# would serialize on one sort.
+# Scale (r7 verdict task 1a — the partition-less ntile is GONE): the
+# per-customer spend aggregate and the customer join shuffle on
+# custkey; decile assignment is exact rank CUT-POINTS, not a global
+# sort. operators/orderstats.rank_cutpoints finds the 9 boundary rows
+# of the (c_acctbal DESC, c_custkey) order in one histogram pass plus
+# one bucket-sliced pick pass (ties broken by a window restricted to
+# the ≤9 boundary BUCKETS only); the 9 (value, key) pairs re-enter the
+# plan as literals and every row computes its decile by range
+# comparison — embarrassingly parallel, no row ever sorts against
+# another. The ordering key is the integer cents image of c_acctbal
+# (2-decimal by fixture; floor(x*100+0.5) is monotone-injective on
+# 2-decimal doubles, so cents-DESC == acctbal-DESC), negated so the
+# histogram machinery's ASC ranks express the DESC ordering.
+# Semantics are EXACTLY ntile(10): cut rank i = i*(N div 10) +
+# min(i, N mod 10) — the oracle keeps the literal ntile.
 # ---------------------------------------------------------------------------
 
 
@@ -422,8 +431,11 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY decile
     """,
     doc="decile lift/capture table over balance-scored customers, decimal end-to-end",
+    executes_on_construct=True,  # rank_cutpoints runs 3 bounded-metadata jobs
 )
 def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.orderstats import rank_cutpoints
+
     o = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     spend = o.groupBy("o_custkey").agg(
@@ -436,11 +448,28 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.coalesce(F.col("spend"), F.lit(0).cast(DEC)).alias("spend"),
     )
-    t = scored.select(
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
-        .alias("decile"),
-        "spend",
+    # negated-cents key: ASC == (c_acctbal DESC); c_custkey uniquifies
+    neg_cents = (-F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))).cast("bigint")
+    keyed = cust.select(neg_cents.alias("_key"), F.col("c_custkey").alias("_tie"))
+    n = keyed.count()
+    if n < 10:
+        raise ValueError(f"decile_lift_table needs >= 10 customers, got {n}")
+    base, extra = n // 10, n % 10
+    ranks = [i * base + min(i, extra) for i in range(1, 10)]  # ntile(10) cuts
+    cuts = rank_cutpoints(keyed, "_key", "_tie", ranks)
+    # decile = 1 + number of cut rows strictly BEFORE this row in the
+    # (key ASC, tie ASC) order — 9 literal comparisons, no window
+    after_cut = [
+        F.when(
+            (F.col("_key") > F.lit(v))
+            | ((F.col("_key") == F.lit(v)) & (F.col("c_custkey") > F.lit(t_))),
+            1,
+        ).otherwise(0)
+        for v, t_ in (cuts[r] for r in ranks)
+    ]
+    decile = sum(after_cut[1:], after_cut[0]) + F.lit(1)
+    t = scored.withColumn("_key", neg_cents).select(
+        decile.alias("decile"), "spend"
     )
     g = t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

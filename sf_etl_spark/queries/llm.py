@@ -1342,9 +1342,15 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregation filtered to the query terms BEFORE the shuffle, then
 # "all three non-null" instead of three self-joins.
 # Scale: identical to bm25's plan — postings pruned to |q| terms at
-# the scan side of the one shuffle; no joins at all.
+# the scan side of the one shuffle; no joins at all. The contract is
+# EXPLICIT TOP-K (r7 verdict task 1c): three common terms at corpus
+# scale make the conjunctive hit set unbounded, so the rank window
+# runs AFTER an ORDER BY … LIMIT K (TakeOrderedAndProject: per-
+# partition top-k, then a K·P-row merge) — the dense rank only ever
+# sorts K rows, exactly the bm25_topk discipline.
 # ---------------------------------------------------------------------------
 _BOOL_TERMS = ("merge", "window", "shuffle")
+_BOOL_K = 50
 
 
 @register(
@@ -1364,14 +1370,19 @@ _BOOL_TERMS = ("merge", "window", "shuffle")
              max(CASE WHEN term = '{_BOOL_TERMS[1]}' THEN cnt END) AS c1,
              max(CASE WHEN term = '{_BOOL_TERMS[2]}' THEN cnt END) AS c2
       FROM tf GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, c0 + c1 + c2 AS tf_total
+      FROM pivoted
+      WHERE c0 IS NOT NULL AND c1 IS NOT NULL AND c2 IS NOT NULL
+      ORDER BY tf_total DESC, doc_id
+      LIMIT {_BOOL_K}
     )
-    SELECT doc_id, c0 + c1 + c2 AS tf_total,
-           CAST(row_number() OVER (ORDER BY c0 + c1 + c2 DESC, doc_id) AS INT) AS rank
-    FROM pivoted
-    WHERE c0 IS NOT NULL AND c1 IS NOT NULL AND c2 IS NOT NULL
+    SELECT doc_id, tf_total,
+           CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id) AS INT) AS rank
+    FROM hits
     ORDER BY rank
     """,
-    doc="conjunctive AND retrieval via pivoted postings intersection, integer tf ranking",
+    doc=f"conjunctive AND retrieval via pivoted postings intersection, top-{_BOOL_K} by integer tf",
 )
 def boolean_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1390,8 +1401,14 @@ def boolean_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c0").isNotNull() & F.col("c1").isNotNull() & F.col("c2").isNotNull()
     )
     total = (F.col("c0") + F.col("c1") + F.col("c2")).alias("tf_total")
-    w = Window.orderBy(F.desc(F.col("c0") + F.col("c1") + F.col("c2")), F.asc("doc_id"))
-    return (
-        hits.select("doc_id", total, F.row_number().over(w).cast("int").alias("rank"))
-        .orderBy("rank")
+    # TakeOrderedAndProject bounds the hit set BEFORE the rank window
+    # sorts anything — the window's input is ≤ _BOOL_K rows
+    limited = (
+        hits.select("doc_id", total)
+        .orderBy(F.desc("tf_total"), F.asc("doc_id"))
+        .limit(_BOOL_K)
     )
+    w = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))
+    return limited.select(
+        "doc_id", "tf_total", F.row_number().over(w).cast("int").alias("rank")
+    ).orderBy("rank")

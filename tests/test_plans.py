@@ -484,7 +484,7 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "ann_cosine_topk": (1, "1-row: query vector"),
     "pandas_udf_zscore": (1, "domain: per-status moments"),
     "geo_nearest_hub": (1, "bounded: 5 hub-coordinate literals"),
-    "stratified_sample_exact": (1, "domain: 5 order priorities' allocations"),
+    "stratified_sample_exact": (2, "domain: 5 order priorities' allocations + 5-row assert-guard frame"),
     "ratio_to_parent_share": (2, "dim: nation + region"),
 }
 
