@@ -35,6 +35,17 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+
+class Error(Exception):
+    """Top-level runtime error (mirrors google.protobuf.message.Error)."""
+
+
+class DecodeError(Error, ValueError):
+    """Malformed wire data (mirrors google.protobuf.message.DecodeError).
+
+    Subclasses ValueError so pre-existing callers that caught the old
+    bare ValueError keep working (r7 ADVICE item 2)."""
+
 # --- FieldDescriptorProto.Type values (descriptor.proto, public) ----------
 TYPE_INT64 = 3
 TYPE_UINT64 = 4
@@ -72,15 +83,18 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     while True:
         if pos >= len(data):
-            raise ValueError("truncated varint")
+            raise DecodeError("truncated varint")
         b = data[pos]
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            # truncate to 64 bits: a non-canonical 10-byte varint whose
+            # final byte carries extra high bits must decode exactly as
+            # the real runtime does (r7 ADVICE item 1)
+            return result & ((1 << 64) - 1), pos
         shift += 7
         if shift > 70:
-            raise ValueError("varint too long")
+            raise DecodeError("varint too long")
 
 
 def _iter_fields(data: bytes) -> Iterator[tuple[int, int, Any]]:
@@ -99,21 +113,21 @@ def _iter_fields(data: bytes) -> Iterator[tuple[int, int, Any]]:
         elif wt == 2:
             ln, pos = _read_varint(data, pos)
             if pos + ln > n:
-                raise ValueError("truncated length-delimited field")
+                raise DecodeError("truncated length-delimited field")
             val = data[pos : pos + ln]
             pos += ln
         elif wt == 5:
             if pos + 4 > n:
-                raise ValueError("truncated fixed32 field")
+                raise DecodeError("truncated fixed32 field")
             val = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4
         elif wt == 1:
             if pos + 8 > n:
-                raise ValueError("truncated fixed64 field")
+                raise DecodeError("truncated fixed64 field")
             val = int.from_bytes(data[pos : pos + 8], "little")
             pos += 8
         else:
-            raise ValueError(f"unsupported wire type {wt} (field {number})")
+            raise DecodeError(f"unsupported wire type {wt} (field {number})")
         yield number, wt, val
 
 

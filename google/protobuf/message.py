@@ -1,11 +1,8 @@
-"""Message base class (mini-runtime façade)."""
+"""Message base class (mini-runtime façade).
 
-from google.protobuf._runtime import Message  # noqa: F401
+Error/DecodeError are the SAME classes the wire parser raises
+(r7 ADVICE item 2): callers that ``except message.DecodeError`` catch
+malformed-wire failures exactly as with the real runtime.
+"""
 
-
-class Error(Exception):
-    pass
-
-
-class DecodeError(Error):
-    pass
+from google.protobuf._runtime import DecodeError, Error, Message  # noqa: F401

@@ -1940,20 +1940,31 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # backreferences/lookaround, which RE2 lacks, are allowed here.
 #
 # Scale: ONE user_id shuffle builds the per-user strings via
-# partial-aggregable collect_list (per-user event counts are
-# session-history-sized); the regex is a narrow JVM map over one
-# string per user. No joins, no window sort.
+# partial-aggregable collect_list; the regex is a narrow JVM map over
+# one string per user. No joins, no unbounded-partition window sort
+# (user_id is high-cardinality). The "session-history-sized" contract
+# is ENFORCED, not assumed (r7 verdict task 6): only each user's
+# FIRST _SEQ_CAP events (by ts, event_id) enter the string — a
+# row_number prefilter riding the same user_id exchange — so a
+# million-event power user can neither blow the collect_list buffer
+# nor build a giant row. The cap is part of the lane's semantics and
+# is applied identically in the oracle.
 # ---------------------------------------------------------------------------
 _SEQ_PATTERN = "v[^e]*c[^e]*p"
+_SEQ_CAP = 10_000
 
 
 @register(
     "event_pattern_regex",
     f"""
-    WITH seq AS (
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), seq AS (
       SELECT user_id,
              string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
-      FROM events GROUP BY user_id
+      FROM ranked WHERE rn <= {_SEQ_CAP} GROUP BY user_id
     )
     SELECT CAST(count(*) AS BIGINT) AS n_users,
            CAST(count(CASE WHEN regexp_matches(s, '{_SEQ_PATTERN}') THEN 1 END) AS BIGINT) AS n_matched,
@@ -1964,9 +1975,15 @@ _SEQ_PATTERN = "v[^e]*c[^e]*p"
     doc=f"MATCH_RECOGNIZE-lite: users whose ordered event string matches {_SEQ_PATTERN!r}",
 )
 def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = ev.withColumn("_rn", F.row_number().over(w_user)).filter(
+        F.col("_rn") <= _SEQ_CAP
+    )
     seq = (
-        ev.select(
+        capped.select(
             "user_id",
             F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("s"),
         )

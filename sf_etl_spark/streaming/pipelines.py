@@ -308,11 +308,23 @@ def run_timered_to_memory_table(
     )
     spark = plan.sparkSession
     deadline = _time.monotonic() + timeout_s
-    while _time.monotonic() < deadline:
+    rows_seen = 0
+    while True:
         if q.exception() is not None:
             raise q.exception()
-        if spark.table(name).count() >= min_rows:
+        rows_seen = spark.table(name).count()
+        if rows_seen >= min_rows:
             break
+        if _time.monotonic() >= deadline:
+            # fail LOUD (r7 ADVICE item 3): a silent return hands the
+            # caller a partially filled table and a confusing
+            # count-mismatch assert far from the cause
+            q.stop()
+            q.awaitTermination()
+            raise TimeoutError(
+                f"run_timered_to_memory_table: sink {name!r} reached only "
+                f"{rows_seen}/{min_rows} rows within {timeout_s}s"
+            )
         _time.sleep(0.5)
     q.stop()
     q.awaitTermination()

@@ -585,3 +585,120 @@ def test_jdbc_roundtrip_pushes_filter_and_partitions_read(spark, sf_dir):
     assert "JDBCRelation" in plan
     assert "numPartitions=4" in plan
     assert "*GreaterThan(CENTS" in plan or "*GreaterThan(cents" in plan
+
+
+# ---------------------------------------------------------------------------
+# Unbounded-window quarantine (r7 verdict task 3) — the sequel to the
+# broadcast quarantine above. The r7 "weak" grades were all one
+# defect class: a window function whose PARTITION count stays
+# constant as data grows (empty partition spec → ONE sort task;
+# fixed-low-cardinality partition column → |domain| sort tasks), fed
+# an input that grows with the data. This guard walks every
+# registered lane's OPTIMIZED logical plan and fails on any Window
+# whose partition spec is empty or references only known
+# fixed-domain columns, unless the lane is in the audited allowlist
+# below — so a new constant-parallelism sort cannot land without an
+# explicit boundedness argument written next to its count.
+#
+# Audit taxonomy (every entry inspected this round):
+#   post-limit — the window's input is a TakeOrderedAndProject /
+#                limit result (top-k ranks after the cut)
+#   pre-agg    — input is a partial-aggregated frame bounded by a
+#                fixed domain (digits, priorities×statuses, nations,
+#                (type, day) series, (flag, qty-domain) counts)
+#   post-cut   — input was cut to ~k rows/partition by a lossless
+#                two-phase prefilter (salt ranks, hash thresholds)
+#   grandfather— acknowledged full-input sort whose scalable
+#                replacement exists elsewhere in the repo and is
+#                named in the lane's docstring
+# ---------------------------------------------------------------------------
+_LOW_CARD_COLS = frozenset(
+    {
+        "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+        "r_name", "n_name", "r_regionkey", "n_regionkey", "c_mktsegment",
+        "lang", "source", "event_type",
+    }
+)
+
+_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
+    "forecast_feature_matrix": (1, "pre-agg: (event_type, day) daily series"),
+    "cusum_drift_detection": (3, "pre-agg: (event_type, day) daily series"),
+    "rolling_median_7d": (1, "pre-agg: (event_type, day) daily series"),
+    "mode_per_group": (1, "pre-agg: (returnflag, quantity) counts ≤ |flags|·|qty domain|"),
+    "chi_square_independence": (3, "pre-agg: ≤15-cell contingency frames"),
+    "benford_first_digit": (1, "pre-agg: 9-row leading-digit frame"),
+    "ratio_to_parent_share": (2, "pre-agg: nation/region rollup ≤ 25+5 rows"),
+    "bm25_topk": (1, "post-limit: 20-row rank"),
+    "boolean_search_and": (1, "post-limit: 50-row rank"),
+    "pareto_frontier_parts": (1, "post-cut: ≤ 32·|size domain| local-skyline survivors"),
+    "topk_per_group": (1, "post-cut: ≤ 3·64 salted-phase survivors per segment"),
+    "sample_per_label_cap": (1, "post-cut: ≤ 8·40 hash-threshold survivors per language"),
+    "stratified_sample_exact": (10, "pre-agg: 5-row allocation frames (3 windows × subtree reuse) + post-cut survivor rank"),
+    "pack_token_shards": (1, "pre-agg: chunk-total frame, 4096× reduced; recurse the chunk split for more"),
+    "window_frames": (1, "grandfather: per-row ntile/percent_rank/cume_dist IS the lane's SQL-surface contract; scalable per-row-rank recipe = cut-point assignment (decile_lift_table)"),
+    "robust_outliers": (6, "grandfather: order statistics of raw doubles per type; the integer-keyed two-phase path (grouped_median_twophase) is the at-scale recipe, named in the docstring"),
+    "equidepth_histogram": (1, "grandfather: per-group independent quartile sorts; single-giant-group regime delegated to kll_quantile_merge per docstring"),
+}
+
+_WINDOW_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
+    "decile_lift_table": (2, "pre-agg: cumulative/total frames over the 10-row decile aggregate"),
+    "keyword_textrank": (1, "post-limit: 20-row rank"),
+    "pagerank_topk": (1, "post-limit: 15-row rank"),
+}
+
+
+def _suspect_windows(df) -> int:
+    """Count Window nodes with empty or all-low-card partition specs
+    in the optimized logical plan."""
+    import re
+
+    found = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window":
+            ps = node.partitionSpec()
+            cols = [ps.apply(i).toString() for i in range(ps.size())]
+            if not cols:
+                found.append("EMPTY")
+            else:
+                names = set()
+                for c in cols:
+                    names.update(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", c))
+                if names and names <= _LOW_CARD_COLS:
+                    found.append("LOWCARD:" + ",".join(sorted(names)))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return len(found)
+
+
+def _assert_windows_allowed(specs, allowlist, spark, sf_dir) -> None:
+    offenders = {}
+    for name, spec in specs:
+        n = _suspect_windows(spec.fn(spark, sf_dir))
+        cap = allowlist.get(name, (0, ""))[0]
+        if n > cap:
+            offenders[name] = (n, cap)
+    assert not offenders, (
+        f"unaudited constant-parallelism window sorts (lane: found>allowed): "
+        f"{offenders} — either the window's input is provably bounded "
+        f"(add an allowlist entry WITH the boundedness argument) or replace "
+        f"it with a two-phase rank / cut-point / prefix-scan plan "
+        f"(see rank_cutpoints, the salted top-k, the hash-threshold samplers)"
+    )
+
+
+def test_no_unaudited_unbounded_windows(spark, sf_dir):
+    """Every empty-or-low-card-partition Window in every pure-analysis
+    lane's optimized plan must be covered by the audited allowlist."""
+    specs = [(n, s) for n, s in all_queries().items() if not s.executes_on_construct]
+    _assert_windows_allowed(specs, _WINDOW_ALLOWLIST, spark, sf_dir)
+
+
+def test_no_unaudited_unbounded_windows_construct_lanes(spark, sf_dir):
+    """Same guard over the executes_on_construct lanes (these run real
+    jobs to build their plan — same split as the broadcast guard)."""
+    specs = [(n, s) for n, s in all_queries().items() if s.executes_on_construct]
+    _assert_windows_allowed(specs, _WINDOW_ALLOWLIST_CONSTRUCT, spark, sf_dir)

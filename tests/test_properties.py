@@ -378,3 +378,73 @@ def test_grouped_quantile_rejects_bad_q(spark):
         grouped_quantile_twophase(df, "g", "x", 0, 10)
     with pytest.raises(ValueError, match="q must be"):
         grouped_quantile_twophase(df, "g", "x", 11, 10)
+
+
+def test_rank_cutpoints_matches_python_sort(spark):
+    import random
+
+    from sf_etl_spark.operators.orderstats import rank_cutpoints
+
+    rng = random.Random(7)
+    # heavy ties on the key (cut ranks routinely land inside a tie
+    # group) + a few huge outliers to skew the histogram buckets
+    rows = [(rng.randint(0, 20), i) for i in range(400)] + [
+        (10**12 + rng.randint(0, 3), 1000 + i) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    ordered = sorted(rows)
+    ks = [1, 2, 40, 41, 100, 256, 300, 408, 409]
+    cuts = rank_cutpoints(df, "k", "t", ks, n_buckets=16)
+    for k in ks:
+        assert cuts[k] == ordered[k - 1], k
+
+
+def test_rank_cutpoints_rejects_bad_ranks(spark):
+    import pytest as _pytest
+
+    from sf_etl_spark.operators.orderstats import rank_cutpoints
+
+    df = spark.createDataFrame([(1, 1), (2, 2)], ["k", "t"])
+    assert rank_cutpoints(df, "k", "t", []) == {}
+    with _pytest.raises(ValueError):
+        rank_cutpoints(df, "k", "t", [0])
+    with _pytest.raises(ValueError):
+        rank_cutpoints(df, "k", "t", [3])
+
+
+def test_event_pattern_cap_bounds_power_user(spark, tmp_path):
+    """r7 verdict task 6: the per-user event-string bound is enforced
+    behavior, not a docstring assumption — a user whose pattern only
+    completes past the cap must NOT match, and the lane must run
+    without building an uncapped string."""
+    import datetime as _dt
+
+    import sf_etl_spark.queries.streaming_batch as sb
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 30 views, then click+purchase at positions 31/32 — the
+    # v...c...p pattern completes only past a cap of 10
+    for i in range(30):
+        rows.append((i, t0 + _dt.timedelta(minutes=i), 1, "view", 1.0, "{}"))
+    rows.append((30, t0 + _dt.timedelta(minutes=30), 1, "click", 1.0, "{}"))
+    rows.append((31, t0 + _dt.timedelta(minutes=31), 1, "purchase", 1.0, "{}"))
+    # user 2: completes within the first 3 events
+    rows.append((32, t0, 2, "view", 1.0, "{}"))
+    rows.append((33, t0 + _dt.timedelta(minutes=1), 2, "click", 1.0, "{}"))
+    rows.append((34, t0 + _dt.timedelta(minutes=2), 2, "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    old = sb._SEQ_CAP
+    sb._SEQ_CAP = 10
+    try:
+        out = sb.event_pattern_regex(spark, str(tmp_path)).first()
+    finally:
+        sb._SEQ_CAP = old
+    assert out["n_users"] == 2
+    assert out["n_matched"] == 1  # user 1's completion is past the cap
+    # sanity: uncapped, both users match
+    out_full = sb.event_pattern_regex(spark, str(tmp_path)).first()
+    assert out_full["n_matched"] == 2
