@@ -96,75 +96,26 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-7 rotation (the r6 verdict's task 1): the ~50-row
-    # driver window goes to (1) the 12 round-6 lanes that landed past
-    # the r6 window boundary and have NEVER been driver-hashed — two
-    # of them (`attribution_channels`, `group_median_twophase`) also
-    # changed this round (broadcast-hint drop; null/budget hardening),
-    # so their first row verifies the NEW code; (2) the 29 r3-vintage
-    # rows, now the stalest evidence in the repo (three fixture
-    # generations old); (3) the round-7 lanes registered this round
-    # (never verified). 12+29+9 = 50. Below the boundary the order is
-    # stalest-first for the NEXT rotation: the r4-vintage block (50
-    # rows, fronted now for r8 per the r6 verdict's task 10), then the
-    # lanes re-proven fresh in r6, then the r5-fresh block. ---
-    # (1) late-round-6 lanes, never driver-verified
-    "countmin_point_estimates",
-    "seasonal_anomaly_slots",
-    "asof_nearest_click",
-    "funnel_time_to_convert",
-    "multimodal_resize_stats",
-    "agms_join_size",
-    "ann_recall_metrics",
-    "target_encoding_smoothed",
-    "forecast_feature_matrix",
-    "group_median_twophase",
-    "window_sliding_distinct",
-    "attribution_channels",
-    # (2) r3-vintage rows (stalest driver evidence)
-    "q6_forecast_revenue",
-    "window_frames",
-    "grouping_sets_flags",
-    "vocab_top_terms",
-    "unpivot_metrics",
-    "null_semantics",
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "dq_validation_report",
-    "source_schema_evolution",
-    "bucketed_join_colocated",
-    "dedup_cluster_components",
-    "dedup_cluster_bigstar",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    "decontaminate_ngram_overlap",
-    "domain_mix_rebalance",
-    "corpus_prep_pipeline",
-    "split_train_test",
-    "sample_per_label_cap",
-    "pack_token_shards",
-    "clean_text_normalize",
-    "repetition_metrics",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_srp_lsh_pairs",
-    "dedup_embedding_pipeline",
-    "embedding_quantize_int8",
-    # (3) new round-7 lanes (never verified)
-    "snapshot_diff_cdc",
-    "stratified_sample_exact",
-    "gap_islands_activity",
-    "mode_per_group",
-    "regression_by_group",
-    "geo_nearest_hub",
-    "correlation_matrix",
-    "ab_test_lift",
-    "decile_lift_table",
-    # --- ~50-entry window boundary lands here; below rotates back ---
-    # round-7 second-batch lanes (registered after the window filled):
-    # never driver-verified — first in line for the r8 window, AHEAD
-    # of the r4-vintage block
+    # --- round-8 rotation (the r7 verdict's tasks 2 and 8): the ~50-row
+    # driver window goes to (1) the 8 round-7 second-batch lanes that
+    # registered after the r7 window filled and have NEVER been
+    # driver-hashed — two of them (`boolean_search_and`,
+    # `event_pattern_regex`) also changed this round (top-k contract;
+    # enforced per-user cap), so their first row verifies the NEW
+    # code; (2) the 2 rows-only-by-design lanes
+    # (`multimodal_features`, `ann_ivf_kmeans_topk`) that have never
+    # appeared in ANY driver CORRECTNESS file — one slot each, once,
+    # closes the only permanent evidence hole; (3) the 5 lanes whose
+    # PLANS were rewritten this round for the unbounded-window fix
+    # (cut-point deciles, hash-threshold samplers, salted top-k,
+    # two-level prefix scan) — semantics unchanged, so a fresh driver
+    # hash re-proves them; (4) 35 of the r4-vintage rows, now the
+    # stalest driver evidence. 8+2+5+35 = 50. Below the boundary the
+    # order is stalest-first for the NEXT rotations: the 14 leftover
+    # r4-vintage rows (first in line for r9), then the r5-fresh
+    # block (stalest after the r4 block clears — the r7 verdict's
+    # task 8), then r6-fresh, then everything re-proven in r7. ---
+    # (1) round-7 second-batch lanes, never driver-verified
     "boolean_search_and",
     "weighted_sample_priority",
     "benford_first_digit",
@@ -173,8 +124,16 @@ _PRIORITY_ORDER = [
     "source_jdbc_roundtrip",
     "event_pattern_regex",
     "ratio_to_parent_share",
-    # r4-vintage rows: stalest after this window clears — first in
-    # line for the r8 rotation (r6 verdict task 10)
+    # (2) rows-only lanes, never in any driver CORRECTNESS file
+    "multimodal_features",
+    "ann_ivf_kmeans_topk",
+    # (3) plans rewritten this round (unbounded-window-sort fix)
+    "decile_lift_table",
+    "stratified_sample_exact",
+    "sample_per_label_cap",
+    "pack_token_shards",
+    "topk_per_group",
+    # (4) r4-vintage rows (stalest driver evidence)
     "events_hourly_ffill",
     "funnel_conversion",
     "soql_child_traversal",
@@ -210,6 +169,8 @@ _PRIORITY_ORDER = [
     "stream_stateful_user_agg",
     "stream_stream_join_attribution",
     "sink_roundtrip_partitioned",
+    # --- ~50-entry window boundary lands here; below rotates back ---
+    # r4-vintage leftovers: first in line for the r9 window
     "source_csv_roundtrip",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -217,7 +178,6 @@ _PRIORITY_ORDER = [
     "q14_promo_revenue",
     "salted_join_revenue",
     "window_suite",
-    "topk_per_group",
     "exists_correlated",
     "scalar_subquery",
     "fk_integrity",
@@ -225,7 +185,57 @@ _PRIORITY_ORDER = [
     "percentiles_by_flag",
     "dedup_exact",
     "ngram_jaccard_pairs",
-    # r6-fresh rows (re-proven last round)
+    # r5-fresh rows: stalest after the r4 block clears (r9 rotation)
+    "ann_ivf_kmeans_agreement",
+    "multimodal_features_checksum",
+    "soql_typeof",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
+    "dedup_incremental_ingest",
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "kll_quantile_merge",
+    "column_profile",
+    "interval_coverage",
+    "triangle_count",
+    "merge_change_feed",
+    "ewma_user_value",
+    "bigram_novelty",
+    "dpp_partitioned_join",
+    "equidepth_histogram",
+    "table_checksum",
+    "soql_fields_all",
+    "market_basket_lift",
+    "event_transitions",
+    "grouped_agg_trimmed_mean",
+    "scd2_point_in_time_join",
+    "distribution_drift",
+    "spark_sql_front",
+    "timezone_local_hours",
+    "null_skew_outer_join",
+    "feature_hashing",
+    "user_behavior_profile",
+    "session_paths",
+    "doc_fingerprint",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "embedding_stats",
+    "ann_cosine_topk",
+    "udtf_bigrams",
+    "pandas_udf_zscore",
+    "dispersion_stats",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    # r6-fresh rows
     "agg_having",
     "agg_stats_by_status",
     "approx_distinct_custkeys",
@@ -276,58 +286,53 @@ _PRIORITY_ORDER = [
     "phrase_search_positional",
     "exact_median_histogram",
     "linkage_survivorship",
-    # r5-fresh rows (verified last round; least at risk)
-    "ann_ivf_kmeans_agreement",
-    "multimodal_features_checksum",
-    "soql_typeof",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_promo_suppliers",
-    "dedup_incremental_ingest",
-    "sessionize_events",
-    "cohort_retention",
-    "robust_outliers",
-    "bm25_topk",
-    "bloom_semi_join_revenue",
-    "merge_time_travel",
-    "pagerank_topk",
-    "heavy_hitters_twopass",
-    "hll_rollup_merge",
-    "kll_quantile_merge",
-    "column_profile",
-    "interval_coverage",
-    "triangle_count",
-    "merge_change_feed",
-    "ewma_user_value",
-    "bigram_novelty",
-    "dpp_partitioned_join",
-    "equidepth_histogram",
-    "table_checksum",
-    "soql_fields_all",
-    "market_basket_lift",
-    "event_transitions",
-    "grouped_agg_trimmed_mean",
-    "scd2_point_in_time_join",
-    "distribution_drift",
-    "spark_sql_front",
-    "timezone_local_hours",
-    "null_skew_outer_join",
-    "feature_hashing",
-    "user_behavior_profile",
-    "session_paths",
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
-    "lang_id",
-    "embedding_stats",
-    "ann_cosine_topk",
-    "udtf_bigrams",
-    "pandas_udf_zscore",
-    "dispersion_stats",
-    "multimodal_meta_stats",
-    "multimodal_frame_sample",
-    "ann_ivf_kmeans_topk",
-    "multimodal_features",
+    # re-proven fresh in round 7 (least at risk)
+    "countmin_point_estimates",
+    "seasonal_anomaly_slots",
+    "asof_nearest_click",
+    "funnel_time_to_convert",
+    "multimodal_resize_stats",
+    "agms_join_size",
+    "ann_recall_metrics",
+    "target_encoding_smoothed",
+    "forecast_feature_matrix",
+    "group_median_twophase",
+    "window_sliding_distinct",
+    "attribution_channels",
+    "q6_forecast_revenue",
+    "window_frames",
+    "grouping_sets_flags",
+    "vocab_top_terms",
+    "unpivot_metrics",
+    "null_semantics",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "dq_validation_report",
+    "source_schema_evolution",
+    "bucketed_join_colocated",
+    "dedup_cluster_components",
+    "dedup_cluster_bigstar",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "decontaminate_ngram_overlap",
+    "domain_mix_rebalance",
+    "corpus_prep_pipeline",
+    "split_train_test",
+    "clean_text_normalize",
+    "repetition_metrics",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_srp_lsh_pairs",
+    "dedup_embedding_pipeline",
+    "embedding_quantize_int8",
+    "snapshot_diff_cdc",
+    "gap_islands_activity",
+    "mode_per_group",
+    "regression_by_group",
+    "geo_nearest_hub",
+    "correlation_matrix",
+    "ab_test_lift",
 ]
 
 

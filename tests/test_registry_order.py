@@ -13,69 +13,70 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 7 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r6 verdict's ask #1):
-# (1) the 12 late-round-6 lanes that landed past the r6 window
-# boundary and have NEVER been driver-hashed — two of them also
-# changed this round (attribution broadcast-hint drop; grouped-median
-# null/budget hardening), so their first row verifies the NEW code;
-# (2) the 29 r3-vintage rows, now the stalest evidence in the repo;
-# (3) every lane registered in round 7 (never driver-verified).
-# Everything re-proven fresh in r5/r6 rotates behind the boundary.
+# (round 8 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r7 verdict's task 2):
+# (1) the 8 round-7 second-batch lanes registered after the r7 window
+# filled — never driver-hashed, two also changed this round;
+# (2) the 2 rows-only lanes that have never appeared in ANY driver
+# CORRECTNESS file; (3) the 5 lanes whose plans were rewritten for
+# the unbounded-window fix (fresh hash re-proves the new code);
+# (4) 35 r4-vintage rows, the stalest driver evidence. Everything
+# re-proven in r5/r6/r7 rotates behind the boundary.
 MUST_BE_IN_WINDOW = [
-    # (1) late-round-6 lanes, never driver-verified
-    "countmin_point_estimates",
-    "seasonal_anomaly_slots",
-    "asof_nearest_click",
-    "funnel_time_to_convert",
-    "multimodal_resize_stats",
-    "agms_join_size",
-    "ann_recall_metrics",
-    "target_encoding_smoothed",
-    "forecast_feature_matrix",
-    "group_median_twophase",
-    "window_sliding_distinct",
-    "attribution_channels",
-    # (2) r3-vintage rows (stalest driver evidence)
-    "q6_forecast_revenue",
-    "window_frames",
-    "grouping_sets_flags",
-    "vocab_top_terms",
-    "unpivot_metrics",
-    "null_semantics",
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "dq_validation_report",
-    "source_schema_evolution",
-    "bucketed_join_colocated",
-    "dedup_cluster_components",
-    "dedup_cluster_bigstar",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    "decontaminate_ngram_overlap",
-    "domain_mix_rebalance",
-    "corpus_prep_pipeline",
-    "split_train_test",
+    # (1) round-7 second-batch lanes, never driver-verified
+    "boolean_search_and",
+    "weighted_sample_priority",
+    "benford_first_digit",
+    "chi_square_independence",
+    "group_p90_twophase",
+    "source_jdbc_roundtrip",
+    "event_pattern_regex",
+    "ratio_to_parent_share",
+    # (2) rows-only lanes, never in any driver CORRECTNESS file
+    "multimodal_features",
+    "ann_ivf_kmeans_topk",
+    # (3) plans rewritten this round (unbounded-window-sort fix)
+    "decile_lift_table",
+    "stratified_sample_exact",
     "sample_per_label_cap",
     "pack_token_shards",
-    "clean_text_normalize",
-    "repetition_metrics",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_srp_lsh_pairs",
-    "dedup_embedding_pipeline",
-    "embedding_quantize_int8",
-    # (3) new round-7 lanes (never verified)
-    "snapshot_diff_cdc",
-    "stratified_sample_exact",
-    "gap_islands_activity",
-    "mode_per_group",
-    "regression_by_group",
-    "geo_nearest_hub",
-    "correlation_matrix",
-    "ab_test_lift",
-    "decile_lift_table",
+    "topk_per_group",
+    # (4) r4-vintage rows (stalest driver evidence)
+    "events_hourly_ffill",
+    "funnel_conversion",
+    "soql_child_traversal",
+    "redact_pii",
+    "chunk_documents",
+    "quality_percentile_filter",
+    "sink_merge_cdc",
+    "tfidf_top_terms",
+    "histogram_totalprice",
+    "zorder_roundtrip",
+    "rollup_incremental_maintenance",
+    "dq_observe_inflight",
+    "scd2_dimension_history",
+    "soql_orders_rollup",
+    "soql_documents_filter",
+    "soql_parent_traversal",
+    "soql_rollup_traversal",
+    "soql_child_subquery",
+    "soql_child_subquery_where",
+    "soql_multihop_traversal",
+    "soql_in_subquery_semi",
+    "soql_in_subquery_anti",
+    "soql_cube_grouping",
+    "soql_date_functions",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_purchase_click",
+    "range_join_followups",
+    "asof_pandas_merge",
+    "stream_tumbling_1h",
+    "stream_dedup_exactly_once",
+    "stream_stateful_user_agg",
+    "stream_stream_join_attribution",
+    "sink_roundtrip_partitioned",
 ]
 
 
