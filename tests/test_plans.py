@@ -484,7 +484,18 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "ann_cosine_topk": (1, "1-row: query vector"),
     "pandas_udf_zscore": (1, "domain: per-status moments"),
     "geo_nearest_hub": (1, "bounded: 5 hub-coordinate literals"),
-    "stratified_sample_exact": (2, "domain: 5 order priorities' allocations + 5-row assert-guard frame"),
+    "stratified_sample_exact": (
+        3,
+        "domain: 5 order priorities' alloc frame (hinted at the survivor "
+        "join, re-appearing inside the assert-guard frame's subtree) + "
+        "5-row assert-guard frame itself — all ≤|priorities| rows",
+    ),
+    "sample_per_label_cap": (
+        3,
+        "domain: |langs|-row alloc frame (hinted at the survivor join, "
+        "re-appearing inside the assert-guard frame's subtree) + "
+        "|langs|-row assert-guard frame itself",
+    ),
     "ratio_to_parent_share": (2, "dim: nation + region"),
 }
 

@@ -76,6 +76,27 @@ def test_construct_declarations_cover_eager_sources():
     hand: over-declaring only makes the pure-analysis pass smaller,
     never incorrect."""
     import inspect
+    import io
+    import tokenize
+
+    def _code_only(src: str) -> str:
+        """Drop comments and string literals so prose mentioning a
+        marker (e.g. a scale note saying 'production would
+        localCheckpoint …') can't false-positive; real eager calls are
+        NAME/OP tokens and survive."""
+        try:
+            toks = tokenize.generate_tokens(io.StringIO(src).readline)
+            # "" join keeps multi-token markers like '.collect()'
+            # contiguous; NAME tokens can't merge into a false marker
+            # because every marker contains punctuation or is a whole
+            # NAME that tokenize would have emitted intact.
+            return "".join(
+                t.string
+                for t in toks
+                if t.type not in (tokenize.COMMENT, tokenize.STRING)
+            )
+        except (tokenize.TokenError, IndentationError):
+            return src
 
     EAGER_MARKERS = ("mkdtemp", ".fit(", "localCheckpoint", ".collect()")
     # operator modules whose helpers are eager; appearing in a lane's
@@ -102,7 +123,7 @@ def test_construct_declarations_cover_eager_sources():
         if spec.executes_on_construct:
             continue
         try:
-            src = inspect.getsource(spec.fn.__wrapped__)
+            src = _code_only(inspect.getsource(spec.fn.__wrapped__))
         except (TypeError, OSError, AttributeError):
             continue
         if any(m in src for m in EAGER_MARKERS) or any(
