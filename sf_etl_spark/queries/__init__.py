@@ -96,81 +96,21 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-8 rotation (the r7 verdict's tasks 2 and 8): the ~50-row
-    # driver window goes to (1) the 8 round-7 second-batch lanes that
-    # registered after the r7 window filled and have NEVER been
-    # driver-hashed — two of them (`boolean_search_and`,
-    # `event_pattern_regex`) also changed this round (top-k contract;
-    # enforced per-user cap), so their first row verifies the NEW
-    # code; (2) the 2 rows-only-by-design lanes
-    # (`multimodal_features`, `ann_ivf_kmeans_topk`) that have never
-    # appeared in ANY driver CORRECTNESS file — one slot each, once,
-    # closes the only permanent evidence hole; (3) the 5 lanes whose
-    # PLANS were rewritten this round for the unbounded-window fix
-    # (cut-point deciles, hash-threshold samplers, salted top-k,
-    # two-level prefix scan) — semantics unchanged, so a fresh driver
-    # hash re-proves them; (4) 35 of the r4-vintage rows, now the
-    # stalest driver evidence. 8+2+5+35 = 50. Below the boundary the
-    # order is stalest-first for the NEXT rotations: the 14 leftover
-    # r4-vintage rows (first in line for r9), then the r5-fresh
-    # block (stalest after the r4 block clears — the r7 verdict's
-    # task 8), then r6-fresh, then everything re-proven in r7. ---
-    # (1) round-7 second-batch lanes, never driver-verified
-    "boolean_search_and",
-    "weighted_sample_priority",
-    "benford_first_digit",
-    "chi_square_independence",
-    "group_p90_twophase",
-    "source_jdbc_roundtrip",
-    "event_pattern_regex",
-    "ratio_to_parent_share",
-    # (2) rows-only lanes, never in any driver CORRECTNESS file
-    "multimodal_features",
-    "ann_ivf_kmeans_topk",
-    # (3) plans rewritten this round (unbounded-window-sort fix)
-    "decile_lift_table",
-    "stratified_sample_exact",
-    "sample_per_label_cap",
-    "pack_token_shards",
-    "topk_per_group",
-    # (4) r4-vintage rows (stalest driver evidence)
-    "events_hourly_ffill",
-    "funnel_conversion",
-    "soql_child_traversal",
-    "redact_pii",
-    "chunk_documents",
-    "quality_percentile_filter",
-    "sink_merge_cdc",
-    "tfidf_top_terms",
-    "histogram_totalprice",
-    "zorder_roundtrip",
-    "rollup_incremental_maintenance",
-    "dq_observe_inflight",
-    "scd2_dimension_history",
-    "soql_orders_rollup",
-    "soql_documents_filter",
-    "soql_parent_traversal",
-    "soql_rollup_traversal",
-    "soql_child_subquery",
-    "soql_child_subquery_where",
-    "soql_multihop_traversal",
-    "soql_in_subquery_semi",
-    "soql_in_subquery_anti",
-    "soql_cube_grouping",
-    "soql_date_functions",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_purchase_click",
-    "range_join_followups",
-    "asof_pandas_merge",
-    "stream_tumbling_1h",
-    "stream_dedup_exactly_once",
-    "stream_stateful_user_agg",
-    "stream_stream_join_attribution",
-    "sink_roundtrip_partitioned",
-    # --- ~50-entry window boundary lands here; below rotates back ---
-    # r4-vintage leftovers: first in line for the r9 window
+    # --- round-9 rotation (the r8 verdict's task 2): the ~50-row
+    # driver window goes to (1) the 14 r4-vintage leftover rows — the
+    # stalest driver evidence, 4 fixture generations old; one of them
+    # (`percentiles_by_flag`) is also rewritten this round (two-phase
+    # grouped quantiles replacing the exact-percentile agg buffer), so
+    # its row verifies the NEW plan; (2) `window_frames`, rewritten
+    # this round (cut-point ntile + prefix-rank percent_rank/cume_dist
+    # replacing the grandfathered full-partition sort); (3) the first
+    # 35 rows of the r5-fresh block — the stalest evidence after the
+    # r4 block clears — which happens to include this round's other
+    # two rewrites (`robust_outliers`, `equidepth_histogram`).
+    # 14+1+35 = 50. Below the boundary: the 14 remaining r5-fresh
+    # rows (first in line for r10), then r6-fresh, then r7-fresh,
+    # then the r8 window block (freshest evidence, rotates last). ---
+    # (1) r4-vintage leftovers (stalest driver evidence)
     "source_csv_roundtrip",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -185,7 +125,9 @@ _PRIORITY_ORDER = [
     "percentiles_by_flag",
     "dedup_exact",
     "ngram_jaccard_pairs",
-    # r5-fresh rows: stalest after the r4 block clears (r9 rotation)
+    # (2) plan rewritten this round (grandfathered-sort retirement)
+    "window_frames",
+    # (3) first 35 r5-fresh rows (incl. this round's other rewrites)
     "ann_ivf_kmeans_agreement",
     "multimodal_features_checksum",
     "soql_typeof",
@@ -221,6 +163,8 @@ _PRIORITY_ORDER = [
     "spark_sql_front",
     "timezone_local_hours",
     "null_skew_outer_join",
+    # --- ~50-entry window boundary lands here; below rotates back ---
+    # r5-fresh leftovers: first in line for the r10 window
     "feature_hashing",
     "user_behavior_profile",
     "session_paths",
@@ -300,7 +244,6 @@ _PRIORITY_ORDER = [
     "window_sliding_distinct",
     "attribution_channels",
     "q6_forecast_revenue",
-    "window_frames",
     "grouping_sets_flags",
     "vocab_top_terms",
     "unpivot_metrics",
@@ -333,6 +276,57 @@ _PRIORITY_ORDER = [
     "geo_nearest_hub",
     "correlation_matrix",
     "ab_test_lift",
+    # re-proven fresh in round 8 (freshest evidence, rotates last)
+    "boolean_search_and",
+    "weighted_sample_priority",
+    "benford_first_digit",
+    "chi_square_independence",
+    "group_p90_twophase",
+    "source_jdbc_roundtrip",
+    "event_pattern_regex",
+    "ratio_to_parent_share",
+    "multimodal_features",
+    "ann_ivf_kmeans_topk",
+    "decile_lift_table",
+    "stratified_sample_exact",
+    "sample_per_label_cap",
+    "pack_token_shards",
+    "topk_per_group",
+    "events_hourly_ffill",
+    "funnel_conversion",
+    "soql_child_traversal",
+    "redact_pii",
+    "chunk_documents",
+    "quality_percentile_filter",
+    "sink_merge_cdc",
+    "tfidf_top_terms",
+    "histogram_totalprice",
+    "zorder_roundtrip",
+    "rollup_incremental_maintenance",
+    "dq_observe_inflight",
+    "scd2_dimension_history",
+    "soql_orders_rollup",
+    "soql_documents_filter",
+    "soql_parent_traversal",
+    "soql_rollup_traversal",
+    "soql_child_subquery",
+    "soql_child_subquery_where",
+    "soql_multihop_traversal",
+    "soql_in_subquery_semi",
+    "soql_in_subquery_anti",
+    "soql_cube_grouping",
+    "soql_date_functions",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_purchase_click",
+    "range_join_followups",
+    "asof_pandas_merge",
+    "stream_tumbling_1h",
+    "stream_dedup_exactly_once",
+    "stream_stateful_user_agg",
+    "stream_stream_join_attribution",
+    "sink_roundtrip_partitioned",
 ]
 
 

@@ -13,70 +13,69 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 8 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r7 verdict's task 2):
-# (1) the 8 round-7 second-batch lanes registered after the r7 window
-# filled — never driver-hashed, two also changed this round;
-# (2) the 2 rows-only lanes that have never appeared in ANY driver
-# CORRECTNESS file; (3) the 5 lanes whose plans were rewritten for
-# the unbounded-window fix (fresh hash re-proves the new code);
-# (4) 35 r4-vintage rows, the stalest driver evidence. Everything
-# re-proven in r5/r6/r7 rotates behind the boundary.
+# (round 9 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r8 verdict's task 2):
+# (1) the 14 r4-vintage leftover rows, the stalest driver evidence
+# (one, percentiles_by_flag, also rewritten this round);
+# (2) window_frames, rewritten this round (grandfathered-sort
+# retirement); (3) the first 35 r5-fresh rows — stalest after the r4
+# block — including this round's other rewrites (robust_outliers,
+# equidepth_histogram). Everything re-proven in r6/r7/r8 rotates
+# behind the boundary.
 MUST_BE_IN_WINDOW = [
-    # (1) round-7 second-batch lanes, never driver-verified
-    "boolean_search_and",
-    "weighted_sample_priority",
-    "benford_first_digit",
-    "chi_square_independence",
-    "group_p90_twophase",
-    "source_jdbc_roundtrip",
-    "event_pattern_regex",
-    "ratio_to_parent_share",
-    # (2) rows-only lanes, never in any driver CORRECTNESS file
-    "multimodal_features",
-    "ann_ivf_kmeans_topk",
-    # (3) plans rewritten this round (unbounded-window-sort fix)
-    "decile_lift_table",
-    "stratified_sample_exact",
-    "sample_per_label_cap",
-    "pack_token_shards",
-    "topk_per_group",
-    # (4) r4-vintage rows (stalest driver evidence)
-    "events_hourly_ffill",
-    "funnel_conversion",
-    "soql_child_traversal",
-    "redact_pii",
-    "chunk_documents",
-    "quality_percentile_filter",
-    "sink_merge_cdc",
-    "tfidf_top_terms",
-    "histogram_totalprice",
-    "zorder_roundtrip",
-    "rollup_incremental_maintenance",
-    "dq_observe_inflight",
-    "scd2_dimension_history",
-    "soql_orders_rollup",
-    "soql_documents_filter",
-    "soql_parent_traversal",
-    "soql_rollup_traversal",
-    "soql_child_subquery",
-    "soql_child_subquery_where",
-    "soql_multihop_traversal",
-    "soql_in_subquery_semi",
-    "soql_in_subquery_anti",
-    "soql_cube_grouping",
-    "soql_date_functions",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_purchase_click",
-    "range_join_followups",
-    "asof_pandas_merge",
-    "stream_tumbling_1h",
-    "stream_dedup_exactly_once",
-    "stream_stateful_user_agg",
-    "stream_stream_join_attribution",
-    "sink_roundtrip_partitioned",
+    # (1) r4-vintage leftovers
+    "source_csv_roundtrip",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q14_promo_revenue",
+    "salted_join_revenue",
+    "window_suite",
+    "exists_correlated",
+    "scalar_subquery",
+    "fk_integrity",
+    "json_schema_on_read",
+    "percentiles_by_flag",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    # (2) plan rewritten this round
+    "window_frames",
+    # (3) first 35 r5-fresh rows
+    "ann_ivf_kmeans_agreement",
+    "multimodal_features_checksum",
+    "soql_typeof",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
+    "dedup_incremental_ingest",
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "kll_quantile_merge",
+    "column_profile",
+    "interval_coverage",
+    "triangle_count",
+    "merge_change_feed",
+    "ewma_user_value",
+    "bigram_novelty",
+    "dpp_partitioned_join",
+    "equidepth_histogram",
+    "table_checksum",
+    "soql_fields_all",
+    "market_basket_lift",
+    "event_transitions",
+    "grouped_agg_trimmed_mean",
+    "scd2_point_in_time_join",
+    "distribution_drift",
+    "spark_sql_front",
+    "timezone_local_hours",
+    "null_skew_outer_join",
 ]
 
 
