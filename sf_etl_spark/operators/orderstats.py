@@ -159,12 +159,10 @@ def rank_cutpoints(
         cum += counts[b]
     plans: dict[tuple[int, int], list[int]] = {}  # (bucket, resid) -> [k...]
     for k in ks:
-        c = 0
         for b in order:
-            if c + counts[b] >= k:
-                plans.setdefault((b, k - c), []).append(k)
+            if prefix[b] + counts[b] >= k:
+                plans.setdefault((b, k - prefix[b]), []).append(k)
                 break
-            c += counts[b]
     sel = sorted({b for b, _ in plans})
     pick_cond = None
     for b, r in plans:
@@ -229,10 +227,11 @@ def grouped_median_twophase(
     group sizes the median is the exact midpoint of the two middle
     values (one IEEE divide of integers).
 
-    Contrast: `percentiles_by_flag` window-sorts each whole group —
-    right when groups fit a partition; this shape is the one that
-    survives when a single group holds billions of rows. One level of
-    narrowing suffices when bucket populations fit pass 2's window
+    Contrast: an exact-percentile AGGREGATE buffers each whole group
+    in one task — right when groups fit a partition; this shape is
+    the one that survives when a single group holds billions of rows
+    (`percentiles_by_flag` now runs on the same machinery). One level
+    of narrowing suffices when bucket populations fit pass 2's window
     (n/B per group on average); recurse with :func:`kth_smallest` per
     group for adversarial skew.
 
@@ -246,8 +245,8 @@ def grouped_median_twophase(
     histogram is ≤ |groups|·B rows, which is "bounded metadata" only
     while |groups| is dimension-sized. ``max_meta_rows`` makes that
     assumption explicit — past it the call FAILS LOUD (with the knobs
-    that fix it: shrink ``n_buckets``, or use the fully-distributed
-    window path ``percentiles_by_flag`` models) instead of silently
+    that fix it: shrink ``n_buckets``, or fall back to a per-group
+    window/aggregate plan when groups are tiny) instead of silently
     OOMing the driver on a high-cardinality group column.
     """
     g, c = F.col(group_col), F.col(col)
@@ -329,6 +328,152 @@ def grouped_median_twophase(
             / F.lit(2.0)
         ).alias("median"),
     )
+
+
+def grouped_percentile_cont_twophase(
+    df: DataFrame,
+    group_col: str,
+    img_col: str,
+    val_col: str,
+    qs: dict[str, float],
+    n_buckets: int = 1024,
+    max_meta_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact per-group CONTINUOUS percentiles (``percentile_cont`` /
+    Spark ``percentile()`` semantics: linear interpolation between the
+    two values straddling rank position ``q*(n-1)``) without buffering
+    or sorting any full group — the two-phase replacement for the
+    exact-percentile aggregate, whose implementation collects every
+    group value into ONE aggregation buffer (the scale-killer the
+    window guard can't see because it is an aggregate, not a Window).
+
+    ``img_col`` is an order-isomorphic INTEGER image of ``val_col``
+    (e.g. cents of a 2-decimal price) used only for exact histogram
+    bucketing; the interpolation itself runs on ``val_col`` cast to
+    double, with the position/weights computed driver-side in IEEE
+    double — the same ``(higher-position)*v_lo + (position-lower)*v_hi``
+    formula Spark's Percentile and DuckDB's quantile_cont evaluate, so
+    results are bit-identical to both.
+
+    Phase 1: ONE scan builds per-(group, bucket) counts (≤ |groups|·B
+    rows of driver metadata, fail-loud past ``max_meta_rows``); the
+    driver walks each group's prefix sums to locate, for every q, the
+    bucket + residual rank of the two straddling ranks. Phase 2: ONE
+    scan ranks only the selected bucket slices (~n/B rows per window
+    partition) and picks those rows. Weights re-enter as a bounded
+    |groups|-row broadcast frame (the kth_smallest scalar policy).
+
+    NULL semantics: percentiles are over non-null values per group
+    (matching ``percentile()``); all-null groups drop out. Returns
+    (group, <name> double for each q), one row per group with data.
+    """
+    import math
+
+    if not qs:
+        raise ValueError("qs must name at least one percentile")
+    for name, q in qs.items():
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"percentile {name}={q} outside [0, 1]")
+    g, img = F.col(group_col), F.col(img_col)
+    d = df.filter(img.isNotNull())
+    bounds = d.agg(F.min(img).alias("lo"), F.max(img).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        raise ValueError(
+            f"grouped_percentile_cont_twophase on all-null column {img_col!r}"
+        )
+    span = int(hi) - int(lo) + 1
+    width = -(-span // n_buckets)
+    a = img.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
+    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    hist = (
+        d.groupBy(g.alias("_g"), bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_meta_rows + 1)
+        .collect()
+    )
+    if len(hist) > max_meta_rows:
+        raise ValueError(
+            f"grouped_percentile_cont_twophase: per-(group,bucket) histogram "
+            f"exceeds max_meta_rows={max_meta_rows} (high-cardinality "
+            f"{group_col!r}?); lower n_buckets or raise max_meta_rows"
+        )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
+    tags = [f"{name}__{side}" for name in qs for side in ("lo", "hi")]
+    plans = []  # (group, bucket, residual_rank, tag)
+    weights = []  # (group, w_lo/w_hi per q) — all driver-side doubles
+    for grp, counts in per_group.items():
+        n = sum(counts.values())
+        order = sorted(counts)
+        prefix: dict[int, int] = {}
+        cum = 0
+        for b in order:
+            prefix[b] = cum
+            cum += counts[b]
+
+        def _locate(k: int) -> tuple[int, int]:
+            for b in order:
+                if prefix[b] + counts[b] >= k:
+                    return b, k - prefix[b]
+            raise AssertionError(f"rank {k} exceeds group size {n}")
+
+        row_w: list = [grp]
+        for name, q in qs.items():
+            # IEEE-double position exactly as Spark's Percentile and
+            # DuckDB's quantile_cont compute it
+            pos = (n - 1) * q
+            lower = math.floor(pos)
+            higher = math.ceil(pos)
+            if higher == lower:
+                w_lo, w_hi = 1.0, 0.0
+            else:
+                w_lo = float(higher) - pos
+                w_hi = pos - float(lower)
+            row_w += [w_lo, w_hi]
+            b, rk = _locate(lower + 1)
+            plans.append((grp, b, rk, f"{name}__lo"))
+            b, rk = _locate(higher + 1)
+            plans.append((grp, b, rk, f"{name}__hi"))
+        weights.append(tuple(row_w))
+    spark = df.sparkSession
+    plan_df = F.broadcast(  # bounded: 2·|qs| rows per group, budget-guarded
+        spark.createDataFrame(plans, [group_col, "_b", "_k", "_tag"])
+    )
+    w_df = F.broadcast(  # bounded: one row per group
+        spark.createDataFrame(
+            weights, [group_col] + [f"_w_{t}" for t in tags]
+        )
+    )
+    ranked = (
+        d.select(g.alias(group_col), F.col(val_col).alias("_v"), bucket.alias("_b"))
+        .join(plan_df.select(group_col, "_b").distinct(), [group_col, "_b"], "left_semi")
+        .withColumn(
+            "_rk",
+            # ordering by the value within a bucket == ordering by the
+            # integer image (order-isomorphic); ties share the value,
+            # so any row at the rank yields the same result
+            F.row_number().over(Window.partitionBy(group_col, "_b").orderBy("_v")),
+        )
+    )
+    picked = ranked.join(plan_df, [group_col, "_b"]).filter(
+        F.col("_rk") == F.col("_k")
+    )
+    wide = (
+        picked.groupBy(group_col)
+        .pivot("_tag", tags)
+        .agg(F.first(F.col("_v").cast("double")))
+    )
+    outs = [F.col(group_col)]
+    for name in qs:
+        outs.append(
+            (
+                F.col(f"_w_{name}__lo") * F.col(f"{name}__lo")
+                + F.col(f"_w_{name}__hi") * F.col(f"{name}__hi")
+            ).alias(name)
+        )
+    return wide.join(w_df, group_col).select(*outs)
 
 
 def grouped_quantile_twophase(

@@ -325,7 +325,7 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # price distribution in O(log_B range) bounded scans, with O(B)
 # integers of driver traffic per round. The third point of the
 # quantile triangle the registry now covers: `percentiles_by_flag`
-# (small-group exact), `kll_quantile_merge` (mergeable approximate),
+# (per-group exact, two-phase), `kll_quantile_merge` (mergeable approx),
 # and this (global EXACT at scale — where a sort-based OFFSET k dies
 # and a sketch only bounds the error).
 #
@@ -466,10 +466,10 @@ def seasonal_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-group exact medians in two fixed passes (operators/orderstats.py
 # grouped_median_twophase): pass 1 = one scan → per-(group, bucket)
 # histogram (bounded metadata to the driver), pass 2 = one scan over
-# only the middle-rank buckets, windowed on ~n/B-row slices. The
-# at-scale companion to `percentiles_by_flag` (which window-sorts
-# whole groups): when one group holds billions of rows, sorting the
-# group dies and this shape doesn't. The oracle window-sorts each
+# only the middle-rank buckets, windowed on ~n/B-row slices — the
+# same machinery `percentiles_by_flag` now runs on: when one group
+# holds billions of rows, buffering or sorting the whole group dies
+# and this shape doesn't. The oracle window-sorts each
 # group (row_number) — exactly the plan the operator avoids — and
 # both middle ranks plus the midpoint must agree to the cent.
 # ---------------------------------------------------------------------------

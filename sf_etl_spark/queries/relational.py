@@ -1140,11 +1140,17 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact percentiles (linear interpolation): Spark percentile() ≡
-# DuckDB quantile_cont() bit-for-bit (same sort + same a+f*(b-a)
-# interpolation on doubles). Scale note: exact percentile re-sorts
-# per group; at 100 TB the approx_percentile sketch (t-digest-style,
-# map-side mergeable) replaces it — same call shape, bounded memory.
+# Exact percentiles (linear interpolation) per group, computed the way
+# a 100 TB engine must: two-phase histogram narrowing
+# (operators/orderstats.py) instead of the exact-percentile AGGREGATE,
+# whose buffer collects every group value into one task (the one
+# scale-killer invisible to the window plan guard — r8 verdict task 4).
+# The interpolation weights are driver-side IEEE doubles applying the
+# same (higher-pos)·v_lo + (pos-lower)·v_hi formula Spark percentile()
+# and DuckDB quantile_cont() both use, so the output is bit-identical
+# to the r4-hash-verified aggregate plan. Bucketing keys on the exact
+# cents image (fixtures are 2-decimal doubles; round(x·100) recovers
+# the integer cents exactly, and the image is order-isomorphic).
 # ---------------------------------------------------------------------------
 @register(
     "percentiles_by_flag",
@@ -1158,20 +1164,38 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    doc="exact percentiles (median/p90/p25/p99) per return flag",
+    doc="exact percentiles (median/p90/p25/p99) per return flag, two-phase",
+    executes_on_construct=True,  # histogram passes collect bounded metadata
 )
 def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (li,) = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_quantity", 0.5).alias("med_qty"),
-            F.percentile("l_quantity", 0.9).alias("p90_qty"),
-            F.percentile("l_extendedprice", 0.25).alias("p25_price"),
-            F.percentile("l_extendedprice", 0.99).alias("p99_price"),
-        )
-        .orderBy("l_returnflag")
+    from sf_etl_spark.operators.orderstats import (
+        grouped_percentile_cont_twophase,
     )
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("_qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_price_c"),
+    )
+    qty = grouped_percentile_cont_twophase(
+        base,
+        "l_returnflag",
+        "_qty_c",
+        "l_quantity",
+        {"med_qty": 0.5, "p90_qty": 0.9},
+    )
+    price = grouped_percentile_cont_twophase(
+        base,
+        "l_returnflag",
+        "_price_c",
+        "l_extendedprice",
+        {"p25_price": 0.25, "p99_price": 0.99},
+    )
+    # 3-row x 3-row join; AQE broadcasts it without a hint
+    return qty.join(price, "l_returnflag").orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

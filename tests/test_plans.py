@@ -510,6 +510,12 @@ _BROADCAST_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
     "ann_ivf_kmeans_agreement": (3, "bounded: K centroids + probe lists + 1-row query"),
     "ann_ivf_kmeans_topk": (3, "bounded: K centroids + probe lists + 1-row query"),
     "dpp_partitioned_join": (1, "dim: month dimension"),
+    "percentiles_by_flag": (
+        6,
+        "bounded: per-call 2·|qs|·|flags|-row pick plan (hinted, "
+        "referenced twice: semi + pick join) + |flags|-row weights "
+        "frame, × 2 two-phase calls (budget-guarded)",
+    ),
     "scd2_point_in_time_join": (1, "dim: SCD2 history (dimension-sized by contract, see lane)"),
 }
 

@@ -399,6 +399,46 @@ def test_rank_cutpoints_matches_python_sort(spark):
         assert cuts[k] == ordered[k - 1], k
 
 
+def test_grouped_percentile_cont_bitmatches_percentile_agg(spark):
+    """grouped_percentile_cont_twophase must reproduce the exact-
+    percentile AGGREGATE bit-for-bit on 2-decimal doubles — random
+    groups, ties, odd/even sizes, a 1-row group, and nulls."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.operators.orderstats import (
+        grouped_percentile_cont_twophase,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g, n in (("a", 257), ("b", 256), ("c", 1), ("d", 40)):
+        for _ in range(n):
+            rows.append((g, round(rng.uniform(0.01, 99999.99), 2)))
+    rows += [("a", None), ("d", None)]  # nulls ignored by percentile()
+    df = spark.createDataFrame(rows, ["g", "x"]).withColumn(
+        "xc", F.round(F.col("x") * 100).cast("long")
+    )
+    qs = {"p10": 0.1, "med": 0.5, "p90": 0.9, "p99": 0.99, "p100": 1.0}
+    got = {
+        r["g"]: tuple(r[name] for name in qs)
+        for r in grouped_percentile_cont_twophase(
+            df, "g", "xc", "x", qs, n_buckets=16
+        ).collect()
+    }
+    want = {
+        r["g"]: tuple(r[name] for name in qs)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("x", q).alias(name) for name, q in qs.items()])
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g in want:
+        assert struct.pack("<5d", *got[g]) == struct.pack("<5d", *want[g]), g
+
+
 def test_rank_cutpoints_rejects_bad_ranks(spark):
     import pytest as _pytest
 

@@ -102,6 +102,7 @@ def test_construct_declarations_cover_eager_sources():
     # operator modules whose helpers are eager; appearing in a lane's
     # source means the lane executes at construct
     EAGER_HELPERS = (
+        "grouped_percentile_cont_twophase",
         "merge_into_partitioned_parquet",
         "scd2_apply",
         "fold_into_rollup",
