@@ -330,6 +330,128 @@ def grouped_median_twophase(
     )
 
 
+def grouped_median_twophase_double(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    n_buckets: int = 1024,
+    max_meta_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact per-group median of a DOUBLE column in two fixed passes —
+    the :func:`grouped_median_twophase` shape for raw doubles with no
+    exact integer image (e.g. absolute deviations, whose mantissas are
+    arbitrary after a subtract).
+
+    Why double bucketing is safe HERE and not in :func:`kth_smallest`:
+    the histogram map ``least(B-1, floor((x-lo)/width))`` built from
+    IEEE subtract/divide/floor is MONOTONE non-decreasing (every step
+    is correctly rounded, and correctly-rounded unary maps preserve
+    order), so per-bucket counts plus rank-within-bucket reproduce
+    exact global ranks regardless of where a boundary value happens to
+    round. kth_smallest must use exact decimal arithmetic because its
+    narrowing FILTER re-derives bucket membership as a VALUE RANGE;
+    pass 2 here re-applies the SAME bucket expression instead, so the
+    two passes can never disagree.
+
+    Assumes NaN-free input (NaN breaks ordering); infinite spreads
+    (hi - lo overflowing to inf) fail loud. NULL medians are over the
+    non-null values per group; all-null groups drop out.
+
+    Returns (group, n bigint, v_lo double, v_hi double, median double)
+    with median = (v_lo + v_hi) / 2.0 — bit-identical to the manual
+    two-position rule ``(min(mid) + max(mid)) / 2.0``.
+    """
+    import math
+
+    g, c = F.col(group_col), F.col(col)
+    d = df.filter(c.isNotNull())
+    bounds = d.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        raise ValueError(
+            f"grouped_median_twophase_double on all-null column {col!r}"
+        )
+    lo, hi = float(lo), float(hi)
+    if hi > lo:
+        width = (hi - lo) / n_buckets
+        if not math.isfinite(width):
+            raise ValueError(
+                f"grouped_median_twophase_double: value spread of {col!r} "
+                f"overflows double ({lo} .. {hi}); rescale the input"
+            )
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((c - F.lit(lo)) / F.lit(width)),
+        ).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
+    hist = (
+        d.groupBy(g.alias("_g"), bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_meta_rows + 1)
+        .collect()
+    )
+    if len(hist) > max_meta_rows:
+        raise ValueError(
+            f"grouped_median_twophase_double: per-(group,bucket) histogram "
+            f"exceeds max_meta_rows={max_meta_rows} (high-cardinality "
+            f"{group_col!r}?); lower n_buckets or raise max_meta_rows"
+        )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
+    plans = []  # (group, bucket, residual_rank, slot) slot∈{1,2}
+    sizes = {}
+    for grp, counts in per_group.items():
+        n = sum(counts.values())
+        sizes[grp] = n
+        k1 = (n + 1) // 2
+        k2 = n // 2 + 1 if n % 2 == 0 else k1
+        for slot, k in ((1, k1), (2, k2)):
+            cum = 0
+            for b in sorted(counts):
+                if cum + counts[b] >= k:
+                    plans.append((grp, b, k - cum, slot))
+                    break
+                cum += counts[b]
+    spark = df.sparkSession
+    plan_df = F.broadcast(  # bounded: ≤2 rows per group, budget-guarded
+        spark.createDataFrame(plans, [group_col, "_b", "_k", "_slot"])
+    )
+    ranked = (
+        d.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
+        .join(
+            plan_df.select(group_col, "_b").distinct(),
+            [group_col, "_b"],
+            "left_semi",
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy(group_col, "_b").orderBy(col)),
+        )
+    )
+    picked = ranked.join(plan_df, [group_col, "_b"]).filter(
+        F.col("_rk") == F.col("_k")
+    )
+    wide = (
+        picked.groupBy(group_col)
+        .pivot("_slot", [1, 2])
+        .agg(F.first(col))
+        .withColumnRenamed("1", "v_lo")
+        .withColumnRenamed("2", "v_hi")
+    )
+    size_df = F.broadcast(  # bounded: one row per group
+        spark.createDataFrame(list(sizes.items()), [group_col, "n"])
+    )
+    return wide.join(size_df, group_col).select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("v_lo").cast("double").alias("v_lo"),
+        F.col("v_hi").cast("double").alias("v_hi"),
+        ((F.col("v_lo") + F.col("v_hi")) / F.lit(2.0)).alias("median"),
+    )
+
+
 def grouped_percentile_cont_twophase(
     df: DataFrame,
     group_col: str,

@@ -604,15 +604,18 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Robust outlier detection (median/MAD) — anomaly screening for a
-# metrics stream. Both the median and the MAD are computed by the
-# MANUAL two-position rule (row_number to positions ⌈n/2⌉ and ⌈(n+1)/2⌉,
-# then (lo+hi)/2) rather than percentile()/quantile_cont(): the two
-# engines interpolate percentiles with different arithmetic, while
-# min/max/add/divide on the two middle order statistics is
-# bit-reproducible. The per-type stats re-enter via broadcast (one row
-# per event_type), so the detection pass is a narrow codegen'd map.
-# Scale: two sort-based shuffles on event_type for the order
-# statistics; the event scan itself is never shuffled.
+# metrics stream. Both the median and the MAD use the two-position
+# rule (values at ranks ⌈n/2⌉ and ⌈(n+1)/2⌉, then (lo+hi)/2) rather
+# than percentile()/quantile_cont(): the two engines interpolate
+# percentiles with different arithmetic, while add/divide on the two
+# middle order statistics is bit-reproducible. The ranks come from
+# grouped_median_twophase_double (operators/orderstats.py) — one
+# histogram pass + one bucket-sliced pick pass per statistic, never a
+# full per-type sort of the raw doubles (the r8 verdict's
+# grandfathered-sort retirement; the MAD deviations have no exact
+# integer image, hence the monotone-double-bucketing variant). The
+# per-type stats re-enter via broadcast (one row per event_type), so
+# the detection pass stays a narrow codegen'd map.
 # ---------------------------------------------------------------------------
 @register(
     "robust_outliers",
@@ -652,28 +655,21 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY e.event_type
     """,
     doc="median/MAD robust outlier screen per event_type (deterministic order statistics)",
+    executes_on_construct=True,  # two-phase histogram passes collect bounded metadata
 )
 def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from sf_etl_spark.operators.orderstats import (
+        grouped_median_twophase_double,
+    )
 
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
     def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("event_type").orderBy(col)
-        wn = Window.partitionBy("event_type")
-        ranked = df.select(
-            "event_type",
-            F.col(col),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
-        mid = ranked.filter(
-            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
-        )
-        return mid.groupBy("event_type").agg(
-            ((F.min(col) + F.max(col)) / F.lit(2.0)).alias(out)
-        )
+        # (v_lo + v_hi) / 2.0 inside the operator ≡ the old manual
+        # (min(mid) + max(mid)) / 2.0 bit-for-bit
+        return grouped_median_twophase_double(
+            df.select("event_type", col), "event_type", col
+        ).select("event_type", F.col("median").alias(out))
 
     med = _median_of(e, "value", "median_value")
     devs = e.join(F.broadcast(med), "event_type").select(

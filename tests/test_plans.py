@@ -471,7 +471,6 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "q11_important_parts": (5, "dim: nation-filtered supplier; 1-row threshold"),
     "q20_promo_suppliers": (2, "dim: part filter + nation"),
     "cohort_retention": (1, "domain: cohort weeks (time-bounded)"),
-    "robust_outliers": (3, "domain: median/MAD per event_type"),
     "bm25_topk": (2, "bounded: fixed query terms + 1-row corpus stats"),
     "heavy_hitters_twopass": (2, "bounded: <=B CM candidates + 1-row total"),
     "hll_rollup_merge": (4, "dim: nation x region; bounded sketch rows"),
@@ -517,6 +516,13 @@ _BROADCAST_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
         "frame, × 2 two-phase calls (budget-guarded)",
     ),
     "scd2_point_in_time_join": (1, "dim: SCD2 history (dimension-sized by contract, see lane)"),
+    "robust_outliers": (
+        12,
+        "bounded: 2 two-phase median calls × (≤2·|types|-row pick plan, "
+        "hinted + referenced twice, + |types|-row size frame) = 3 each; "
+        "med's 3-hint subtree re-broadcast (+1) feeds both the MAD call "
+        "and the final screen → 12 total, every frame |event_type|-sized",
+    ),
 }
 
 
@@ -653,7 +659,6 @@ _WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     "stratified_sample_exact": (10, "pre-agg: 5-row allocation frames (3 windows × subtree reuse) + post-cut survivor rank"),
     "pack_token_shards": (1, "pre-agg: chunk-total frame, 4096× reduced; recurse the chunk split for more"),
     "window_frames": (1, "grandfather: per-row ntile/percent_rank/cume_dist IS the lane's SQL-surface contract; scalable per-row-rank recipe = cut-point assignment (decile_lift_table)"),
-    "robust_outliers": (6, "grandfather: order statistics of raw doubles per type; the integer-keyed two-phase path (grouped_median_twophase) is the at-scale recipe, named in the docstring"),
     "equidepth_histogram": (1, "grandfather: per-group independent quartile sorts; single-giant-group regime delegated to kll_quantile_merge per docstring"),
 }
 

@@ -399,6 +399,40 @@ def test_rank_cutpoints_matches_python_sort(spark):
         assert cuts[k] == ordered[k - 1], k
 
 
+def test_grouped_median_twophase_double_matches_sort(spark):
+    """The monotone-double-bucketing median must equal a Python sort's
+    two-position rule on adversarial doubles: negatives, tight
+    clusters (many values per bucket boundary), huge outliers, ties,
+    odd/even/1-row groups, and nulls."""
+    import random
+
+    from sf_etl_spark.operators.orderstats import (
+        grouped_median_twophase_double,
+    )
+
+    rng = random.Random(13)
+    data = {
+        "a": [rng.uniform(-1e6, 1e6) for _ in range(301)],
+        "b": [1.0 + rng.random() * 1e-9 for _ in range(256)],  # one-bucket cluster
+        "c": [42.5],
+        "d": [rng.choice([0.1, 0.2, 0.3]) for _ in range(100)] + [1e15, -1e15],
+    }
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    rows += [("a", None), ("c", None)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {
+        r["g"]: (r["n"], r["v_lo"], r["v_hi"], r["median"])
+        for r in grouped_median_twophase_double(
+            df, "g", "x", n_buckets=16
+        ).collect()
+    }
+    for g, vals in data.items():
+        s = sorted(vals)
+        n = len(s)
+        v_lo, v_hi = s[(n + 1) // 2 - 1], s[(n // 2 + 1 if n % 2 == 0 else (n + 1) // 2) - 1]
+        assert got[g] == (n, v_lo, v_hi, (v_lo + v_hi) / 2.0), g
+
+
 def test_grouped_percentile_cont_bitmatches_percentile_agg(spark):
     """grouped_percentile_cont_twophase must reproduce the exact-
     percentile AGGREGATE bit-for-bit on 2-decimal doubles — random

@@ -103,6 +103,7 @@ def test_construct_declarations_cover_eager_sources():
     # source means the lane executes at construct
     EAGER_HELPERS = (
         "grouped_percentile_cont_twophase",
+        "grouped_median_twophase_double",
         "merge_into_partitioned_parquet",
         "scd2_apply",
         "fold_into_rollup",
