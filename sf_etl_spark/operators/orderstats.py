@@ -452,6 +452,133 @@ def grouped_median_twophase_double(
     )
 
 
+def grouped_ntile_cutpoints(
+    df: DataFrame,
+    group_col: str,
+    img_col: str,
+    tie_col: str,
+    n_tiles: int,
+    n_buckets: int = 1024,
+    max_meta_rows: int = 2_000_000,
+) -> DataFrame:
+    """Per-group ntile BOUNDARIES as exact (img, tie) pairs at the
+    T-1 cut ranks of the ordering ``(img ASC, tie ASC)`` — the
+    embarrassingly-parallel replacement for ``ntile(T) OVER
+    (PARTITION BY g ORDER BY ...)``: a row's tile is decided by
+    comparing its composite key against its group's T-1 boundary
+    pairs (a broadcast of one row per group), never by ranking the
+    whole group in one sort task.
+
+    Cut ranks use SQL ntile semantics: with n rows, the first
+    ``n mod T`` tiles carry ``n div T + 1`` rows; boundary i sits at
+    rank ``i·(n div T) + min(i, n mod T)``. A row with 1-based rank r
+    belongs to tile i iff cut[i-1] < r <= cut[i] — so assignment by
+    ``(img, tie) <= boundary_i`` reproduces ntile exactly, including
+    groups smaller than T (their trailing boundaries coincide and the
+    trailing tiles stay empty, as ntile leaves them).
+
+    Same two-phase machinery and budget contract as
+    :func:`grouped_quantile_twophase`; ``img_col`` must be an exact
+    integer order-image of the sort column, ``tie_col`` an integer
+    making the composite key unique per group. Returns one row per
+    group: (group, _c1_img, _c1_tie, ..., _c{T-1}_img, _c{T-1}_tie),
+    broadcast-ready (|groups| rows).
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    g, img, tie = F.col(group_col), F.col(img_col), F.col(tie_col)
+    d = df.filter(img.isNotNull())
+    bounds = d.agg(F.min(img).alias("lo"), F.max(img).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        raise ValueError(f"grouped_ntile_cutpoints on all-null column {img_col!r}")
+    span = int(hi) - int(lo) + 1
+    width = -(-span // n_buckets)
+    a = img.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
+    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    hist = (
+        d.groupBy(g.alias("_g"), bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_meta_rows + 1)
+        .collect()
+    )
+    if len(hist) > max_meta_rows:
+        raise ValueError(
+            f"grouped_ntile_cutpoints: per-(group,bucket) histogram exceeds "
+            f"max_meta_rows={max_meta_rows} (high-cardinality {group_col!r}?); "
+            f"lower n_buckets or raise max_meta_rows"
+        )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
+    plans = []  # (group, bucket, residual_rank, cut_index)
+    for grp, counts in per_group.items():
+        n = sum(counts.values())
+        order = sorted(counts)
+        prefix: dict[int, int] = {}
+        cum = 0
+        for b in order:
+            prefix[b] = cum
+            cum += counts[b]
+        base, rem = divmod(n, n_tiles)
+        for i in range(1, n_tiles):
+            k = min(max(i * base + min(i, rem), 1), n)
+            for b in order:
+                if prefix[b] + counts[b] >= k:
+                    plans.append((grp, b, k - prefix[b], i))
+                    break
+    spark = df.sparkSession
+    plan_df = F.broadcast(  # bounded: T-1 rows per group, budget-guarded
+        spark.createDataFrame(plans, [group_col, "_b", "_k", "_i"])
+    )
+    ranked = (
+        d.select(g.alias(group_col), img.alias("_img"), tie.alias("_tie"), bucket.alias("_b"))
+        .join(
+            plan_df.select(group_col, "_b").distinct(),
+            [group_col, "_b"],
+            "left_semi",
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(group_col, "_b").orderBy("_img", "_tie")
+            ),
+        )
+    )
+    picked = ranked.join(plan_df, [group_col, "_b"]).filter(
+        F.col("_rk") == F.col("_k")
+    )
+    wide = (
+        picked.groupBy(group_col)
+        .pivot("_i", list(range(1, n_tiles)))
+        .agg(F.first(F.struct("_img", "_tie")))
+    )
+    outs = [F.col(group_col)]
+    for i in range(1, n_tiles):
+        outs.append(F.col(f"{i}._img").alias(f"_c{i}_img"))
+        outs.append(F.col(f"{i}._tie").alias(f"_c{i}_tie"))
+    return wide.select(*outs)
+
+
+def ntile_from_cutpoints(
+    img,
+    tie,
+    n_tiles: int,
+):
+    """Column expression: the 1-based tile of a row whose composite
+    key is (img, tie), given its group's boundary columns
+    ``_c{i}_img`` / ``_c{i}_tie`` (joined in from
+    :func:`grouped_ntile_cutpoints`). A pure per-row conditional —
+    whole-stage-codegen'd, no window, no shuffle."""
+    expr = F.lit(n_tiles)
+    for i in range(n_tiles - 1, 0, -1):
+        le = (img < F.col(f"_c{i}_img")) | (
+            (img == F.col(f"_c{i}_img")) & (tie <= F.col(f"_c{i}_tie"))
+        )
+        expr = F.when(le, F.lit(i)).otherwise(expr)
+    return expr
+
+
 def grouped_percentile_cont_twophase(
     df: DataFrame,
     group_col: str,

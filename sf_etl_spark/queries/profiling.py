@@ -95,18 +95,18 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Equi-DEPTH histogram per group — the CBO histogram type (equal row
 # counts per bucket, data-driven boundaries), complementing the
-# equal-WIDTH `histogram_totalprice` lane. ntile over the exact total
-# order (value, key) makes bucket assignment deterministic and
-# engine-portable; boundaries are observed values (no arithmetic), so
-# min/max hash bit-equal with no float tolerance.
-#
-# Scale: the window partitions by o_orderpriority — each group sorts
-# independently (partition-parallel), never a single global sort. For
-# a single giant group the exact-rank path degrades to one partition;
-# that regime belongs to the KLL sketch lane (`kll_quantile_merge`) or
-# the percentile-cutpoint pattern (`quality_percentile_filter`) —
-# the three lanes are the same primitive at three accuracy/cost
-# points.
+# equal-WIDTH `histogram_totalprice` lane. Bucket assignment is exact
+# ntile semantics over the total order (value, key), computed WITHOUT
+# ranking whole groups: grouped_ntile_cutpoints
+# (operators/orderstats.py) finds each group's 3 quartile boundaries
+# by histogram narrowing on the exact cents image (one scan + one
+# bucket-sliced pick pass), then every row derives its bucket from a
+# per-row composite-key comparison against its group's broadcast
+# boundary row — embarrassingly parallel, no window over a
+# fixed-cardinality partition (the r8 verdict's grandfathered-sort
+# retirement). Boundaries are observed values (no arithmetic), so
+# min/max hash bit-equal with no float tolerance; the oracle keeps
+# the plain ntile window, certifying the cut-point plan ≡ ntile.
 # ---------------------------------------------------------------------------
 @register(
     "equidepth_histogram",
@@ -127,22 +127,32 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority, bucket
     ORDER BY o_orderpriority, bucket
     """,
-    doc="per-group equi-depth (quartile) histogram of order totals via ntile",
+    doc="per-group equi-depth (quartile) histogram of order totals, cut-point ntile",
+    executes_on_construct=True,  # cut-point pass collects bounded metadata
 )
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from sf_etl_spark.operators.orderstats import (
+        grouped_ntile_cutpoints,
+        ntile_from_cutpoints,
+    )
 
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_totalprice", "o_orderkey"
-    )
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
         "o_orderpriority",
         "o_totalprice",
-        F.ntile(4).over(w).cast("int").alias("bucket"),
+        "o_orderkey",
+        # exact cents image of the 2-decimal double (order-isomorphic)
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_img"),
+    )
+    cuts = grouped_ntile_cutpoints(o, "o_orderpriority", "_img", "o_orderkey", 4)
+    assigned = o.join(F.broadcast(cuts), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        ntile_from_cutpoints(F.col("_img"), F.col("o_orderkey"), 4)
+        .cast("int")
+        .alias("bucket"),
     )
     return (
-        ranked.groupBy("o_orderpriority", "bucket")
+        assigned.groupBy("o_orderpriority", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("o_totalprice").alias("lo"),

@@ -516,6 +516,11 @@ _BROADCAST_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
         "frame, × 2 two-phase calls (budget-guarded)",
     ),
     "scd2_point_in_time_join": (1, "dim: SCD2 history (dimension-sized by contract, see lane)"),
+    "equidepth_histogram": (
+        3,
+        "bounded: 3-cuts-per-priority pick plan (hinted, referenced "
+        "twice: semi + pick join) + |priorities|-row boundary frame",
+    ),
     "robust_outliers": (
         12,
         "bounded: 2 two-phase median calls × (≤2·|types|-row pick plan, "
@@ -659,7 +664,6 @@ _WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     "stratified_sample_exact": (10, "pre-agg: 5-row allocation frames (3 windows × subtree reuse) + post-cut survivor rank"),
     "pack_token_shards": (1, "pre-agg: chunk-total frame, 4096× reduced; recurse the chunk split for more"),
     "window_frames": (1, "grandfather: per-row ntile/percent_rank/cume_dist IS the lane's SQL-surface contract; scalable per-row-rank recipe = cut-point assignment (decile_lift_table)"),
-    "equidepth_histogram": (1, "grandfather: per-group independent quartile sorts; single-giant-group regime delegated to kll_quantile_merge per docstring"),
 }
 
 _WINDOW_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {

@@ -399,6 +399,48 @@ def test_rank_cutpoints_matches_python_sort(spark):
         assert cuts[k] == ordered[k - 1], k
 
 
+def test_grouped_ntile_cutpoints_matches_ntile_window(spark):
+    """Cut-point tile assignment must reproduce ntile(T) OVER
+    (PARTITION BY g ORDER BY img, tie) exactly — including groups
+    smaller than T, heavy ties, and remainder tiles."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.operators.orderstats import (
+        grouped_ntile_cutpoints,
+        ntile_from_cutpoints,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    tid = 0
+    for g, n in (("a", 403), ("b", 7), ("c", 1), ("d", 2), ("e", 100)):
+        for _ in range(n):
+            rows.append((g, rng.randint(0, 30), tid))  # heavy ties
+            tid += 1
+    df = spark.createDataFrame(rows, ["g", "img", "tie"])
+    T = 4
+    cuts = grouped_ntile_cutpoints(df, "g", "img", "tie", T, n_buckets=8)
+    got = {
+        (r["g"], r["tie"]): r["bucket"]
+        for r in df.join(F.broadcast(cuts), "g")
+        .select(
+            "g",
+            "tie",
+            ntile_from_cutpoints(F.col("img"), F.col("tie"), T).alias("bucket"),
+        )
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy("img", "tie")
+    want = {
+        (r["g"], r["tie"]): r["bucket"]
+        for r in df.select("g", "tie", F.ntile(T).over(w).alias("bucket")).collect()
+    }
+    assert got == want
+
+
 def test_grouped_median_twophase_double_matches_sort(spark):
     """The monotone-double-bucketing median must equal a Python sort's
     two-position rule on adversarial doubles: negatives, tight
