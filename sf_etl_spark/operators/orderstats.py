@@ -579,6 +579,28 @@ def ntile_from_cutpoints(
     return expr
 
 
+def ntile_from_rank(rank_col: str, n_col: str, n_tiles: int):
+    """Column expression: the 1-based ntile(T) of a row given its
+    exact 1-based rank and its partition's row count — SQL ntile
+    semantics (first ``n mod T`` tiles hold ``n div T + 1`` rows) in
+    pure integer DIV/MOD arithmetic, no window and no double rounding.
+    The branch taken when ``n < T`` (tile = rank) never divides by the
+    zero base size; greatest() keeps the dead branch well-defined."""
+    return F.expr(
+        f"""
+        CASE WHEN {rank_col} <= ({n_col} % {n_tiles})
+                                * ({n_col} DIV {n_tiles} + 1)
+             THEN ({rank_col} - 1) DIV ({n_col} DIV {n_tiles} + 1) + 1
+             ELSE ({n_col} % {n_tiles})
+                  + ({rank_col} - ({n_col} % {n_tiles})
+                                  * ({n_col} DIV {n_tiles} + 1) - 1)
+                    DIV greatest({n_col} DIV {n_tiles}, 1)
+                  + 1
+        END
+        """
+    )
+
+
 def grouped_percentile_cont_twophase(
     df: DataFrame,
     group_col: str,

@@ -1354,12 +1354,25 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Window-frame breadth: ntile/percent_rank/cume_dist over a value
 # ordering, plus a RANGE frame keyed by event time (trailing 90 days).
-# Scale: two window specs = two shuffles (one per partitioning); the
-# RANGE frame is evaluated streamingly per partition — state is the
-# frame content, bounded by a customer's 90-day order count.
-# percent_rank/cume_dist are rank/count arithmetic — identical doubles
-# on both engines; ties are broken by o_orderkey so ntile is
-# deterministic.
+#
+# The rank functions partition by o_orderpriority — 5 groups, so a
+# plain window sorts the whole table in 5 tasks (the last grandfathered
+# constant-parallelism sort; r8 verdict task 5). Retired with a fully
+# LAZY two-level prefix rank: (1) every row gets a histogram bucket
+# from its exact cents image (the monotone bucket map needs no bounds
+# scan — cents div a fixed width); (2) row_number per (priority,
+# bucket) ranks ~n/B-row slices in parallel; (3) per-bucket counts are
+# a partial-agged ≤|priorities|·B-row frame whose running sum gives
+# each bucket's global offset (two windows over that pre-agg frame —
+# bounded metadata, never raw rows); (4) global rank = offset + local
+# rank, broadcast-joined back. The ordering key (o_totalprice,
+# o_orderkey) is unique per row, so peer groups are single rows and
+# rank == row_number; ntile/percent_rank/cume_dist then reduce to
+# per-row integer/double arithmetic on (rank, n) — the exact formulas
+# both engines evaluate: tile sizes n div T (+1 for the first
+# n mod T), pct_rank = (r-1)/(n-1), cume_dist = r/n. The RANGE frame
+# stays a real window — partitioned by o_custkey (key-proportional
+# parallelism), state bounded by a customer's 90-day order count.
 # ---------------------------------------------------------------------------
 @register(
     "window_frames",
@@ -1377,25 +1390,82 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
     ORDER BY o_orderkey
     """,
-    doc="ntile/percent_rank/cume_dist + trailing-90-day RANGE frame",
+    doc="ntile/percent_rank/cume_dist via two-level prefix rank + 90-day RANGE frame",
 )
 def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    N_BUCKETS = 1024
+    # fixed-width bucketing of the exact cents image; the TPC-H price
+    # domain is fixed (~$105k), so ~16384-cent buckets give ~640 used
+    # slices at every scale factor. Skew or growth only changes slice
+    # sizes, never correctness (rank = offset + local rank); a slice
+    # too big for one task recurses on a second-level split the same
+    # way (see pack_token_shards).
+    WIDTH = 16_384
+
     (o,) = _t(spark, sf_dir, "orders")
-    # the interval RANGE frame has no DataFrame-API spelling; the
-    # window expressions are SQL fragments over the same scan
-    wp = "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"
+    img = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "o_custkey",
+        "o_orderdate",
+        F.least(F.lit(N_BUCKETS - 1), F.floor(img / F.lit(WIDTH))).alias("_b"),
+    )
+    counts = base.groupBy("o_orderpriority", "_b").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # two windows over the ≤|priorities|·B pre-agg frame: running
+    # offset and per-priority total — bounded metadata, not raw rows
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("o_orderpriority")
+    offsets = counts.select(
+        "o_orderpriority",
+        "_b",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_tot).alias("_n"),
+    )
+    w_local = Window.partitionBy("o_orderpriority", "_b").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = (
+        base.withColumn("_lrk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["o_orderpriority", "_b"])
+        .withColumn("_r", (F.col("_off") + F.col("_lrk")).cast("long"))
+    )
+    # ntile(4) from (rank, n) — integer DIV/MOD, no double rounding
+    from sf_etl_spark.operators.orderstats import ntile_from_rank
+
+    tile = ntile_from_rank("_r", "_n", 4)
+    # unique ordering key → single-row peer groups → rank == row_number
+    pct_rank = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("_r") - 1).cast("double") / (F.col("_n") - 1).cast("double")
+    )
+    cdist = F.col("_r").cast("double") / F.col("_n").cast("double")
     wt = (
         "OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
         "RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)"
     )
-    return o.selectExpr(
-        "o_orderkey",
-        f"CAST(ntile(4) {wp} AS INT) AS price_quartile",
-        f"percent_rank() {wp} AS pct_rank",
-        f"cume_dist() {wp} AS cdist",
-        f"CAST(count(*) {wt} AS BIGINT) AS orders_90d",
-        f"CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) {wt} AS STRING) AS DOUBLE) AS spend_90d",
-    ).orderBy("o_orderkey")
+    return (
+        ranked.withColumn("price_quartile", tile.cast("int"))
+        .withColumn("pct_rank", pct_rank)
+        .withColumn("cdist", cdist)
+        .selectExpr(
+            "o_orderkey",
+            "price_quartile",
+            "pct_rank",
+            "cdist",
+            f"CAST(count(*) {wt} AS BIGINT) AS orders_90d",
+            f"CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) {wt} AS STRING) AS DOUBLE) AS spend_90d",
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 # ---------------------------------------------------------------------------

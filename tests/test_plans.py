@@ -483,6 +483,11 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "ann_cosine_topk": (1, "1-row: query vector"),
     "pandas_udf_zscore": (1, "domain: per-status moments"),
     "geo_nearest_hub": (1, "bounded: 5 hub-coordinate literals"),
+    "window_frames": (
+        1,
+        "pre-agg: ≤|priorities|·1024-row bucket-offsets frame joined "
+        "back to assign global ranks",
+    ),
     "stratified_sample_exact": (
         3,
         "domain: 5 order priorities' alloc frame (hinted at the survivor "
@@ -663,7 +668,7 @@ _WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     "sample_per_label_cap": (1, "post-cut: ≤ 8·40 hash-threshold survivors per language"),
     "stratified_sample_exact": (10, "pre-agg: 5-row allocation frames (3 windows × subtree reuse) + post-cut survivor rank"),
     "pack_token_shards": (1, "pre-agg: chunk-total frame, 4096× reduced; recurse the chunk split for more"),
-    "window_frames": (1, "grandfather: per-row ntile/percent_rank/cume_dist IS the lane's SQL-surface contract; scalable per-row-rank recipe = cut-point assignment (decile_lift_table)"),
+    "window_frames": (2, "pre-agg: running offset + per-priority total over the ≤|priorities|·1024 bucket-count frame (two-level prefix rank; raw rows rank per (priority, bucket) slice)"),
 }
 
 _WINDOW_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {

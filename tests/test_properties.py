@@ -399,6 +399,33 @@ def test_rank_cutpoints_matches_python_sort(spark):
         assert cuts[k] == ordered[k - 1], k
 
 
+def test_ntile_from_rank_matches_ntile_window(spark):
+    """The integer DIV/MOD tile formula must equal ntile(T) for every
+    (rank, n) pair — exhaustive over n = 1..25, T in {2, 4, 7}."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.operators.orderstats import ntile_from_rank
+
+    rows = [(n, r) for n in range(1, 26) for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, ["_n", "_r"])
+    for T in (2, 4, 7):
+        got = {
+            (x["_n"], x["_r"]): x["tile"]
+            for x in df.select(
+                "_n", "_r", ntile_from_rank("_r", "_n", T).alias("tile")
+            ).collect()
+        }
+        w = Window.partitionBy("_n").orderBy("_r")
+        want = {
+            (x["_n"], x["_r"]): x["tile"]
+            for x in df.select(
+                "_n", "_r", F.ntile(T).over(w).cast("bigint").alias("tile")
+            ).collect()
+        }
+        assert got == want, T
+
+
 def test_grouped_ntile_cutpoints_matches_ntile_window(spark):
     """Cut-point tile assignment must reproduce ntile(T) OVER
     (PARTITION BY g ORDER BY img, tie) exactly — including groups
