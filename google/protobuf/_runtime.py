@@ -93,7 +93,10 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
             # the real runtime does (r7 ADVICE item 1)
             return result & ((1 << 64) - 1), pos
         shift += 7
-        if shift > 70:
+        # 10 bytes carry 70 payload bits — a continuation byte past
+        # that is rejected, matching the reference decoder's bound
+        # (r8 ADVICE: `> 70` accepted an 11-byte encoding)
+        if shift >= 70:
             raise DecodeError("varint too long")
 
 

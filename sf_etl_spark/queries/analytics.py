@@ -450,7 +450,12 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # negated-cents key: ASC == (c_acctbal DESC); c_custkey uniquifies
     neg_cents = (-F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))).cast("bigint")
-    keyed = cust.select(neg_cents.alias("_key"), F.col("c_custkey").alias("_tie"))
+    # non-null keys only, so n matches rank_cutpoints' ranked
+    # population (it drops null keys; a null acctbal would otherwise
+    # push the requested cut ranks past the ranked row count)
+    keyed = cust.select(
+        neg_cents.alias("_key"), F.col("c_custkey").alias("_tie")
+    ).filter(F.col("_key").isNotNull())
     n = keyed.count()
     if n < 10:
         raise ValueError(f"decile_lift_table needs >= 10 customers, got {n}")
