@@ -31,6 +31,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucket_col(col_name: str, lo: int, width: int, span: int):
+    """Exact histogram bucket index floor((col - lo) / width) for an
+    integer column. Plain BIGINT arithmetic when the span fits int64 —
+    (col - lo) cannot overflow and SQL DIV on non-negative longs IS
+    the floor quotient, identical to the decimal form
+    ((a - a mod w) / w) value-for-value but at JVM-long speed (the
+    DECIMAL(38,0) path runs java.math.BigDecimal per row — measured
+    ~10x slower over a 600k-row scan). The decimal path remains for
+    spans that could wrap int64 (lo < 0 with hi near 2^63 — the
+    kth_smallest generality), where subtraction must not overflow."""
+    if span <= (1 << 62):
+        return F.expr(f"(CAST(`{col_name}` AS BIGINT) - ({lo})) DIV ({width})")
+    a = F.col(col_name).cast("decimal(38,0)") - F.lit(lo).cast("decimal(38,0)")
+    return ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+
+
 def kth_smallest(
     df: DataFrame,
     col: str,
@@ -62,17 +78,14 @@ def kth_smallest(
             return int(lo)
         span = hi - lo + 1
         width = -(-span // n_buckets)  # ceil; >= 1
-        # bucket index in EXACT decimal arithmetic: the double-divide
-        # form ((c-lo)/width).cast(long) disagrees with the integer
+        # exact bucket index — never the double-divide form
+        # ((c-lo)/width).cast(long), which disagrees with the integer
         # narrowing filter once values exceed 2^53 (a boundary value
-        # can round into the neighboring bucket), and c - lo itself
-        # can wrap int64 when lo < 0 with a 2^63-wide span. DECIMAL(38)
-        # holds any int64 difference exactly, and (a - a mod w) / w is
-        # an exact integral quotient.
-        a = c.cast("decimal(38,0)") - F.lit(lo).cast("decimal(38,0)")
-        b = (a - F.pmod(a, F.lit(width))) / F.lit(width)
+        # can round into the neighboring bucket); see _bucket_col for
+        # the long-fast / decimal-wide split
+        b = _bucket_col(col, lo, width, span)
         hist = (
-            scope.groupBy(b.cast("long").alias("b"))
+            scope.groupBy(b.alias("b"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()  # <= n_buckets rows: bounded metadata
         )
@@ -116,8 +129,8 @@ def rank_cutpoints(
     image of the real sort column — e.g. cents of a 2-decimal price;
     negate for DESC); ``tie`` must make the composite key unique.
 
-    Pass 1 reuses :func:`kth_smallest`'s equi-width histogram (the
-    bucketing is exact decimal arithmetic, see the comment there); the
+    Pass 1 reuses :func:`kth_smallest`'s equi-width histogram (exact
+    integer bucketing — see :func:`_bucket_col`); the
     driver walks the ≤B prefix sums once per requested rank — bounded
     metadata. Pass 2 scans only rows in the ≤len(ks) selected buckets
     (scan-side range filter), ranks those slices with a window
@@ -143,8 +156,7 @@ def rank_cutpoints(
     lo, hi = int(lo), int(hi)
     span = hi - lo + 1
     width = -(-span // n_buckets)
-    a = key.cast("decimal(38,0)") - F.lit(lo).cast("decimal(38,0)")
-    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    bucket = _bucket_col(key_col, lo, width, span)
     hist = (
         df.groupBy(bucket.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -257,8 +269,7 @@ def grouped_median_twophase(
         raise ValueError(f"grouped_median_twophase on all-null column {col!r}")
     span = int(hi) - int(lo) + 1
     width = -(-span // n_buckets)
-    a = c.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
-    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    bucket = _bucket_col(col, int(lo), width, span)
     hist_df = df.groupBy(g.alias("_g"), bucket.alias("_b")).agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -494,8 +505,7 @@ def grouped_ntile_cutpoints(
         raise ValueError(f"grouped_ntile_cutpoints on all-null column {img_col!r}")
     span = int(hi) - int(lo) + 1
     width = -(-span // n_buckets)
-    a = img.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
-    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    bucket = _bucket_col(img_col, int(lo), width, span)
     hist = (
         d.groupBy(g.alias("_g"), bucket.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -609,6 +619,7 @@ def grouped_percentile_cont_twophase(
     qs: dict[str, float],
     n_buckets: int = 1024,
     max_meta_rows: int = 2_000_000,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact per-group CONTINUOUS percentiles (``percentile_cont`` /
     Spark ``percentile()`` semantics: linear interpolation between the
@@ -647,16 +658,20 @@ def grouped_percentile_cont_twophase(
             raise ValueError(f"percentile {name}={q} outside [0, 1]")
     g, img = F.col(group_col), F.col(img_col)
     d = df.filter(img.isNotNull())
-    bounds = d.agg(F.min(img).alias("lo"), F.max(img).alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    if bounds is None:
+        # callers percentile-ing several columns of one frame can pass
+        # bounds from a single shared agg scan instead (must COVER the
+        # true min/max; bucketing only needs non-negative offsets)
+        row = d.agg(F.min(img).alias("lo"), F.max(img).alias("hi")).first()
+        bounds = (row["lo"], row["hi"])
+    lo, hi = bounds
     if lo is None:
         raise ValueError(
             f"grouped_percentile_cont_twophase on all-null column {img_col!r}"
         )
     span = int(hi) - int(lo) + 1
     width = -(-span // n_buckets)
-    a = img.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
-    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    bucket = _bucket_col(img_col, int(lo), width, span)
     hist = (
         d.groupBy(g.alias("_g"), bucket.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -783,8 +798,7 @@ def grouped_quantile_twophase(
         raise ValueError(f"grouped_quantile_twophase on all-null column {col!r}")
     span = int(hi) - int(lo) + 1
     width = -(-span // n_buckets)
-    a = c.cast("decimal(38,0)") - F.lit(int(lo)).cast("decimal(38,0)")
-    bucket = ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
+    bucket = _bucket_col(col, int(lo), width, span)
     hist_df = df.groupBy(g.alias("_g"), bucket.alias("_b")).agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -1180,12 +1180,21 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("long").alias("_qty_c"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("_price_c"),
     )
+    # one shared scan for both columns' bounds (halves the construct
+    # jobs; the helper would otherwise run one bounds agg per call)
+    b = base.agg(
+        F.min("_qty_c").alias("qlo"),
+        F.max("_qty_c").alias("qhi"),
+        F.min("_price_c").alias("plo"),
+        F.max("_price_c").alias("phi"),
+    ).first()
     qty = grouped_percentile_cont_twophase(
         base,
         "l_returnflag",
         "_qty_c",
         "l_quantity",
         {"med_qty": 0.5, "p90_qty": 0.9},
+        bounds=(b["qlo"], b["qhi"]),
     )
     price = grouped_percentile_cont_twophase(
         base,
@@ -1193,6 +1202,7 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_price_c",
         "l_extendedprice",
         {"p25_price": 0.25, "p99_price": 0.99},
+        bounds=(b["plo"], b["phi"]),
     )
     # 3-row x 3-row join; AQE broadcasts it without a hint
     return qty.join(price, "l_returnflag").orderBy("l_returnflag")

@@ -608,14 +608,22 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rule (values at ranks ⌈n/2⌉ and ⌈(n+1)/2⌉, then (lo+hi)/2) rather
 # than percentile()/quantile_cont(): the two engines interpolate
 # percentiles with different arithmetic, while add/divide on the two
-# middle order statistics is bit-reproducible. The ranks come from
-# grouped_median_twophase_double (operators/orderstats.py) — one
-# histogram pass + one bucket-sliced pick pass per statistic, never a
-# full per-type sort of the raw doubles (the r8 verdict's
-# grandfathered-sort retirement; the MAD deviations have no exact
-# integer image, hence the monotone-double-bucketing variant). The
-# per-type stats re-enter via broadcast (one row per event_type), so
-# the detection pass stays a narrow codegen'd map.
+# middle order statistics is bit-reproducible.
+#
+# Plan (r8 verdict's grandfathered-sort retirement, count-frame
+# form): ONE partial-aggregated scan builds (type, value, count);
+# rank-k values come from cumulative sums over that PRE-AGG frame —
+# the row where cum ≥ k and cum − c < k — never a sort of raw rows
+# (the mode_per_group taxonomy: windows partition by event_type but
+# their input is bounded by |types|·|2-decimal value domain|, not by
+# data volume). The MAD deviations derive from the SAME count frame
+# (|value − med| re-keys it; counts re-aggregate), so the whole
+# statistic costs one events scan + tiny-frame ops + one final
+# screen scan, fully lazy. For an UNBOUNDED value domain (true
+# continuous doubles) the count frame degenerates to n rows — that
+# regime belongs to grouped_median_twophase_double
+# (operators/orderstats.py), the general two-phase operator this
+# lane's shape is certified against in tests.
 # ---------------------------------------------------------------------------
 @register(
     "robust_outliers",
@@ -655,28 +663,61 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY e.event_type
     """,
     doc="median/MAD robust outlier screen per event_type (deterministic order statistics)",
-    executes_on_construct=True,  # two-phase histogram passes collect bounded metadata
 )
 def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sf_etl_spark.operators.orderstats import (
-        grouped_median_twophase_double,
-    )
+    from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
-    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
-        # (v_lo + v_hi) / 2.0 inside the operator ≡ the old manual
-        # (min(mid) + max(mid)) / 2.0 bit-for-bit
-        return grouped_median_twophase_double(
-            df.select("event_type", col), "event_type", col
-        ).select("event_type", F.col("median").alias(out))
+    def _median_of_counts(cnt: DataFrame, col: str, out: str) -> DataFrame:
+        # cnt: (event_type, col, _c) pre-agg frame. Value at rank k is
+        # the row where cum >= k and cum - _c < k; (v@k1 + v@k2) / 2.0
+        # ≡ the manual two-position rule bit-for-bit.
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("event_type")
+        cc = cnt.select(
+            "event_type",
+            F.col(col),
+            F.sum("_c").over(w_cum).alias("_cum"),
+            F.col("_c"),
+            F.sum("_c").over(w_all).alias("_n"),
+        )
+        k1 = F.floor((F.col("_n") + 1) / 2)
+        k2 = F.floor((F.col("_n") + 2) / 2)
+        hit1 = (F.col("_cum") >= k1) & (F.col("_cum") - F.col("_c") < k1)
+        hit2 = (F.col("_cum") >= k2) & (F.col("_cum") - F.col("_c") < k2)
+        return (
+            cc.filter(hit1 | hit2)
+            .groupBy("event_type")
+            .agg(
+                (
+                    (
+                        F.max(F.when(hit1, F.col(col)))
+                        + F.max(F.when(hit2, F.col(col)))
+                    )
+                    / F.lit(2.0)
+                ).alias(out)
+            )
+        )
 
-    med = _median_of(e, "value", "median_value")
-    devs = e.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        F.abs(F.col("value") - F.col("median_value")).alias("dev"),
+    counts = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("_c"))
+    med = _median_of_counts(counts, "value", "median_value")
+    # deviations re-key the SAME count frame — no second events scan
+    dev_counts = (
+        counts.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("value") - F.col("median_value")).alias("dev"),
+            "_c",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("_c").alias("_c"))
     )
-    mad = _median_of(devs, "dev", "mad")
+    mad = _median_of_counts(dev_counts, "dev", "mad")
     return (
         e.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")

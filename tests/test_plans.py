@@ -471,6 +471,11 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "q11_important_parts": (5, "dim: nation-filtered supplier; 1-row threshold"),
     "q20_promo_suppliers": (2, "dim: part filter + nation"),
     "cohort_retention": (1, "domain: cohort weeks (time-bounded)"),
+    "robust_outliers": (
+        3,
+        "domain: |types|-row median frame (hinted; its subtree reappears "
+        "under the MAD frame's re-key) + |types|-row MAD frame",
+    ),
     "bm25_topk": (2, "bounded: fixed query terms + 1-row corpus stats"),
     "heavy_hitters_twopass": (2, "bounded: <=B CM candidates + 1-row total"),
     "hll_rollup_merge": (4, "dim: nation x region; bounded sketch rows"),
@@ -525,13 +530,6 @@ _BROADCAST_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
         3,
         "bounded: 3-cuts-per-priority pick plan (hinted, referenced "
         "twice: semi + pick join) + |priorities|-row boundary frame",
-    ),
-    "robust_outliers": (
-        12,
-        "bounded: 2 two-phase median calls × (≤2·|types|-row pick plan, "
-        "hinted + referenced twice, + |types|-row size frame) = 3 each; "
-        "med's 3-hint subtree re-broadcast (+1) feeds both the MAD call "
-        "and the final screen → 12 total, every frame |event_type|-sized",
     ),
 }
 
@@ -669,6 +667,7 @@ _WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     "stratified_sample_exact": (10, "pre-agg: 5-row allocation frames (3 windows × subtree reuse) + post-cut survivor rank"),
     "pack_token_shards": (1, "pre-agg: chunk-total frame, 4096× reduced; recurse the chunk split for more"),
     "window_frames": (2, "pre-agg: running offset + per-priority total over the ≤|priorities|·1024 bucket-count frame (two-level prefix rank; raw rows rank per (priority, bucket) slice)"),
+    "robust_outliers": (6, "pre-agg: cum/total sums over (type, value|dev) count frames bounded by |types|·|2-decimal value domain| (mode_per_group taxonomy; median subtree reuse under MAD + final screen triples the pair)"),
 }
 
 _WINDOW_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {

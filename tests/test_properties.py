@@ -542,6 +542,19 @@ def test_grouped_percentile_cont_bitmatches_percentile_agg(spark):
         assert struct.pack("<5d", *got[g]) == struct.pack("<5d", *want[g]), g
 
 
+def test_kth_smallest_decimal_fallback_wide_span(spark):
+    """A span too wide for int64 subtraction must take the decimal
+    bucket path and still return exact ranks (lo very negative, hi
+    very positive — (x - lo) would wrap a long)."""
+    from sf_etl_spark.operators.orderstats import kth_smallest
+
+    vals = [-(1 << 62) - 3, -(1 << 61), -7, 0, 11, (1 << 61), (1 << 62) + 5]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    s = sorted(vals)
+    for k in (1, 3, 4, 7):
+        assert kth_smallest(df, "x", k, n_buckets=4) == s[k - 1], k
+
+
 def test_rank_cutpoints_rejects_bad_ranks(spark):
     import pytest as _pytest
 

@@ -107,7 +107,25 @@ def main() -> None:
     )
     d.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
 
-    for t in ["region", "nation", "customer", "supplier", "events", "embeddings"]:
+    # events: 10 replicas with disjoint event_id/user_id spaces and
+    # UNCHANGED ts/type/value/props — per-user sequences and per-type
+    # value distributions are identical per replica, so user-keyed
+    # windows and (user, hour) rollup keys grow 10x while per-key
+    # semantics stay fixed; type-keyed statistics see 10x rows of the
+    # same distribution (volume, not workload shape). Added r9: the
+    # rollup/robust-outlier probes were silently reading the sf0.1
+    # copy-through before this.
+    e = replicate(load_table(spark, SRC, "events")).select(
+        (F.col("event_id") + k.cast("long") * 1_000_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + k.cast("long") * 100_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    e.write.mode("overwrite").parquet(os.path.join(DST, "events.parquet"))
+
+    for t in ["region", "nation", "customer", "supplier", "embeddings"]:
         src, dst = os.path.join(SRC, f"{t}.parquet"), os.path.join(DST, f"{t}.parquet")
         if os.path.isdir(src):
             shutil.copytree(src, dst, dirs_exist_ok=True)
