@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Run bench.py N times (default 3), take the per-query best, and
+append a timestamped entry to BENCH_LOCAL.json — the end-of-round
+checklist's quiet-host bench ritual as one command:
+
+    python tools/record_bench_local.py [n_runs] [--note "..."]
+
+Refuses to record if the 1-minute load average exceeds 2.5 at launch
+(pass --force to override; the load is recorded either way so a noisy
+entry is at least labeled as such).
+"""
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_runs = int(args[0]) if args else 3
+    note = ""
+    if "--note" in sys.argv:
+        note = sys.argv[sys.argv.index("--note") + 1]
+    load1 = os.getloadavg()[0]
+    if load1 > 2.5 and "--force" not in sys.argv:
+        sys.exit(f"load_1m={load1:.2f} > 2.5 — not a quiet host (--force to override)")
+    runs = []
+    for i in range(n_runs):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        ).stdout
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        runs.append(json.loads(line))
+        print(f"run {i + 1}/{n_runs}: {runs[-1]['value']} s", file=sys.stderr)
+    best = {n: min(r["queries"][n] for r in runs) for n in runs[0]["queries"]}
+    entry = {
+        "recorded_at": datetime.datetime.now().isoformat(timespec="seconds"),
+        "runs": n_runs,
+        "load_1m": load1,
+        "note": note,
+        "metric": runs[0]["metric"],
+        "value": round(sum(best.values()), 3),
+        "unit": "sec",
+        "queries": best,
+        "sf": runs[0].get("sf"),
+    }
+    path = os.path.join(REPO, "BENCH_LOCAL.json")
+    hist = json.load(open(path))
+    hist.append(entry)
+    json.dump(hist, open(path, "w"), indent=1)
+    print(json.dumps({k: entry[k] for k in entry if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main()
