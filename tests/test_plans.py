@@ -720,6 +720,75 @@ def _assert_windows_allowed(specs, allowlist, spark, sf_dir) -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# Aggregation-BUFFER quarantine (round 9) — the third guard in the
+# family (broadcast, window, now aggregate state). percentiles_by_flag
+# was this defect class: an aggregate whose per-group buffer grows
+# with the data, invisible to the window guard because no Window node
+# exists. This guard scans every lane's SOURCE (comments stripped;
+# strings kept so F.expr("percentile(...)") is caught) for the
+# buffering aggregate markers and fails on any use not covered by the
+# audited allowlist below — each entry names WHY the buffer is
+# bounded (fixed frame, fixed fan-out, value-domain-bounded count
+# map, enforced cap) or names the repo's unbounded-regime alternative.
+# ---------------------------------------------------------------------------
+_BUFFER_MARKERS = ("collect_list(", "collect_set(", "percentile(")
+
+_BUFFER_ALLOWLIST: dict[str, tuple[int, str]] = {
+    "kll_quantile_merge": (1, "bounded: list of per-partition KLL summaries (fixed sketch size × partition count)"),
+    "agms_join_size": (1, "bounded: 5x1024 sketch cell frame"),
+    "rolling_median_7d": (1, "bounded: fixed 7-row ROWS frame"),
+    "array_functions": (2, "bounded: lines per order (TPC-H fan-out <= 7)"),
+    "map_functions": (1, "bounded: pre-agged (priority, status) entries <= |statuses| per group"),
+    "q21_waiting_suppliers": (2, "bounded: suppliers per order (single digits; documented at the lane)"),
+    "feature_hashing": (1, "bounded: per-user bucket counts, fixed hash dimension"),
+    "event_pattern_regex": (1, "capped: first-10k-events-per-user rank prefilter ENFORCED on the same exchange (r8)"),
+    "session_paths": (1, "per-session path; sessions terminate at 30-min gaps — per-key state, not constant-parallelism; a pathological no-gap user is the event_pattern_regex cap regime"),
+    "ewma_user_value": (1, "per-user ordered fold, events-per-user (deployment retention window); unbounded-key regime = transformWithState running-stats operator (streaming/pipelines.py), this lane is its batch-checkable twin"),
+    "quality_percentile_filter": (1, "value-domain-bounded: Spark's exact Percentile buffers a value->count map over INTEGER n_chars — state ~ |n_chars domain|, not row count"),
+}
+
+
+def _buffer_marker_count(fn) -> int:
+    import inspect
+    import io
+    import tokenize
+
+    try:
+        src = inspect.getsource(fn.__wrapped__)
+    except (TypeError, OSError, AttributeError):
+        return 0
+    try:
+        toks = tokenize.generate_tokens(io.StringIO(src).readline)
+        code = "".join(t.string for t in toks if t.type != tokenize.COMMENT)
+    except (tokenize.TokenError, IndentationError):
+        code = src
+    n = sum(code.count(m) for m in _BUFFER_MARKERS)
+    # exact-percentile variants that do NOT buffer raw values
+    n -= code.count("approx_percentile(")
+    n -= code.count("grouped_percentile_cont_twophase(")
+    return n
+
+
+def test_no_unaudited_aggregate_buffers():
+    """Every buffering-aggregate use (collect_list/collect_set/exact
+    percentile) in every lane's source must be covered by the audited
+    allowlist with a boundedness argument."""
+    offenders = {}
+    for name, spec in all_queries().items():
+        n = _buffer_marker_count(spec.fn)
+        cap = _BUFFER_ALLOWLIST.get(name, (0, ""))[0]
+        if n > cap:
+            offenders[name] = (n, cap)
+    assert not offenders, (
+        f"unaudited aggregation buffers (lane: found>allowed): {offenders} — "
+        f"either the buffer is provably bounded (add an allowlist entry WITH "
+        f"the argument: fixed frame / fixed fan-out / domain-bounded count "
+        f"map / enforced cap) or use the two-phase order-statistics path "
+        f"(operators/orderstats.py) instead"
+    )
+
+
 def test_no_unaudited_unbounded_windows(spark, sf_dir):
     """Every empty-or-low-card-partition Window in every pure-analysis
     lane's optimized plan must be covered by the audited allowlist."""
