@@ -448,14 +448,20 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.coalesce(F.col("spend"), F.lit(0).cast(DEC)).alias("spend"),
     )
-    # negated-cents key: ASC == (c_acctbal DESC); c_custkey uniquifies
-    neg_cents = (-F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))).cast("bigint")
-    # non-null keys only, so n matches rank_cutpoints' ranked
-    # population (it drops null keys; a null acctbal would otherwise
-    # push the requested cut ranks past the ranked row count)
+    # negated-cents key: ASC == (c_acctbal DESC); c_custkey uniquifies.
+    # Null balances re-enter as LONG_MAX — ntile's ORDER BY
+    # c_acctbal DESC is NULLS LAST in both Spark and DuckDB, and
+    # LONG_MAX sorts after any real negated-cents key (|acctbal|*100
+    # is nowhere near 2^63) — so rank_cutpoints (which drops null
+    # keys) sees the full customer population and the decile
+    # assignment matches ntile even when acctbal is nullable.
+    neg_cents = F.coalesce(
+        (-F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))).cast("bigint"),
+        F.lit(2**63 - 1),
+    )
     keyed = cust.select(
         neg_cents.alias("_key"), F.col("c_custkey").alias("_tie")
-    ).filter(F.col("_key").isNotNull())
+    )
     n = keyed.count()
     if n < 10:
         raise ValueError(f"decile_lift_table needs >= 10 customers, got {n}")
