@@ -93,6 +93,45 @@ def write_zordered(
     )
 
 
+def footer_column_bounds(path: str, column: str):
+    """Global (min, max) of ``column`` from parquet footer statistics
+    — a driver-side metadata read replacing a whole bounds SCAN for
+    operators that only need a covering range (two-phase order
+    statistics). ``path`` may be a single parquet file or a directory
+    of them. Returns None when any file lacks stats for the column
+    (caller falls back to scanning); footer reads are O(files) bytes,
+    the same budget as zone-map pruning below."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    lo, hi = None, None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        seen = False
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    if s.min is None or s.max is None:
+                        continue
+                    seen = True
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if not seen:
+            return None
+    return None if lo is None else (lo, hi)
+
+
 def file_column_spans(path: str, column: str) -> list[tuple[float, float]]:
     """Per-file (min, max) of ``column`` from the parquet footers —
     the exact statistics a scan's file-skipping consults. Driver-side

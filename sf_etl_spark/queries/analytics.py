@@ -155,6 +155,20 @@ def regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1-row result is then expanded to 6 rows JVM-side (inline struct
 # array — no driver round-trip, no second scan). The naive
 # alternative — corr() per pair — is 6 passes and order-dependent.
+#
+# Hot-path arithmetic is BIGINT, not BigDecimal (the r9 "bucket tax"
+# finding: per-row DECIMAL(38,x) ops are ~10x a long multiply): every
+# measure is exact at 2 decimal places, so each re-enters as a cents
+# image `floor(x*100 + 0.5)` (exact — x*100 is within ~1e-9 of its
+# integer for 2dp doubles) and products are single long multiplies.
+# Only the SUM buffers are DECIMAL(38,0) — price² cents products
+# reach ~1.1e14/row, so a long sum overflows int64 beyond ~80k rows
+# (and even the linear price-cents sum wraps near 10^12 rows); the
+# 38-digit buffer is exact past 10^23 rows, i.e. at any SF. The /100
+# and /10^4 descale and the string→double cast happen once on the
+# 1-row result; output doubles are bit-identical to the former
+# DECIMAL(38,10) moment pass (both are correctly-rounded casts of the
+# same exact rational), so the DuckDB oracle below is unchanged.
 # ---------------------------------------------------------------------------
 _CM_VARS = [
     ("qty", "l_quantity"),
@@ -198,13 +212,27 @@ def _cm_oracle() -> str:
 )
 def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cols = {k: F.col(e) for k, e in _CM_VARS}
+    cents = {
+        k: F.floor(F.col(e) * 100 + F.lit(0.5)).cast("long")
+        for k, e in _CM_VARS
+    }
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    aggs += [dsum(c).alias(f"s_{k}") for k, c in cols.items()]
-    keys = list(cols)
+    aggs += [
+        (F.sum(c.cast("decimal(38,0)")) / F.lit(100))
+        .cast("string")
+        .cast("double")
+        .alias(f"s_{k}")
+        for k, c in cents.items()
+    ]
+    keys = list(cents)
     for i, a in enumerate(keys):
         for b in keys[i:]:
-            aggs.append(dsum(cols[a] * cols[b]).alias(f"s_{a}_{b}"))
+            aggs.append(
+                (F.sum((cents[a] * cents[b]).cast("decimal(38,0)")) / F.lit(10000))
+                .cast("string")
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
     m = li.agg(*aggs)
 
     def r(a: str, b: str) -> Column:

@@ -97,16 +97,19 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts per bucket, data-driven boundaries), complementing the
 # equal-WIDTH `histogram_totalprice` lane. Bucket assignment is exact
 # ntile semantics over the total order (value, key), computed WITHOUT
-# ranking whole groups: grouped_ntile_cutpoints
-# (operators/orderstats.py) finds each group's 3 quartile boundaries
-# by histogram narrowing on the exact cents image (one scan + one
-# bucket-sliced pick pass), then every row derives its bucket from a
-# per-row composite-key comparison against its group's broadcast
-# boundary row — embarrassingly parallel, no window over a
-# fixed-cardinality partition (the r8 verdict's grandfathered-sort
-# retirement). Boundaries are observed values (no arithmetic), so
-# min/max hash bit-equal with no float tolerance; the oracle keeps
-# the plain ntile window, certifying the cut-point plan ≡ ntile.
+# ranking whole groups: grouped_exact_rank (operators/orderstats.py)
+# derives every row's exact in-group rank as (broadcast per-bucket
+# prefix count) + (row_number within its (group, bucket) slice of
+# ~n/1024 rows), and ntile_from_rank turns rank + group size into
+# the tile by pure integer arithmetic — the r9 cut-point pick-pass
+# plan spent a whole extra scan + pivot to learn boundary VALUES this
+# plan never needs. The histogram's covering bounds come from the
+# parquet FOOTER statistics (zone-map metadata read, no Spark job;
+# falls back to a bounds scan when stats are absent), so the lane is
+# one metadata pass + ONE assignment pass. Bucket min/max are
+# observed values (no arithmetic), so lo/hi hash bit-equal with no
+# float tolerance; the oracle keeps the plain ntile window,
+# certifying the prefix-rank plan ≡ ntile.
 # ---------------------------------------------------------------------------
 @register(
     "equidepth_histogram",
@@ -131,9 +134,10 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes_on_construct=True,  # cut-point pass collects bounded metadata
 )
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.layout import footer_column_bounds
     from sf_etl_spark.operators.orderstats import (
-        grouped_ntile_cutpoints,
-        ntile_from_cutpoints,
+        grouped_exact_rank,
+        ntile_from_rank,
     )
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -143,13 +147,17 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact cents image of the 2-decimal double (order-isomorphic)
         F.round(F.col("o_totalprice") * 100).cast("long").alias("_img"),
     )
-    cuts = grouped_ntile_cutpoints(o, "o_orderpriority", "_img", "o_orderkey", 4)
-    assigned = o.join(F.broadcast(cuts), "o_orderpriority").select(
+    # covering img bounds from footer stats: round() of the monotone
+    # cents map of the column's true min/max covers every row's _img
+    fb = footer_column_bounds(f"{sf_dir}/orders.parquet", "o_totalprice")
+    bounds = (round(fb[0] * 100), round(fb[1] * 100)) if fb else None
+    ranked = grouped_exact_rank(
+        o, "o_orderpriority", "_img", "o_orderkey", bounds=bounds
+    )
+    assigned = ranked.select(
         "o_orderpriority",
         "o_totalprice",
-        ntile_from_cutpoints(F.col("_img"), F.col("o_orderkey"), 4)
-        .cast("int")
-        .alias("bucket"),
+        ntile_from_rank("_rank", "_gn", 4).cast("int").alias("bucket"),
     )
     return (
         assigned.groupBy("o_orderpriority", "bucket")

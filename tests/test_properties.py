@@ -426,18 +426,19 @@ def test_ntile_from_rank_matches_ntile_window(spark):
         assert got == want, T
 
 
-def test_grouped_ntile_cutpoints_matches_ntile_window(spark):
-    """Cut-point tile assignment must reproduce ntile(T) OVER
-    (PARTITION BY g ORDER BY img, tie) exactly — including groups
-    smaller than T, heavy ties, and remainder tiles."""
+def test_grouped_exact_rank_matches_ntile_window(spark):
+    """Prefix-rank tile assignment (grouped_exact_rank +
+    ntile_from_rank) must reproduce ntile(T) OVER (PARTITION BY g
+    ORDER BY img, tie) exactly — including groups smaller than T,
+    heavy ties, and remainder tiles."""
     import random
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from sf_etl_spark.operators.orderstats import (
-        grouped_ntile_cutpoints,
-        ntile_from_cutpoints,
+        grouped_exact_rank,
+        ntile_from_rank,
     )
 
     rng = random.Random(17)
@@ -449,16 +450,12 @@ def test_grouped_ntile_cutpoints_matches_ntile_window(spark):
             tid += 1
     df = spark.createDataFrame(rows, ["g", "img", "tie"])
     T = 4
-    cuts = grouped_ntile_cutpoints(df, "g", "img", "tie", T, n_buckets=8)
+    ranked = grouped_exact_rank(df, "g", "img", "tie", n_buckets=8)
     got = {
         (r["g"], r["tie"]): r["bucket"]
-        for r in df.join(F.broadcast(cuts), "g")
-        .select(
-            "g",
-            "tie",
-            ntile_from_cutpoints(F.col("img"), F.col("tie"), T).alias("bucket"),
-        )
-        .collect()
+        for r in ranked.select(
+            "g", "tie", ntile_from_rank("_rank", "_gn", T).alias("bucket")
+        ).collect()
     }
     w = Window.partitionBy("g").orderBy("img", "tie")
     want = {

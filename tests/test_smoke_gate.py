@@ -104,7 +104,7 @@ def test_construct_declarations_cover_eager_sources():
     EAGER_HELPERS = (
         "grouped_percentile_cont_twophase",
         "grouped_median_twophase_double",
-        "grouped_ntile_cutpoints",
+        "grouped_exact_rank",
         "merge_into_partitioned_parquet",
         "scd2_apply",
         "fold_into_rollup",
