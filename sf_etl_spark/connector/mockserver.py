@@ -5,10 +5,16 @@ Plays the role of the reference's ``mockito`` harness
 Spark *executor tasks* can hit it concurrently — the canonical
 response shapes (token / query / describe / job) follow FIXTURES.md §A.
 
-The dataset is a deterministic fake ``Case`` table; query results
+The dataset defaults to a deterministic fake ``Case`` table but any
+(object_name, fields, rows) triple can be served; query results
 paginate via ``nextRecordsUrl`` and bulk results chunk via
 offset-addressed ``Sforce-Locator`` headers, so both reference gaps
 (no pagination, no results download) are exercised.
+
+Lives in the package (not tests/) because the ``sfetl`` DataSource's
+verification lane (`queries/sink_roundtrip.py:source_sfetl_roundtrip`)
+stages fixture rows behind it at driver-correctness time — the same
+embedded-stand-in pattern as the Derby-backed JDBC lane.
 """
 
 from __future__ import annotations
@@ -61,11 +67,28 @@ def make_cases(n: int) -> list[dict]:
 class MockSalesforce:
     """Server state: auth expectations, dataset, bulk-job registry."""
 
-    def __init__(self, n_rows: int = 95, page_size: int = 20, fail_first_polls: int = 1):
-        self.n_rows = n_rows
+    def __init__(
+        self,
+        n_rows: int = 95,
+        page_size: int = 20,
+        fail_first_polls: int = 1,
+        column_delimiter: str = "COMMA",
+        line_ending: str = "LF",
+        object_name: str = "Case",
+        fields: list[dict] | None = None,
+        rows: list[dict] | None = None,
+    ):
         self.page_size = page_size
         self.fail_first_polls = fail_first_polls  # polls returning InProgress
-        self.rows = make_cases(n_rows)
+        self.object_name = object_name
+        self.fields_meta = fields if fields is not None else CASE_FIELDS
+        # bulk CSV dialect the server declares AND writes (jobs created
+        # with non-default dialects exist in the wild; the scan reader
+        # must honor the declared metadata, response.rs:37-38 parity)
+        self.column_delimiter = column_delimiter
+        self.line_ending = line_ending
+        self.rows = rows if rows is not None else make_cases(n_rows)
+        self.n_rows = len(self.rows)
         self.jobs: dict[str, dict] = {}
         self.cursors: dict[int, tuple[str, int]] = {}
         self.lock = threading.Lock()
@@ -169,7 +192,7 @@ class MockSalesforce:
 
         m = re.fullmatch(f"{API}/sobjects/(\\w+)/describe", path)
         if method == "GET" and m:
-            return h._json(200, {"name": m.group(1), "fields": CASE_FIELDS})
+            return h._json(200, {"name": m.group(1), "fields": self.fields_meta})
 
         if method == "POST" and path == f"{API}/jobs/query":
             body = json.loads(h.rfile.read(int(h.headers.get("Content-Length", 0))))
@@ -206,8 +229,10 @@ class MockSalesforce:
     # -- endpoint behaviors ------------------------------------------------
 
     def select_rows(self, soql: str) -> tuple[list[str], list[dict]]:
-        """Trivial SOQL evaluation: field list + optional integer range
-        WHERE on NumCalls (enough for the partitioned-reader tests)."""
+        """Trivial SOQL evaluation: field list + integer range / string
+        IN-list WHERE conditions (enough for the partitioned-reader and
+        pushdown tests — a pushed filter the server actually honors
+        shrinks the wire payload, which is the point of pushdown)."""
         m = re.match(
             r"SELECT (.+) FROM (\w+)(?: WHERE (.+?))?"
             r"(?: ORDER BY (\w+))?(?: LIMIT (\d+))?$",
@@ -219,6 +244,12 @@ class MockSalesforce:
         where = m.group(3)
         if where:
             for cond in re.split(r"\s+AND\s+", where):
+                im = re.match(r"\(?(\w+) IN \(([^)]*)\)\)?", cond.strip(), re.I)
+                if im:
+                    fld = im.group(1)
+                    vals = {v.strip().strip("'") for v in im.group(2).split(",")}
+                    rows = [r for r in rows if r.get(fld) in vals]
+                    continue
                 cm = re.match(r"\(?(\w+) (>=|<|<=|>|=) (\d+)\)?", cond.strip())
                 if not cm:
                     continue
@@ -247,7 +278,10 @@ class MockSalesforce:
             "done": done,
             "records": [
                 {
-                    "attributes": {"type": "Case", "url": f"/sobjects/Case/{r['Id']}"},
+                    "attributes": {
+                        "type": self.object_name,
+                        "url": f"/sobjects/{self.object_name}/{r['Id']}",
+                    },
                     **{f: r.get(f) for f in fields},
                 }
                 for r in page
@@ -267,7 +301,7 @@ class MockSalesforce:
         return {
             "id": job_id,
             "operation": "query",
-            "object": "Case",
+            "object": self.object_name,
             "createdById": "005000000000001",
             "createdDate": "2024-06-01T00:00:00.000Z",
             "systemModstamp": "2024-06-01T00:00:00.000Z",
@@ -275,8 +309,8 @@ class MockSalesforce:
             "concurrencyMode": "Parallel",
             "contentType": "CSV",
             "apiVersion": 49.0,
-            "lineEnding": "LF",
-            "columnDelimiter": "COMMA",
+            "lineEnding": self.line_ending,
+            "columnDelimiter": self.column_delimiter,
             "numberRecordsProcessed": len(rows) if done else None,
         }
 
@@ -288,8 +322,17 @@ class MockSalesforce:
         offset = int(qs.get("locator", ["0"])[0] or 0)
         limit = int(qs.get("maxRecords", [str(self.page_size)])[0])
         page = rows[offset : offset + limit]
+        delim = {
+            "COMMA": ",",
+            "PIPE": "|",
+            "TAB": "\t",
+            "SEMICOLON": ";",
+            "CARET": "^",
+            "BACKQUOTE": "`",
+        }[self.column_delimiter]
+        term = "\r\n" if self.line_ending == "CRLF" else "\n"
         buf = io.StringIO()
-        w = csv.writer(buf, lineterminator="\n")
+        w = csv.writer(buf, delimiter=delim, lineterminator=term)
         w.writerow(fields)
         for r in page:
             w.writerow([r.get(f, "") for f in fields])

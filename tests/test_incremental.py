@@ -12,7 +12,7 @@ import pytest
 
 from sf_etl_spark.connector.client import SfClient
 from sf_etl_spark.connector.incremental import extract_incremental
-from tests.mock_sf_server import MockSalesforce
+from sf_etl_spark.connector.mockserver import MockSalesforce
 
 
 @pytest.fixture()

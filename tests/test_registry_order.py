@@ -13,69 +13,66 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 9 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r8 verdict's task 2):
-# (1) the 14 r4-vintage leftover rows, the stalest driver evidence
-# (one, percentiles_by_flag, also rewritten this round);
-# (2) window_frames, rewritten this round (grandfathered-sort
-# retirement); (3) the first 35 r5-fresh rows — stalest after the r4
-# block — including this round's other rewrites (robust_outliers,
-# equidepth_histogram). Everything re-proven in r6/r7/r8 rotates
-# behind the boundary.
+# (round 10 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r9 verdict's task 2):
+# (1) source_sfetl_roundtrip, NEW this round (first driver hash row
+# for the custom-DataSource scan path); (2) the four lanes rewritten
+# this round (equidepth_histogram, correlation_matrix, window_frames,
+# decile_lift_table) so the driver verifies the NEW plans; (3) the 14
+# r5-fresh leftovers — the stalest driver evidence; (4) the first 31
+# r6-fresh rows. Everything re-proven in r7/r8/r9 rotates behind the
+# boundary.
 MUST_BE_IN_WINDOW = [
-    # (1) r4-vintage leftovers
-    "source_csv_roundtrip",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q14_promo_revenue",
-    "salted_join_revenue",
-    "window_suite",
-    "exists_correlated",
-    "scalar_subquery",
-    "fk_integrity",
-    "json_schema_on_read",
-    "percentiles_by_flag",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    # (2) plan rewritten this round
-    "window_frames",
-    # (3) first 35 r5-fresh rows
-    "ann_ivf_kmeans_agreement",
-    "multimodal_features_checksum",
-    "soql_typeof",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_promo_suppliers",
-    "dedup_incremental_ingest",
-    "sessionize_events",
-    "cohort_retention",
-    "robust_outliers",
-    "bm25_topk",
-    "bloom_semi_join_revenue",
-    "merge_time_travel",
-    "pagerank_topk",
-    "heavy_hitters_twopass",
-    "hll_rollup_merge",
-    "kll_quantile_merge",
-    "column_profile",
-    "interval_coverage",
-    "triangle_count",
-    "merge_change_feed",
-    "ewma_user_value",
-    "bigram_novelty",
-    "dpp_partitioned_join",
+    "source_sfetl_roundtrip",
     "equidepth_histogram",
-    "table_checksum",
-    "soql_fields_all",
-    "market_basket_lift",
-    "event_transitions",
-    "grouped_agg_trimmed_mean",
-    "scd2_point_in_time_join",
-    "distribution_drift",
-    "spark_sql_front",
-    "timezone_local_hours",
-    "null_skew_outer_join",
+    "correlation_matrix",
+    "window_frames",
+    "decile_lift_table",
+    "feature_hashing",
+    "user_behavior_profile",
+    "session_paths",
+    "doc_fingerprint",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "embedding_stats",
+    "ann_cosine_topk",
+    "udtf_bigrams",
+    "pandas_udf_zscore",
+    "dispersion_stats",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    "agg_having",
+    "agg_stats_by_status",
+    "approx_distinct_custkeys",
+    "array_functions",
+    "conditional_predicates",
+    "cube_status_priority",
+    "date_functions",
+    "distinct_flags",
+    "filter_project",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "map_functions",
+    "math_functions",
+    "min_per_group_joinback",
+    "order_limit_offset",
+    "pivot_returnflag",
+    "rollup_flags",
+    "set_ops",
+    "set_ops_all",
+    "string_functions",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
 ]
 
 

@@ -10,6 +10,7 @@ Refuses to record if the 1-minute load average exceeds 2.5 at launch
 entry is at least labeled as such).
 """
 
+import argparse
 import datetime
 import json
 import os
@@ -20,13 +21,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_runs = int(args[0]) if args else 3
-    note = ""
-    if "--note" in sys.argv:
-        note = sys.argv[sys.argv.index("--note") + 1]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("n_runs", nargs="?", type=int, default=3)
+    ap.add_argument("--note", default="")
+    ap.add_argument("--force", action="store_true")
+    ns = ap.parse_args()
+    n_runs, note = ns.n_runs, ns.note
     load1 = os.getloadavg()[0]
-    if load1 > 2.5 and "--force" not in sys.argv:
+    if load1 > 2.5 and not ns.force:
         sys.exit(f"load_1m={load1:.2f} > 2.5 — not a quiet host (--force to override)")
     runs = []
     for i in range(n_runs):
