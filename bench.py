@@ -275,13 +275,36 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Every registered lane NOT in the headline runs exactly once
+    # (r9 verdict task 1: the executes_on_construct set — merges,
+    # SCD2, streaming replays, ML fits, source round trips — is the
+    # costliest surface and had no round-over-round trend). Single-
+    # shot by design: construction itself executes jobs for these, so
+    # best-of-N would mostly re-measure fixed machinery (checkpoint
+    # replay, temp-dir writes) — the signal is wall-time drift across
+    # rounds, not intra-run variance. Streaming lanes report replay
+    # wall-time. The exclusion list is EMPTY: all 200+ registered
+    # lanes appear in this output, and any future lane lands in
+    # `oneshot` automatically unless promoted into HEADLINE.
+    oneshot: dict[str, float] = {}
+    headline_set = set(HEADLINE)
+    for name, spec in specs.items():
+        if name in headline_set:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        oneshot[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_sec",
-        "value": total,
+        "value": total,  # headline best-of-N total: round-comparable
         "unit": "sec",
         "queries": timings,
+        "oneshot": oneshot,
+        "oneshot_total_sec": round(sum(oneshot.values()), 3),
+        "excluded": {},  # every registered lane is timed above
         "sf": sf,
     }
     print(json.dumps(result))

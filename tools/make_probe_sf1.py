@@ -26,6 +26,14 @@
 
 Used by the PLANS.md round-7 sf1 probes (r6 verdict task 7); output
 is gitignored scratch, not a fixture.
+
+``--null-keys`` (r9 verdict task 8) builds the companion
+``.probe/sf1nulls`` variant: every table symlinked from the existing
+``.probe/sf1`` output except ``customer``, which is rewritten with
+every 13th ``c_acctbal`` NULLed — so the ranked-analytics lanes
+(decile_lift_table / rank_cutpoints consumers) exercise their
+null-key path at probe volume, not just in the sf0.001 unit test
+(tests/test_analytics_nulls.py). Run WITHOUT the flag first.
 """
 
 import os
@@ -40,8 +48,41 @@ from sf_etl_spark.session import get_spark  # noqa: E402
 from sf_etl_spark.sources import load_table  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".probe", "sf1")
+_PROBE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".probe"
+)
+DST = os.path.join(_PROBE_ROOT, "sf1")
 REPLICAS = 10
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def make_null_variant() -> None:
+    """Build .probe/sf1nulls from .probe/sf1: symlink every table,
+    override customer with the nulled-acctbal variant."""
+    if not os.path.isdir(DST):
+        sys.exit("run tools/make_probe_sf1.py without --null-keys first")
+    dst = os.path.join(_PROBE_ROOT, "sf1nulls")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for t in TABLES:
+        if t == "customer":
+            continue
+        os.symlink(os.path.join(DST, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet"))
+    spark = get_spark("sf1-null-probe-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    c = load_table(spark, SRC, "customer").withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    c.write.mode("overwrite").parquet(os.path.join(dst, "customer.parquet"))
+    print("wrote", dst)
+    spark.stop()
 
 
 def main() -> None:
@@ -136,4 +177,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--null-keys" in sys.argv:
+        make_null_variant()
+    else:
+        main()

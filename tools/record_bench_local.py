@@ -43,6 +43,10 @@ def main() -> None:
         runs.append(json.loads(line))
         print(f"run {i + 1}/{n_runs}: {runs[-1]['value']} s", file=sys.stderr)
     best = {n: min(r["queries"][n] for r in runs) for n in runs[0]["queries"]}
+    oneshot = {
+        n: min(r["oneshot"][n] for r in runs)
+        for n in runs[0].get("oneshot", {})
+    }
     entry = {
         "recorded_at": datetime.datetime.now().isoformat(timespec="seconds"),
         "runs": n_runs,
@@ -52,6 +56,8 @@ def main() -> None:
         "value": round(sum(best.values()), 3),
         "unit": "sec",
         "queries": best,
+        "oneshot": oneshot,
+        "oneshot_total_sec": round(sum(oneshot.values()), 3),
         "sf": runs[0].get("sf"),
     }
     path = os.path.join(REPO, "BENCH_LOCAL.json")
