@@ -70,6 +70,11 @@ class BulkJob:
     content_type: str | None = None
     line_ending: str | None = None
     column_delimiter: str | None = None
+    # informational only (like the reference's deserialized-but-unused
+    # field, ``response.rs:39``): Bulk 2.0 query jobs always run
+    # Parallel; surfaced as a typed field so callers need not dig
+    # through ``raw``
+    concurrency_mode: str | None = None
     number_records_processed: int | None = None
     raw: dict[str, Any] = field(default_factory=dict, repr=False)
 
@@ -83,6 +88,7 @@ class BulkJob:
             content_type=obj.get("contentType"),
             line_ending=obj.get("lineEnding"),
             column_delimiter=obj.get("columnDelimiter"),
+            concurrency_mode=obj.get("concurrencyMode"),
             number_records_processed=obj.get("numberRecordsProcessed"),
             raw=obj,
         )

@@ -242,6 +242,7 @@ def grouped_median_twophase(
     col: str,
     n_buckets: int = 1024,
     max_meta_rows: int = 2_000_000,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact per-group median of an integer column in TWO fixed
     passes, without sorting any full group.
@@ -284,8 +285,13 @@ def grouped_median_twophase(
     """
     g, c = F.col(group_col), F.col(col)
     df = df.filter(c.isNotNull())
-    bounds = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    if bounds is None:
+        # callers with covering bounds (parquet footer statistics, a
+        # shared agg scan) skip this job; bucketing only needs a range
+        # that COVERS the true min/max
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        bounds = (row["lo"], row["hi"])
+    lo, hi = bounds
     if lo is None:
         raise ValueError(f"grouped_median_twophase on all-null column {col!r}")
     span = int(hi) - int(lo) + 1
@@ -769,6 +775,7 @@ def grouped_quantile_twophase(
     q_den: int,
     n_buckets: int = 1024,
     max_meta_rows: int = 2_000_000,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact per-group discrete quantile (``percentile_disc``
     semantics: the value at rank ceil(q·n), 1-based) of an integer
@@ -791,8 +798,10 @@ def grouped_quantile_twophase(
         raise ValueError(f"q must be in (0, 1]: got {q_num}/{q_den}")
     g, c = F.col(group_col), F.col(col)
     df = df.filter(c.isNotNull())
-    bounds = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    if bounds is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        bounds = (row["lo"], row["hi"])
+    lo, hi = bounds
     if lo is None:
         raise ValueError(f"grouped_quantile_twophase on all-null column {col!r}")
     span = int(hi) - int(lo) + 1

@@ -522,6 +522,7 @@ def seasonal_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes_on_construct=True,
 )
 def group_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.layout import footer_column_bounds
     from sf_etl_spark.operators.orderstats import grouped_median_twophase
 
     cents = (
@@ -532,9 +533,13 @@ def group_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
         )
     )
-    return grouped_median_twophase(cents, "o_orderpriority", "cents").orderBy(
-        "o_orderpriority"
-    )
+    # covering bounds from footer stats (no bounds job; scan fallback
+    # inside the operator when stats are absent)
+    fb = footer_column_bounds(f"{sf_dir}/orders.parquet", "o_totalprice")
+    bounds = (round(fb[0] * 100), round(fb[1] * 100)) if fb else None
+    return grouped_median_twophase(
+        cents, "o_orderpriority", "cents", bounds=bounds
+    ).orderBy("o_orderpriority")
 
 
 # ---------------------------------------------------------------------------
@@ -574,6 +579,7 @@ def group_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes_on_construct=True,
 )
 def group_p90_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.layout import footer_column_bounds
     from sf_etl_spark.operators.orderstats import grouped_quantile_twophase
 
     cents = (
@@ -584,8 +590,10 @@ def group_p90_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
         )
     )
+    fb = footer_column_bounds(f"{sf_dir}/orders.parquet", "o_totalprice")
+    bounds = (round(fb[0] * 100), round(fb[1] * 100)) if fb else None
     return grouped_quantile_twophase(
-        cents, "o_orderpriority", "cents", q_num=9, q_den=10
+        cents, "o_orderpriority", "cents", q_num=9, q_den=10, bounds=bounds
     ).orderBy("o_orderpriority")
 
 

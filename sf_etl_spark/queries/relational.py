@@ -1172,6 +1172,8 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_percentile_cont_twophase,
     )
 
+    from sf_etl_spark.operators.layout import footer_column_bounds
+
     (li,) = _t(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
@@ -1180,21 +1182,31 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("long").alias("_qty_c"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("_price_c"),
     )
-    # one shared scan for both columns' bounds (halves the construct
-    # jobs; the helper would otherwise run one bounds agg per call)
-    b = base.agg(
-        F.min("_qty_c").alias("qlo"),
-        F.max("_qty_c").alias("qhi"),
-        F.min("_price_c").alias("plo"),
-        F.max("_price_c").alias("phi"),
-    ).first()
+    # covering image bounds from parquet footer statistics (driver
+    # metadata read, no bounds job; round() of the monotone cents map
+    # of the column's true min/max covers every row's image) — falls
+    # back to one shared agg scan for both columns when stats are
+    # absent
+    qf = footer_column_bounds(f"{sf_dir}/lineitem.parquet", "l_quantity")
+    pf = footer_column_bounds(f"{sf_dir}/lineitem.parquet", "l_extendedprice")
+    if qf and pf:
+        qb = (round(qf[0] * 100), round(qf[1] * 100))
+        pb = (round(pf[0] * 100), round(pf[1] * 100))
+    else:
+        b = base.agg(
+            F.min("_qty_c").alias("qlo"),
+            F.max("_qty_c").alias("qhi"),
+            F.min("_price_c").alias("plo"),
+            F.max("_price_c").alias("phi"),
+        ).first()
+        qb, pb = (b["qlo"], b["qhi"]), (b["plo"], b["phi"])
     qty = grouped_percentile_cont_twophase(
         base,
         "l_returnflag",
         "_qty_c",
         "l_quantity",
         {"med_qty": 0.5, "p90_qty": 0.9},
-        bounds=(b["qlo"], b["qhi"]),
+        bounds=qb,
     )
     price = grouped_percentile_cont_twophase(
         base,
@@ -1202,7 +1214,7 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_price_c",
         "l_extendedprice",
         {"p25_price": 0.25, "p99_price": 0.99},
-        bounds=(b["plo"], b["phi"]),
+        bounds=pb,
     )
     # 3-row x 3-row join; AQE broadcasts it without a hint
     return qty.join(price, "l_returnflag").orderBy("l_returnflag")

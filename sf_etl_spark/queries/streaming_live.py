@@ -49,7 +49,9 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(spark, sf_dir)
     name, _ = run_to_memory_table(
-        stream_tumbling_agg(events_stream(spark, src)), output_mode="complete"
+        stream_tumbling_agg(events_stream(spark, src)),
+        output_mode="complete",
+        shuffle_partitions=8,  # fixture state is (type, hour)-bounded
     )
     return (
         spark.table(name)
@@ -74,7 +76,9 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(spark, sf_dir, duplicate=True)
     name, _ = run_to_memory_table(
-        stream_dedup_within_watermark(events_stream(spark, src)), output_mode="append"
+        stream_dedup_within_watermark(events_stream(spark, src)),
+        output_mode="append",
+        shuffle_partitions=8,  # dedup state ~ event ids in watermark
     )
     return spark.table(name).select("event_id").orderBy("event_id")
 
@@ -106,7 +110,9 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     clicks = events_stream(spark, src).filter(F.col("event_type") == "click")
     purchases = events_stream(spark, src).filter(F.col("event_type") == "purchase")
     name, _ = run_to_memory_table(
-        stream_click_attribution(clicks, purchases), output_mode="append"
+        stream_click_attribution(clicks, purchases),
+        output_mode="append",
+        shuffle_partitions=8,  # join state ~ clicks in 30min horizon
     )
     return spark.table(name).orderBy("click_id", "purchase_id")
 
@@ -128,7 +134,9 @@ def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(spark, sf_dir)
     name, _ = run_to_memory_table(
-        stream_stateful_user_counts(events_stream(spark, src)), output_mode="update"
+        stream_stateful_user_counts(events_stream(spark, src)),
+        output_mode="update",
+        shuffle_partitions=8,  # per-user count state, fixture users
     )
     # counts are monotone across updates → max is the final state
     return (

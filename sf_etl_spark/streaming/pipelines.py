@@ -332,22 +332,45 @@ def run_timered_to_memory_table(
 
 
 def run_to_memory_table(
-    plan: DataFrame, output_mode: str, checkpoint_dir: str | None = None
+    plan: DataFrame,
+    output_mode: str,
+    checkpoint_dir: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> tuple[str, object]:
     """Run a streaming plan to completion (``availableNow``) into a
     memory sink; returns (table_name, query). Memory sink is test/demo
-    only — production sinks are files/Kafka/foreachBatch."""
+    only — production sinks are files/Kafka/foreachBatch.
+
+    ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` to
+    this query: a stateful query's STATE STORE count is frozen from
+    that conf at first start (per checkpoint), and every micro-batch
+    then pays one state-store task per partition — so the right value
+    tracks STATE volume, not core count. Fixture replays carry a few
+    thousand state rows; 32 stores × N batches is pure per-task
+    overhead (measured ~2-3x the replay wall time). At production
+    state volumes, raise it (or leave None to inherit the session
+    conf). The session value is restored after the replay completes,
+    so surrounding batch lanes keep their parallelism.
+    """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        plan.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sess = plan.sparkSession
+    prev = sess.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            sess.conf.set("spark.sql.shuffle.partitions", prev)
     return name, q
 
 

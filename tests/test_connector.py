@@ -185,6 +185,7 @@ def test_bulk_job_lifecycle(client, mock_sf):
     done = client.wait_for_job(job.id, poll_interval=0.01)
     assert done.state == JobState.JOB_COMPLETE
     assert done.number_records_processed == server.n_rows
+    assert done.concurrency_mode == "Parallel"  # response.rs:39 parity
 
     chunks = list(client.download_results(job.id, max_records=40))
     assert len(chunks) == 3  # 95 rows @ 40/chunk
