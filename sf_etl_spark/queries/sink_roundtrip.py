@@ -1213,11 +1213,13 @@ def source_sfetl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = read_object(spark, opts, "Customer", coerce=False).filter(
             F.col("Segment").isin(*_SFETL_SEGMENTS)
         )
-        if raw.rdd.getNumPartitions() < 2:
-            raise ValueError("sfetl scan must plan >= 2 chunk partitions")
         # materialize the scan (executor-side blocks) so the server can
-        # stop before the driver consumes the returned frame
+        # stop before the driver consumes the returned frame; the
+        # partition assert reads the CHECKPOINTED rdd so it does not
+        # plan a second, throwaway bulk job
         back = raw.localCheckpoint(eager=True)
+        if back.rdd.getNumPartitions() < 2:
+            raise ValueError("sfetl scan must plan >= 2 chunk partitions")
         # bulk SOQL travels in the job-create POST body (requests_seen
         # records only paths), so pushdown evidence is the job registry
         if not any(
