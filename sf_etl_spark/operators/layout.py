@@ -106,6 +106,8 @@ def footer_column_bounds(path: str, column: str):
 
     import pyarrow.parquet as pq
 
+    if not os.path.exists(path):
+        return None  # caller falls back to its bounds scan
     files = (
         sorted(glob.glob(os.path.join(path, "*.parquet")))
         if os.path.isdir(path)

@@ -504,3 +504,15 @@ def test_custom_provider_survives_login(mock_sf):
         assert server.last_password == "vault_pw"
     finally:
         server.valid_token = "MOCK_TOKEN"
+
+
+def test_mock_select_rows_evaluates_in_list():
+    """The mock must HONOR a pushed IN-list (shrinking the wire
+    payload is what pushdown is for); unparseable conditions still
+    fall through to over-delivery, which Spark's re-apply corrects."""
+    server = MockSalesforce(n_rows=9)
+    _, rows = server.select_rows(
+        "SELECT Id FROM Case WHERE Priority IN ('Low', 'High')"
+    )
+    assert 0 < len(rows) < 9
+    assert all(r["Priority"] in ("Low", "High") for r in rows)

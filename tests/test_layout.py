@@ -93,3 +93,34 @@ def test_zone_map_prunes_and_loses_nothing(spark, sf_dir, tmp_path):
         .count()
     )
     assert pruned == full > 0
+
+
+def test_footer_column_bounds_match_scan(spark, sf_dir):
+    """Footer statistics must equal the scan-derived min/max for both
+    a single parquet file (fixture) and a Spark-written directory —
+    they replace bounds JOBS in the two-phase operators, so a drift
+    here silently mis-buckets."""
+    from sf_etl_spark.operators.layout import footer_column_bounds
+
+    path = f"{sf_dir}/orders.parquet"
+    fb = footer_column_bounds(path, "o_totalprice")
+    row = (
+        spark.read.parquet(path)
+        .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+        .first()
+    )
+    assert fb == (row[0], row[1])
+    # unknown column → None (callers fall back to the scan)
+    assert footer_column_bounds(path, "no_such_column") is None
+
+
+def test_footer_column_bounds_directory(spark, sf_dir, tmp_path):
+    from sf_etl_spark.operators.layout import footer_column_bounds
+
+    out = str(tmp_path / "multi")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(3).write.parquet(out)
+    fb = footer_column_bounds(out, "o_totalprice")
+    row = spark.read.parquet(out).agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    assert fb == (row[0], row[1])
+    # empty dir → None
+    assert footer_column_bounds(str(tmp_path / "nothing_here"), "x") is None

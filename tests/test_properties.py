@@ -601,3 +601,48 @@ def test_event_pattern_cap_bounds_power_user(spark, tmp_path):
     # sanity: uncapped, both users match
     out_full = sb.event_pattern_regex(spark, str(tmp_path)).first()
     assert out_full["n_matched"] == 2
+
+
+def test_grouped_operators_reject_null_group_keys(spark):
+    """The grouped two-phase operators re-enter driver plans via inner
+    equi-joins, so a NULL group key would silently drop its rows —
+    they must fail loud instead (r9 ADVICE)."""
+    import pytest as _pytest
+
+    from sf_etl_spark.operators.orderstats import (
+        grouped_exact_rank,
+        grouped_median_twophase,
+        grouped_quantile_twophase,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), (None, 2, 2), ("b", 3, 3)], ["g", "img", "tie"]
+    )
+    with _pytest.raises(ValueError, match="NULL 'g' group key"):
+        grouped_exact_rank(df, "g", "img", "tie").collect()
+    with _pytest.raises(ValueError, match="NULL 'g' group key"):
+        grouped_median_twophase(df, "g", "img").collect()
+    with _pytest.raises(ValueError, match="NULL 'g' group key"):
+        grouped_quantile_twophase(df, "g", "img", q_num=1, q_den=2).collect()
+
+
+def test_grouped_exact_rank_covering_bounds(spark):
+    """Caller-supplied bounds need only COVER the data (the footer-
+    statistics contract): wider bounds must give identical ranks."""
+    import random
+
+    from sf_etl_spark.operators.orderstats import grouped_exact_rank
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 3), rng.randint(-50, 50), i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "img", "tie"])
+
+    def ranks(bounds):
+        got = grouped_exact_rank(
+            df, "g", "img", "tie", n_buckets=16, bounds=bounds
+        )
+        return {(r["g"], r["tie"]): (r["_rank"], r["_gn"]) for r in got.collect()}
+
+    exact = ranks(None)  # operator derives tight bounds itself
+    assert ranks((-1000, 1000)) == exact  # wider covering bounds
+    assert ranks((-50, 2**40)) == exact  # asymmetric cover

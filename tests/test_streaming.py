@@ -766,3 +766,28 @@ def test_tws_composite_state_and_timers(spark, sf_dir, tmp_path):
         assert (nt, nv) == want[uid][:2], uid
         assert abs(tv - want[uid][2]) < 1e-6 * max(1.0, abs(want[uid][2])), uid
         assert n_timers == 1, uid  # exactly the re-armed reaper timer
+
+
+def test_run_to_memory_table_scopes_shuffle_partitions(spark, sf_dir):
+    """shuffle_partitions must bind the query's state-store count and
+    be RESTORED afterward (the session value drives every batch lane's
+    parallelism — leaking 8 would serialize the rest of the suite)."""
+    from sf_etl_spark.queries.streaming_live import _stage
+    from sf_etl_spark.streaming import (
+        events_stream,
+        run_to_memory_table,
+        stream_tumbling_agg,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    src = _stage(spark, sf_dir)
+    name, q = run_to_memory_table(
+        stream_tumbling_agg(events_stream(spark, src)),
+        output_mode="complete",
+        shuffle_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # the checkpointed state really used 4 partitions
+    ops = q.lastProgress["stateOperators"]
+    assert ops and all(op["numShufflePartitions"] == 4 for op in ops)
+    assert spark.table(name).count() > 0
