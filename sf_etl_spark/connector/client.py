@@ -46,8 +46,11 @@ _RETRYABLE_STATUSES = {429, 500, 502, 503, 504}
 
 
 class JobState(str, Enum):
-    """Bulk query job lifecycle (``response.rs:47-54``)."""
+    """Bulk job lifecycle (``response.rs:47-54``; ``Open`` is the
+    ingest-side initial state the extract-only reference never
+    sees — an ingest job is Open until its CSV upload is closed)."""
 
+    OPEN = "Open"
     UPLOAD_COMPLETE = "UploadComplete"
     IN_PROGRESS = "InProgress"
     ABORTED = "Aborted"
@@ -361,9 +364,14 @@ class SfClient:
     ) -> BulkJob:
         """The poll loop the reference leaves to callers (SURVEY §3 E3.3),
         with backoffed polling and a hard timeout."""
+        return self._wait(self.get_query_job_status, job_id, poll_interval, timeout)
+
+    def _wait(
+        self, status_fn, job_id: str, poll_interval: float, timeout: float
+    ) -> BulkJob:
         deadline = time.monotonic() + timeout
         while True:
-            job = self.get_query_job_status(job_id)
+            job = status_fn(job_id)
             if job.state == JobState.FAILED:
                 raise JobFailedError(f"bulk job {job_id} failed: {job.raw.get('errorMessage')}")
             if job.state.terminal:
@@ -371,6 +379,59 @@ class SfClient:
             if time.monotonic() > deadline:
                 raise HttpError(f"bulk job {job_id} not terminal after {timeout}s")
             time.sleep(poll_interval)
+
+    # -- bulk ingest lifecycle (the LOAD leg the extract-only reference
+    # never ships; Bulk API 2.0 ingest wire shape) --------------------------
+
+    def create_ingest_job(self, object_name: str, operation: str = "insert") -> BulkJob:
+        """POST ``/jobs/ingest`` — open a CSV ingest job (state Open)."""
+        obj = self._send_json(
+            "POST",
+            f"{self._base_path()}/jobs/ingest",
+            {
+                "object": object_name,
+                "operation": operation,
+                "contentType": "CSV",
+                "lineEnding": "LF",
+            },
+        )
+        return BulkJob.from_json(obj)
+
+    def upload_ingest_batch(self, job_id: str, csv_text: str) -> None:
+        """PUT ``/jobs/ingest/{id}/batches`` — the job's ONE CSV payload.
+        Bulk 2.0 takes a single upload per job; parallel loads use
+        parallel JOBS, which is exactly how the Spark writer maps one
+        job per partition."""
+        self._request(
+            "PUT",
+            f"{self._base_path()}/jobs/ingest/{job_id}/batches",
+            body=csv_text.encode("utf-8"),
+            headers={"Content-Type": "text/csv"},
+        )
+
+    def close_ingest_job(self, job_id: str) -> BulkJob:
+        """PATCH state=UploadComplete — hands the uploaded CSV to the
+        server for asynchronous processing."""
+        obj = self._send_json(
+            "PATCH", f"{self._base_path()}/jobs/ingest/{job_id}", {"state": "UploadComplete"}
+        )
+        return BulkJob.from_json(obj)
+
+    def abort_ingest_job(self, job_id: str) -> BulkJob:
+        """PATCH state=Aborted — legal while Open/UploadComplete; an
+        aborted ingest job's rows are never applied."""
+        obj = self._send_json(
+            "PATCH", f"{self._base_path()}/jobs/ingest/{job_id}", {"state": "Aborted"}
+        )
+        return BulkJob.from_json(obj)
+
+    def get_ingest_job_status(self, job_id: str) -> BulkJob:
+        return BulkJob.from_json(self._get_json(f"{self._base_path()}/jobs/ingest/{job_id}"))
+
+    def wait_for_ingest_job(
+        self, job_id: str, poll_interval: float = 0.2, timeout: float = 300.0
+    ) -> BulkJob:
+        return self._wait(self.get_ingest_job_status, job_id, poll_interval, timeout)
 
     def get_result_chunk(
         self, job_id: str, locator: str | None = None, max_records: int | None = None

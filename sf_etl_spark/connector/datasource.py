@@ -42,6 +42,7 @@ from typing import Any
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -54,6 +55,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -335,8 +337,89 @@ class SfEtlDataSource(DataSource):
     def reader(self, schema: StructType) -> SfScanReader:
         return SfScanReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool) -> "SfIngestWriter":
+        if overwrite:
+            raise ClientBuilderError(
+                "sfetl sink is append-only (Bulk 2.0 ingest has no truncate); "
+                "use mode('append')"
+            )
+        return SfIngestWriter(schema, dict(self.options))
+
     def simpleStreamReader(self, schema: StructType) -> "SfIncrementalStreamReader":
         return SfIncrementalStreamReader(schema, dict(self.options))
+
+
+@dataclass
+class SfIngestCommit(WriterCommitMessage):
+    """One partition's upload receipt: the ingest job it opened (empty
+    id = empty partition, nothing uploaded)."""
+
+    job_id: str
+    n_rows: int
+
+
+class SfIngestWriter(DataSourceWriter):
+    """``df.write.format("sfetl").mode("append")`` — the LOAD leg the
+    extract-only reference never ships, as a Spark batch sink.
+
+    Parallelism model: Bulk API 2.0 ingest takes ONE CSV upload per
+    job, so each task maps its partition to its own job
+    (create → PUT batch → PATCH UploadComplete) and load parallelism
+    scales with partitions — the write-side mirror of the chunked
+    scan. The driver's ``commit`` then polls every job to
+    ``JobComplete``; ``abort`` PATCHes unprocessed jobs to Aborted, so
+    a failed Spark write leaves no half-applied jobs *that the backend
+    had not already started processing*. (Bulk 2.0 offers no
+    cross-job transaction — exactly-once loads need idempotent
+    operations, e.g. upsert on an external id; this writer is the
+    at-least-once insert primitive.)
+    """
+
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        self.options = options
+        self.field_names = schema.fieldNames()
+
+    def write(self, iterator: Iterator) -> SfIngestCommit:
+        client = _client_from_options(self.options)
+        buf = io.StringIO()
+        w = csv.writer(buf, lineterminator="\n")
+        w.writerow(self.field_names)
+        n = 0
+        width = len(self.field_names)
+        for row in iterator:
+            w.writerow(
+                ["" if row[i] is None else str(row[i]) for i in range(width)]
+            )
+            n += 1
+        if n == 0:
+            return SfIngestCommit(job_id="", n_rows=0)
+        job = client.create_ingest_job(self.options["object"])
+        try:
+            client.upload_ingest_batch(job.id, buf.getvalue())
+            client.close_ingest_job(job.id)
+        except Exception:
+            # fail-fast cleanup of THIS task's job; Spark will call
+            # abort() for the others
+            try:
+                client.abort_ingest_job(job.id)
+            finally:
+                raise
+        return SfIngestCommit(job_id=job.id, n_rows=n)
+
+    def commit(self, messages) -> None:
+        client = _client_from_options(self.options)
+        for msg in messages:
+            if msg and msg.job_id:
+                client.wait_for_ingest_job(msg.job_id)
+
+    def abort(self, messages) -> None:
+        client = _client_from_options(self.options)
+        for msg in messages:
+            if msg and msg.job_id:
+                try:
+                    client.abort_ingest_job(msg.job_id)
+                except Exception:  # noqa: BLE001 - best-effort cleanup
+                    pass
 
 
 class SfIncrementalStreamReader(SimpleDataSourceStreamReader):

@@ -139,6 +139,9 @@ class MockSalesforce:
             def do_PATCH(self):
                 self._record_and_route("PATCH")
 
+            def do_PUT(self):
+                self._record_and_route("PUT")
+
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         threading.Thread(target=self.server.serve_forever, daemon=True).start()
         host, port = self.server.server_address
@@ -224,7 +227,106 @@ class MockSalesforce:
         if method == "GET" and m:
             return self.handle_results(h, m.group(1), qs)
 
+        # -- Bulk 2.0 ingest (the LOAD leg) ---------------------------------
+
+        if method == "POST" and path == f"{API}/jobs/ingest":
+            body = json.loads(h.rfile.read(int(h.headers.get("Content-Length", 0))))
+            if body.get("object") != self.object_name:
+                return h._json(
+                    400,
+                    [{"errorCode": "INVALIDENTITY", "message": body.get("object")}],
+                )
+            with self.lock:
+                job_id = f"751{len(self.jobs):012d}"
+                self.jobs[job_id] = {
+                    "kind": "ingest",
+                    "state": "Open",
+                    "csv": None,
+                    "polls": 0,
+                    "applied": False,
+                }
+            return h._json(200, self.ingest_job_json(job_id))
+
+        m = re.fullmatch(f"{API}/jobs/ingest/(\\w+)/batches", path)
+        if method == "PUT" and m:
+            job = self.jobs.get(m.group(1))
+            if job is None or job["state"] != "Open":
+                return h._json(
+                    400, [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}]
+                )
+            job["csv"] = h.rfile.read(
+                int(h.headers.get("Content-Length", 0))
+            ).decode("utf-8")
+            return h._send(201, "", content_type="text/plain")
+
+        m = re.fullmatch(f"{API}/jobs/ingest/(\\w+)", path)
+        if m and method == "GET":
+            job_id = m.group(1)
+            with self.lock:
+                job = self.jobs[job_id]
+                if job["state"] == "UploadComplete":
+                    job["polls"] += 1
+                    if job["polls"] > self.fail_first_polls:
+                        self._apply_ingest(job)
+                        job["state"] = "JobComplete"
+                    else:
+                        job["state"] = "InProgress"
+                elif job["state"] == "InProgress":
+                    job["polls"] += 1
+                    if job["polls"] > self.fail_first_polls:
+                        self._apply_ingest(job)
+                        job["state"] = "JobComplete"
+            return h._json(200, self.ingest_job_json(job_id))
+        if m and method == "PATCH":
+            job_id = m.group(1)
+            body = json.loads(h.rfile.read(int(h.headers.get("Content-Length", 0))))
+            with self.lock:
+                job = self.jobs[job_id]
+                want = body.get("state")
+                if want == "UploadComplete" and job["state"] == "Open":
+                    if job["csv"] is None:
+                        return h._json(
+                            400,
+                            [{"errorCode": "INVALIDJOBSTATE", "message": "no batch uploaded"}],
+                        )
+                    job["state"] = "UploadComplete"
+                elif want == "Aborted" and job["state"] in ("Open", "UploadComplete"):
+                    job["state"] = "Aborted"
+            return h._json(200, self.ingest_job_json(job_id))
+
         return h._json(404, [{"errorCode": "NOT_FOUND", "message": h.path}])
+
+    def _apply_ingest(self, job: dict) -> None:
+        """Parse the job's uploaded CSV once and append its rows to the
+        served dataset — aborted jobs never reach here, so their rows
+        are never visible to queries (the writer-abort guarantee the
+        DataSource writer relies on)."""
+        if job["applied"]:
+            return
+        rows = csv.reader(io.StringIO(job["csv"]))
+        header = next(rows, None) or []
+        n = 0
+        for row in rows:
+            self.rows.append(dict(zip(header, row)))
+            n += 1
+        job["applied"] = True
+        job["n_applied"] = n
+        self.n_rows = len(self.rows)
+
+    def ingest_job_json(self, job_id: str) -> dict:
+        job = self.jobs[job_id]
+        return {
+            "id": job_id,
+            "operation": "insert",
+            "object": self.object_name,
+            "state": job["state"],
+            "contentType": "CSV",
+            "lineEnding": "LF",
+            "columnDelimiter": "COMMA",
+            "concurrencyMode": "Parallel",
+            "apiVersion": 49.0,
+            "numberRecordsProcessed": job.get("n_applied"),
+        }
 
     # -- endpoint behaviors ------------------------------------------------
 

@@ -104,8 +104,10 @@ _PRIORITY_ORDER = [
     # `correlation_matrix` BIGINT-cents moments, `window_frames`
     # data-derived bucket width, `decile_lift_table` NULLS-LAST key)
     # so the driver verifies the new plans, not the retired ones;
-    # (3) the 14 r5-fresh leftovers — the stalest driver evidence;
-    # (4) the first 31 rows of the r6-fresh block. 1+4+14+31 = 50.
+    # (3) the FOUR lanes new this round (variant, mapInArrow,
+    # dynamic-gap sessions, sfetl ingest sink) — first driver rows;
+    # (4) the 14 r5-fresh leftovers — the stalest driver evidence;
+    # (5) the first 27 rows of the r6-fresh block. 1+4+4+14+27 = 50.
     # Below the boundary: the rest of the r6 block, then r7-fresh,
     # then r8-fresh, then the r9 window block (freshest evidence,
     # rotates last). ---
@@ -114,6 +116,10 @@ _PRIORITY_ORDER = [
     "correlation_matrix",
     "window_frames",
     "decile_lift_table",
+    "variant_extract_orders",
+    "arrow_batch_textstats",
+    "window_session_dynamic_gap",
+    "sink_sfetl_ingest_roundtrip",
     "feature_hashing",
     "user_behavior_profile",
     "session_paths",

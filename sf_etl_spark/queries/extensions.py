@@ -253,3 +253,73 @@ def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the RAWEST Python extension lane: RecordBatch in,
+# RecordBatch out, no pandas conversion at all (the pandas lanes pay
+# an Arrow→pandas→Arrow round trip per batch; vectorized pyarrow
+# compute kernels skip it). Completes the C12 surface: scalar
+# pandas_udf, GROUPED_AGG UDAF, cogrouped/applyInPandas, mapInPandas,
+# UDTF, and now the arrow-native map. Per-doc char/token stats roll
+# up per language JVM-side afterward, so the Python stage stays a
+# narrow streaming map (column pruning still reaches the scan: only
+# doc_id/lang/text are read).
+#
+# Parity: utf8_length counts CODEPOINTS (fixture text is ASCII, so it
+# equals DuckDB's length()); the token rule is the shared
+# spaces+1-on-nonempty convention used by the token_counts lane.
+# ---------------------------------------------------------------------------
+@register(
+    "arrow_batch_textstats",
+    """
+    WITH d AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1
+             END AS n_toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_toks) AS BIGINT)  AS total_toks,
+           CAST(max(n_toks) AS BIGINT)  AS max_toks
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="mapInArrow (RecordBatch-native, no pandas) doc stats + JVM rollup per lang",
+)
+def arrow_batch_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            chars = pc.utf8_length(text)
+            spaces = pc.count_substring(text, " ")
+            toks = pc.if_else(
+                pc.equal(chars, 0),
+                pa.scalar(0, pa.int32()),
+                pc.add(spaces, 1),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("lang"), chars.cast(pa.int64()), toks.cast(pa.int64())],
+                ["lang", "n_chars", "n_toks"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    mapped = d.mapInArrow(stats, "lang string, n_chars long, n_toks long")
+    return (
+        mapped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_toks").alias("total_toks"),
+            F.max("n_toks").alias("max_toks"),
+        )
+        .orderBy("lang")
+    )

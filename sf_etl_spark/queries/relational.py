@@ -940,6 +940,70 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# VARIANT lane (Spark 4 VariantType) — the modern engine's
+# open-schema column: parse once into the binary variant encoding,
+# extract typed paths with variant_get (codegen'd, no per-row JSON
+# re-parse). The lane is SELF-PROVING: order fields are packed into a
+# nested JSON document, parsed to VARIANT, and extracted back as
+# typed columns — the oracle computes the same values straight from
+# the raw columns, so any fidelity loss anywhere in the
+# to_json → parse_json → variant_get chain (int/bool/string/nested
+# path/absent path) breaks the hash. try_variant_get on a missing
+# path must yield NULL, not error.
+#
+# Scale: this is the shredding-readiness pattern — land semi-
+# structured data as ONE variant column, extract hot paths as typed
+# projections downstream; everything here is whole-stage-codegen'd
+# expression work on the scan, no UDF, no shuffle beyond the output
+# sort. The reference's AnyType→Jsonb mapping (`main.rs:91`) stops at
+# "store the text"; this is the executable upgrade.
+# ---------------------------------------------------------------------------
+@register(
+    "variant_extract_orders",
+    """
+    SELECT o_orderkey,
+           o_orderstatus                                 AS status,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(o_custkey AS BIGINT)                     AS custkey,
+           (o_orderkey % 7 = 0)                          AS lucky,
+           CAST(NULL AS INT)                             AS absent
+    FROM orders
+    WHERE o_orderkey % 11 = 3
+    ORDER BY o_orderkey
+    """,
+    doc="VariantType: pack → parse_json → typed variant_get path extraction ≡ raw columns",
+)
+def variant_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("cents"),
+                F.col("o_custkey").alias("cust"),
+            ).alias("nested"),
+            (F.col("o_orderkey") % 7 == 0).alias("lucky"),
+        )
+    )
+    v = F.parse_json(doc)
+    return (
+        o.filter(F.col("o_orderkey") % 11 == 3)
+        .select(
+            F.variant_get(v, "$.id", "bigint").alias("o_orderkey"),
+            F.variant_get(v, "$.status", "string").alias("status"),
+            F.variant_get(v, "$.nested.cents", "bigint").alias("price_cents"),
+            F.variant_get(v, "$.nested.cust", "bigint").alias("custkey"),
+            F.variant_get(v, "$.lucky", "boolean").alias("lucky"),
+            F.try_variant_get(v, "$.missing", "int").alias("absent"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sort with mixed direction + global limit/offset.
 # ---------------------------------------------------------------------------
 @register(

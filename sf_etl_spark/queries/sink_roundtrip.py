@@ -1241,3 +1241,88 @@ def source_sfetl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom-DataSource SINK proof — the LOAD leg (the reference is
+# extract-only; SURVEY §2.1 has no write op at all): the same
+# key-bounded customer slice is WRITTEN through
+# ``df.write.format("sfetl").mode("append")`` — each of the 4
+# partitions opens its own Bulk 2.0 ingest job (create → PUT CSV
+# batch → PATCH UploadComplete; Bulk 2.0 takes one upload per job, so
+# load parallelism = partitions = jobs), the driver's commit polls
+# every job to JobComplete — and then scanned BACK through the bulk
+# read path from a server that started EMPTY. The DuckDB oracle
+# aggregates the original parquet slice, so any row lost, duplicated,
+# or mangled anywhere in the write→ingest→apply→scan cycle breaks the
+# hash. The lane asserts ≥2 ingest jobs actually ran (parallel-load
+# shape, not one serialized upload).
+# ---------------------------------------------------------------------------
+@register(
+    "sink_sfetl_ingest_roundtrip",
+    f"""
+    WITH s AS (
+      SELECT c_mktsegment AS segment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+      WHERE c_custkey <= {_SFETL_KEY_CAP}
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM s
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="customer slice → sfetl WRITE (parallel Bulk 2.0 ingest jobs) → scan back → agg",
+    executes_on_construct=True,
+)
+def sink_sfetl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector import read_object
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+
+    server = MockSalesforce(object_name="Customer", fields=_SFETL_FIELDS, rows=[])
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "Customer",
+        }
+        out = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= _SFETL_KEY_CAP)
+            .select(
+                F.format_string("%018d", F.col("c_custkey")).alias("Id"),
+                F.col("c_mktsegment").alias("Segment"),
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("AcctCents"),
+            )
+            .repartition(4)  # 4 partitions → 4 parallel ingest jobs
+        )
+        register_sfetl(spark)
+        out.write.format("sfetl").options(**opts).mode("append").save()
+        n_jobs = sum(1 for j in server.jobs.values() if j.get("kind") == "ingest")
+        if n_jobs < 2:
+            raise ValueError(f"expected >= 2 parallel ingest jobs, got {n_jobs}")
+        raw = read_object(spark, {**opts, "chunk_size": "100"}, "Customer", coerce=False)
+        back = raw.localCheckpoint(eager=True)
+    finally:
+        server.stop()
+    return (
+        back.select(
+            F.col("Segment").alias("segment"),
+            F.col("AcctCents").cast("bigint").alias("cents"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )

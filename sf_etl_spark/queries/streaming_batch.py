@@ -137,6 +137,89 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DYNAMIC-gap session windows: the gap is an EXPRESSION of the row
+# (engagement semantics differ per event type — a purchase holds a
+# session open longer than a click), which is exactly what
+# session_window's Column-valued gapDuration exists for. With
+# per-row gaps the session ends are no longer monotone in ts, so the
+# oracle's gaps-and-islands restatement needs the RUNNING MAX of
+# (ts + gap) over preceding rows, not lag(ts) + constant: a new
+# session starts when ts >= max(prev ends) — the same [start, end)
+# merge rule Spark's SessionWindow state machine applies. Same-ts
+# rows always merge (any earlier tie's end exceeds ts), so tie order
+# cannot change the result.
+#
+# Scale: one user_id exchange; session merging is per-key scan-order
+# state, the classic key-proportional-parallelism shape.
+# ---------------------------------------------------------------------------
+_DYN_GAPS = {"click": "10 minutes", "purchase": "30 minutes"}
+_DYN_GAP_DEFAULT = "20 minutes"
+
+
+@register(
+    "window_session_dynamic_gap",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             ts + CASE event_type
+                    WHEN 'click' THEN INTERVAL '{_DYN_GAPS["click"]}'
+                    WHEN 'purchase' THEN INTERVAL '{_DYN_GAPS["purchase"]}'
+                    ELSE INTERVAL '{_DYN_GAP_DEFAULT}'
+                  END AS ev_end
+      FROM events
+    ), r AS (
+      SELECT *, max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prev_max_end
+      FROM g
+    ), f AS (
+      SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                     THEN 1 ELSE 0 END AS new_s
+      FROM r
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           min(ts)                  AS session_start,
+           max(ev_end)              AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="session_window with an expression-valued (per-event-type) gap ↔ running-max oracle",
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", _DYN_GAPS["click"])
+        .when(F.col("event_type") == "purchase", _DYN_GAPS["purchase"])
+        .otherwise(_DYN_GAP_DEFAULT)
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join: each purchase matched to the user's most recent prior
 # (or simultaneous) click. Oracle uses DuckDB's native ASOF JOIN.
 # ---------------------------------------------------------------------------

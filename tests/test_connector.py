@@ -516,3 +516,69 @@ def test_mock_select_rows_evaluates_in_list():
     )
     assert 0 < len(rows) < 9
     assert all(r["Priority"] in ("Low", "High") for r in rows)
+
+
+# -- Bulk 2.0 ingest (the LOAD leg; reference is extract-only) --------------
+
+
+def test_bulk_ingest_lifecycle_and_abort():
+    """Committed ingest jobs apply exactly their CSV rows; aborted
+    jobs apply NOTHING (the writer-abort guarantee)."""
+    server = MockSalesforce(object_name="Case", rows=[])
+    url = server.start()
+    try:
+        c = SfClient(client_id="app", client_secret="shhh", login_url=url, backoff_base=0.01)
+        c.login("user@test", "pw")
+        job = c.create_ingest_job("Case")
+        assert job.state == JobState.OPEN
+        c.upload_ingest_batch(job.id, "Id,Priority\nA1,Low\nA2,High\n")
+        c.close_ingest_job(job.id)
+        done = c.wait_for_ingest_job(job.id, poll_interval=0.01)
+        assert done.state == JobState.JOB_COMPLETE
+        assert done.number_records_processed == 2
+        assert len(server.rows) == 2
+
+        j2 = c.create_ingest_job("Case")
+        c.upload_ingest_batch(j2.id, "Id,Priority\nB1,Low\n")
+        aborted = c.abort_ingest_job(j2.id)
+        assert aborted.state == JobState.ABORTED
+        assert len(server.rows) == 2  # aborted rows never applied
+
+        # closing without an upload is an invalid state transition
+        j3 = c.create_ingest_job("Case")
+        with pytest.raises(ResponseError):
+            c.close_ingest_job(j3.id)
+    finally:
+        server.stop()
+
+
+def test_spark_sfetl_write_handles_empty_partitions(spark):
+    """More partitions than rows: empty partitions must commit as
+    no-op receipts, not open empty ingest jobs."""
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "Val", "type": "string", "length": 20},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        from sf_etl_spark.connector.datasource import register as register_sfetl
+
+        register_sfetl(spark)
+        df = spark.createDataFrame(
+            [("X1", "a"), ("X2", "b"), ("X3", None)], ["Id", "Val"]
+        ).repartition(8)
+        opts = {**sf_options(url), "object": "Thing"}
+        df.write.format("sfetl").options(**opts).mode("append").save()
+        assert sorted(r["Id"] for r in server.rows) == ["X1", "X2", "X3"]
+        n_jobs = sum(1 for j in server.jobs.values() if j.get("kind") == "ingest")
+        assert 1 <= n_jobs <= 3  # only non-empty partitions opened jobs
+        # None round-trips as empty-string wire value → NULL on read
+        back = read_object(spark, {**opts, "chunk_size": "10"}, "Thing", coerce=False)
+        vals = {r["Id"]: r["Val"] for r in back.collect()}
+        assert vals == {"X1": "a", "X2": "b", "X3": None}
+
+        with pytest.raises(Exception, match="append-only"):
+            df.write.format("sfetl").options(**opts).mode("overwrite").save()
+    finally:
+        server.stop()

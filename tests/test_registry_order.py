@@ -28,6 +28,10 @@ MUST_BE_IN_WINDOW = [
     "correlation_matrix",
     "window_frames",
     "decile_lift_table",
+    "variant_extract_orders",
+    "arrow_batch_textstats",
+    "window_session_dynamic_gap",
+    "sink_sfetl_ingest_roundtrip",
     "feature_hashing",
     "user_behavior_profile",
     "session_paths",
@@ -69,10 +73,6 @@ MUST_BE_IN_WINDOW = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
 ]
 
 
