@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Diff two BENCH_LOCAL.json entries per lane (default: the last two
+NOTED entries — the deliberate quiet-host recordings; bench.py also
+appends an unnoted entry per raw invocation, which are measurement
+inputs, not round markers). Usage:
+
+    python tools/bench_diff.py [idx_old idx_new] [--threshold 0.15]
+
+Prints the common-lane total ratio and every mover beyond the
+threshold, for both the headline (best-of-N) and oneshot maps.
+"""
+
+import argparse
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("indices", nargs="*", type=int)
+    ap.add_argument("--threshold", type=float, default=0.15)
+    ns = ap.parse_args()
+    hist = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
+    if len(ns.indices) == 2:
+        old, new = hist[ns.indices[0]], hist[ns.indices[1]]
+    else:
+        noted = [e for e in hist if e.get("note")]
+        if len(noted) < 2:
+            raise SystemExit("need two noted entries (or pass two indices)")
+        old, new = noted[-2], noted[-1]
+    print(f"old: {old.get('recorded_at')} {old.get('note', '')!r}")
+    print(f"new: {new.get('recorded_at')} {new.get('note', '')!r}")
+    for key in ("queries", "oneshot"):
+        a, b = old.get(key, {}), new.get(key, {})
+        common = sorted(set(a) & set(b))
+        if not common:
+            continue
+        ta, tb = sum(a[k] for k in common), sum(b[k] for k in common)
+        print(f"\n[{key}] {len(common)} common lanes: "
+              f"{ta:.1f}s -> {tb:.1f}s = {tb / ta:.2f}x")
+        movers = sorted(common, key=lambda k: b[k] - a[k])
+        for k in movers:
+            d = b[k] - a[k]
+            if abs(d) >= ns.threshold:
+                print(f"  {a[k]:7.2f} -> {b[k]:7.2f}  ({d:+.2f})  {k}")
+        only_new = sorted(set(b) - set(a))
+        if only_new:
+            print(f"  new lanes: {', '.join(f'{k}={b[k]:.2f}' for k in only_new)}")
+
+
+if __name__ == "__main__":
+    main()
