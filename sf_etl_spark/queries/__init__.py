@@ -104,10 +104,11 @@ _PRIORITY_ORDER = [
     # `correlation_matrix` BIGINT-cents moments, `window_frames`
     # data-derived bucket width, `decile_lift_table` NULLS-LAST key)
     # so the driver verifies the new plans, not the retired ones;
-    # (3) the FOUR lanes new this round (variant, mapInArrow,
-    # dynamic-gap sessions, sfetl ingest sink) — first driver rows;
-    # (4) the 14 r5-fresh leftovers — the stalest driver evidence;
-    # (5) the first 27 rows of the r6-fresh block. 1+4+4+14+27 = 50.
+    # (3) the FIVE lanes new this round (variant, mapInArrow,
+    # dynamic-gap sessions, sfetl ingest sink, matryoshka eval) —
+    # first driver rows; (4) the 14 r5-fresh leftovers — the stalest
+    # driver evidence; (5) the first 26 rows of the r6-fresh block.
+    # 1+4+5+14+26 = 50.
     # Below the boundary: the rest of the r6 block, then r7-fresh,
     # then r8-fresh, then the r9 window block (freshest evidence,
     # rotates last). ---
@@ -120,6 +121,7 @@ _PRIORITY_ORDER = [
     "arrow_batch_textstats",
     "window_session_dynamic_gap",
     "sink_sfetl_ingest_roundtrip",
+    "ann_matryoshka_recall",
     "feature_hashing",
     "user_behavior_profile",
     "session_paths",

@@ -870,3 +870,144 @@ def ann_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka retrieval evaluation — the MRL production pattern
+# (Kusupati et al. 2022: nested prefix sub-embeddings): shortlist
+# with the CHEAP prefix-dimension cosine (first 16 of 64 dims — 4x
+# less arithmetic and memory traffic per candidate), then rerank the
+# shortlist with the full vector. Two hash-verified metrics per eval
+# query: recall@10 of the RAW prefix ranking (how lossy truncation is
+# alone) and recall@10 after full-dim rerank of a 50-candidate
+# shortlist (what the two-stage pipeline actually ships). Same
+# deterministic fold-order / tie-break discipline as the other ANN
+# lanes, so the metric hashes, not just eyeballs.
+#
+# Scale: the brute truth side exists only for the |Q|=5 eval sample
+# (recall estimation never needs the full query log); the production
+# path is the prefix pass — at 100 TB the prefix scan moves 1/4 the
+# bytes per candidate (better: store the prefix as its own column and
+# the scan prunes to it), and the full-dim rerank touches only
+# |Q|·shortlist rows.
+# ---------------------------------------------------------------------------
+MRL_PREFIX_DIM = 16
+MRL_SHORTLIST = 50
+
+
+def _sql_prefix_norm(e: str, dim: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {e}[i] * {e}[i]), (a, b) -> a + b))"
+    )
+
+
+@register(
+    "ann_matryoshka_recall",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm,
+             {_sql_prefix_norm('CAST(embedding AS DOUBLE[])', MRL_PREFIX_DIM)} AS pnm
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS qid, v AS qv, nm AS qn, pnm AS pqn FROM n
+      WHERE vec_id IN {_EVAL_QUERIES}
+    ), scored AS (
+      SELECT qs.qid, n.vec_id,
+             row_number() OVER (
+               PARTITION BY qs.qid
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='qs.qv')} / (n.nm * qs.qn) DESC,
+                        n.vec_id
+             ) AS frank,
+             row_number() OVER (
+               PARTITION BY qs.qid
+               ORDER BY {_SQL_DOT.format(dim=MRL_PREFIX_DIM, u='n.v', v='qs.qv')} / (n.pnm * qs.pqn) DESC,
+                        n.vec_id
+             ) AS prank
+      FROM n, qs WHERE n.vec_id <> qs.qid
+    ), truth AS (
+      SELECT qid, vec_id FROM scored WHERE frank <= 10
+    ), ptop AS (
+      SELECT qid, vec_id FROM scored WHERE prank <= 10
+    ), rerank AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY frank) AS rrank
+      FROM scored WHERE prank <= {MRL_SHORTLIST}
+    ), rtop AS (
+      SELECT qid, vec_id FROM rerank WHERE rrank <= 10
+    ), po AS (
+      SELECT t.qid, CAST(count(*) AS BIGINT) AS n FROM truth t
+      JOIN ptop p ON t.qid = p.qid AND t.vec_id = p.vec_id GROUP BY t.qid
+    ), ro AS (
+      SELECT t.qid, CAST(count(*) AS BIGINT) AS n FROM truth t
+      JOIN rtop r ON t.qid = r.qid AND t.vec_id = r.vec_id GROUP BY t.qid
+    )
+    SELECT qs.qid AS query_id,
+           CAST(coalesce(po.n, 0) AS BIGINT) AS n_overlap_prefix,
+           CAST(coalesce(po.n, 0) AS DOUBLE) / 10.0 AS recall_prefix,
+           CAST(coalesce(ro.n, 0) AS BIGINT) AS n_overlap_rerank,
+           CAST(coalesce(ro.n, 0) AS DOUBLE) / 10.0 AS recall_rerank
+    FROM qs
+    LEFT JOIN po ON po.qid = qs.qid
+    LEFT JOIN ro ON ro.qid = qs.qid
+    ORDER BY query_id
+    """,
+    doc=f"Matryoshka eval: prefix-{MRL_PREFIX_DIM}d recall@10 raw and after full-dim rerank of top-{MRL_SHORTLIST}",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _vec()
+    pv = F.slice(v, 1, MRL_PREFIX_DIM)
+    n = e.select(
+        "vec_id",
+        v.alias("v"),
+        _norm(v).alias("nm"),
+        _norm(pv).alias("pnm"),
+    )
+    qs = n.filter(F.col("vec_id").isin(*_EVAL_QUERIES)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nm").alias("qn"),
+        F.col("pnm").alias("pqn"),
+    )
+    fcos = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    pcos = _dot(
+        F.slice(F.col("v"), 1, MRL_PREFIX_DIM),
+        F.slice(F.col("qv"), 1, MRL_PREFIX_DIM),
+    ) / (F.col("pnm") * F.col("pqn"))
+    wq = Window.partitionBy("qid")
+    scored = (
+        n.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("frank", F.row_number().over(wq.orderBy(fcos.desc(), "vec_id")))
+        .withColumn("prank", F.row_number().over(wq.orderBy(pcos.desc(), "vec_id")))
+        .select("qid", "vec_id", "frank", "prank")
+    )
+    truth = scored.filter(F.col("frank") <= 10).select("qid", "vec_id")
+    ptop = scored.filter(F.col("prank") <= 10).select("qid", "vec_id")
+    rtop = (
+        scored.filter(F.col("prank") <= MRL_SHORTLIST)
+        .withColumn("rrank", F.row_number().over(wq.orderBy("frank")))
+        .filter(F.col("rrank") <= 10)
+        .select("qid", "vec_id")
+    )
+    po = truth.join(ptop, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("pn")
+    )
+    ro = truth.join(rtop, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("rn")
+    )
+    return (
+        qs.select("qid")
+        .join(po, "qid", "left")
+        .join(ro, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("pn"), F.lit(0)).cast("bigint").alias("n_overlap_prefix"),
+            (F.coalesce(F.col("pn"), F.lit(0)).cast("double") / 10.0).alias("recall_prefix"),
+            F.coalesce(F.col("rn"), F.lit(0)).cast("bigint").alias("n_overlap_rerank"),
+            (F.coalesce(F.col("rn"), F.lit(0)).cast("double") / 10.0).alias("recall_rerank"),
+        )
+        .orderBy("query_id")
+    )

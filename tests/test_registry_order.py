@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = [
     "arrow_batch_textstats",
     "window_session_dynamic_gap",
     "sink_sfetl_ingest_roundtrip",
+    "ann_matryoshka_recall",
     "feature_hashing",
     "user_behavior_profile",
     "session_paths",
@@ -72,7 +73,6 @@ MUST_BE_IN_WINDOW = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
 ]
 
 
