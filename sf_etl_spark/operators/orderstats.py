@@ -625,146 +625,256 @@ def grouped_percentile_cont_twophase(
     max_meta_rows: int = 2_000_000,
     bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
+    """Exact per-group CONTINUOUS percentiles of ONE column — the
+    single-spec convenience wrapper over
+    :func:`grouped_percentile_cont_multi` (see there for semantics,
+    machinery, and the budget contract)."""
+    return grouped_percentile_cont_multi(
+        df,
+        group_col,
+        [(img_col, val_col, qs)],
+        n_buckets=n_buckets,
+        max_meta_rows=max_meta_rows,
+        bounds_map={img_col: bounds} if bounds is not None else None,
+    )
+
+
+def grouped_percentile_cont_multi(
+    df: DataFrame,
+    group_col: str,
+    specs: list[tuple[str, str, dict[str, float]]],
+    n_buckets: int = 1024,
+    max_meta_rows: int = 2_000_000,
+    bounds_map: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
     """Exact per-group CONTINUOUS percentiles (``percentile_cont`` /
     Spark ``percentile()`` semantics: linear interpolation between the
-    two values straddling rank position ``q*(n-1)``) without buffering
-    or sorting any full group — the two-phase replacement for the
-    exact-percentile aggregate, whose implementation collects every
-    group value into ONE aggregation buffer (the scale-killer the
-    window guard can't see because it is an aggregate, not a Window).
+    two values straddling rank position ``q*(n-1)``) for SEVERAL
+    columns in the same two fixed passes — without buffering or
+    sorting any full group, and without re-scanning per column (the
+    r10 fusion: percentile-ing k columns used to cost k histogram
+    jobs + k pick passes; now every spec rides the same two scans via
+    an explode over (spec, bucket) pairs, which partial-aggregates /
+    filters down before any exchange).
 
-    ``img_col`` is an order-isomorphic INTEGER image of ``val_col``
+    ``specs`` is ``[(img_col, val_col, {name: q, ...}), ...]``:
+    ``img_col`` an order-isomorphic INTEGER image of ``val_col``
     (e.g. cents of a 2-decimal price) used only for exact histogram
-    bucketing; the interpolation itself runs on ``val_col`` cast to
-    double, with the position/weights computed driver-side in IEEE
-    double — the same ``(higher-position)*v_lo + (position-lower)*v_hi``
-    formula Spark's Percentile and DuckDB's quantile_cont evaluate, so
-    results are bit-identical to both.
+    bucketing — each spec gets its OWN covering bounds and bucket
+    width (a shared value range would squash a narrow column's
+    resolution); ``val_col`` must be numeric (interpolation runs on
+    it cast to double). Percentile names must be unique ACROSS specs
+    — they become the output columns. ``bounds_map`` optionally maps
+    img_col → covering (lo, hi) (parquet footer statistics); missing
+    entries are filled by one shared bounds scan for ALL specs.
 
-    Phase 1: ONE scan builds per-(group, bucket) counts (≤ |groups|·B
-    rows of driver metadata, fail-loud past ``max_meta_rows``); the
-    driver walks each group's prefix sums to locate, for every q, the
-    bucket + residual rank of the two straddling ranks. Phase 2: ONE
-    scan ranks only the selected bucket slices (~n/B rows per window
-    partition) and picks those rows. Weights re-enter as a bounded
-    |groups|-row broadcast frame (the kth_smallest scalar policy).
+    The interpolation weights are driver-side IEEE doubles applying
+    the same ``(higher-pos)·v_lo + (pos-lower)·v_hi`` formula Spark's
+    Percentile and DuckDB's quantile_cont evaluate, so results are
+    bit-identical to both.
 
-    NULL semantics: percentiles are over non-null values per group
-    (matching ``percentile()``); all-null groups drop out. Returns
-    (group, <name> double for each q), one row per group with data.
+    Phase 1: ONE scan builds per-(group, spec, bucket) counts
+    (≤ |groups|·|specs|·B rows of driver metadata, fail-loud past
+    ``max_meta_rows``); the driver walks each (group, spec)'s prefix
+    sums to locate, for every q, the bucket + residual rank of the
+    two straddling ranks. Phase 2: ONE scan ranks only the selected
+    bucket slices (~n/B rows per window partition) and picks those
+    rows; weights re-enter as a bounded |groups|-row broadcast frame
+    (the kth_smallest scalar policy).
+
+    NULL semantics are PER SPEC: each column's percentiles are over
+    its own non-null values per group (matching ``percentile()``);
+    a group all-null in one spec gets NULL for that spec's names and
+    drops out entirely only if all-null in every spec. NULL group
+    keys fail loud (see :func:`_reject_null_groups`). Returns
+    (group, <name> double for every q of every spec).
     """
     import math
 
-    if not qs:
-        raise ValueError("qs must name at least one percentile")
-    for name, q in qs.items():
-        if not (0.0 <= q <= 1.0):
-            raise ValueError(f"percentile {name}={q} outside [0, 1]")
-    g, img = F.col(group_col), F.col(img_col)
-    d = df.filter(img.isNotNull())
-    if bounds is None:
-        # callers percentile-ing several columns of one frame can pass
-        # bounds from a single shared agg scan instead (must COVER the
-        # true min/max; bucketing only needs non-negative offsets)
-        row = d.agg(F.min(img).alias("lo"), F.max(img).alias("hi")).first()
-        bounds = (row["lo"], row["hi"])
-    lo, hi = bounds
-    if lo is None:
-        raise ValueError(
-            f"grouped_percentile_cont_twophase on all-null column {img_col!r}"
-        )
-    span = int(hi) - int(lo) + 1
-    width = -(-span // n_buckets)
-    bucket = _bucket_col(img_col, int(lo), width, span)
+    if not specs:
+        raise ValueError("specs must name at least one column")
+    all_names = [name for _, _, qs in specs for name in qs]
+    if len(all_names) != len(set(all_names)):
+        raise ValueError(f"percentile names must be unique across specs: {all_names}")
+    for _, _, qs in specs:
+        if not qs:
+            raise ValueError("every spec needs at least one percentile")
+        for name, q in qs.items():
+            if not (0.0 <= q <= 1.0):
+                raise ValueError(f"percentile {name}={q} outside [0, 1]")
+    g = F.col(group_col)
+    spark = df.sparkSession
+
+    bounds_map = dict(bounds_map or {})
+    missing = [img for img, _, _ in specs if img not in bounds_map]
+    if missing:
+        # one shared scan covers every spec lacking caller bounds
+        aggs = []
+        for img in missing:
+            aggs.append(F.min(img).alias(f"lo_{img}"))
+            aggs.append(F.max(img).alias(f"hi_{img}"))
+        row = df.agg(*aggs).first()
+        for img in missing:
+            bounds_map[img] = (row[f"lo_{img}"], row[f"hi_{img}"])
+
+    buckets = []  # per-spec bucket column expression
+    for img, _, _ in specs:
+        lo, hi = bounds_map[img]
+        if lo is None:
+            raise ValueError(
+                f"grouped_percentile_cont_multi on all-null column {img!r}"
+            )
+        span = int(hi) - int(lo) + 1
+        width = -(-span // n_buckets)
+        buckets.append(_bucket_col(img, int(lo), width, span))
+
+    # phase 1: one scan → per-(group, spec, bucket) counts. The
+    # explode multiplies rows ×|specs| BEFORE the partial aggregate,
+    # which collapses each map task to its distinct (g, t, b) keys —
+    # the exchange carries counts, not exploded rows. Null images
+    # yield null buckets and are filtered per spec.
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("_t"), b.alias("_b"))
+            for i, b in enumerate(buckets)
+        ]
+    )
     hist = (
-        d.groupBy(g.alias("_g"), bucket.alias("_b"))
+        df.select(g.alias("_g"), F.explode(pairs).alias("_p"))
+        .select("_g", F.col("_p._t").alias("_t"), F.col("_p._b").alias("_b"))
+        .filter(F.col("_b").isNotNull())
+        .groupBy("_g", "_t", "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
         .limit(max_meta_rows + 1)
         .collect()
     )
     if len(hist) > max_meta_rows:
         raise ValueError(
-            f"grouped_percentile_cont_twophase: per-(group,bucket) histogram "
+            f"grouped_percentile_cont_multi: per-(group,spec,bucket) histogram "
             f"exceeds max_meta_rows={max_meta_rows} (high-cardinality "
             f"{group_col!r}?); lower n_buckets or raise max_meta_rows"
         )
-    _reject_null_groups(hist, "grouped_percentile_cont_twophase", group_col)
-    per_group: dict = {}
+    _reject_null_groups(hist, "grouped_percentile_cont_multi", group_col)
+    per: dict = {}  # (group, spec_idx) -> {bucket: count}
+    groups: dict = {}  # group -> insertion order marker
     for r in hist:
-        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
-    tags = [f"{name}__{side}" for name in qs for side in ("lo", "hi")]
-    plans = []  # (group, bucket, residual_rank, tag)
-    weights = []  # (group, w_lo/w_hi per q) — all driver-side doubles
-    for grp, counts in per_group.items():
-        n = sum(counts.values())
-        order = sorted(counts)
-        prefix: dict[int, int] = {}
-        cum = 0
-        for b in order:
-            prefix[b] = cum
-            cum += counts[b]
+        per.setdefault((r["_g"], int(r["_t"])), {})[int(r["_b"])] = int(r["_n"])
+        groups.setdefault(r["_g"], None)
 
-        def _locate(k: int) -> tuple[int, int]:
-            for b in order:
-                if prefix[b] + counts[b] >= k:
-                    return b, k - prefix[b]
-            raise AssertionError(f"rank {k} exceeds group size {n}")
-
+    tags = [
+        f"{name}__{side}" for _, _, qs in specs for name in qs for side in ("lo", "hi")
+    ]
+    plans = []  # (group, spec_idx, bucket, residual_rank, tag)
+    weights = []  # one row per group: w_lo/w_hi per q (None = no data)
+    for grp in groups:
         row_w: list = [grp]
-        for name, q in qs.items():
-            # IEEE-double position exactly as Spark's Percentile and
-            # DuckDB's quantile_cont compute it
-            pos = (n - 1) * q
-            lower = math.floor(pos)
-            higher = math.ceil(pos)
-            if higher == lower:
-                w_lo, w_hi = 1.0, 0.0
-            else:
-                w_lo = float(higher) - pos
-                w_hi = pos - float(lower)
-            row_w += [w_lo, w_hi]
-            b, rk = _locate(lower + 1)
-            plans.append((grp, b, rk, f"{name}__lo"))
-            b, rk = _locate(higher + 1)
-            plans.append((grp, b, rk, f"{name}__hi"))
+        for i, (_, _, qs) in enumerate(specs):
+            counts = per.get((grp, i))
+            if not counts:
+                row_w += [None, None] * len(qs)
+                continue
+            n = sum(counts.values())
+            order = sorted(counts)
+            prefix: dict[int, int] = {}
+            cum = 0
+            for b in order:
+                prefix[b] = cum
+                cum += counts[b]
+
+            def _locate(k: int) -> tuple[int, int]:
+                for b in order:
+                    if prefix[b] + counts[b] >= k:
+                        return b, k - prefix[b]
+                raise AssertionError(f"rank {k} exceeds group size {n}")
+
+            for name, q in qs.items():
+                # IEEE-double position exactly as Spark's Percentile
+                # and DuckDB's quantile_cont compute it
+                pos = (n - 1) * q
+                lower = math.floor(pos)
+                higher = math.ceil(pos)
+                if higher == lower:
+                    w_lo, w_hi = 1.0, 0.0
+                else:
+                    w_lo = float(higher) - pos
+                    w_hi = pos - float(lower)
+                row_w += [w_lo, w_hi]
+                b, rk = _locate(lower + 1)
+                plans.append((grp, i, b, rk, f"{name}__lo"))
+                b, rk = _locate(higher + 1)
+                plans.append((grp, i, b, rk, f"{name}__hi"))
         weights.append(tuple(row_w))
-    spark = df.sparkSession
-    plan_df = F.broadcast(  # bounded: 2·|qs| rows per group, budget-guarded
-        spark.createDataFrame(plans, [group_col, "_b", "_k", "_tag"])
+    plan_schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType),
+            T.StructField("_t", T.IntegerType()),
+            T.StructField("_b", T.LongType()),
+            T.StructField("_k", T.LongType()),
+            T.StructField("_tag", T.StringType()),
+        ]
+    )
+    plan_df = F.broadcast(  # bounded: 2·|qs| rows per (group, spec)
+        spark.createDataFrame(plans, plan_schema)
+    )
+    w_schema = T.StructType(
+        [T.StructField(group_col, df.schema[group_col].dataType)]
+        + [T.StructField(f"_w_{t}", T.DoubleType()) for t in tags]
     )
     w_df = F.broadcast(  # bounded: one row per group
-        spark.createDataFrame(
-            weights, [group_col] + [f"_w_{t}" for t in tags]
-        )
+        spark.createDataFrame(weights, w_schema)
+    )
+
+    # phase 2: one scan → (group, spec, bucket, value) triples for the
+    # selected slices only; rank within each (g, spec, bucket) slice.
+    vals = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_t"),
+                b.alias("_b"),
+                F.col(val).cast("double").alias("_v"),
+            )
+            for i, (b, (_, val, _qs)) in enumerate(zip(buckets, specs))
+        ]
     )
     ranked = (
-        d.select(g.alias(group_col), F.col(val_col).alias("_v"), bucket.alias("_b"))
-        .join(plan_df.select(group_col, "_b").distinct(), [group_col, "_b"], "left_semi")
+        df.select(g.alias(group_col), F.explode(vals).alias("_p"))
+        .select(
+            group_col,
+            F.col("_p._t").alias("_t"),
+            F.col("_p._b").alias("_b"),
+            F.col("_p._v").alias("_v"),
+        )
+        .filter(F.col("_b").isNotNull())
+        .join(
+            plan_df.select(group_col, "_t", "_b").distinct(),
+            [group_col, "_t", "_b"],
+            "left_semi",
+        )
         .withColumn(
             "_rk",
             # ordering by the value within a bucket == ordering by the
             # integer image (order-isomorphic); ties share the value,
             # so any row at the rank yields the same result
-            F.row_number().over(Window.partitionBy(group_col, "_b").orderBy("_v")),
+            F.row_number().over(
+                Window.partitionBy(group_col, "_t", "_b").orderBy("_v")
+            ),
         )
     )
-    picked = ranked.join(plan_df, [group_col, "_b"]).filter(
+    picked = ranked.join(plan_df, [group_col, "_t", "_b"]).filter(
         F.col("_rk") == F.col("_k")
     )
-    wide = (
-        picked.groupBy(group_col)
-        .pivot("_tag", tags)
-        .agg(F.first(F.col("_v").cast("double")))
-    )
+    wide = picked.groupBy(group_col).pivot("_tag", tags).agg(F.first("_v"))
     outs = [F.col(group_col)]
-    for name in qs:
-        outs.append(
-            (
-                F.col(f"_w_{name}__lo") * F.col(f"{name}__lo")
-                + F.col(f"_w_{name}__hi") * F.col(f"{name}__hi")
-            ).alias(name)
-        )
+    for _, _, qs in specs:
+        for name in qs:
+            outs.append(
+                (
+                    F.col(f"_w_{name}__lo") * F.col(f"{name}__lo")
+                    + F.col(f"_w_{name}__hi") * F.col(f"{name}__hi")
+                ).alias(name)
+            )
     return wide.join(w_df, group_col).select(*outs)
+
 
 
 def grouped_quantile_twophase(

@@ -1232,11 +1232,10 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes_on_construct=True,  # histogram passes collect bounded metadata
 )
 def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sf_etl_spark.operators.orderstats import (
-        grouped_percentile_cont_twophase,
-    )
-
     from sf_etl_spark.operators.layout import footer_column_bounds
+    from sf_etl_spark.operators.orderstats import (
+        grouped_percentile_cont_multi,
+    )
 
     (li,) = _t(spark, sf_dir, "lineitem")
     base = li.select(
@@ -1248,40 +1247,27 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # covering image bounds from parquet footer statistics (driver
     # metadata read, no bounds job; round() of the monotone cents map
-    # of the column's true min/max covers every row's image) — falls
-    # back to one shared agg scan for both columns when stats are
-    # absent
+    # of the column's true min/max covers every row's image); when
+    # stats are absent the multi operator runs ONE shared bounds scan
+    # for whatever is missing. Both columns then share one histogram
+    # scan and one pick pass (the r10 fusion) — and the result comes
+    # back as a single frame, so the old qty×price join is gone too.
+    bounds_map = {}
     qf = footer_column_bounds(f"{sf_dir}/lineitem.parquet", "l_quantity")
     pf = footer_column_bounds(f"{sf_dir}/lineitem.parquet", "l_extendedprice")
-    if qf and pf:
-        qb = (round(qf[0] * 100), round(qf[1] * 100))
-        pb = (round(pf[0] * 100), round(pf[1] * 100))
-    else:
-        b = base.agg(
-            F.min("_qty_c").alias("qlo"),
-            F.max("_qty_c").alias("qhi"),
-            F.min("_price_c").alias("plo"),
-            F.max("_price_c").alias("phi"),
-        ).first()
-        qb, pb = (b["qlo"], b["qhi"]), (b["plo"], b["phi"])
-    qty = grouped_percentile_cont_twophase(
+    if qf:
+        bounds_map["_qty_c"] = (round(qf[0] * 100), round(qf[1] * 100))
+    if pf:
+        bounds_map["_price_c"] = (round(pf[0] * 100), round(pf[1] * 100))
+    return grouped_percentile_cont_multi(
         base,
         "l_returnflag",
-        "_qty_c",
-        "l_quantity",
-        {"med_qty": 0.5, "p90_qty": 0.9},
-        bounds=qb,
-    )
-    price = grouped_percentile_cont_twophase(
-        base,
-        "l_returnflag",
-        "_price_c",
-        "l_extendedprice",
-        {"p25_price": 0.25, "p99_price": 0.99},
-        bounds=pb,
-    )
-    # 3-row x 3-row join; AQE broadcasts it without a hint
-    return qty.join(price, "l_returnflag").orderBy("l_returnflag")
+        [
+            ("_qty_c", "l_quantity", {"med_qty": 0.5, "p90_qty": 0.9}),
+            ("_price_c", "l_extendedprice", {"p25_price": 0.25, "p99_price": 0.99}),
+        ],
+        bounds_map=bounds_map,
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

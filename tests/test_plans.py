@@ -444,6 +444,7 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "funnel_time_to_convert": (1, "1-row: n_viewers scalar"),
     "agms_join_size": (1, "1-row: exact-count companion"),
     "ann_recall_metrics": (12, "bounded: K centroids + fixed query set + probe lists"),
+    "ann_matryoshka_recall": (4, "bounded: the 5-query eval set re-enters 4 subtrees"),
     "target_encoding_smoothed": (3, "1-row global mean + domain: 5 order priorities"),
     "domain_mix_rebalance": (3, "1-row max ratio + domain: source labels"),
     "ann_ivf_topk": (4, "bounded: K centroids + 1-row query"),
