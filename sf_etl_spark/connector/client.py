@@ -79,6 +79,10 @@ class BulkJob:
     # through ``raw``
     concurrency_mode: str | None = None
     number_records_processed: int | None = None
+    # ingest-leg fields (insert/upsert/delete jobs): partial failures
+    # are the NORMAL outcome of a big load, not an exception
+    number_records_failed: int | None = None
+    external_id_field: str | None = None
     raw: dict[str, Any] = field(default_factory=dict, repr=False)
 
     @classmethod
@@ -93,6 +97,8 @@ class BulkJob:
             column_delimiter=obj.get("columnDelimiter"),
             concurrency_mode=obj.get("concurrencyMode"),
             number_records_processed=obj.get("numberRecordsProcessed"),
+            number_records_failed=obj.get("numberRecordsFailed"),
+            external_id_field=obj.get("externalIdFieldName"),
             raw=obj,
         )
 
@@ -383,18 +389,27 @@ class SfClient:
     # -- bulk ingest lifecycle (the LOAD leg the extract-only reference
     # never ships; Bulk API 2.0 ingest wire shape) --------------------------
 
-    def create_ingest_job(self, object_name: str, operation: str = "insert") -> BulkJob:
-        """POST ``/jobs/ingest`` — open a CSV ingest job (state Open)."""
-        obj = self._send_json(
-            "POST",
-            f"{self._base_path()}/jobs/ingest",
-            {
-                "object": object_name,
-                "operation": operation,
-                "contentType": "CSV",
-                "lineEnding": "LF",
-            },
-        )
+    def create_ingest_job(
+        self,
+        object_name: str,
+        operation: str = "insert",
+        external_id_field: str | None = None,
+    ) -> BulkJob:
+        """POST ``/jobs/ingest`` — open a CSV ingest job (state Open).
+
+        ``operation`` is insert/upsert/delete; upsert requires
+        ``external_id_field`` (Bulk 2.0 ``externalIdFieldName``) and is
+        the idempotent primitive exactly-once loads build on.
+        """
+        body = {
+            "object": object_name,
+            "operation": operation,
+            "contentType": "CSV",
+            "lineEnding": "LF",
+        }
+        if external_id_field is not None:
+            body["externalIdFieldName"] = external_id_field
+        obj = self._send_json("POST", f"{self._base_path()}/jobs/ingest", body)
         return BulkJob.from_json(obj)
 
     def upload_ingest_batch(self, job_id: str, csv_text: str) -> None:
@@ -432,6 +447,24 @@ class SfClient:
         self, job_id: str, poll_interval: float = 0.2, timeout: float = 300.0
     ) -> BulkJob:
         return self._wait(self.get_ingest_job_status, job_id, poll_interval, timeout)
+
+    def get_ingest_failed_results(self, job_id: str) -> str:
+        """GET ``/jobs/ingest/{id}/failedResults`` — CSV of the rows the
+        backend rejected (``sf__Id,sf__Error`` + the original columns).
+        Real loads hit partial failures constantly; a loader that can't
+        retrieve them silently drops data."""
+        _, payload, _ = self._request(
+            "GET",
+            f"{self._base_path()}/jobs/ingest/{job_id}/failedResults",
+            headers={"Accept": "text/csv"},
+        )
+        return payload.decode("utf-8")
+
+    def list_ingest_jobs(self) -> list[BulkJob]:
+        """GET ``/jobs/ingest`` — enumerate ingest jobs (lets a caller
+        sweep failed results without having tracked every job id)."""
+        obj = self._get_json(f"{self._base_path()}/jobs/ingest")
+        return [BulkJob.from_json(r) for r in obj.get("records", [])]
 
     def get_result_chunk(
         self, job_id: str, locator: str | None = None, max_records: int | None = None

@@ -33,6 +33,7 @@ Python in the hot path after the fetch itself.
 from __future__ import annotations
 
 import csv
+import datetime as _dt
 import io
 import re
 from collections.abc import Iterator, Sequence
@@ -358,6 +359,26 @@ class SfIngestCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _format_cell(v: Any) -> str:
+    """Serialize one cell per Salesforce Bulk CSV conventions (r10
+    ADVICE: Python ``str()`` renders booleans as 'True'/'False' and
+    datetimes as reprs — the in-repo mock round-trips those, a real
+    Bulk 2.0 endpoint does not): lowercase booleans, ISO-8601
+    date/datetime (naive timestamps as UTC 'Z'), plain decimal/int
+    text otherwise. None → empty (Bulk CSV null)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="milliseconds") + "Z"
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
 class SfIngestWriter(DataSourceWriter):
     """``df.write.format("sfetl").mode("append")`` — the LOAD leg the
     extract-only reference never ships, as a Spark batch sink.
@@ -371,13 +392,42 @@ class SfIngestWriter(DataSourceWriter):
     a failed Spark write leaves no half-applied jobs *that the backend
     had not already started processing*. (Bulk 2.0 offers no
     cross-job transaction — exactly-once loads need idempotent
-    operations, e.g. upsert on an external id; this writer is the
-    at-least-once insert primitive.)
+    operations.)
+
+    Operations (option ``operation``, default ``insert``):
+    ``insert`` is the at-least-once append primitive; ``upsert``
+    (requires option ``externalIdFieldName``, a written column) is the
+    idempotent one a retried/CDC load should use; ``delete`` expects
+    the DataFrame to carry the target ``Id`` column. Partial failures
+    are normal at scale — per-job rejects are retrievable via
+    :func:`sf_etl_spark.connector.ingest.failed_results_df`.
     """
 
     def __init__(self, schema: StructType, options: dict[str, str]):
         self.options = options
         self.field_names = schema.fieldNames()
+        self.operation = options.get("operation", "insert")
+        # DataSourceOptions are case-insensitive: Spark hands the
+        # writer lowercased keys, so camelCase option names must be
+        # looked up folded
+        self.external_id_field = options.get(
+            "externalIdFieldName"
+        ) or options.get("externalidfieldname")
+        if self.operation not in ("insert", "upsert", "delete"):
+            raise ClientBuilderError(
+                f"unsupported ingest operation {self.operation!r} "
+                "(insert/upsert/delete)"
+            )
+        if self.operation == "upsert":
+            if not self.external_id_field:
+                raise ClientBuilderError(
+                    "operation='upsert' requires the externalIdFieldName option"
+                )
+            if self.external_id_field not in self.field_names:
+                raise ClientBuilderError(
+                    f"externalIdFieldName {self.external_id_field!r} is not a "
+                    f"column of the written DataFrame {self.field_names}"
+                )
 
     def write(self, iterator: Iterator) -> SfIngestCommit:
         client = _client_from_options(self.options)
@@ -387,13 +437,15 @@ class SfIngestWriter(DataSourceWriter):
         n = 0
         width = len(self.field_names)
         for row in iterator:
-            w.writerow(
-                ["" if row[i] is None else str(row[i]) for i in range(width)]
-            )
+            w.writerow([_format_cell(row[i]) for i in range(width)])
             n += 1
         if n == 0:
             return SfIngestCommit(job_id="", n_rows=0)
-        job = client.create_ingest_job(self.options["object"])
+        job = client.create_ingest_job(
+            self.options["object"],
+            operation=self.operation,
+            external_id_field=self.external_id_field,
+        )
         try:
             client.upload_ingest_batch(job.id, buf.getvalue())
             client.close_ingest_job(job.id)

@@ -1,0 +1,94 @@
+"""Ingest-side result retrieval: failed-row download as a DataFrame.
+
+The reference never ships a load leg at all (its job state machine,
+``oxidized-force/src/response.rs:47-54``, covers only query jobs);
+this module extends the writer (`datasource.SfIngestWriter`) with the
+piece every production load needs: the ``/jobs/ingest/{id}/
+failedResults`` download, surfaced as a DataFrame.
+
+Scale shape: one task per ingest job id (``parallelize(ids, n)`` +
+``mapPartitions``) — each task logs in and pulls its job's reject CSV
+independently, so a 1000-job load (one job per written partition)
+drains its failures with cluster parallelism, not a driver loop. The
+per-job reject payload is the bounded one (failures are a sliver of a
+load, and Salesforce caps job size at 150M records), so rows stay
+executor-side until the caller aggregates or writes them.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FAILED_RESULTS_SCHEMA = StructType(
+    [
+        StructField("job_id", StringType(), False),
+        StructField("sf_id", StringType(), True),
+        StructField("sf_error", StringType(), True),
+        # original row payload as a map — jobs with different written
+        # column sets coexist in one stable schema
+        StructField("fields", MapType(StringType(), StringType()), True),
+    ]
+)
+
+
+def _parse_failed_csv(job_id: str, text: str) -> Iterator[tuple]:
+    rows = csv.reader(io.StringIO(text))
+    header = next(rows, None) or []
+    data_cols = [c for c in header if c not in ("sf__Id", "sf__Error")]
+    idx = {c: header.index(c) for c in header}
+    for row in rows:
+        get = lambda c: row[idx[c]] if c in idx and idx[c] < len(row) else None
+        yield (
+            job_id,
+            get("sf__Id") or None,
+            get("sf__Error"),
+            {c: get(c) for c in data_cols},
+        )
+
+
+def failed_results_df(
+    spark: SparkSession,
+    options: dict[str, str],
+    job_ids: Sequence[str] | None = None,
+) -> DataFrame:
+    """Rejected rows of the given ingest jobs as a DataFrame.
+
+    ``options`` are the same connector options the ``sfetl`` format
+    takes (login_url/client_id/.../object). ``job_ids=None`` sweeps
+    every completed ingest job the backend lists (GET /jobs/ingest) —
+    the "what failed in last night's load?" call.
+    """
+    from sf_etl_spark.connector.client import JobState
+    from sf_etl_spark.connector.datasource import _client_from_options
+
+    if job_ids is None:
+        client = _client_from_options(options)
+        job_ids = [
+            j.id
+            for j in client.list_ingest_jobs()
+            if j.state == JobState.JOB_COMPLETE
+        ]
+    ids = [j for j in job_ids if j]
+    if not ids:
+        return spark.createDataFrame([], FAILED_RESULTS_SCHEMA)
+    opts = dict(options)
+
+    def fetch(part: Iterator[str]) -> Iterator[tuple]:
+        client = _client_from_options(opts)
+        for jid in part:
+            yield from _parse_failed_csv(
+                jid, client.get_ingest_failed_results(jid)
+            )
+
+    rdd = spark.sparkContext.parallelize(ids, len(ids)).mapPartitions(fetch)
+    return spark.createDataFrame(rdd, FAILED_RESULTS_SCHEMA)

@@ -236,28 +236,81 @@ class MockSalesforce:
                     400,
                     [{"errorCode": "INVALIDENTITY", "message": body.get("object")}],
                 )
+            operation = body.get("operation", "insert")
+            ext_field = body.get("externalIdFieldName")
+            if operation not in ("insert", "upsert", "delete"):
+                return h._json(
+                    400,
+                    [{"errorCode": "INVALIDOPERATION", "message": operation}],
+                )
+            if operation == "upsert" and not ext_field:
+                # real Bulk 2.0 rejects upsert without an external id
+                return h._json(
+                    400,
+                    [{
+                        "errorCode": "INVALIDJOB",
+                        "message": "externalIdFieldName required for upsert",
+                    }],
+                )
             with self.lock:
                 job_id = f"751{len(self.jobs):012d}"
                 self.jobs[job_id] = {
                     "kind": "ingest",
                     "state": "Open",
+                    "operation": operation,
+                    "external_id_field": ext_field,
                     "csv": None,
                     "polls": 0,
                     "applied": False,
+                    "failed": [],
+                    "header": [],
                 }
             return h._json(200, self.ingest_job_json(job_id))
 
         m = re.fullmatch(f"{API}/jobs/ingest/(\\w+)/batches", path)
         if method == "PUT" and m:
-            job = self.jobs.get(m.group(1))
-            if job is None or job["state"] != "Open":
-                return h._json(
-                    400, [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}]
-                )
-            job["csv"] = h.rfile.read(
+            # read the body BEFORE taking the lock (socket I/O under the
+            # server lock would serialize uploads); state check + csv
+            # write hold it, like the sibling GET/PATCH routes
+            payload = h.rfile.read(
                 int(h.headers.get("Content-Length", 0))
             ).decode("utf-8")
+            with self.lock:
+                job = self.jobs.get(m.group(1))
+                if job is None or job["state"] != "Open":
+                    return h._json(
+                        400,
+                        [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}],
+                    )
+                job["csv"] = payload
             return h._send(201, "", content_type="text/plain")
+
+        m = re.fullmatch(f"{API}/jobs/ingest/(\\w+)/failedResults", path)
+        if method == "GET" and m:
+            with self.lock:
+                job = self.jobs.get(m.group(1))
+                if job is None or job["state"] != "JobComplete":
+                    return h._json(
+                        400,
+                        [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}],
+                    )
+                buf = io.StringIO()
+                w = csv.writer(buf, lineterminator="\n")
+                w.writerow(["sf__Id", "sf__Error"] + job["header"])
+                for row, err in job["failed"]:
+                    w.writerow(["", err] + [row.get(f, "") for f in job["header"]])
+            return h._send(200, buf.getvalue(), content_type="text/csv")
+
+        if method == "GET" and path == f"{API}/jobs/ingest":
+            # job-list endpoint (GET /jobs/ingest) — lets a client
+            # enumerate ingest jobs without having tracked ids itself
+            with self.lock:
+                records = [
+                    self.ingest_job_json(jid)
+                    for jid, j in self.jobs.items()
+                    if j.get("kind") == "ingest"
+                ]
+            return h._json(200, {"done": True, "records": records})
 
         m = re.fullmatch(f"{API}/jobs/ingest/(\\w+)", path)
         if m and method == "GET":
@@ -297,27 +350,91 @@ class MockSalesforce:
         return h._json(404, [{"errorCode": "NOT_FOUND", "message": h.path}])
 
     def _apply_ingest(self, job: dict) -> None:
-        """Parse the job's uploaded CSV once and append its rows to the
-        served dataset — aborted jobs never reach here, so their rows
-        are never visible to queries (the writer-abort guarantee the
-        DataSource writer relies on)."""
+        """Parse the job's uploaded CSV once and apply it to the served
+        dataset per the job's operation — aborted jobs never reach
+        here, so their rows are never visible to queries (the
+        writer-abort guarantee the DataSource writer relies on).
+
+        insert  : append; rows without an Id get a server-assigned one
+                  (like the real backend — uploaded insert CSVs never
+                  carry Ids).
+        upsert  : match on the job's externalIdFieldName — existing
+                  rows are updated field-by-field, unmatched rows
+                  insert with a fresh Id; rows with an EMPTY external
+                  id value fail (recorded for /failedResults).
+        delete  : CSV carries Id only; unknown Ids fail, known rows
+                  are removed.
+        Failed rows land in job['failed'] and are served by the
+        ``/jobs/ingest/{id}/failedResults`` route; ``n_applied`` counts
+        successes only (numberRecordsProcessed parity).
+        """
         if job["applied"]:
             return
         rows = csv.reader(io.StringIO(job["csv"]))
         header = next(rows, None) or []
+        job["header"] = header
+        op = job.get("operation", "insert")
+        ext = job.get("external_id_field")
         n = 0
-        for row in rows:
-            self.rows.append(dict(zip(header, row)))
-            n += 1
+        if op == "upsert":
+            if ext not in header:
+                job["failed"] = [
+                    (dict(zip(header, r)), f"missing column {ext!r}")
+                    for r in rows
+                ]
+                job["applied"] = True
+                job["n_applied"] = 0
+                return
+            by_ext = {r.get(ext): r for r in self.rows if r.get(ext)}
+        for raw in rows:
+            rec = dict(zip(header, raw))
+            if op == "insert":
+                if not rec.get("Id"):
+                    rec["Id"] = self._next_id()
+                self.rows.append(rec)
+                n += 1
+            elif op == "upsert":
+                key = rec.get(ext)
+                if not key:
+                    job["failed"].append(
+                        (rec, f"empty external id value for {ext!r}")
+                    )
+                    continue
+                target = by_ext.get(key)
+                if target is None:
+                    if not rec.get("Id"):
+                        rec["Id"] = self._next_id()
+                    self.rows.append(rec)
+                    by_ext[key] = rec
+                else:
+                    for f, v in rec.items():
+                        if f != "Id":  # Id is server-owned on upsert
+                            target[f] = v
+                n += 1
+            else:  # delete
+                rid = rec.get("Id")
+                before = len(self.rows)
+                self.rows = [r for r in self.rows if r.get("Id") != rid]
+                if len(self.rows) == before:
+                    job["failed"].append((rec, f"entity not found: {rid}"))
+                else:
+                    n += 1
         job["applied"] = True
         job["n_applied"] = n
         self.n_rows = len(self.rows)
+
+    def _next_id(self) -> str:
+        """Server-assigned record Id (monotone, distinct from fixture
+        ids which are dense from 0)."""
+        self._id_seq = getattr(self, "_id_seq", 0) + 1
+        return f"500A{self._id_seq:014d}"
 
     def ingest_job_json(self, job_id: str) -> dict:
         job = self.jobs[job_id]
         return {
             "id": job_id,
-            "operation": "insert",
+            "operation": job.get("operation", "insert"),
+            "externalIdFieldName": job.get("external_id_field"),
             "object": self.object_name,
             "state": job["state"],
             "contentType": "CSV",
@@ -326,6 +443,9 @@ class MockSalesforce:
             "concurrencyMode": "Parallel",
             "apiVersion": 49.0,
             "numberRecordsProcessed": job.get("n_applied"),
+            "numberRecordsFailed": len(job.get("failed", []))
+            if job["state"] == "JobComplete"
+            else None,
         }
 
     # -- endpoint behaviors ------------------------------------------------
@@ -382,7 +502,9 @@ class MockSalesforce:
                 {
                     "attributes": {
                         "type": self.object_name,
-                        "url": f"/sobjects/{self.object_name}/{r['Id']}",
+                        # .get: a served dataset staged without Id must
+                        # surface as empty url, not a 500 MOCK_BUG
+                        "url": f"/sobjects/{self.object_name}/{r.get('Id', '')}",
                     },
                     **{f: r.get(f) for f in fields},
                 }

@@ -459,7 +459,7 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY decile
     """,
     doc="decile lift/capture table over balance-scored customers, decimal end-to-end",
-    executes_on_construct=True,  # rank_cutpoints runs 3 bounded-metadata jobs
+    executes_on_construct=True,  # sentinel agg + rank_cutpoints: 4 bounded jobs
 )
 def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.operators.orderstats import rank_cutpoints
@@ -477,16 +477,22 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("spend"), F.lit(0).cast(DEC)).alias("spend"),
     )
     # negated-cents key: ASC == (c_acctbal DESC); c_custkey uniquifies.
-    # Null balances re-enter as LONG_MAX — ntile's ORDER BY
-    # c_acctbal DESC is NULLS LAST in both Spark and DuckDB, and
-    # LONG_MAX sorts after any real negated-cents key (|acctbal|*100
-    # is nowhere near 2^63) — so rank_cutpoints (which drops null
-    # keys) sees the full customer population and the decile
-    # assignment matches ntile even when acctbal is nullable.
-    neg_cents = F.coalesce(
-        (-F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))).cast("bigint"),
-        F.lit(2**63 - 1),
+    # Null balances re-enter as a DATA-DERIVED sentinel (max real key
+    # + 1, from one bounded agg) — ntile's ORDER BY c_acctbal DESC is
+    # NULLS LAST in both Spark and DuckDB, and the sentinel sorts
+    # after every real key, so the decile assignment matches ntile
+    # even when acctbal is nullable. A constant like LONG_MAX would
+    # be wrong at scale (r10 ADVICE): one null row would stretch the
+    # key span past the 2^62 BIGINT fast-path guard (every row pays
+    # DECIMAL(38,0) bucket arithmetic) and make the bucket width
+    # ~2^53, collapsing all real keys into a single bucket — the pick
+    # pass then window-sorts essentially the whole table.
+    neg_cents_real = (-F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))).cast(
+        "bigint"
     )
+    mx = cust.agg(F.max(neg_cents_real).alias("mx")).first()["mx"]
+    sentinel = (int(mx) if mx is not None else 0) + 1
+    neg_cents = F.coalesce(neg_cents_real, F.lit(sentinel))
     keyed = cust.select(
         neg_cents.alias("_key"), F.col("c_custkey").alias("_tie")
     )

@@ -4,8 +4,10 @@ The verdict-r9 item: `decile_lift_table` used to count rows including
 null `c_acctbal` while `rank_cutpoints` drops null keys, and the
 decile-assignment expression sent null keys to decile 1 while the
 oracle's `ntile ... ORDER BY c_acctbal DESC` is NULLS LAST. Both
-halves are now fixed by coalescing null balances to a LONG_MAX
-sentinel (sorts after every real negated-cents key). This test runs
+halves are now fixed by coalescing null balances to a data-derived
+sentinel (max real negated-cents key + 1, so it sorts after every
+real key WITHOUT stretching the key span past the BIGINT fast-path
+guard the way LONG_MAX did — r10 ADVICE). This test runs
 the lane against a fixture variant with ~8% null balances and
 compares it to the DuckDB oracle — the same gate the driver runs.
 """
