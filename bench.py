@@ -266,6 +266,12 @@ def main() -> None:
     # — adjudicated as contention noise, recorded in PLANS.md round 5.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    # Per-LANE host-load context (r10 verdict task 6): one load_1m
+    # sample as each lane finishes, so bench_diff can flag movers
+    # recorded under contention instead of trusting a single
+    # per-entry load taken at launch (the r10 one-shot trend was
+    # briefly polluted by a load-5 driver run).
+    loads: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
         best = float("inf")
@@ -274,6 +280,7 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        loads[name] = round(os.getloadavg()[0], 2)
 
     # Every registered lane NOT in the headline runs exactly once
     # (r9 verdict task 1: the executes_on_construct set — merges,
@@ -294,6 +301,7 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
         oneshot[name] = round(time.perf_counter() - t0, 3)
+        loads[name] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -304,6 +312,7 @@ def main() -> None:
         "queries": timings,
         "oneshot": oneshot,
         "oneshot_total_sec": round(sum(oneshot.values()), 3),
+        "loads": loads,  # per-lane load_1m sampled at lane completion
         "excluded": {},  # every registered lane is timed above
         "sf": sf,
     }

@@ -503,23 +503,19 @@ _TOPK_SALTS = 64
     doc="top-3 orders per market segment via salted two-phase row_number",
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.topk import salted_topk
+
     o, c = _t(spark, sf_dir, "orders", "customer")
     base = (
         o.join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
     )
     order = [F.col("o_totalprice").desc(), F.asc("o_orderkey")]
-    salt = F.pmod(F.hash("o_orderkey"), F.lit(_TOPK_SALTS))
-    w_local = Window.partitionBy("c_mktsegment", "_salt").orderBy(*order)
-    surv = (
-        base.withColumn("_salt", salt)
-        .withColumn("_lrn", F.row_number().over(w_local))
-        .filter(F.col("_lrn") <= 3)  # lossless cut: survivors ≤ 3·64/segment
-    )
-    w = Window.partitionBy("c_mktsegment").orderBy(*order)
     return (
-        surv.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        salted_topk(
+            base, ["c_mktsegment"], order, 3, ["o_orderkey"],
+            n_salts=_TOPK_SALTS,
+        )
         .select("c_mktsegment", "o_orderkey", F.col("o_totalprice").alias("total_price"))
         .orderBy("c_mktsegment", F.col("total_price").desc(), "o_orderkey")
     )

@@ -109,14 +109,28 @@ def exact_cosine_pairs(
 # candidate generator feeding `exact_cosine_pairs`, which takes the
 # candidate-pair DataFrame as a parameter precisely so the exact
 # check can't silently run over a full corpus.
+#
+# Ground-truth slice cap (r10 verdict task 4): both engine and oracle
+# bound the corpus to vec_id < _COSINE_GT_CAP. The cap does NOT bind
+# at correctness-fixture scale (sf0.001/sf0.01 have 500 vectors, so
+# the driver hash is over the full corpus), and at bench scale
+# (sf0.1, 2000 vectors) it bounds the quadratic blow-up to 1/4 the
+# pairs so this never-ships verification lane stops dominating (23%
+# of) the one-shot trend signal. The capped slice keeps full
+# candidate-generator verification power — every labeled near-dup
+# cluster the recall tests assert on lives at fixture scale, where
+# the cap is a no-op.
 # ---------------------------------------------------------------------------
+_COSINE_GT_CAP = 1000
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
     WITH n AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              {_SQL_NORM.format(e='embedding')} AS nm
-      FROM embeddings
+      FROM embeddings WHERE vec_id < {_COSINE_GT_CAP}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            a.label AS label_a, b.label AS label_b,
@@ -128,7 +142,9 @@ def exact_cosine_pairs(
     doc=f"exact pairwise cosine ≥ {COS_THRESHOLD} near-dup pairs (verification stage)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _COSINE_GT_CAP
+    )
     n = e.select("vec_id", "label", _vec().alias("v"), _norm(_vec()).alias("nm"))
     a, b = n.alias("a"), n.alias("b")
     cosine = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nm") * F.col("b.nm"))
@@ -793,14 +809,23 @@ def ann_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qcos = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
-    brank = Window.partitionBy("qid").orderBy(F.col("_c").desc(), "vec_id")
+    # salted two-phase top-k, not a full-corpus row_number per qid
+    # (same rework as ann_matryoshka_recall, r10 verdict task 2)
+    from sf_etl_spark.operators.topk import salted_topk
+
     brute = (
         n.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("_c", qcos)
-        .withColumn("brank", F.row_number().over(brank))
     )
-    truth = brute.filter(F.col("brank") <= 10).select("qid", "vec_id", "brank")
+    truth = salted_topk(
+        brute,
+        ["qid"],
+        [F.col("_c").desc(), F.asc("vec_id")],
+        10,
+        ["vec_id"],
+        rank_col="brank",
+    ).select("qid", "vec_id", "brank")
     cents = (
         n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
         .select(
@@ -833,14 +858,17 @@ def ann_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qs), "qid")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("_c", qcos)
-        .withColumn(
-            "arank",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("_c").desc(), "vec_id")
-            ),
-        )
     )
-    atop = approx.filter(F.col("arank") <= 10).select("qid", "vec_id", "arank")
+    # probed candidates are n·nprobe/K rows per qid — data-proportional,
+    # so this ranking is salted too, not a per-qid window sort
+    atop = salted_topk(
+        approx,
+        ["qid"],
+        [F.col("_c").desc(), F.asc("vec_id")],
+        10,
+        ["vec_id"],
+        rank_col="arank",
+    ).select("qid", "vec_id", "arank")
     overlap = (
         truth.join(atop, ["qid", "vec_id"])
         .groupBy("qid")
@@ -956,6 +984,17 @@ def _sql_prefix_norm(e: str, dim: int) -> str:
     doc=f"Matryoshka eval: prefix-{MRL_PREFIX_DIM}d recall@10 raw and after full-dim rerank of top-{MRL_SHORTLIST}",
 )
 def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-phase SALTED top-k everywhere a per-query ranking is needed
+    # (r10 verdict task 2): the old plan ranked the FULL corpus per
+    # eval query via row_number windows partitioned by qid — 5
+    # partitions of ~n rows each, a constant-parallelism sort that
+    # grows with the data. Now truth and shortlist come from
+    # operators/topk.salted_topk (lossless two-phase cut), and the
+    # only qid-partitioned window sorts are over post-cut frames of
+    # ≤ MRL_SHORTLIST·salts rows (audited in the window guard's
+    # allowlist).
+    from sf_etl_spark.operators.topk import salted_topk
+
     e = load_table(spark, sf_dir, "embeddings")
     v = _vec()
     pv = F.slice(v, 1, MRL_PREFIX_DIM)
@@ -976,19 +1015,33 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("v"), 1, MRL_PREFIX_DIM),
         F.slice(F.col("qv"), 1, MRL_PREFIX_DIM),
     ) / (F.col("pnm") * F.col("pqn"))
-    wq = Window.partitionBy("qid")
     scored = (
         n.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("frank", F.row_number().over(wq.orderBy(fcos.desc(), "vec_id")))
-        .withColumn("prank", F.row_number().over(wq.orderBy(pcos.desc(), "vec_id")))
-        .select("qid", "vec_id", "frank", "prank")
+        .select("qid", "vec_id", fcos.alias("_f"), pcos.alias("_p"))
     )
-    truth = scored.filter(F.col("frank") <= 10).select("qid", "vec_id")
-    ptop = scored.filter(F.col("prank") <= 10).select("qid", "vec_id")
+    truth = salted_topk(
+        scored, ["qid"], [F.col("_f").desc(), F.asc("vec_id")], 10, ["vec_id"]
+    ).select("qid", "vec_id")
+    # shortlist keeps the exact prefix rank, so the raw prefix top-10
+    # is its rank ≤ 10 slice — no extra ranking pass
+    shortlist = salted_topk(
+        scored,
+        ["qid"],
+        [F.col("_p").desc(), F.asc("vec_id")],
+        MRL_SHORTLIST,
+        ["vec_id"],
+        rank_col="prank",
+    )
+    ptop = shortlist.filter(F.col("prank") <= 10).select("qid", "vec_id")
+    # rerank the ≤ MRL_SHORTLIST-row shortlist by the full-dim score:
+    # a post-cut window (ordering by _f within the shortlist equals
+    # ordering by global full-dim rank, which is monotone in _f)
+    wq = Window.partitionBy("qid")
     rtop = (
-        scored.filter(F.col("prank") <= MRL_SHORTLIST)
-        .withColumn("rrank", F.row_number().over(wq.orderBy("frank")))
+        shortlist.withColumn(
+            "rrank", F.row_number().over(wq.orderBy(F.col("_f").desc(), "vec_id"))
+        )
         .filter(F.col("rrank") <= 10)
         .select("qid", "vec_id")
     )

@@ -669,6 +669,15 @@ _WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     "pack_token_shards": (1, "pre-agg: chunk-total frame, 4096× reduced; recurse the chunk split for more"),
     "window_frames": (2, "pre-agg: running offset + per-priority total over the ≤|priorities|·1024 bucket-count frame (two-level prefix rank; raw rows rank per (priority, bucket) slice)"),
     "robust_outliers": (6, "pre-agg: cum/total sums over (type, value|dev) count frames bounded by |types|·|2-decimal value domain| (mode_per_group taxonomy; median subtree reuse under MAD + final screen triples the pair)"),
+    # TINYDOMAIN class (r11): windows over the 5-query eval key are
+    # post-cut phase-2 ranks of salted_topk (≤ k·64 survivors/qid) or
+    # the ≤ MRL_SHORTLIST-row rerank — never the full corpus. Counts
+    # exceed the distinct-window count because the logical plan is a
+    # TREE: the reused truth/shortlist subtrees print once per
+    # consuming join (phase-1 salted windows are NOT flagged — the
+    # salt keeps their partition spec high-cardinality).
+    "ann_matryoshka_recall": (5, "post-cut: salted-phase survivors ≤ k·64 per eval query (truth ×1 + shortlist ×2 subtree copies) + ≤50-row shortlist rerank ×2"),
+    "ann_recall_metrics": (6, "post-cut: salted-phase survivors ≤ 10·64 per eval query (truth + probed top-10, × subtree reuse in overlap/rr joins)"),
 }
 
 _WINDOW_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
@@ -678,9 +687,52 @@ _WINDOW_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
 }
 
 
+_TINY_INSET_MAX = 16  # literal IN-lists up to this size count as "tiny domain"
+
+
+def _descends_from_tiny_inset(subtree: str, attr: str) -> bool:
+    """True if ``attr`` (an ``name#id`` attribute string) is — possibly
+    through a chain of aliases — a column filtered to a literal IN-list
+    of ≤ _TINY_INSET_MAX values somewhere in the window's input
+    subtree. This is the r10 guard blind spot: a window partitioned by
+    a DATA-DERIVED small-domain key (e.g. ``qid`` aliased from
+    ``vec_id IN (0,10,20,30,40)``) has provably ≤ |IN-list| partitions
+    — constant parallelism — yet a static column-name list can't know
+    that. The attr ids in plan strings carry type suffixes (#123L), so
+    matching is done on the bare ``name#digits`` prefix."""
+    import re
+
+    def bare(a: str) -> str:
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*#\d+)", a)
+        return m.group(1) if m else a
+
+    seen: set[str] = set()
+    frontier = {bare(attr)}
+    while frontier:
+        a = frontier.pop()
+        if a in seen:
+            continue
+        seen.add(a)
+        esc = re.escape(a)
+        # literal-set filter on this attribute? (optimizer prints small
+        # IN-lists as INSET or IN (...); count the literals)
+        for m in re.finditer(esc + r"L? (?:INSET|IN) \(?([^)\n]*)", subtree):
+            n_vals = m.group(1).count(",") + 1
+            if 0 < n_vals <= _TINY_INSET_MAX:
+                return True
+        # alias chain: "src#45L AS qid#123L" — enqueue the source attr
+        for m in re.finditer(
+            r"([A-Za-z_][A-Za-z0-9_]*#\d+)L? AS " + esc, subtree
+        ):
+            frontier.add(m.group(1))
+    return False
+
+
 def _suspect_windows(df) -> int:
-    """Count Window nodes with empty or all-low-card partition specs
-    in the optimized logical plan."""
+    """Count Window nodes with constant-parallelism partition specs in
+    the optimized logical plan: empty spec, all-low-card static
+    columns, or (r11) every partition key descending from a tiny
+    literal IN-list relation."""
     import re
 
     found = []
@@ -697,6 +749,13 @@ def _suspect_windows(df) -> int:
                     names.update(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", c))
                 if names and names <= _LOW_CARD_COLS:
                     found.append("LOWCARD:" + ",".join(sorted(names)))
+                else:
+                    # data-derived small domain: flag only if EVERY
+                    # partition key is tiny (one high-card key — e.g.
+                    # a salt — rescues the parallelism)
+                    sub = node.toString()
+                    if all(_descends_from_tiny_inset(sub, c) for c in cols):
+                        found.append("TINYDOMAIN:" + ",".join(sorted(names)))
         ch = node.children()
         for i in range(ch.size()):
             walk(ch.apply(i))
@@ -802,3 +861,70 @@ def test_no_unaudited_unbounded_windows_construct_lanes(spark, sf_dir):
     jobs to build their plan — same split as the broadcast guard)."""
     specs = [(n, s) for n, s in all_queries().items() if s.executes_on_construct]
     _assert_windows_allowed(specs, _WINDOW_ALLOWLIST_CONSTRUCT, spark, sf_dir)
+
+
+def test_tiny_domain_window_detector(spark):
+    """The r10 guard blind spot, as a regression test: a window
+    partitioned by a key aliased from a literal-IN-filtered column
+    (the old ann_matryoshka_recall shape) must be flagged; the salted
+    two-phase replacement's phase-1 window (partition includes a
+    hash salt) must NOT be."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(200).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 7).alias("score")
+    )
+    qs = corpus.filter(F.col("vec_id").isin(0, 10, 20, 30, 40)).select(
+        F.col("vec_id").alias("qid")
+    )
+    joined = corpus.crossJoin(qs)
+    # old shape: full-corpus rank per qid — exactly one TINYDOMAIN hit
+    old = joined.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+        ),
+    )
+    assert _suspect_windows(old) == 1
+
+    # new shape: phase-1 of the salted top-k — the salt column keeps
+    # the partition spec high-cardinality, so no flag
+    salted = joined.withColumn(
+        "_salt", F.pmod(F.hash("vec_id"), F.lit(64))
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid", "_salt").orderBy(F.desc("score"), "vec_id")
+        ),
+    )
+    assert _suspect_windows(salted) == 0
+
+
+def test_salted_topk_matches_naive_window(spark):
+    """salted_topk must agree row-for-row (including ranks) with the
+    naive single-window top-k on a skewed fixture."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.operators.topk import salted_topk
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.hash(F.col("id")) % 1000).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    order = [F.col("v").desc(), F.asc("tie")]
+    got = (
+        salted_topk(df, ["g"], order, 5, ["tie"], rank_col="rn")
+        .orderBy("g", "rn")
+        .collect()
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("g", "rn")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -40,11 +40,20 @@ def main() -> None:
         ta, tb = sum(a[k] for k in common), sum(b[k] for k in common)
         print(f"\n[{key}] {len(common)} common lanes: "
               f"{ta:.1f}s -> {tb:.1f}s = {tb / ta:.2f}x")
+        la, lb = old.get("loads", {}), new.get("loads", {})
         movers = sorted(common, key=lambda k: b[k] - a[k])
         for k in movers:
             d = b[k] - a[k]
             if abs(d) >= ns.threshold:
-                print(f"  {a[k]:7.2f} -> {b[k]:7.2f}  ({d:+.2f})  {k}")
+                # flag rows recorded under host contention on either
+                # side — their deltas track the neighbor, not the code
+                tag = ""
+                busy = [f"{s}@{ld:.1f}" for s, ld in
+                        (("old", la.get(k)), ("new", lb.get(k)))
+                        if ld is not None and ld > 2.5]
+                if busy:
+                    tag = "  [CONTENDED " + " ".join(busy) + "]"
+                print(f"  {a[k]:7.2f} -> {b[k]:7.2f}  ({d:+.2f})  {k}{tag}")
         only_new = sorted(set(b) - set(a))
         if only_new:
             print(f"  new lanes: {', '.join(f'{k}={b[k]:.2f}' for k in only_new)}")

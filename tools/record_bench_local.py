@@ -42,11 +42,23 @@ def main() -> None:
         line = [l for l in out.splitlines() if l.startswith("{")][-1]
         runs.append(json.loads(line))
         print(f"run {i + 1}/{n_runs}: {runs[-1]['value']} s", file=sys.stderr)
-    best = {n: min(r["queries"][n] for r in runs) for n in runs[0]["queries"]}
-    oneshot = {
-        n: min(r["oneshot"][n] for r in runs)
-        for n in runs[0].get("oneshot", {})
-    }
+    # per-lane best time, paired with the load context of the RUN
+    # that produced it (r10 verdict task 6: per-lane load, not a
+    # single launch-time sample)
+    best, best_loads = {}, {}
+    for n in runs[0]["queries"]:
+        i = min(range(n_runs), key=lambda i: runs[i]["queries"][n])
+        best[n] = runs[i]["queries"][n]
+        ld = runs[i].get("loads", {}).get(n)
+        if ld is not None:
+            best_loads[n] = ld
+    oneshot = {}
+    for n in runs[0].get("oneshot", {}):
+        i = min(range(n_runs), key=lambda i: runs[i]["oneshot"][n])
+        oneshot[n] = runs[i]["oneshot"][n]
+        ld = runs[i].get("loads", {}).get(n)
+        if ld is not None:
+            best_loads[n] = ld
     entry = {
         "recorded_at": datetime.datetime.now().isoformat(timespec="seconds"),
         "runs": n_runs,
@@ -58,6 +70,7 @@ def main() -> None:
         "queries": best,
         "oneshot": oneshot,
         "oneshot_total_sec": round(sum(oneshot.values()), 3),
+        "loads": best_loads,
         "sf": runs[0].get("sf"),
     }
     path = os.path.join(REPO, "BENCH_LOCAL.json")
