@@ -96,72 +96,45 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-10 rotation (the r9 verdict's task 2): the ~50-row
-    # driver window goes to (1) `source_sfetl_roundtrip`, NEW this
-    # round (the custom-DataSource scan path finally gets a driver
-    # hash row); (2) the four lanes whose PLANS were rewritten this
-    # round (`equidepth_histogram` prefix-rank + footer bounds,
-    # `correlation_matrix` BIGINT-cents moments, `window_frames`
-    # data-derived bucket width, `decile_lift_table` NULLS-LAST key)
-    # so the driver verifies the new plans, not the retired ones;
-    # (3) the FIVE lanes new this round (variant, mapInArrow,
-    # dynamic-gap sessions, sfetl ingest sink, matryoshka eval) —
-    # first driver rows; (4) the 14 r5-fresh leftovers — the stalest
-    # driver evidence; (5) the first 26 rows of the r6-fresh block.
-    # 1+4+5+14+26 = 50.
-    # Below the boundary: the rest of the r6 block, then r7-fresh,
-    # then r8-fresh, then the r9 window block (freshest evidence,
+    # --- round-11 rotation (the r10 verdict's task 1): the ~50-row
+    # driver window goes to (1) the 11 lanes NEW or plan-reworked
+    # this round — `stream_sink_sfetl_upsert` (NEW: foreachBatch Bulk
+    # 2.0 upsert, exactly-once under injected batch retry), the two
+    # ANN eval lanes moved onto salted two-phase top-k
+    # (`ann_matryoshka_recall`, `ann_recall_metrics`), the
+    # `topk_per_group` refactor onto the shared operator, the
+    # key-capped `dedup_embedding_cosine`, `decile_lift_table`'s
+    # data-derived null sentinel, the upsert-capable sfetl ingest
+    # writer (`sink_sfetl_ingest_roundtrip`), and the four `stream_*`
+    # replays on the retuned harness (shared staging, 2 files per
+    # trigger); (2) ALL 24 lanes whose newest driver evidence is r6 —
+    # the stalest block (verdict: "rotation item for r11"); (3) the
+    # first 15 of the r7-fresh block. 11+24+15 = 50.
+    # Below the boundary: the rest of the r7 block, then r8-fresh,
+    # then r9-fresh, then the r10 window block (freshest evidence,
     # rotates last). ---
-    "source_sfetl_roundtrip",
-    "equidepth_histogram",
-    "correlation_matrix",
-    "window_frames",
-    "decile_lift_table",
-    "variant_extract_orders",
-    "arrow_batch_textstats",
-    "window_session_dynamic_gap",
-    "sink_sfetl_ingest_roundtrip",
+    "stream_sink_sfetl_upsert",
     "ann_matryoshka_recall",
-    "feature_hashing",
-    "user_behavior_profile",
-    "session_paths",
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
-    "lang_id",
-    "embedding_stats",
-    "ann_cosine_topk",
-    "udtf_bigrams",
-    "pandas_udf_zscore",
-    "dispersion_stats",
-    "multimodal_meta_stats",
-    "multimodal_frame_sample",
-    "agg_having",
-    "agg_stats_by_status",
-    "approx_distinct_custkeys",
-    "array_functions",
-    "conditional_predicates",
-    "cube_status_priority",
-    "date_functions",
-    "distinct_flags",
-    "filter_project",
-    "join_anti",
-    "join_left_outer",
-    "join_semi",
-    "json_extract",
-    "map_functions",
-    "math_functions",
-    "min_per_group_joinback",
-    "order_limit_offset",
-    "pivot_returnflag",
-    "rollup_flags",
-    "set_ops",
-    "set_ops_all",
-    "string_functions",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
+    "ann_recall_metrics",
+    "topk_per_group",
+    "dedup_embedding_cosine",
+    "decile_lift_table",
+    "sink_sfetl_ingest_roundtrip",
+    "stream_tumbling_1h",
+    "stream_dedup_exactly_once",
+    "stream_stateful_user_agg",
+    "stream_stream_join_attribution",
+    "bfs_shortest_paths",
+    "cusum_drift_detection",
+    "exact_median_histogram",
+    "fuzzy_name_match",
+    "ivm_join_deltas",
+    "keyword_textrank",
+    "kmv_set_overlap",
+    "linkage_survivorship",
+    "multimodal_decode_stats",
+    "pareto_frontier_parts",
+    "phrase_search_positional",
     "q10_returned_items",
     "q12_late_priority",
     "q13_customer_distribution",
@@ -172,27 +145,15 @@ _PRIORITY_ORDER = [
     "q19_or_of_ands",
     "q21_waiting_suppliers",
     "q22_dormant_balance",
-    "fuzzy_name_match",
-    "multimodal_decode_stats",
-    "time_weighted_average",
-    "cusum_drift_detection",
-    "pareto_frontier_parts",
-    "kmv_set_overlap",
-    "keyword_textrank",
-    "bfs_shortest_paths",
-    "ivm_join_deltas",
-    "zone_map_pruned_scan",
     "rolling_median_7d",
-    "phrase_search_positional",
-    "exact_median_histogram",
-    "linkage_survivorship",
+    "time_weighted_average",
+    "zone_map_pruned_scan",
     "countmin_point_estimates",
     "seasonal_anomaly_slots",
     "asof_nearest_click",
     "funnel_time_to_convert",
     "multimodal_resize_stats",
     "agms_join_size",
-    "ann_recall_metrics",
     "target_encoding_smoothed",
     "forecast_feature_matrix",
     "group_median_twophase",
@@ -219,7 +180,6 @@ _PRIORITY_ORDER = [
     "split_train_test",
     "clean_text_normalize",
     "repetition_metrics",
-    "dedup_embedding_cosine",
     "ann_ivf_topk",
     "ann_srp_lsh_pairs",
     "dedup_embedding_pipeline",
@@ -243,7 +203,6 @@ _PRIORITY_ORDER = [
     "stratified_sample_exact",
     "sample_per_label_cap",
     "pack_token_shards",
-    "topk_per_group",
     "events_hourly_ffill",
     "funnel_conversion",
     "soql_child_traversal",
@@ -274,10 +233,6 @@ _PRIORITY_ORDER = [
     "asof_purchase_click",
     "range_join_followups",
     "asof_pandas_merge",
-    "stream_tumbling_1h",
-    "stream_dedup_exactly_once",
-    "stream_stateful_user_agg",
-    "stream_stream_join_attribution",
     "sink_roundtrip_partitioned",
     "source_csv_roundtrip",
     "q1_pricing_summary",
@@ -327,6 +282,53 @@ _PRIORITY_ORDER = [
     "spark_sql_front",
     "timezone_local_hours",
     "null_skew_outer_join",
+    "source_sfetl_roundtrip",
+    "equidepth_histogram",
+    "correlation_matrix",
+    "window_frames",
+    "variant_extract_orders",
+    "arrow_batch_textstats",
+    "window_session_dynamic_gap",
+    "feature_hashing",
+    "user_behavior_profile",
+    "session_paths",
+    "doc_fingerprint",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "embedding_stats",
+    "ann_cosine_topk",
+    "udtf_bigrams",
+    "pandas_udf_zscore",
+    "dispersion_stats",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    "agg_having",
+    "agg_stats_by_status",
+    "approx_distinct_custkeys",
+    "array_functions",
+    "conditional_predicates",
+    "cube_status_priority",
+    "date_functions",
+    "distinct_flags",
+    "filter_project",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "map_functions",
+    "math_functions",
+    "min_per_group_joinback",
+    "order_limit_offset",
+    "pivot_returnflag",
+    "rollup_flags",
+    "set_ops",
+    "set_ops_all",
+    "string_functions",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
 ]
 
 

@@ -15,6 +15,7 @@ value-preserving so results hash-match the NTZ-based oracle.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,12 +24,32 @@ from pyspark.sql import functions as F
 from sf_etl_spark.queries import register
 
 
+# Staged replay sources are immutable once written, so the four
+# stream_* lanes share them per (sf_dir, duplicate) instead of paying
+# the sort+write staging job once per lane (r10 verdict task 5 — the
+# staging was over half of each lane's wall time). Keyed on content
+# inputs only: any SparkSession can read a dir another one staged.
+_STAGE_CACHE: dict[tuple[str, bool], str] = {}
+
+# 4 chunks at 2 files/trigger = 2 micro-batches (4 for the duplicated
+# dedup fixture): still a real cross-batch state merge, half the
+# per-batch planning/state-store overhead of 1 file/trigger.
+_REPLAY_FILES_PER_TRIGGER = 2
+
+
 def _stage(spark: SparkSession, sf_dir: str, duplicate: bool = False) -> str:
     from sf_etl_spark.streaming import stage_events_as_stream_source
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (sf_dir, duplicate)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     out = tempfile.mkdtemp(prefix="stream_src_")
-    return stage_events_as_stream_source(spark, sf_dir, out, n_chunks=4, duplicate=duplicate)
+    _STAGE_CACHE[key] = stage_events_as_stream_source(
+        spark, sf_dir, out, n_chunks=4, duplicate=duplicate
+    )
+    return _STAGE_CACHE[key]
 
 
 @register(
@@ -49,7 +70,7 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(spark, sf_dir)
     name, _ = run_to_memory_table(
-        stream_tumbling_agg(events_stream(spark, src)),
+        stream_tumbling_agg(events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER)),
         output_mode="complete",
         shuffle_partitions=8,  # fixture state is (type, hour)-bounded
     )
@@ -76,7 +97,7 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(spark, sf_dir, duplicate=True)
     name, _ = run_to_memory_table(
-        stream_dedup_within_watermark(events_stream(spark, src)),
+        stream_dedup_within_watermark(events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER)),
         output_mode="append",
         shuffle_partitions=8,  # dedup state ~ event ids in watermark
     )
@@ -107,8 +128,8 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     src = _stage(spark, sf_dir)
-    clicks = events_stream(spark, src).filter(F.col("event_type") == "click")
-    purchases = events_stream(spark, src).filter(F.col("event_type") == "purchase")
+    clicks = events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER).filter(F.col("event_type") == "purchase")
     name, _ = run_to_memory_table(
         stream_click_attribution(clicks, purchases),
         output_mode="append",
@@ -134,7 +155,7 @@ def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(spark, sf_dir)
     name, _ = run_to_memory_table(
-        stream_stateful_user_counts(events_stream(spark, src)),
+        stream_stateful_user_counts(events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER)),
         output_mode="update",
         shuffle_partitions=8,  # per-user count state, fixture users
     )
@@ -143,5 +164,136 @@ def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream → Bulk 2.0 UPSERT sink (C2 × C11): the pattern a production
+# CDC pipeline actually runs against a Salesforce-style backend —
+# a streaming aggregation in update mode feeding ``foreachBatch``,
+# each micro-batch upserted by external id (one idempotent ingest job
+# per written partition). Exactly-once EFFECT comes from upsert
+# idempotence, not transactions (Bulk 2.0 has none): the lane
+# replays batch 0's write a second time (an injected Spark batch
+# retry) and asserts the scan-back still has one row per key with
+# the exact batch-query totals — the DuckDB oracle seals it.
+#
+# Scale shape: update-mode emission sends only CHANGED keys per
+# micro-batch (not the full state), each batch's write fans out one
+# Bulk job per partition, and the upsert key is the stream's own
+# group key — so a retry of any batch, or an overlap between
+# batches, converges to the same backend state. The reference has no
+# ingest leg at all (extract-only, `client.rs`); this is the
+# north-star CDC surface built on the r11 upsert writer.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sink_sfetl_upsert",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="stream agg -> foreachBatch Bulk 2.0 upsert (idempotent under injected batch retry) -> scan back",
+    executes_on_construct=True,
+)
+def stream_sink_sfetl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector import read_object
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+    from sf_etl_spark.streaming import events_stream
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "ExtKey", "type": "string", "length": 20},
+        {"name": "NEvents", "type": "long"},
+        {"name": "ValueCents", "type": "long"},
+    ]
+    server = MockSalesforce(object_name="UserAgg", fields=fields, rows=[])
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "UserAgg",
+        }
+        register_sfetl(spark)
+        src = _stage(spark, sf_dir)
+        agg = (
+            events_stream(
+                spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("NEvents"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("ValueCents"),
+            )
+        )
+
+        def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+            out = batch_df.select(
+                F.col("user_id").cast("string").alias("ExtKey"),
+                F.col("NEvents"),
+                F.col("ValueCents"),
+            ).repartition(2)  # 2 partitions -> 2 parallel ingest jobs
+            writer = (
+                out.write.format("sfetl")
+                .options(
+                    **opts, operation="upsert", externalIdFieldName="ExtKey"
+                )
+                .mode("append")
+            )
+            writer.save()
+            if batch_id == 0:
+                # injected batch RETRY: Spark re-runs a whole batch
+                # after a sink failure; upsert-by-key must converge to
+                # the same backend state, not duplicate rows
+                writer.save()
+
+        sess = spark
+        prev = sess.conf.get("spark.sql.shuffle.partitions")
+        sess.conf.set("spark.sql.shuffle.partitions", "8")  # state ~ |users|
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(upsert_batch)
+                .option(
+                    "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            sess.conf.set("spark.sql.shuffle.partitions", prev)
+        raw = read_object(
+            spark, {**opts, "chunk_size": "500"}, "UserAgg", coerce=False
+        )
+        back = raw.localCheckpoint(eager=True)
+        dups = (
+            back.groupBy("ExtKey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        if dups:
+            raise ValueError(
+                f"{dups} upsert keys duplicated after injected batch retry "
+                "— the sink is not idempotent"
+            )
+    finally:
+        server.stop()
+    return (
+        back.select(
+            F.col("ExtKey").cast("bigint").alias("user_id"),
+            F.col("NEvents").cast("bigint").alias("n_events"),
+            F.col("ValueCents").cast("bigint").alias("value_cents"),
+        )
         .orderBy("user_id")
     )

@@ -13,66 +13,66 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 10 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r9 verdict's task 2):
-# (1) source_sfetl_roundtrip, NEW this round (first driver hash row
-# for the custom-DataSource scan path); (2) the four lanes rewritten
-# this round (equidepth_histogram, correlation_matrix, window_frames,
-# decile_lift_table) so the driver verifies the NEW plans; (3) the 14
-# r5-fresh leftovers — the stalest driver evidence; (4) the first 31
-# r6-fresh rows. Everything re-proven in r7/r8/r9 rotates behind the
-# boundary.
+# (round 11 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r10 verdict's task 1):
+# (1) the 11 lanes NEW or plan-reworked this round (stream->sfetl
+# upsert sink, the salted-top-k ANN eval lanes, the capped cosine
+# ground truth, the data-derived decile sentinel, the upsert-capable
+# ingest writer, the retuned stream_* replays); (2) all 24 lanes
+# whose newest driver evidence is r6 — the stalest block; (3) the
+# first 15 r7-fresh rows. Everything re-proven in r8/r9/r10 rotates
+# behind the boundary.
 MUST_BE_IN_WINDOW = [
-    "source_sfetl_roundtrip",
-    "equidepth_histogram",
-    "correlation_matrix",
-    "window_frames",
-    "decile_lift_table",
-    "variant_extract_orders",
-    "arrow_batch_textstats",
-    "window_session_dynamic_gap",
-    "sink_sfetl_ingest_roundtrip",
+    "stream_sink_sfetl_upsert",
     "ann_matryoshka_recall",
-    "feature_hashing",
-    "user_behavior_profile",
-    "session_paths",
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
-    "lang_id",
-    "embedding_stats",
-    "ann_cosine_topk",
-    "udtf_bigrams",
-    "pandas_udf_zscore",
-    "dispersion_stats",
-    "multimodal_meta_stats",
-    "multimodal_frame_sample",
-    "agg_having",
-    "agg_stats_by_status",
-    "approx_distinct_custkeys",
-    "array_functions",
-    "conditional_predicates",
-    "cube_status_priority",
-    "date_functions",
-    "distinct_flags",
-    "filter_project",
-    "join_anti",
-    "join_left_outer",
-    "join_semi",
-    "json_extract",
-    "map_functions",
-    "math_functions",
-    "min_per_group_joinback",
-    "order_limit_offset",
-    "pivot_returnflag",
-    "rollup_flags",
-    "set_ops",
-    "set_ops_all",
-    "string_functions",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
+    "ann_recall_metrics",
+    "topk_per_group",
+    "dedup_embedding_cosine",
+    "decile_lift_table",
+    "sink_sfetl_ingest_roundtrip",
+    "stream_tumbling_1h",
+    "stream_dedup_exactly_once",
+    "stream_stateful_user_agg",
+    "stream_stream_join_attribution",
+    "bfs_shortest_paths",
+    "cusum_drift_detection",
+    "exact_median_histogram",
+    "fuzzy_name_match",
+    "ivm_join_deltas",
+    "keyword_textrank",
+    "kmv_set_overlap",
+    "linkage_survivorship",
+    "multimodal_decode_stats",
+    "pareto_frontier_parts",
+    "phrase_search_positional",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_or_of_ands",
+    "q21_waiting_suppliers",
+    "q22_dormant_balance",
+    "rolling_median_7d",
+    "time_weighted_average",
+    "zone_map_pruned_scan",
+    "countmin_point_estimates",
+    "seasonal_anomaly_slots",
+    "asof_nearest_click",
+    "funnel_time_to_convert",
+    "multimodal_resize_stats",
+    "agms_join_size",
+    "target_encoding_smoothed",
+    "forecast_feature_matrix",
+    "group_median_twophase",
+    "window_sliding_distinct",
+    "attribution_channels",
+    "q6_forecast_revenue",
+    "grouping_sets_flags",
+    "vocab_top_terms",
+    "unpivot_metrics",
 ]
 
 
