@@ -43,6 +43,7 @@ from typing import Any
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -224,7 +225,12 @@ class SfScanReader(DataSourceReader):
         if mode == "rest":
             return self._rest_partitions()
         job = client.create_query_job(obj, self.field_names, where=self.options.get("where"))
-        job = client.wait_for_job(job.id)
+        # fixture/mock backends complete in milliseconds; the default
+        # 0.2 s poll cadence is pure sleep there (option tunes it,
+        # production leaves the default)
+        job = client.wait_for_job(
+            job.id, poll_interval=float(self.options.get("poll_interval", "0.2"))
+        )
         delim = _BULK_DELIMITERS.get(job.column_delimiter or "COMMA", ",")
         chunk = int(self.options.get("chunk_size", "100000"))
         if self.options.get("offset_locators", "true").lower() != "true":
@@ -349,6 +355,13 @@ class SfEtlDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "SfIncrementalStreamReader":
         return SfIncrementalStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "SfIngestStreamWriter":
+        if overwrite:
+            raise ClientBuilderError(
+                "sfetl streaming sink supports append/update output only"
+            )
+        return SfIngestStreamWriter(schema, dict(self.options))
+
 
 @dataclass
 class SfIngestCommit(WriterCommitMessage):
@@ -460,9 +473,10 @@ class SfIngestWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         client = _client_from_options(self.options)
+        interval = float(self.options.get("poll_interval", "0.2"))
         for msg in messages:
             if msg and msg.job_id:
-                client.wait_for_ingest_job(msg.job_id)
+                client.wait_for_ingest_job(msg.job_id, poll_interval=interval)
 
     def abort(self, messages) -> None:
         client = _client_from_options(self.options)
@@ -472,6 +486,39 @@ class SfIngestWriter(DataSourceWriter):
                     client.abort_ingest_job(msg.job_id)
                 except Exception:  # noqa: BLE001 - best-effort cleanup
                     pass
+
+
+class SfIngestStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("sfetl")`` — the NATIVE streaming sink
+    (the batch writer's micro-batch twin; ``foreachBatch`` is no
+    longer required to stream into the backend).
+
+    Per micro-batch: each partition maps to its own Bulk 2.0 ingest
+    job (identical mechanics to :class:`SfIngestWriter.write`), and
+    ``commit(batchId)`` polls every job to JobComplete before the
+    engine records the batch in its offset log. Delivery contract:
+    Spark replays an uncommitted batch after restart, so
+    ``operation='insert'`` is at-least-once; ``operation='upsert'``
+    with ``externalIdFieldName`` is the exactly-once-by-idempotence
+    configuration (a replayed batch converges to the same backend
+    state). ``abort(batchId)`` aborts this batch's not-yet-applied
+    jobs, the same no-half-applied-work guarantee as the batch path.
+    """
+
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        # composition: identical per-partition upload + option
+        # validation; only the commit/abort signatures differ
+        # (streaming adds batchId)
+        self._writer = SfIngestWriter(schema, options)
+
+    def write(self, iterator: Iterator) -> SfIngestCommit:
+        return self._writer.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._writer.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._writer.abort(messages)
 
 
 class SfIncrementalStreamReader(SimpleDataSourceStreamReader):

@@ -114,6 +114,8 @@ _PRIORITY_ORDER = [
     # then r9-fresh, then the r10 window block (freshest evidence,
     # rotates last). ---
     "stream_sink_sfetl_upsert",
+    "stream_sink_sfetl_native",
+    "sink_sfetl_failed_results",
     "ann_matryoshka_recall",
     "ann_recall_metrics",
     "topk_per_group",

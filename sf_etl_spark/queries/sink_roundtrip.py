@@ -1209,6 +1209,7 @@ def source_sfetl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "username": "user@test",
             "password": "pw",
             "chunk_size": "100",
+            "poll_interval": "0.02",  # mock completes instantly
         }
         raw = read_object(spark, opts, "Customer", coerce=False).filter(
             F.col("Segment").isin(*_SFETL_SEGMENTS)
@@ -1292,6 +1293,7 @@ def sink_sfetl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "username": "user@test",
             "password": "pw",
             "object": "Customer",
+            "poll_interval": "0.02",  # mock completes instantly
         }
         out = (
             load_table(spark, sf_dir, "customer")
@@ -1324,5 +1326,83 @@ def sink_sfetl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cust"),
             F.sum("cents").alias("total_cents"),
         )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial-failure retrieval — the piece every production load needs
+# and the reference never ships (extract-only): an upsert batch with
+# deliberately-bad rows (every 7th key NULLed → empty external id on
+# the wire) is written through the sfetl sink, and the rejected rows
+# come BACK as a DataFrame via the /jobs/ingest/{id}/failedResults
+# sweep (`connector/ingest.failed_results_df`, one task per ingest
+# job). The oracle recomputes the reject set from the source slice,
+# so a row failing for the wrong reason — or a failed row silently
+# dropped — breaks the hash. Scale shape: reject download
+# parallelizes per job id; rejects are the bounded sliver of a load.
+# ---------------------------------------------------------------------------
+@register(
+    "sink_sfetl_failed_results",
+    f"""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_failed
+    FROM customer
+    WHERE c_custkey <= {_SFETL_KEY_CAP} AND c_custkey % 7 = 0
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="upsert with NULL-key rows -> /failedResults sweep as DataFrame -> agg by segment",
+    executes_on_construct=True,
+)
+def sink_sfetl_failed_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.ingest import failed_results_df
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+
+    server = MockSalesforce(object_name="Customer", fields=_SFETL_FIELDS, rows=[])
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "Customer",
+            "poll_interval": "0.02",  # mock completes instantly
+        }
+        out = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= _SFETL_KEY_CAP)
+            .select(
+                # every 7th key NULL -> empty external id on the CSV
+                # wire -> the backend rejects exactly those rows
+                F.when(
+                    F.col("c_custkey") % 7 != 0,
+                    F.format_string("%018d", F.col("c_custkey")),
+                ).alias("Id"),
+                F.col("c_mktsegment").alias("Segment"),
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("AcctCents"),
+            )
+            .repartition(4)
+        )
+        register_sfetl(spark)
+        (
+            out.write.format("sfetl")
+            .options(**opts, operation="upsert", externalIdFieldName="Id")
+            .mode("append")
+            .save()
+        )
+        failed = failed_results_df(spark, opts)  # sweep: no tracked ids
+        back = failed.localCheckpoint(eager=True)
+    finally:
+        server.stop()
+    return (
+        back.select(F.col("fields")["Segment"].alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_failed"))
         .orderBy("segment")
     )

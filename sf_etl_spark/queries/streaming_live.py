@@ -220,6 +220,7 @@ def stream_sink_sfetl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "username": "user@test",
             "password": "pw",
             "object": "UserAgg",
+            "poll_interval": "0.02",  # mock completes instantly
         }
         register_sfetl(spark)
         src = _stage(spark, sf_dir)
@@ -296,4 +297,107 @@ def stream_sink_sfetl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ValueCents").cast("bigint").alias("value_cents"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NATIVE streaming sink (no foreachBatch): ``df.writeStream.format(
+# "sfetl")`` drives SfIngestStreamWriter — per micro-batch, one Bulk
+# 2.0 ingest job per partition, commit() polling all of the batch's
+# jobs to JobComplete before the engine records the batch offset.
+# Upsert-by-external-id makes the replay-after-restart contract
+# exactly-once-by-idempotence (insert would be at-least-once). The
+# key-bounded slice keeps the staged HTTP payload fixture-sized; the
+# machinery under test (stream writer epochs, job-per-partition
+# fan-out, commit barrier) scales with partitions, not keys.
+# ---------------------------------------------------------------------------
+_NATIVE_SINK_USER_CAP = 30
+
+
+@register(
+    "stream_sink_sfetl_native",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE user_id < {_NATIVE_SINK_USER_CAP}
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="events stream -> NATIVE writeStream.format('sfetl') upsert sink -> scan back -> agg",
+    executes_on_construct=True,
+)
+def stream_sink_sfetl_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector import read_object
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+    from sf_etl_spark.streaming import events_stream
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "EExt", "type": "string", "length": 24},
+        {"name": "EType", "type": "string", "length": 20},
+        {"name": "Cents", "type": "long"},
+    ]
+    server = MockSalesforce(object_name="Event", fields=fields, rows=[])
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "Event",
+            "poll_interval": "0.02",  # mock completes instantly
+        }
+        register_sfetl(spark)
+        src = _stage(spark, sf_dir)
+        out = (
+            events_stream(
+                spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER
+            )
+            .filter(F.col("user_id") < _NATIVE_SINK_USER_CAP)
+            .select(
+                F.col("event_id").cast("string").alias("EExt"),
+                F.col("event_type").alias("EType"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("Cents"),
+            )
+            .repartition(2)  # 2 ingest jobs per micro-batch
+        )
+        q = (
+            out.writeStream.format("sfetl")
+            .options(**opts, operation="upsert", externalIdFieldName="EExt")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_jobs = sum(
+            1 for j in server.jobs.values() if j.get("kind") == "ingest"
+        )
+        if n_jobs < 2:
+            raise ValueError(
+                f"expected >= 2 ingest jobs across micro-batches, got {n_jobs}"
+            )
+        raw = read_object(
+            spark, {**opts, "chunk_size": "5000"}, "Event", coerce=False
+        )
+        back = raw.localCheckpoint(eager=True)
+    finally:
+        server.stop()
+    return (
+        back.select(
+            F.col("EType").alias("event_type"),
+            F.col("Cents").cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .orderBy("event_type")
     )

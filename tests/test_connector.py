@@ -764,3 +764,59 @@ def test_format_cell_salesforce_conventions():
         2024, 1, 5, 13, 30, 15, tzinfo=datetime.timezone(datetime.timedelta(hours=1))
     )
     assert _format_cell(aware) == "2024-01-05T12:30:15.000Z"
+
+
+def test_native_stream_writer_sfetl(spark, tmp_path):
+    """writeStream.format('sfetl'): per-micro-batch ingest jobs with
+    the commit barrier, no foreachBatch. Two staged files at 1 file
+    per trigger = 2 batches -> >= 2 ingest jobs; upsert keys converge."""
+    import pyspark.sql.functions as SF
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "K", "type": "string", "length": 8},
+        {"name": "V", "type": "string", "length": 8},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame([("k1", "a"), ("k2", "b")], ["K", "V"]).coalesce(
+            1
+        ).write.parquet(str(src / "f1"))
+        spark.createDataFrame([("k2", "B2"), ("k3", "c")], ["K", "V"]).coalesce(
+            1
+        ).write.parquet(str(src / "f2"))
+        import os, shutil, time as _t
+
+        for i, d in enumerate(["f1", "f2"]):
+            f = [x for x in os.listdir(src / d) if x.endswith(".parquet")][0]
+            dst = str(src / f"chunk_{i}.parquet")
+            os.replace(str(src / d / f), dst)
+            os.utime(dst, (_t.time() + i, _t.time() + i))
+            shutil.rmtree(str(src / d))
+        stream = (
+            spark.readStream.schema("K string, V string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        opts = {**sf_options(url), "object": "Thing"}
+        q = (
+            stream.writeStream.format("sfetl")
+            .options(**opts, operation="upsert", externalIdFieldName="K")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_jobs = sum(1 for j in server.jobs.values() if j.get("kind") == "ingest")
+        assert n_jobs >= 2  # one job per non-empty batch partition, >=1 per batch
+        by_k = {r["K"]: r["V"] for r in server.rows}
+        assert by_k == {"k1": "a", "k2": "B2", "k3": "c"}  # k2 upserted, not duplicated
+        assert len(server.rows) == 3
+    finally:
+        server.stop()

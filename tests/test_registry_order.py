@@ -24,6 +24,8 @@ DRIVER_WINDOW = 50
 # behind the boundary.
 MUST_BE_IN_WINDOW = [
     "stream_sink_sfetl_upsert",
+    "stream_sink_sfetl_native",
+    "sink_sfetl_failed_results",
     "ann_matryoshka_recall",
     "ann_recall_metrics",
     "topk_per_group",
@@ -71,8 +73,6 @@ MUST_BE_IN_WINDOW = [
     "attribution_channels",
     "q6_forecast_revenue",
     "grouping_sets_flags",
-    "vocab_top_terms",
-    "unpivot_metrics",
 ]
 
 
