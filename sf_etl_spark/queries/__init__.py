@@ -116,6 +116,7 @@ _PRIORITY_ORDER = [
     "stream_sink_sfetl_upsert",
     "stream_sink_sfetl_native",
     "sink_sfetl_failed_results",
+    "source_sfetl_stream_incremental",
     "ann_matryoshka_recall",
     "ann_recall_metrics",
     "topk_per_group",

@@ -1406,3 +1406,134 @@ def sink_sfetl_failed_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_failed"))
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming READ leg driver proof: ``spark.readStream.format("sfetl")``
+# run twice against the SAME checkpoint — the first availableNow pass
+# pulls the full object, then the upstream grows and the second pass
+# moves ONLY the delta (the checkpointed watermark offset becomes a
+# remote ``WHERE Key > <offset>`` predicate, asserted against the
+# mock's request log). This is the incremental-extraction contract
+# (`connector/incremental.py`) enforced by Spark's own offset log —
+# at 100 TB a trigger moves |changed rows|, not |object|. The agg of
+# the parquet sink after both passes must equal the oracle over the
+# whole slice: a row lost at the offset boundary, or re-delivered,
+# breaks the hash.
+# ---------------------------------------------------------------------------
+_SFETL_STREAM_FIELDS = [
+    {"name": "Id", "type": "id", "length": 18, "nillable": False},
+    {"name": "Segment", "type": "picklist", "length": 20},
+    {"name": "AcctCents", "type": "long"},
+    {"name": "Key", "type": "long"},
+]
+
+
+@register(
+    "source_sfetl_stream_incremental",
+    f"""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM customer
+    WHERE c_custkey <= {_SFETL_KEY_CAP}
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="readStream.format('sfetl') full pull + delta pull from one checkpoint (remote watermark WHERE) -> agg",
+    executes_on_construct=True,
+)
+def source_sfetl_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+
+    staged = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _SFETL_KEY_CAP)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()  # bounded: <= _SFETL_KEY_CAP rows by the key filter
+    )
+    rows = [
+        {
+            "Id": f"{r['c_custkey']:018d}",
+            "Segment": r["c_mktsegment"],
+            "AcctCents": str(r["cents"]),
+            "Key": str(r["c_custkey"]),
+        }
+        for r in staged
+    ]
+    split = _SFETL_KEY_CAP // 2
+    initial = [r for r in rows if int(r["Key"]) <= split]
+    delta = [r for r in rows if int(r["Key"]) > split]
+    server = MockSalesforce(
+        object_name="Customer",
+        fields=_SFETL_STREAM_FIELDS,
+        rows=list(initial),
+        page_size=200,
+    )
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "Customer",
+            "watermark_field": "Key",
+            "fields": "Id,Segment,AcctCents,Key",
+        }
+        out = tempfile.mkdtemp(prefix="sfetl_inc_sink_")
+        ckpt = tempfile.mkdtemp(prefix="sfetl_inc_ckpt_")
+
+        def run_once() -> None:
+            q = (
+                spark.readStream.format("sfetl")
+                .options(**opts)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()  # full pull
+        n_before = len(server.requests_seen)
+        server.rows.extend(delta)  # upstream delta appears
+        server.n_rows = len(server.rows)
+        run_once()  # delta pull from the same checkpoint
+        with server.lock:
+            since = server.requests_seen[n_before:]
+        if not any(
+            "Key" in r and ("%3E" in r or ">" in r) for r in since
+        ):
+            raise ValueError(
+                "second pass did not carry the remote watermark delta "
+                f"predicate; requests: {since[-5:]}"
+            )
+        back = spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        server.stop()
+    return (
+        back.select(
+            F.col("Segment").alias("segment"),
+            F.col("AcctCents").cast("bigint").alias("cents"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -928,3 +928,40 @@ def test_salted_topk_matches_naive_window(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_salted_topk_edge_cases(spark):
+    """k larger than a group, heavy ties at the cut, and validation."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.operators.topk import salted_topk
+
+    # group 0 has 2 rows (< k=5); ties: v is constant within a group,
+    # so the tie-break column decides the entire order
+    df = spark.createDataFrame(
+        [(g, 1, t) for g in range(3) for t in range(2 if g == 0 else 9)],
+        ["g", "v", "tie"],
+    )
+    order = [F.col("v").desc(), F.asc("tie")]
+    got = (
+        salted_topk(df, ["g"], order, 5, ["tie"], rank_col="rn")
+        .orderBy("g", "rn")
+        .collect()
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("g", "rn")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # group 0 delivered whole despite being smaller than k
+    assert sum(1 for r in got if r["g"] == 0) == 2
+
+    with _pytest.raises(ValueError, match="k must be"):
+        salted_topk(df, ["g"], order, 0, ["tie"])
+    with _pytest.raises(ValueError, match="partition_cols"):
+        salted_topk(df, [], order, 3, ["tie"])

@@ -41,16 +41,24 @@ def main() -> None:
         print(f"\n[{key}] {len(common)} common lanes: "
               f"{ta:.1f}s -> {tb:.1f}s = {tb / ta:.2f}x")
         la, lb = old.get("loads", {}), new.get("loads", {})
+
+        def median(vals):
+            vs = sorted(vals)
+            return vs[len(vs) // 2] if vs else 0.0
+
+        # a running bench IS load (local[32] self-load sits around
+        # 4-6); external contention shows as a lane's load sitting
+        # well ABOVE the entry's own median lane-load, not as any
+        # absolute level
+        med_a, med_b = median(la.values()), median(lb.values())
         movers = sorted(common, key=lambda k: b[k] - a[k])
         for k in movers:
             d = b[k] - a[k]
             if abs(d) >= ns.threshold:
-                # flag rows recorded under host contention on either
-                # side — their deltas track the neighbor, not the code
                 tag = ""
-                busy = [f"{s}@{ld:.1f}" for s, ld in
-                        (("old", la.get(k)), ("new", lb.get(k)))
-                        if ld is not None and ld > 2.5]
+                busy = [f"{s}@{ld:.1f}(med {m:.1f})" for s, ld, m in
+                        (("old", la.get(k), med_a), ("new", lb.get(k), med_b))
+                        if ld is not None and ld > m + 2.5]
                 if busy:
                     tag = "  [CONTENDED " + " ".join(busy) + "]"
                 print(f"  {a[k]:7.2f} -> {b[k]:7.2f}  ({d:+.2f})  {k}{tag}")
