@@ -791,3 +791,35 @@ def test_run_to_memory_table_scopes_shuffle_partitions(spark, sf_dir):
     ops = q.lastProgress["stateOperators"]
     assert ops and all(op["numShufflePartitions"] == 4 for op in ops)
     assert spark.table(name).count() > 0
+
+
+def test_stateful_plans_run_under_rocksdb_state_store(spark, staged, sf_dir):
+    """At production state volumes the HDFS-backed in-memory state
+    store is the wrong provider — RocksDB keeps state off-heap and
+    spills to disk. The streaming plans must run unchanged under it
+    and produce the same results as the default provider (the conf is
+    per-query-start, scoped and restored here)."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        plan = stream_tumbling_agg(events_stream(spark, staged))
+        name, _ = run_to_memory_table(plan, output_mode="complete")
+        rocks = rows_set(
+            spark.table(name),
+            ["window_start", "event_type", "n_events", "total_value"],
+        )
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    plan = stream_tumbling_agg(events_stream(spark, staged))
+    name, _ = run_to_memory_table(plan, output_mode="complete")
+    default = rows_set(
+        spark.table(name),
+        ["window_start", "event_type", "n_events", "total_value"],
+    )
+    assert rocks == default and len(rocks) > 0
