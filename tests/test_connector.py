@@ -820,3 +820,22 @@ def test_native_stream_writer_sfetl(spark, tmp_path):
         assert len(server.rows) == 3
     finally:
         server.stop()
+
+
+def test_bulk_upsert_missing_key_column_fails_all_rows():
+    """An upsert CSV that omits the external-id column entirely must
+    fail EVERY row (retrievable via failedResults), not insert them."""
+    server = MockSalesforce(object_name="Case", rows=[])
+    url = server.start()
+    try:
+        c = _login(url)
+        job = c.create_ingest_job("Case", operation="upsert", external_id_field="Ext__c")
+        c.upload_ingest_batch(job.id, "Val\na\nb\n")
+        c.close_ingest_job(job.id)
+        done = c.wait_for_ingest_job(job.id, poll_interval=0.01)
+        assert done.number_records_processed == 0
+        assert done.number_records_failed == 2
+        assert len(server.rows) == 0
+        assert "missing column" in c.get_ingest_failed_results(job.id)
+    finally:
+        server.stop()

@@ -1,0 +1,57 @@
+"""Bench-scale (sf0.1) oracle sweep over the cap/histogram-sensitive
+lanes.
+
+The driver's correctness gate runs at sf0.01 and the main oracle
+suite at sf0.001 — scales where several lanes' bounds don't bind:
+`dedup_embedding_cosine`'s ground-truth cap (binds at 2000 vectors,
+not 500), the histogram/percentile lanes' bucket widths (driven by
+data ranges), and the salted top-k phase-1 cut (more salt collisions
+at volume). This sample re-verifies exactly those lanes against
+DuckDB at sf0.1, so a bound that silently changes results only above
+fixture scale cannot stay green.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sf_etl_spark.queries import all_queries
+from tests.oracle_compare import compare_query
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+LANES = [
+    "dedup_embedding_cosine",  # ground-truth cap binds only at sf0.1
+    "equidepth_histogram",
+    "percentiles_by_flag",
+    "decile_lift_table",
+    "exact_median_histogram",
+    "group_median_twophase",
+    "topk_per_group",  # salted two-phase cut under real collision rates
+    "ann_matryoshka_recall",
+    "ann_recall_metrics",
+    "stratified_sample_exact",
+    "window_frames",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_sf01():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders "
+        "lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF01_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", LANES)
+def test_sf01_oracle_sample(spark, oracle_sf01, name):
+    spec = all_queries()[name]
+    compare_query(spark, oracle_sf01, spec.fn, spec.oracle, SF01_DIR)
