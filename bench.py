@@ -257,6 +257,17 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure steady
     # state (the driver compares engine throughput, not JIT warmup).
     specs["q5_revenue_by_nation"].fn(spark, sf_dir).count()
+    # Machinery warm-up at the SMALLEST fixture: the first session use
+    # of the streaming engine (~3 s) and of the Python DataSource
+    # bridge (~4 s) is session-scoped spin-up, not operator work —
+    # without this it lands on whichever stream/sfetl lane happens to
+    # run first in the one-shot group (measured +9 s on that lane).
+    try:
+        specs["stream_sink_sfetl_native"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).count()
+    except Exception:
+        pass  # warm-up must never fail the bench
 
     # Best-of-N per query: the host VM exhibits multi-second CPU-
     # contention bursts (identical single-task stages vary 10-40x
