@@ -117,6 +117,7 @@ _PRIORITY_ORDER = [
     "stream_sink_sfetl_native",
     "sink_sfetl_failed_results",
     "source_sfetl_stream_incremental",
+    "triangle_count",
     "ann_matryoshka_recall",
     "ann_recall_metrics",
     "topk_per_group",
@@ -270,7 +271,6 @@ _PRIORITY_ORDER = [
     "kll_quantile_merge",
     "column_profile",
     "interval_coverage",
-    "triangle_count",
     "merge_change_feed",
     "ewma_user_value",
     "bigram_novelty",

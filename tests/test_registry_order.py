@@ -27,6 +27,7 @@ MUST_BE_IN_WINDOW = [
     "stream_sink_sfetl_native",
     "sink_sfetl_failed_results",
     "source_sfetl_stream_incremental",
+    "triangle_count",
     "ann_matryoshka_recall",
     "ann_recall_metrics",
     "topk_per_group",
@@ -72,7 +73,6 @@ MUST_BE_IN_WINDOW = [
     "group_median_twophase",
     "window_sliding_distinct",
     "attribution_channels",
-    "q6_forecast_revenue",
 ]
 
 
