@@ -116,6 +116,7 @@ _PRIORITY_ORDER = [
     "stream_sink_sfetl_upsert",
     "stream_sink_sfetl_native",
     "sink_sfetl_failed_results",
+    "sink_sfetl_delete_roundtrip",
     "source_sfetl_stream_incremental",
     "triangle_count",
     "ann_matryoshka_recall",

@@ -1537,3 +1537,83 @@ def source_sfetl_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete leg: completes the driver-hashed ingest-operation set
+# (insert → `sink_sfetl_ingest_roundtrip`, upsert →
+# `stream_sink_sfetl_upsert`/`sink_sfetl_failed_results`, delete →
+# here). The slice is inserted, every 3rd key is deleted by Id
+# through ``operation='delete'`` (the DataFrame carries just the Id
+# column, the Bulk 2.0 delete CSV shape), and the scan-back aggregate
+# must equal the oracle over the SURVIVING rows — a delete that
+# misses a row, or removes a wrong one, breaks the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "sink_sfetl_delete_roundtrip",
+    f"""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM customer
+    WHERE c_custkey <= {_SFETL_KEY_CAP} AND c_custkey % 3 != 0
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="insert slice -> Bulk 2.0 delete of every 3rd Id -> scan back -> agg over survivors",
+    executes_on_construct=True,
+)
+def sink_sfetl_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector import read_object
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+
+    server = MockSalesforce(object_name="Customer", fields=_SFETL_FIELDS, rows=[])
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "Customer",
+            "poll_interval": "0.02",  # mock completes instantly
+        }
+        base = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") <= _SFETL_KEY_CAP
+        )
+        out = base.select(
+            F.format_string("%018d", F.col("c_custkey")).alias("Id"),
+            F.col("c_mktsegment").alias("Segment"),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("AcctCents"),
+        ).repartition(4)
+        register_sfetl(spark)
+        out.write.format("sfetl").options(**opts).mode("append").save()
+        doomed = base.filter(F.col("c_custkey") % 3 == 0).select(
+            F.format_string("%018d", F.col("c_custkey")).alias("Id")
+        ).repartition(2)
+        (
+            doomed.write.format("sfetl")
+            .options(**opts, operation="delete")
+            .mode("append")
+            .save()
+        )
+        raw = read_object(spark, {**opts, "chunk_size": "100"}, "Customer", coerce=False)
+        back = raw.localCheckpoint(eager=True)
+    finally:
+        server.stop()
+    return (
+        back.select(
+            F.col("Segment").alias("segment"),
+            F.col("AcctCents").cast("bigint").alias("cents"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )

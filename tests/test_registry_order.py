@@ -26,6 +26,7 @@ MUST_BE_IN_WINDOW = [
     "stream_sink_sfetl_upsert",
     "stream_sink_sfetl_native",
     "sink_sfetl_failed_results",
+    "sink_sfetl_delete_roundtrip",
     "source_sfetl_stream_incremental",
     "triangle_count",
     "ann_matryoshka_recall",
@@ -72,7 +73,6 @@ MUST_BE_IN_WINDOW = [
     "forecast_feature_matrix",
     "group_median_twophase",
     "window_sliding_distinct",
-    "attribution_channels",
 ]
 
 
