@@ -448,6 +448,46 @@ class SfClient:
     ) -> BulkJob:
         return self._wait(self.get_ingest_job_status, job_id, poll_interval, timeout)
 
+    def wait_for_ingest_jobs(
+        self,
+        job_ids: Sequence[str],
+        poll_interval: float = 0.2,
+        timeout: float = 300.0,
+    ) -> dict[str, BulkJob]:
+        """Round-robin poll of MANY ingest jobs to a terminal state.
+
+        One status sweep per ``poll_interval`` across every still-pending
+        job, so the wall-clock of an N-job commit barrier is bounded by
+        the SLOWEST job (plus one sweep), not N × poll_interval — the
+        difference between seconds and hours when a load fans out
+        thousands of size-bounded jobs. Raises on the first Failed job;
+        the shared ``timeout`` deadline covers the whole set.
+        """
+        pending = list(dict.fromkeys(j for j in job_ids if j))
+        done: dict[str, BulkJob] = {}
+        deadline = time.monotonic() + timeout
+        while pending:
+            still_pending: list[str] = []
+            for jid in pending:
+                job = self.get_ingest_job_status(jid)
+                if job.state == JobState.FAILED:
+                    raise JobFailedError(
+                        f"bulk job {jid} failed: {job.raw.get('errorMessage')}"
+                    )
+                if job.state.terminal:
+                    done[jid] = job
+                else:
+                    still_pending.append(jid)
+            pending = still_pending
+            if pending:
+                if time.monotonic() > deadline:
+                    raise HttpError(
+                        f"{len(pending)} ingest jobs not terminal after "
+                        f"{timeout}s (first: {pending[:5]})"
+                    )
+                time.sleep(poll_interval)
+        return done
+
     def get_ingest_failed_results(self, job_id: str) -> str:
         """GET ``/jobs/ingest/{id}/failedResults`` — CSV of the rows the
         backend rejected (``sf__Id,sf__Error`` + the original columns).

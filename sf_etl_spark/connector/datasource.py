@@ -365,10 +365,13 @@ class SfEtlDataSource(DataSource):
 
 @dataclass
 class SfIngestCommit(WriterCommitMessage):
-    """One partition's upload receipt: the ingest job it opened (empty
-    id = empty partition, nothing uploaded)."""
+    """One partition's upload receipt: the ingest job(s) it opened
+    (empty tuple = empty partition, nothing uploaded). A partition
+    larger than ``target_job_mb`` opens SEVERAL size-bounded jobs —
+    Bulk 2.0 takes one CSV upload per job and caps it (~150 MB), so
+    job count scales with data volume, never buffer size."""
 
-    job_id: str
+    job_ids: tuple[str, ...]
     n_rows: int
 
 
@@ -397,15 +400,20 @@ class SfIngestWriter(DataSourceWriter):
     extract-only reference never ships, as a Spark batch sink.
 
     Parallelism model: Bulk API 2.0 ingest takes ONE CSV upload per
-    job, so each task maps its partition to its own job
-    (create → PUT batch → PATCH UploadComplete) and load parallelism
-    scales with partitions — the write-side mirror of the chunked
-    scan. The driver's ``commit`` then polls every job to
-    ``JobComplete``; ``abort`` PATCHes unprocessed jobs to Aborted, so
-    a failed Spark write leaves no half-applied jobs *that the backend
-    had not already started processing*. (Bulk 2.0 offers no
-    cross-job transaction — exactly-once loads need idempotent
-    operations.)
+    job, so each task streams its partition into size-bounded CSV
+    chunks and maps each chunk to its own job (create → PUT batch →
+    PATCH UploadComplete). Load parallelism scales with partitions —
+    the write-side mirror of the chunked scan — and per-job payload is
+    governed by the ``target_job_mb`` option (default 100, inside
+    Bulk 2.0's ~150 MB upload cap): a skewed partition opens more
+    jobs instead of materializing itself in executor memory, so task
+    memory stays O(target_job_mb) regardless of partition size. The
+    driver's ``commit`` then polls ALL jobs in a round-robin sweep
+    (wall time bounded by the slowest job, not job count); ``abort``
+    PATCHes unprocessed jobs to Aborted, so a failed Spark write
+    leaves no half-applied jobs *that the backend had not already
+    started processing*. (Bulk 2.0 offers no cross-job transaction —
+    exactly-once loads need idempotent operations.)
 
     Operations (option ``operation``, default ``insert``):
     ``insert`` is the at-least-once append primitive; ``upsert``
@@ -441,49 +449,81 @@ class SfIngestWriter(DataSourceWriter):
                     f"externalIdFieldName {self.external_id_field!r} is not a "
                     f"column of the written DataFrame {self.field_names}"
                 )
+        # per-JOB CSV payload budget: StringIO.tell() counts characters
+        # (== bytes for the ASCII-dominant Bulk CSV; multibyte text can
+        # overshoot slightly, which the 100-vs-150 MB headroom absorbs)
+        self.target_job_mb = float(options.get("target_job_mb", "100"))
+        if not self.target_job_mb > 0:
+            raise ClientBuilderError(
+                f"target_job_mb must be > 0, got {self.target_job_mb}"
+            )
 
     def write(self, iterator: Iterator) -> SfIngestCommit:
         client = _client_from_options(self.options)
-        buf = io.StringIO()
-        w = csv.writer(buf, lineterminator="\n")
-        w.writerow(self.field_names)
-        n = 0
-        width = len(self.field_names)
-        for row in iterator:
-            w.writerow([_format_cell(row[i]) for i in range(width)])
-            n += 1
-        if n == 0:
-            return SfIngestCommit(job_id="", n_rows=0)
-        job = client.create_ingest_job(
-            self.options["object"],
-            operation=self.operation,
-            external_id_field=self.external_id_field,
-        )
-        try:
-            client.upload_ingest_batch(job.id, buf.getvalue())
+        limit = int(self.target_job_mb * 1024 * 1024)
+        hdr = io.StringIO()
+        csv.writer(hdr, lineterminator="\n").writerow(self.field_names)
+        header = hdr.getvalue()
+        job_ids: list[str] = []
+
+        def flush(csv_text: str) -> None:
+            job = client.create_ingest_job(
+                self.options["object"],
+                operation=self.operation,
+                external_id_field=self.external_id_field,
+            )
+            # registered before upload so a mid-upload failure still
+            # reaches the cleanup sweep below
+            job_ids.append(job.id)
+            client.upload_ingest_batch(job.id, csv_text)
             client.close_ingest_job(job.id)
+
+        def fresh_buf() -> tuple[io.StringIO, Any]:
+            buf = io.StringIO()
+            buf.write(header)
+            return buf, csv.writer(buf, lineterminator="\n")
+
+        buf, w = fresh_buf()
+        n_chunk = 0
+        total = 0
+        width = len(self.field_names)
+        try:
+            for row in iterator:
+                w.writerow([_format_cell(row[i]) for i in range(width)])
+                n_chunk += 1
+                total += 1
+                if buf.tell() >= limit:
+                    flush(buf.getvalue())
+                    buf, w = fresh_buf()
+                    n_chunk = 0
+            if n_chunk:
+                flush(buf.getvalue())
         except Exception:
-            # fail-fast cleanup of THIS task's job; Spark will call
-            # abort() for the others
-            try:
-                client.abort_ingest_job(job.id)
-            finally:
-                raise
-        return SfIngestCommit(job_id=job.id, n_rows=n)
+            # fail-fast cleanup of THIS task's jobs — including chunks
+            # already closed (abort is legal from Open/UploadComplete);
+            # Spark calls abort() for the other partitions' jobs
+            for jid in job_ids:
+                try:
+                    client.abort_ingest_job(jid)
+                except Exception:  # noqa: BLE001 - best-effort cleanup
+                    pass
+            raise
+        return SfIngestCommit(job_ids=tuple(job_ids), n_rows=total)
 
     def commit(self, messages) -> None:
+        ids = [jid for msg in messages if msg for jid in msg.job_ids]
+        if not ids:
+            return
         client = _client_from_options(self.options)
         interval = float(self.options.get("poll_interval", "0.2"))
-        for msg in messages:
-            if msg and msg.job_id:
-                client.wait_for_ingest_job(msg.job_id, poll_interval=interval)
+        client.wait_for_ingest_jobs(ids, poll_interval=interval)
 
     def abort(self, messages) -> None:
         client = _client_from_options(self.options)
         for msg in messages:
-            if msg and msg.job_id:
+            for jid in msg.job_ids if msg else ():
                 try:
-                    client.abort_ingest_job(msg.job_id)
+                    client.abort_ingest_job(jid)
                 except Exception:  # noqa: BLE001 - best-effort cleanup
                     pass
 

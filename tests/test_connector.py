@@ -839,3 +839,117 @@ def test_bulk_upsert_missing_key_column_fails_all_rows():
         assert "missing column" in c.get_ingest_failed_results(job.id)
     finally:
         server.stop()
+
+
+# -- size-governed chunked writes + round-robin commit poll ------------------
+
+
+def test_spark_write_chunks_oversized_partition(spark):
+    """A partition bigger than target_job_mb must stream into MULTIPLE
+    size-bounded ingest jobs (one CSV upload per job), never one
+    unbounded in-memory buffer — and the scan-back must be identical."""
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "Key", "type": "long"},
+        {"name": "Val", "type": "string", "length": 40},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[], page_size=500)
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        data = [(i, f"payload-{i:06d}") for i in range(300)]
+        df = spark.createDataFrame(data, ["Key", "Val"]).coalesce(1)
+        opts = {**sf_options(url), "object": "Thing"}
+        # ~6.3 KB of CSV at a 2 KiB budget -> expect ~4 jobs from ONE partition
+        (
+            df.write.format("sfetl")
+            .options(**opts, target_job_mb=str(2048 / (1024 * 1024)))
+            .mode("append")
+            .save()
+        )
+        ingest_jobs = [j for j in server.jobs.values() if j.get("kind") == "ingest"]
+        assert len(ingest_jobs) >= 2, "oversized partition did not split into jobs"
+        limit = 2048
+        max_line = max(len(ln) for j in ingest_jobs for ln in j["csv"].splitlines()) + 2
+        for j in ingest_jobs:
+            assert len(j["csv"]) <= limit + max_line  # budget + at most one row overshoot
+        back = read_object(spark, {**opts, "chunk_size": "500"}, "Thing", coerce=False)
+        got = sorted((int(r["Key"]), r["Val"]) for r in back.collect())
+        assert got == data  # byte-identical round trip across the split
+    finally:
+        server.stop()
+
+
+def test_commit_poll_round_robin_is_one_sleep_per_sweep(monkeypatch):
+    """The N-job commit barrier must wait O(slowest job): one status
+    sweep over ALL pending jobs per poll interval, not a serial
+    poll-to-completion per job (O(N * interval))."""
+    from sf_etl_spark.connector.client import BulkJob
+
+    c = SfClient(client_id="a", client_secret="b", login_url="http://unused")
+    sweeps_left = {f"j{i}": 3 for i in range(5)}
+
+    def fake_status(jid):
+        sweeps_left[jid] -= 1
+        state = JobState.JOB_COMPLETE if sweeps_left[jid] <= 0 else JobState.IN_PROGRESS
+        return BulkJob(id=jid, state=state)
+
+    sleeps = []
+    monkeypatch.setattr(c, "get_ingest_job_status", fake_status)
+    monkeypatch.setattr(
+        "sf_etl_spark.connector.client.time.sleep", lambda s: sleeps.append(s)
+    )
+    done = c.wait_for_ingest_jobs(list(sweeps_left), poll_interval=0.01)
+    assert set(done) == set(sweeps_left)
+    # serial polling would sleep ~10 times (2 per job); round-robin
+    # sleeps once per sweep -> exactly 2 here
+    assert len(sleeps) == 2
+
+
+def test_commit_poll_raises_on_failed_job(monkeypatch):
+    from sf_etl_spark.connector.client import BulkJob
+    from sf_etl_spark.connector.errors import JobFailedError
+
+    c = SfClient(client_id="a", client_secret="b", login_url="http://unused")
+
+    def fake_status(jid):
+        state = JobState.FAILED if jid == "bad" else JobState.JOB_COMPLETE
+        return BulkJob(id=jid, state=state)
+
+    monkeypatch.setattr(c, "get_ingest_job_status", fake_status)
+    with pytest.raises(JobFailedError, match="bad"):
+        c.wait_for_ingest_jobs(["ok", "bad"], poll_interval=0.01)
+
+
+def test_spark_write_commit_wall_time_bounded_by_slowest(spark):
+    """End-to-end: 4 jobs each needing 2 extra polls at a 0.3s
+    interval. Serial polling sleeps >= 8x0.3 = 2.4s; the round-robin
+    sweep sleeps ~2x0.3. Assert the commit finished well under the
+    serial floor."""
+    import time as _t
+
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "Key", "type": "long"},
+    ]
+    server = MockSalesforce(
+        object_name="Thing", fields=fields, rows=[], fail_first_polls=2
+    )
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        df = spark.createDataFrame([(i,) for i in range(40)], ["Key"]).repartition(4)
+        opts = {**sf_options(url), "object": "Thing", "poll_interval": "0.3"}
+        t0 = _t.monotonic()
+        df.write.format("sfetl").options(**opts).mode("append").save()
+        elapsed = _t.monotonic() - t0
+        n_jobs = sum(1 for j in server.jobs.values() if j.get("kind") == "ingest")
+        assert n_jobs == 4
+        # generous ceiling (host noise) but strictly below the 2.4s serial floor
+        assert elapsed < 2.2, f"commit barrier took {elapsed:.2f}s — serial polling?"
+    finally:
+        server.stop()
