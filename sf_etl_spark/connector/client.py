@@ -43,6 +43,10 @@ from sf_etl_spark.schema.field_types import ObjectSchema
 
 DEFAULT_API_VERSION = "v49.0"  # reference default, client.rs:56
 _RETRYABLE_STATUSES = {429, 500, 502, 503, 504}
+# Honor server-provided Retry-After up to this many seconds; anything
+# longer falls back to it capped (a misconfigured proxy must not be
+# able to park an executor task for an hour on one header)
+_RETRY_AFTER_CAP = 30.0
 
 
 class JobState(str, Enum):
@@ -138,6 +142,7 @@ class SfClient:
         timeout: float = 30.0,
         max_retries: int = 3,
         backoff_base: float = 0.2,
+        call_options: str | None = None,
     ):
         if not client_id or not client_secret:
             raise ClientBuilderError("client_id and client_secret are required")
@@ -148,6 +153,10 @@ class SfClient:
         self.timeout = timeout
         self.max_retries = max_retries
         self.backoff_base = backoff_base
+        # Sforce-Call-Options (e.g. "client=sf_etl_spark"): rides every
+        # request so org admins can attribute API usage per integration
+        # — the first thing support asks for when a load gets throttled
+        self.call_options = call_options
         self.access_token: str | None = None
         self.instance_url: str | None = None
         # Credentials retained after login() so an expired session
@@ -204,6 +213,8 @@ class SfClient:
         hdrs = {"Accept": "application/json"}
         if self.access_token:
             hdrs["Authorization"] = f"Bearer {self.access_token}"
+        if self.call_options:
+            hdrs["Sforce-Call-Options"] = self.call_options
         if headers:
             hdrs.update(headers)
         last_err: Exception | None = None
@@ -211,6 +222,7 @@ class SfClient:
         attempt = 0
         while attempt <= self.max_retries:
             req = urllib.request.Request(url, data=body, headers=hdrs, method=method)
+            retry_after: float | None = None
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     return resp.status, resp.read(), dict(resp.headers.items())
@@ -237,11 +249,24 @@ class SfClient:
                     continue
                 if e.code in _RETRYABLE_STATUSES and attempt < self.max_retries:
                     last_err = e
+                    # Rate limiting (429, sometimes 503) arrives with a
+                    # server-chosen Retry-After; honoring it (capped)
+                    # beats blind exponential backoff — the server
+                    # knows when the bucket refills. Total retry time
+                    # stays bounded: max_retries sleeps of at most
+                    # max(cap, backoff_base * 2^max_retries) each.
+                    ra = e.headers.get("Retry-After") if e.headers else None
+                    if ra:
+                        try:
+                            retry_after = min(float(ra), _RETRY_AFTER_CAP)
+                        except ValueError:
+                            retry_after = None  # HTTP-date form: use backoff
                 else:
                     raise self._response_error(e.code, payload) from None
             except urllib.error.URLError as e:
                 last_err = e
-            time.sleep(self.backoff_base * (2**attempt))
+            delay = self.backoff_base * (2**attempt)
+            time.sleep(delay if retry_after is None else max(retry_after, 0.0))
             attempt += 1
         raise HttpError(f"{method} {url} failed after {self.max_retries + 1} attempts: {last_err}")
 
@@ -502,9 +527,21 @@ class SfClient:
 
     def list_ingest_jobs(self) -> list[BulkJob]:
         """GET ``/jobs/ingest`` — enumerate ingest jobs (lets a caller
-        sweep failed results without having tracked every job id)."""
-        obj = self._get_json(f"{self._base_path()}/jobs/ingest")
-        return [BulkJob.from_json(r) for r in obj.get("records", [])]
+        sweep failed results without having tracked every job id).
+
+        Follows ``nextRecordsUrl`` until ``done`` — the real job-list
+        endpoint paginates, and a truncated sweep would silently skip
+        whatever failed past page 1 (r11 ADVICE)."""
+        url = f"{self._base_path()}/jobs/ingest"
+        jobs: list[BulkJob] = []
+        while True:
+            obj = self._get_json(url)
+            jobs.extend(BulkJob.from_json(r) for r in obj.get("records", []))
+            nxt = obj.get("nextRecordsUrl")
+            if obj.get("done", True) or not nxt:
+                return jobs
+            assert self.instance_url is not None
+            url = f"{self.instance_url}{nxt}"
 
     def get_result_chunk(
         self, job_id: str, locator: str | None = None, max_records: int | None = None

@@ -65,18 +65,25 @@ def failed_results_df(
 
     ``options`` are the same connector options the ``sfetl`` format
     takes (login_url/client_id/.../object). ``job_ids=None`` sweeps
-    every completed ingest job the backend lists (GET /jobs/ingest) —
-    the "what failed in last night's load?" call.
+    every finished ingest job the backend lists (GET /jobs/ingest,
+    every page) — the "what failed in last night's load?" call. The
+    sweep covers BOTH terminal-with-results states: ``JobComplete``
+    (partial row rejects) and ``Failed`` (job-level rejects — those
+    jobs still expose retrievable failed records), and is scoped to
+    ``options['object']`` when set, so one object's sweep never pulls
+    another pipeline's jobs (r11 ADVICE).
     """
     from sf_etl_spark.connector.client import JobState
     from sf_etl_spark.connector.datasource import _client_from_options
 
     if job_ids is None:
         client = _client_from_options(options)
+        obj_name = options.get("object")
         job_ids = [
             j.id
             for j in client.list_ingest_jobs()
-            if j.state == JobState.JOB_COMPLETE
+            if j.state in (JobState.JOB_COMPLETE, JobState.FAILED)
+            and (obj_name is None or j.object == obj_name)
         ]
     ids = [j for j in job_ids if j]
     if not ids:

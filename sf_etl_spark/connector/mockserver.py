@@ -77,9 +77,19 @@ class MockSalesforce:
         object_name: str = "Case",
         fields: list[dict] | None = None,
         rows: list[dict] | None = None,
+        job_page_size: int = 200,
     ):
         self.page_size = page_size
         self.fail_first_polls = fail_first_polls  # polls returning InProgress
+        # GET /jobs/ingest paginates like the real endpoint; tests set
+        # a small page size to prove the client walks nextRecordsUrl
+        self.job_page_size = job_page_size
+        # rate-limit injection: the next N authorized requests 429 with
+        # a Retry-After header (tests simulate an API-bucket exhaustion
+        # burst; the client must honor the header and recover)
+        self.inject_429_remaining = 0
+        self.retry_after_seconds = 0.05
+        self.n_429_served = 0
         self.object_name = object_name
         self.fields_meta = fields if fields is not None else CASE_FIELDS
         # bulk CSV dialect the server declares AND writes (jobs created
@@ -180,6 +190,18 @@ class MockSalesforce:
         # everything below requires the bearer token
         if h.headers.get("Authorization") != f"Bearer {self.valid_token}":
             return h._json(401, [{"errorCode": "INVALID_SESSION_ID", "message": "no session"}])
+
+        # injected rate-limit burst (REQUEST_LIMIT_EXCEEDED semantics):
+        # applies to authorized traffic only, like a real org's bucket
+        with self.lock:
+            if self.inject_429_remaining > 0:
+                self.inject_429_remaining -= 1
+                self.n_429_served += 1
+                return h._json(
+                    429,
+                    [{"errorCode": "REQUEST_LIMIT_EXCEEDED", "message": "TotalRequests limit"}],
+                    headers={"Retry-After": str(self.retry_after_seconds)},
+                )
 
         if method == "GET" and path == f"{API}/query":
             soql = qs.get("q", [""])[0]
@@ -289,7 +311,10 @@ class MockSalesforce:
         if method == "GET" and m:
             with self.lock:
                 job = self.jobs.get(m.group(1))
-                if job is None or job["state"] != "JobComplete":
+                # failed rows are retrievable from BOTH terminal-with-
+                # results states: JobComplete (row rejects) and Failed
+                # (job-level rejects) — matching the real endpoint
+                if job is None or job["state"] not in ("JobComplete", "Failed"):
                     return h._json(
                         400,
                         [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}],
@@ -302,15 +327,20 @@ class MockSalesforce:
             return h._send(200, buf.getvalue(), content_type="text/csv")
 
         if method == "GET" and path == f"{API}/jobs/ingest":
-            # job-list endpoint (GET /jobs/ingest) — lets a client
-            # enumerate ingest jobs without having tracked ids itself
+            # job-list endpoint (GET /jobs/ingest) — paginated like the
+            # real API: done/nextRecordsUrl, job_page_size per page
+            offset = int(qs.get("queryLocator", ["0"])[0] or 0)
             with self.lock:
-                records = [
-                    self.ingest_job_json(jid)
-                    for jid, j in self.jobs.items()
-                    if j.get("kind") == "ingest"
+                ids = [
+                    jid for jid, j in self.jobs.items() if j.get("kind") == "ingest"
                 ]
-            return h._json(200, {"done": True, "records": records})
+                page = ids[offset : offset + self.job_page_size]
+                records = [self.ingest_job_json(jid) for jid in page]
+            nxt = offset + self.job_page_size
+            payload = {"done": nxt >= len(ids), "records": records}
+            if not payload["done"]:
+                payload["nextRecordsUrl"] = f"{API}/jobs/ingest?queryLocator={nxt}"
+            return h._json(200, payload)
 
         m = re.fullmatch(f"{API}/jobs/ingest/(\\w+)", path)
         if m and method == "GET":
@@ -321,14 +351,18 @@ class MockSalesforce:
                     job["polls"] += 1
                     if job["polls"] > self.fail_first_polls:
                         self._apply_ingest(job)
-                        job["state"] = "JobComplete"
+                        job["state"] = (
+                            "Failed" if job.get("error_message") else "JobComplete"
+                        )
                     else:
                         job["state"] = "InProgress"
                 elif job["state"] == "InProgress":
                     job["polls"] += 1
                     if job["polls"] > self.fail_first_polls:
                         self._apply_ingest(job)
-                        job["state"] = "JobComplete"
+                        job["state"] = (
+                            "Failed" if job.get("error_message") else "JobComplete"
+                        )
             return h._json(200, self.ingest_job_json(job_id))
         if m and method == "PATCH":
             job_id = m.group(1)
@@ -355,18 +389,23 @@ class MockSalesforce:
         here, so their rows are never visible to queries (the
         writer-abort guarantee the DataSource writer relies on).
 
-        insert  : append; rows without an Id get a server-assigned one
-                  (like the real backend — uploaded insert CSVs never
-                  carry Ids).
+        insert  : append with server-assigned Ids. A CSV that carries
+                  an Id column FAILS the whole job (real Bulk 2.0
+                  rejects Id on insert — r11 ADVICE; loaders must
+                  stage deletes from read-back Ids, not invented ones).
         upsert  : match on the job's externalIdFieldName — existing
                   rows are updated field-by-field, unmatched rows
                   insert with a fresh Id; rows with an EMPTY external
-                  id value fail (recorded for /failedResults).
+                  id value fail (recorded for /failedResults). An
+                  EMPTY cell leaves the target field UNCHANGED; the
+                  ``#N/A`` sentinel is what nulls a field (documented
+                  Bulk 2.0 CSV semantics — r11 ADVICE).
         delete  : CSV carries Id only; unknown Ids fail, known rows
                   are removed.
         Failed rows land in job['failed'] and are served by the
         ``/jobs/ingest/{id}/failedResults`` route; ``n_applied`` counts
-        successes only (numberRecordsProcessed parity).
+        successes only (numberRecordsProcessed parity). A job-level
+        reject sets job['error_message'] → state Failed.
         """
         if job["applied"]:
             return
@@ -376,6 +415,13 @@ class MockSalesforce:
         op = job.get("operation", "insert")
         ext = job.get("external_id_field")
         n = 0
+        if op == "insert" and "Id" in header:
+            job["error_message"] = (
+                "InvalidJob : Id column not allowed on insert operation"
+            )
+            job["applied"] = True
+            job["n_applied"] = 0
+            return
         if op == "upsert":
             if ext not in header:
                 job["failed"] = [
@@ -389,8 +435,10 @@ class MockSalesforce:
         for raw in rows:
             rec = dict(zip(header, raw))
             if op == "insert":
-                if not rec.get("Id"):
-                    rec["Id"] = self._next_id()
+                # '#N/A' is the explicit-null sentinel; an empty cell on
+                # a NEW row is simply a null field (stored as "")
+                rec = {f: ("" if v == "#N/A" else v) for f, v in rec.items()}
+                rec["Id"] = self._next_id()
                 self.rows.append(rec)
                 n += 1
             elif op == "upsert":
@@ -402,14 +450,19 @@ class MockSalesforce:
                     continue
                 target = by_ext.get(key)
                 if target is None:
+                    rec = {f: ("" if v == "#N/A" else v) for f, v in rec.items()}
                     if not rec.get("Id"):
                         rec["Id"] = self._next_id()
                     self.rows.append(rec)
                     by_ext[key] = rec
                 else:
                     for f, v in rec.items():
-                        if f != "Id":  # Id is server-owned on upsert
-                            target[f] = v
+                        if f == "Id":
+                            continue  # Id is server-owned on upsert
+                        if v == "":
+                            continue  # empty cell = leave field as-is
+                        # '#N/A' is the documented set-null sentinel
+                        target[f] = "" if v == "#N/A" else v
                 n += 1
             else:  # delete
                 rid = rec.get("Id")
@@ -444,8 +497,9 @@ class MockSalesforce:
             "apiVersion": 49.0,
             "numberRecordsProcessed": job.get("n_applied"),
             "numberRecordsFailed": len(job.get("failed", []))
-            if job["state"] == "JobComplete"
+            if job["state"] in ("JobComplete", "Failed")
             else None,
+            "errorMessage": job.get("error_message"),
         }
 
     # -- endpoint behaviors ------------------------------------------------

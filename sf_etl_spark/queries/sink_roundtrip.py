@@ -1299,7 +1299,8 @@ def sink_sfetl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "customer")
             .filter(F.col("c_custkey") <= _SFETL_KEY_CAP)
             .select(
-                F.format_string("%018d", F.col("c_custkey")).alias("Id"),
+                # no Id column: real Bulk 2.0 REJECTS Id on insert jobs
+                # — the server assigns record ids (mock matches)
                 F.col("c_mktsegment").alias("Segment"),
                 F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
                 .cast("bigint")
@@ -1342,6 +1343,12 @@ def sink_sfetl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dropped — breaks the hash. Scale shape: reject download
 # parallelizes per job id; rejects are the bounded sliver of a load.
 # ---------------------------------------------------------------------------
+_SFETL_UPSERT_FIELDS = [
+    {"name": "Id", "type": "id", "length": 18, "nillable": False, "unique": True},
+    {"name": "ExtKey", "type": "string", "length": 20},
+    {"name": "Segment", "type": "picklist", "length": 20},
+    {"name": "AcctCents", "type": "long"},
+]
 @register(
     "sink_sfetl_failed_results",
     f"""
@@ -1360,7 +1367,9 @@ def sink_sfetl_failed_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.connector.ingest import failed_results_df
     from sf_etl_spark.connector.mockserver import MockSalesforce
 
-    server = MockSalesforce(object_name="Customer", fields=_SFETL_FIELDS, rows=[])
+    server = MockSalesforce(
+        object_name="Customer", fields=_SFETL_UPSERT_FIELDS, rows=[]
+    )
     url = server.start()
     try:
         opts = {
@@ -1377,11 +1386,13 @@ def sink_sfetl_failed_results(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("c_custkey") <= _SFETL_KEY_CAP)
             .select(
                 # every 7th key NULL -> empty external id on the CSV
-                # wire -> the backend rejects exactly those rows
+                # wire -> the backend rejects exactly those rows.
+                # ExtKey is a custom external-id field: record Id is
+                # server-owned and can't key an upsert of new rows.
                 F.when(
                     F.col("c_custkey") % 7 != 0,
                     F.format_string("%018d", F.col("c_custkey")),
-                ).alias("Id"),
+                ).alias("ExtKey"),
                 F.col("c_mktsegment").alias("Segment"),
                 F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
                 .cast("bigint")
@@ -1392,7 +1403,7 @@ def sink_sfetl_failed_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_sfetl(spark)
         (
             out.write.format("sfetl")
-            .options(**opts, operation="upsert", externalIdFieldName="Id")
+            .options(**opts, operation="upsert", externalIdFieldName="ExtKey")
             .mode("append")
             .save()
         )
@@ -1543,12 +1554,22 @@ def source_sfetl_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 # Delete leg: completes the driver-hashed ingest-operation set
 # (insert → `sink_sfetl_ingest_roundtrip`, upsert →
 # `stream_sink_sfetl_upsert`/`sink_sfetl_failed_results`, delete →
-# here). The slice is inserted, every 3rd key is deleted by Id
-# through ``operation='delete'`` (the DataFrame carries just the Id
-# column, the Bulk 2.0 delete CSV shape), and the scan-back aggregate
-# must equal the oracle over the SURVIVING rows — a delete that
-# misses a row, or removes a wrong one, breaks the hash.
+# here). The slice is inserted WITHOUT Ids (Bulk 2.0 rejects an Id
+# column on insert — r11 ADVICE; the backend assigns them), the
+# server-assigned Ids are READ BACK and every 3rd business key's Id
+# is deleted through ``operation='delete'`` (the DataFrame carries
+# just the Id column, the Bulk 2.0 delete CSV shape) — the
+# production delete flow: scan → pick victims → delete by real Id.
+# The scan-back aggregate must equal the oracle over the SURVIVING
+# rows — a delete that misses a row, or removes a wrong one, breaks
+# the hash.
 # ---------------------------------------------------------------------------
+_SFETL_KEYED_FIELDS = [
+    {"name": "Id", "type": "id", "length": 18, "nillable": False, "unique": True},
+    {"name": "Key", "type": "long"},
+    {"name": "Segment", "type": "picklist", "length": 20},
+    {"name": "AcctCents", "type": "long"},
+]
 @register(
     "sink_sfetl_delete_roundtrip",
     f"""
@@ -1568,7 +1589,9 @@ def sink_sfetl_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_etl_spark.connector.datasource import register as register_sfetl
     from sf_etl_spark.connector.mockserver import MockSalesforce
 
-    server = MockSalesforce(object_name="Customer", fields=_SFETL_FIELDS, rows=[])
+    server = MockSalesforce(
+        object_name="Customer", fields=_SFETL_KEYED_FIELDS, rows=[]
+    )
     url = server.start()
     try:
         opts = {
@@ -1584,7 +1607,7 @@ def sink_sfetl_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") <= _SFETL_KEY_CAP
         )
         out = base.select(
-            F.format_string("%018d", F.col("c_custkey")).alias("Id"),
+            F.col("c_custkey").alias("Key"),
             F.col("c_mktsegment").alias("Segment"),
             F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
             .cast("bigint")
@@ -1592,9 +1615,16 @@ def sink_sfetl_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).repartition(4)
         register_sfetl(spark)
         out.write.format("sfetl").options(**opts).mode("append").save()
-        doomed = base.filter(F.col("c_custkey") % 3 == 0).select(
-            F.format_string("%018d", F.col("c_custkey")).alias("Id")
-        ).repartition(2)
+        # production delete flow: read back the SERVER-assigned Ids,
+        # pick victims by business key, delete by real Id
+        inserted = read_object(
+            spark, {**opts, "chunk_size": "100"}, "Customer", coerce=False
+        )
+        doomed = (
+            inserted.filter(F.col("Key").cast("bigint") % 3 == 0)
+            .select("Id")
+            .repartition(2)
+        )
         (
             doomed.write.format("sfetl")
             .options(**opts, operation="delete")

@@ -531,15 +531,16 @@ def test_bulk_ingest_lifecycle_and_abort():
         c.login("user@test", "pw")
         job = c.create_ingest_job("Case")
         assert job.state == JobState.OPEN
-        c.upload_ingest_batch(job.id, "Id,Priority\nA1,Low\nA2,High\n")
+        c.upload_ingest_batch(job.id, "CaseNumber,Priority\nA1,Low\nA2,High\n")
         c.close_ingest_job(job.id)
         done = c.wait_for_ingest_job(job.id, poll_interval=0.01)
         assert done.state == JobState.JOB_COMPLETE
         assert done.number_records_processed == 2
         assert len(server.rows) == 2
+        assert all(r["Id"] for r in server.rows)  # server-assigned ids
 
         j2 = c.create_ingest_job("Case")
-        c.upload_ingest_batch(j2.id, "Id,Priority\nB1,Low\n")
+        c.upload_ingest_batch(j2.id, "CaseNumber,Priority\nB1,Low\n")
         aborted = c.abort_ingest_job(j2.id)
         assert aborted.state == JobState.ABORTED
         assert len(server.rows) == 2  # aborted rows never applied
@@ -557,6 +558,7 @@ def test_spark_sfetl_write_handles_empty_partitions(spark):
     no-op receipts, not open empty ingest jobs."""
     fields = [
         {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "Key", "type": "string", "length": 20},
         {"name": "Val", "type": "string", "length": 20},
     ]
     server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
@@ -566,16 +568,16 @@ def test_spark_sfetl_write_handles_empty_partitions(spark):
 
         register_sfetl(spark)
         df = spark.createDataFrame(
-            [("X1", "a"), ("X2", "b"), ("X3", None)], ["Id", "Val"]
+            [("X1", "a"), ("X2", "b"), ("X3", None)], ["Key", "Val"]
         ).repartition(8)
         opts = {**sf_options(url), "object": "Thing"}
         df.write.format("sfetl").options(**opts).mode("append").save()
-        assert sorted(r["Id"] for r in server.rows) == ["X1", "X2", "X3"]
+        assert sorted(r["Key"] for r in server.rows) == ["X1", "X2", "X3"]
         n_jobs = sum(1 for j in server.jobs.values() if j.get("kind") == "ingest")
         assert 1 <= n_jobs <= 3  # only non-empty partitions opened jobs
         # None round-trips as empty-string wire value → NULL on read
         back = read_object(spark, {**opts, "chunk_size": "10"}, "Thing", coerce=False)
-        vals = {r["Id"]: r["Val"] for r in back.collect()}
+        vals = {r["Key"]: r["Val"] for r in back.collect()}
         assert vals == {"X1": "a", "X2": "b", "X3": None}
 
         with pytest.raises(Exception, match="append-only"):
@@ -953,3 +955,161 @@ def test_spark_write_commit_wall_time_bounded_by_slowest(spark):
         assert elapsed < 2.2, f"commit barrier took {elapsed:.2f}s — serial polling?"
     finally:
         server.stop()
+
+
+# -- real-endpoint semantics: rate limits, job-list pagination, CSV rules ----
+
+
+def test_insert_with_id_column_fails_job():
+    """Real Bulk 2.0 rejects an Id column on insert jobs — the job goes
+    Failed with an errorMessage and applies nothing."""
+    from sf_etl_spark.connector.errors import JobFailedError
+
+    server = MockSalesforce(object_name="Case", rows=[])
+    url = server.start()
+    try:
+        c = _login(url)
+        job = c.create_ingest_job("Case")
+        c.upload_ingest_batch(job.id, "Id,Priority\nA1,Low\n")
+        c.close_ingest_job(job.id)
+        with pytest.raises(JobFailedError, match="Id column not allowed"):
+            c.wait_for_ingest_job(job.id, poll_interval=0.01)
+        assert len(server.rows) == 0
+    finally:
+        server.stop()
+
+
+def test_upsert_empty_cell_preserves_field_na_sentinel_nulls():
+    """Bulk 2.0 upsert CSV semantics: an EMPTY cell leaves the target
+    field unchanged; only the '#N/A' sentinel nulls it."""
+    rows = [{"Id": "500Z1", "Ext__c": "K1", "Val": "keepme", "Note": "orig"}]
+    server = MockSalesforce(object_name="Case", rows=list(rows))
+    url = server.start()
+    try:
+        c = _login(url)
+        job = c.create_ingest_job("Case", operation="upsert", external_id_field="Ext__c")
+        c.upload_ingest_batch(job.id, "Ext__c,Val,Note\nK1,,#N/A\n")
+        c.close_ingest_job(job.id)
+        done = c.wait_for_ingest_job(job.id, poll_interval=0.01)
+        assert done.number_records_processed == 1
+        (row,) = server.rows
+        assert row["Val"] == "keepme"  # empty cell skipped, not wiped
+        assert row["Note"] == ""  # '#N/A' explicitly nulled
+    finally:
+        server.stop()
+
+
+def test_list_ingest_jobs_paginates_and_sweep_scopes_by_object(spark):
+    """The job-list endpoint paginates (r11 ADVICE): the client must
+    walk nextRecordsUrl to exhaustion, and the failedResults sweep
+    must include Failed-state jobs and only THIS object's jobs."""
+    from sf_etl_spark.connector.ingest import failed_results_df
+
+    server = MockSalesforce(object_name="Case", rows=[], job_page_size=2)
+    url = server.start()
+    try:
+        c = _login(url)
+        # 5 upsert jobs (> 2 pages); job 3 carries a bad row
+        for i in range(5):
+            job = c.create_ingest_job("Case", operation="upsert", external_id_field="Ext__c")
+            bad = ",nokey\n" if i == 3 else ""
+            c.upload_ingest_batch(job.id, f"Ext__c,Val\nK{i},v{i}\n{bad}")
+            c.close_ingest_job(job.id)
+            c.wait_for_ingest_job(job.id, poll_interval=0.01)
+        jobs = c.list_ingest_jobs()
+        assert len(jobs) == 5  # all pages walked
+        pages = [r for r in server.requests_seen if "queryLocator" in r]
+        assert len(pages) >= 2  # pagination actually exercised
+
+        opts = {**sf_options(url), "object": "Case"}
+        failed = failed_results_df(spark, opts).collect()
+        assert len(failed) == 1 and "empty external id" in failed[0]["sf_error"]
+        # a different object's sweep must not pull Case jobs
+        other = failed_results_df(spark, {**sf_options(url), "object": "Other"})
+        assert other.count() == 0
+    finally:
+        server.stop()
+
+
+def test_failed_results_sweep_includes_failed_state_jobs(spark):
+    """A job that FAILED at the job level still lists in the sweep
+    (its failedResults CSV is retrievable, possibly empty) instead of
+    being silently skipped."""
+    from sf_etl_spark.connector.client import JobState as JS
+
+    server = MockSalesforce(object_name="Case", rows=[])
+    url = server.start()
+    try:
+        c = _login(url)
+        job = c.create_ingest_job("Case")
+        c.upload_ingest_batch(job.id, "Id,Priority\nA1,Low\n")  # job-level reject
+        c.close_ingest_job(job.id)
+        with pytest.raises(Exception):
+            c.wait_for_ingest_job(job.id, poll_interval=0.01)
+        listed = {j.id: j.state for j in c.list_ingest_jobs()}
+        assert listed[job.id] == JS.FAILED
+        # the CSV is servable for the Failed job (no 400)
+        assert c.get_ingest_failed_results(job.id).startswith("sf__Id,sf__Error")
+    finally:
+        server.stop()
+
+
+def test_429_burst_retried_with_retry_after(client, mock_sf):
+    """An injected 429 storm (Retry-After: 0.05) must be absorbed by
+    the retry loop — bounded wait, request succeeds afterwards."""
+    import time as _t
+
+    server, _ = mock_sf
+    with server.lock:
+        server.inject_429_remaining = 2
+    t0 = _t.monotonic()
+    rows = client.query("SELECT Id FROM Case LIMIT 3")
+    elapsed = _t.monotonic() - t0
+    assert len(rows) == 3
+    assert server.n_429_served >= 2
+    # two honored Retry-After sleeps of 0.05s, not exponential seconds
+    assert elapsed < 2.0
+    server.n_429_served = 0
+
+
+def test_429_exhaustion_raises_response_error(mock_sf):
+    """More consecutive 429s than retries -> a typed error, not an
+    infinite loop."""
+    server, url = mock_sf
+    c = SfClient(
+        client_id="app", client_secret="shhh", login_url=url,
+        backoff_base=0.01, max_retries=1,
+    )
+    c.login("user@test", "pw")
+    with server.lock:
+        server.inject_429_remaining = 10
+    # the final attempt surfaces the typed 429 error (REQUEST_LIMIT_EXCEEDED)
+    with pytest.raises(ResponseError, match="TotalRequests"):
+        c.query("SELECT Id FROM Case LIMIT 1")
+    with server.lock:
+        server.inject_429_remaining = 0
+        server.n_429_served = 0
+
+
+def test_sforce_call_options_header_sent(mock_sf):
+    """call_options rides every request as Sforce-Call-Options so org
+    admins can attribute API usage to this integration."""
+    server, url = mock_sf
+    c = SfClient(
+        client_id="app", client_secret="shhh", login_url=url,
+        backoff_base=0.01, call_options="client=sf_etl_spark",
+    )
+    c.login("user@test", "pw")
+    seen = {}
+    orig_route = server.route
+
+    def spying_route(h, method):
+        seen[h.path] = h.headers.get("Sforce-Call-Options")
+        return orig_route(h, method)
+
+    server.route = spying_route
+    try:
+        c.query("SELECT Id FROM Case LIMIT 1")
+    finally:
+        server.route = orig_route
+    assert any(v == "client=sf_etl_spark" for v in seen.values())
