@@ -62,6 +62,14 @@ def salted_topk(
     if not partition_cols:
         raise ValueError("partition_cols must be non-empty (for a global "
                          "top-k use TakeOrdered via df.orderBy().limit())")
+    clobbered = {"_salt", "_lrn", "_grn"} & set(df.columns)
+    if clobbered:
+        # withColumn silently REPLACES same-named columns — a caller's
+        # _salt would be overwritten and then dropped with no error
+        raise ValueError(
+            f"salted_topk reserves temp column names {sorted(clobbered)}; "
+            "rename them in the input DataFrame first"
+        )
     salt = F.pmod(F.hash(*salt_on), F.lit(n_salts))
     w_local = Window.partitionBy(*partition_cols, "_salt").orderBy(*order_cols)
     surv = (

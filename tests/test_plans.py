@@ -965,3 +965,18 @@ def test_salted_topk_edge_cases(spark):
         salted_topk(df, ["g"], order, 0, ["tie"])
     with _pytest.raises(ValueError, match="partition_cols"):
         salted_topk(df, [], order, 3, ["tie"])
+
+
+def test_salted_topk_rejects_reserved_columns(spark):
+    """Reserved temp names would be silently clobbered by withColumn —
+    the operator must refuse them up front (r11 ADVICE)."""
+    import pytest
+
+    from pyspark.sql import functions as SF
+    from sf_etl_spark.operators.topk import salted_topk
+
+    df = spark.range(10).select(
+        SF.lit("g").alias("g"), SF.col("id").alias("v"), SF.col("id").alias("_salt")
+    )
+    with pytest.raises(ValueError, match="_salt"):
+        salted_topk(df, ["g"], [SF.col("v")], 3, ["v"])
