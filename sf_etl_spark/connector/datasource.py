@@ -35,6 +35,8 @@ from __future__ import annotations
 import csv
 import datetime as _dt
 import io
+import json
+import os
 import re
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
@@ -533,16 +535,31 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
     (the batch writer's micro-batch twin; ``foreachBatch`` is no
     longer required to stream into the backend).
 
-    Per micro-batch: each partition maps to its own Bulk 2.0 ingest
-    job (identical mechanics to :class:`SfIngestWriter.write`), and
-    ``commit(batchId)`` polls every job to JobComplete before the
-    engine records the batch in its offset log. Delivery contract:
-    Spark replays an uncommitted batch after restart, so
-    ``operation='insert'`` is at-least-once; ``operation='upsert'``
-    with ``externalIdFieldName`` is the exactly-once-by-idempotence
-    configuration (a replayed batch converges to the same backend
-    state). ``abort(batchId)`` aborts this batch's not-yet-applied
-    jobs, the same no-half-applied-work guarantee as the batch path.
+    Per micro-batch: each partition maps its size-bounded CSV chunks
+    to their own Bulk 2.0 ingest jobs (identical mechanics to
+    :class:`SfIngestWriter.write`), and ``commit(batchId)`` round-robin
+    polls every job to JobComplete before the engine records the batch
+    in its offset log. Delivery contract: Spark replays an uncommitted
+    batch after restart, so ``operation='insert'`` is at-least-once;
+    ``operation='upsert'`` with ``externalIdFieldName`` is the
+    exactly-once-by-idempotence configuration (a replayed batch
+    converges to the same backend state). ``abort(batchId)`` aborts
+    this batch's not-yet-applied jobs, the same no-half-applied-work
+    guarantee as the batch path.
+
+    Partial rejects (option ``failed_results_path``): Bulk 2.0 rejects
+    rows routinely at scale, and a streaming sink that drops them
+    between micro-batches loses data silently. When the option is set,
+    ``commit`` downloads each completed job's ``/failedResults`` (only
+    jobs reporting ``numberRecordsFailed > 0``) and writes the batch's
+    rejects as ONE JSON-lines file ``rejects-batch<id>.jsonl`` under
+    the path — named by batchId so a replayed batch OVERWRITES its own
+    file (exactly-once on the side table), written atomically
+    (tmp+rename). Rejects are the bounded sliver of a load, so a
+    driver-side download is the right shape; the path should live on
+    storage the downstream reader sees (the side table reads back with
+    ``spark.read.json``, schema = ``connector.ingest.FAILED_RESULTS
+    _SCHEMA`` plus ``batch_id``).
     """
 
     def __init__(self, schema: StructType, options: dict[str, str]):
@@ -550,12 +567,50 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
         # validation; only the commit/abort signatures differ
         # (streaming adds batchId)
         self._writer = SfIngestWriter(schema, options)
+        self.failed_results_path = options.get("failed_results_path")
 
     def write(self, iterator: Iterator) -> SfIngestCommit:
         return self._writer.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        self._writer.commit(messages)
+        ids = [jid for msg in messages if msg for jid in msg.job_ids]
+        if not ids:
+            return
+        opts = self._writer.options
+        client = _client_from_options(opts)
+        interval = float(opts.get("poll_interval", "0.2"))
+        done = client.wait_for_ingest_jobs(ids, poll_interval=interval)
+        if not self.failed_results_path:
+            return
+        from sf_etl_spark.connector.ingest import _parse_failed_csv
+
+        rejects: list[dict[str, Any]] = []
+        for jid, job in done.items():
+            if not job.number_records_failed:
+                continue
+            for job_id, sf_id, sf_error, fields in _parse_failed_csv(
+                jid, client.get_ingest_failed_results(jid)
+            ):
+                rejects.append(
+                    {
+                        "batch_id": batchId,
+                        "job_id": job_id,
+                        "sf_id": sf_id,
+                        "sf_error": sf_error,
+                        "fields": fields,
+                    }
+                )
+        if not rejects:
+            return
+        os.makedirs(self.failed_results_path, exist_ok=True)
+        path = os.path.join(
+            self.failed_results_path, f"rejects-batch{batchId:09d}.jsonl"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for rec in rejects:
+                f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, path)
 
     def abort(self, messages, batchId: int) -> None:
         self._writer.abort(messages)

@@ -401,3 +401,115 @@ def stream_sink_sfetl_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Failed-rows leg for the STREAMING sink (r11 verdict task 3): the
+# batch writer surfaces rejects via failed_results_df, but a stream
+# that hits partial rejects between micro-batches would lose them
+# silently. With ``failed_results_path`` set, the native sink's
+# commit(batchId) downloads each job's /failedResults and appends the
+# batch's rejects to a JSON-lines side table (file named by batchId —
+# a replayed batch overwrites its own rejects, exactly-once on the
+# side table). The lane poisons every 7th event key (NULL external id
+# → the backend rejects exactly those rows), streams the rest through
+# the upsert sink, and the side table must surface EXACTLY the
+# poisoned keys — the DuckDB oracle recomputes them from the source.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sink_sfetl_failed_rows",
+    f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id
+    FROM events
+    WHERE user_id < {_NATIVE_SINK_USER_CAP} AND event_id % 7 = 0
+    ORDER BY event_id
+    """,
+    doc="native stream upsert with poisoned keys -> per-batch /failedResults capture -> side table = exactly the poisoned keys",
+    executes_on_construct=True,
+)
+def stream_sink_sfetl_failed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector import read_object
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+    from sf_etl_spark.streaming import events_stream
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "ExtKey", "type": "string", "length": 24},
+        {"name": "EKey", "type": "long"},
+        {"name": "Cents", "type": "long"},
+    ]
+    server = MockSalesforce(object_name="Event", fields=fields, rows=[])
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "Event",
+            "poll_interval": "0.02",  # mock completes instantly
+        }
+        register_sfetl(spark)
+        src = _stage(spark, sf_dir)
+        side = tempfile.mkdtemp(prefix="sfetl_rejects_")
+        out = (
+            events_stream(
+                spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER
+            )
+            .filter(F.col("user_id") < _NATIVE_SINK_USER_CAP)
+            .select(
+                # every 7th key NULL -> empty external id on the wire
+                # -> rejected; EKey always rides along so the reject
+                # payload identifies the poisoned business key
+                F.when(
+                    F.col("event_id") % 7 != 0,
+                    F.col("event_id").cast("string"),
+                ).alias("ExtKey"),
+                F.col("event_id").alias("EKey"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("Cents"),
+            )
+            .repartition(2)  # 2 ingest jobs per micro-batch
+        )
+        q = (
+            out.writeStream.format("sfetl")
+            .options(
+                **opts,
+                operation="upsert",
+                externalIdFieldName="ExtKey",
+                failed_results_path=side,
+            )
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_files = len(
+            [f for f in os.listdir(side) if f.endswith(".jsonl")]
+        )
+        if n_files < 2:
+            raise ValueError(
+                f"expected per-batch reject files across >= 2 micro-batches, "
+                f"got {n_files}"
+            )
+        rejects = spark.read.schema(
+            "batch_id long, job_id string, sf_id string, "
+            "sf_error string, fields map<string,string>"
+        ).json(side)
+        # belt-and-braces: the healthy keys really landed on the backend
+        n_ok = read_object(
+            spark, {**opts, "chunk_size": "5000"}, "Event", coerce=False
+        ).count()
+        back = rejects.localCheckpoint(eager=True)
+        if back.count() + n_ok == 0:
+            raise ValueError("neither rejects nor applied rows — sink no-op")
+    finally:
+        server.stop()
+    return (
+        back.select(F.col("fields")["EKey"].cast("bigint").alias("event_id"))
+        .orderBy("event_id")
+    )

@@ -1113,3 +1113,68 @@ def test_sforce_call_options_header_sent(mock_sf):
     finally:
         server.route = orig_route
     assert any(v == "client=sf_etl_spark" for v in seen.values())
+
+
+def test_native_stream_writer_captures_failed_rows(spark, tmp_path):
+    """failed_results_path: each micro-batch's rejects land as a
+    batchId-named JSONL file (replay-idempotent), containing exactly
+    the poisoned rows."""
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "K", "type": "string", "length": 8},
+        {"name": "Tag", "type": "string", "length": 8},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        src = tmp_path / "src"
+        src.mkdir()
+        import os, shutil, time as _t
+
+        batches = [[("k1", "a"), (None, "poison1")], [("k2", "b"), (None, "poison2")]]
+        for i, rows in enumerate(batches):
+            d = src / f"tmp{i}"
+            spark.createDataFrame(rows, "K string, Tag string").coalesce(1).write.parquet(str(d))
+            f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+            dst = str(src / f"chunk_{i}.parquet")
+            os.replace(str(d / f), dst)
+            os.utime(dst, (_t.time() + i, _t.time() + i))
+            shutil.rmtree(str(d))
+        side = tmp_path / "rejects"
+        stream = (
+            spark.readStream.schema("K string, Tag string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("sfetl")
+            .options(
+                **sf_options(url),
+                object="Thing",
+                operation="upsert",
+                externalIdFieldName="K",
+                failed_results_path=str(side),
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        files = sorted(os.listdir(side))
+        assert len(files) == 2 and all(f.startswith("rejects-batch") for f in files)
+        rej = spark.read.schema(
+            "batch_id long, job_id string, sf_id string, "
+            "sf_error string, fields map<string,string>"
+        ).json(str(side))
+        rows = rej.collect()
+        assert sorted(r["fields"]["Tag"] for r in rows) == ["poison1", "poison2"]
+        assert all("empty external id" in r["sf_error"] for r in rows)
+        assert sorted({r["batch_id"] for r in rows}) == [0, 1]
+        # healthy rows landed
+        assert sorted(r["K"] for r in server.rows) == ["k1", "k2"]
+    finally:
+        server.stop()
