@@ -35,6 +35,14 @@ _STAGE_CACHE: dict[tuple[str, bool], str] = {}
 # dedup fixture): still a real cross-batch state merge, half the
 # per-batch planning/state-store overhead of 1 file/trigger.
 _REPLAY_FILES_PER_TRIGGER = 2
+# For lanes whose semantics don't depend on replay order across files
+# (complete-mode tumbling agg, monotone stateful counts) the whole
+# staged source can land in one trigger — r11 verdict task 5; the A/B
+# at sf0.1 measured tumbling 1.04→0.68 s and stateful 2.62→1.44 s
+# with identical results. Dedup/join lanes KEEP the multi-batch
+# replay: their watermark/exactly-once semantics are what the
+# multi-batch schedule exists to exercise.
+_REPLAY_FILES_PER_TRIGGER_ORDER_FREE = 4
 
 
 def _stage(spark: SparkSession, sf_dir: str, duplicate: bool = False) -> str:
@@ -70,7 +78,7 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(spark, sf_dir)
     name, _ = run_to_memory_table(
-        stream_tumbling_agg(events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER)),
+        stream_tumbling_agg(events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER_ORDER_FREE)),
         output_mode="complete",
         shuffle_partitions=8,  # fixture state is (type, hour)-bounded
     )
@@ -155,7 +163,7 @@ def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage(spark, sf_dir)
     name, _ = run_to_memory_table(
-        stream_stateful_user_counts(events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER)),
+        stream_stateful_user_counts(events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER_ORDER_FREE)),
         output_mode="update",
         shuffle_partitions=8,  # per-user count state, fixture users
     )
