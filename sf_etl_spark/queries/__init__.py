@@ -96,27 +96,68 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 _PRIORITY_ORDER = [
-    # --- round-11 rotation (the r10 verdict's task 1): the ~50-row
-    # driver window goes to (1) the 11 lanes NEW or plan-reworked
-    # this round — `stream_sink_sfetl_upsert` (NEW: foreachBatch Bulk
-    # 2.0 upsert, exactly-once under injected batch retry), the two
-    # ANN eval lanes moved onto salted two-phase top-k
-    # (`ann_matryoshka_recall`, `ann_recall_metrics`), the
-    # `topk_per_group` refactor onto the shared operator, the
-    # key-capped `dedup_embedding_cosine`, `decile_lift_table`'s
-    # data-derived null sentinel, the upsert-capable sfetl ingest
-    # writer (`sink_sfetl_ingest_roundtrip`), and the four `stream_*`
-    # replays on the retuned harness (shared staging, 2 files per
-    # trigger); (2) ALL 24 lanes whose newest driver evidence is r6 —
-    # the stalest block (verdict: "rotation item for r11"); (3) the
-    # first 15 of the r7-fresh block. 11+24+15 = 50.
-    # Below the boundary: the rest of the r7 block, then r8-fresh,
-    # then r9-fresh, then the r10 window block (freshest evidence,
-    # rotates last). ---
-    "stream_sink_sfetl_upsert",
-    "stream_sink_sfetl_native",
-    "sink_sfetl_failed_results",
+    # --- round-12 rotation (r11 verdict task 2): the ~50-row
+    # driver window = (1) the 8 lanes NEW or behavior-changed this
+    # round — the new stream_sink_sfetl_failed_rows reject-capture
+    # lane, the five sfetl lanes restaged on real Bulk 2.0 insert/
+    # upsert/delete semantics atop the chunked size-governed writer
+    # with its round-robin commit poll, and the two single-trigger
+    # replay lanes; (2) ALL 32 lanes whose newest driver evidence
+    # is r7 — the stalest block (verdict: 'the r12 rotation item');
+    # (3) the first 10 of the r8-fresh block. 8+32+10 = 50.
+    # Below the boundary: the rest of the r8 block, then r9/r10/r11
+    # blocks in prior order (freshest evidence rotates last). ---
+    "stream_sink_sfetl_failed_rows",
+    "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
+    "sink_sfetl_failed_results",
+    "stream_sink_sfetl_native",
+    "stream_sink_sfetl_upsert",
+    "stream_tumbling_1h",
+    "stream_stateful_user_agg",
+    "ab_test_lift",
+    "ann_ivf_topk",
+    "ann_srp_lsh_pairs",
+    "attribution_channels",
+    "bucketed_join_colocated",
+    "clean_text_normalize",
+    "corpus_prep_pipeline",
+    "decontaminate_ngram_overlap",
+    "dedup_cluster_bigstar",
+    "dedup_cluster_components",
+    "dedup_embedding_pipeline",
+    "dedup_exact_substring",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "domain_mix_rebalance",
+    "dq_validation_report",
+    "embedding_quantize_int8",
+    "gap_islands_activity",
+    "geo_nearest_hub",
+    "grouping_sets_flags",
+    "mode_per_group",
+    "null_semantics",
+    "q6_forecast_revenue",
+    "regression_by_group",
+    "repetition_metrics",
+    "snapshot_diff_cdc",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "split_train_test",
+    "unpivot_metrics",
+    "vocab_top_terms",
+    "ann_ivf_kmeans_topk",
+    "asof_pandas_merge",
+    "asof_purchase_click",
+    "benford_first_digit",
+    "boolean_search_and",
+    "chi_square_independence",
+    "chunk_documents",
+    "dq_observe_inflight",
+    "event_pattern_regex",
+    "events_hourly_ffill",
+    # --- below the r12 driver window ---
     "source_sfetl_stream_incremental",
     "triangle_count",
     "ann_matryoshka_recall",
@@ -124,10 +165,7 @@ _PRIORITY_ORDER = [
     "topk_per_group",
     "dedup_embedding_cosine",
     "decile_lift_table",
-    "sink_sfetl_ingest_roundtrip",
-    "stream_tumbling_1h",
     "stream_dedup_exactly_once",
-    "stream_stateful_user_agg",
     "stream_stream_join_attribution",
     "bfs_shortest_paths",
     "cusum_drift_detection",
@@ -163,63 +201,23 @@ _PRIORITY_ORDER = [
     "forecast_feature_matrix",
     "group_median_twophase",
     "window_sliding_distinct",
-    "attribution_channels",
-    "q6_forecast_revenue",
-    "grouping_sets_flags",
-    "vocab_top_terms",
-    "unpivot_metrics",
-    "null_semantics",
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "dq_validation_report",
-    "source_schema_evolution",
-    "bucketed_join_colocated",
-    "dedup_cluster_components",
-    "dedup_cluster_bigstar",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    "decontaminate_ngram_overlap",
-    "domain_mix_rebalance",
-    "corpus_prep_pipeline",
-    "split_train_test",
-    "clean_text_normalize",
-    "repetition_metrics",
-    "ann_ivf_topk",
-    "ann_srp_lsh_pairs",
-    "dedup_embedding_pipeline",
-    "embedding_quantize_int8",
-    "snapshot_diff_cdc",
-    "gap_islands_activity",
-    "mode_per_group",
-    "regression_by_group",
-    "geo_nearest_hub",
-    "ab_test_lift",
-    "boolean_search_and",
     "weighted_sample_priority",
-    "benford_first_digit",
-    "chi_square_independence",
     "group_p90_twophase",
     "source_jdbc_roundtrip",
-    "event_pattern_regex",
     "ratio_to_parent_share",
     "multimodal_features",
-    "ann_ivf_kmeans_topk",
     "stratified_sample_exact",
     "sample_per_label_cap",
     "pack_token_shards",
-    "events_hourly_ffill",
     "funnel_conversion",
     "soql_child_traversal",
     "redact_pii",
-    "chunk_documents",
     "quality_percentile_filter",
     "sink_merge_cdc",
     "tfidf_top_terms",
     "histogram_totalprice",
     "zorder_roundtrip",
     "rollup_incremental_maintenance",
-    "dq_observe_inflight",
     "scd2_dimension_history",
     "soql_orders_rollup",
     "soql_documents_filter",
@@ -235,9 +233,7 @@ _PRIORITY_ORDER = [
     "window_tumbling",
     "window_sliding",
     "window_session",
-    "asof_purchase_click",
     "range_join_followups",
-    "asof_pandas_merge",
     "sink_roundtrip_partitioned",
     "source_csv_roundtrip",
     "q1_pricing_summary",
