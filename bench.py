@@ -352,7 +352,8 @@ def main() -> None:
     # COMPLETE map for every run, appended per invocation, so any
     # per-lane drift is mechanically diffable across rounds.
     try:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(repo, "BENCH_LOCAL.json")
         history = []
         if os.path.exists(path):
             try:
@@ -368,6 +369,28 @@ def main() -> None:
                 **result,
             }
         )
+        # Rolling inline window (r11 verdict task 7): entries beyond
+        # the newest KEEP spill into BENCH_LOCAL_ARCHIVE.json — the
+        # full per-lane maps were dominating repo diffs (2,275 lines
+        # of bench JSON across two r11 commits). tools/bench_history.
+        # load_history() reads archive+inline as one list, so
+        # bench_diff indices and noted-entry lookups are unchanged.
+        KEEP = 12
+        if len(history) > KEEP:
+            apath = os.path.join(repo, "BENCH_LOCAL_ARCHIVE.json")
+            archive = []
+            if os.path.exists(apath):
+                try:
+                    with open(apath) as f:
+                        archive = json.load(f)
+                except ValueError:
+                    archive = []
+            archive.extend(history[:-KEEP])
+            history = history[-KEEP:]
+            atmp = apath + ".tmp"
+            with open(atmp, "w") as f:
+                json.dump(archive, f, indent=1)
+            os.replace(atmp, apath)
         # write-to-tmp + atomic rename: an interrupted run must never
         # leave a truncated file that poisons every later invocation
         tmp = path + ".tmp"

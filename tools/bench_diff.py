@@ -11,8 +11,12 @@ threshold, for both the headline (best-of-N) and oneshot maps.
 """
 
 import argparse
-import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_history import load_history  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -22,7 +26,8 @@ def main() -> None:
     ap.add_argument("indices", nargs="*", type=int)
     ap.add_argument("--threshold", type=float, default=0.15)
     ns = ap.parse_args()
-    hist = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
+    # archive + inline as one list: indices stable across the split
+    hist = load_history(REPO)
     if len(ns.indices) == 2:
         old, new = hist[ns.indices[0]], hist[ns.indices[1]]
     else:
