@@ -79,6 +79,9 @@ def _client_from_options(options: dict[str, str]) -> SfClient:
         client_secret=options["client_secret"],
         login_url=options["login_url"],
         api_version=options.get("api_version", "v49.0"),
+        # rides every request as Sforce-Call-Options so org admins can
+        # attribute the load's API usage to this integration
+        call_options=options.get("call_options"),
     )
     client.login(options["username"], options["password"])
     return client

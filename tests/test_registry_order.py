@@ -13,66 +13,66 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 11 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r10 verdict's task 1):
-# (1) the 11 lanes NEW or plan-reworked this round (stream->sfetl
-# upsert sink, the salted-top-k ANN eval lanes, the capped cosine
-# ground truth, the data-derived decile sentinel, the upsert-capable
-# ingest writer, the retuned stream_* replays); (2) all 24 lanes
-# whose newest driver evidence is r6 — the stalest block; (3) the
-# first 15 r7-fresh rows. Everything re-proven in r8/r9/r10 rotates
-# behind the boundary.
+# (round 12 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r11 verdict's task 2):
+# (1) the 8 lanes NEW or behavior-changed this round (the streaming
+# reject-capture lane, the sfetl lanes restaged on real Bulk 2.0
+# semantics atop the chunked size-governed writer with round-robin
+# commit polling, the single-trigger replays); (2) all 32 lanes whose
+# newest driver evidence is r7 — the stalest block; (3) the first 10
+# r8-fresh rows. Everything re-proven in r9/r10/r11 rotates behind
+# the boundary.
 MUST_BE_IN_WINDOW = [
-    "stream_sink_sfetl_upsert",
-    "stream_sink_sfetl_native",
-    "sink_sfetl_failed_results",
-    "sink_sfetl_delete_roundtrip",
-    "source_sfetl_stream_incremental",
-    "triangle_count",
-    "ann_matryoshka_recall",
-    "ann_recall_metrics",
-    "topk_per_group",
-    "dedup_embedding_cosine",
-    "decile_lift_table",
+    "stream_sink_sfetl_failed_rows",
     "sink_sfetl_ingest_roundtrip",
+    "sink_sfetl_delete_roundtrip",
+    "sink_sfetl_failed_results",
+    "stream_sink_sfetl_native",
+    "stream_sink_sfetl_upsert",
     "stream_tumbling_1h",
-    "stream_dedup_exactly_once",
     "stream_stateful_user_agg",
-    "stream_stream_join_attribution",
-    "bfs_shortest_paths",
-    "cusum_drift_detection",
-    "exact_median_histogram",
-    "fuzzy_name_match",
-    "ivm_join_deltas",
-    "keyword_textrank",
-    "kmv_set_overlap",
-    "linkage_survivorship",
-    "multimodal_decode_stats",
-    "pareto_frontier_parts",
-    "phrase_search_positional",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_or_of_ands",
-    "q21_waiting_suppliers",
-    "q22_dormant_balance",
-    "rolling_median_7d",
-    "time_weighted_average",
-    "zone_map_pruned_scan",
-    "countmin_point_estimates",
-    "seasonal_anomaly_slots",
-    "asof_nearest_click",
-    "funnel_time_to_convert",
-    "multimodal_resize_stats",
-    "agms_join_size",
-    "target_encoding_smoothed",
-    "forecast_feature_matrix",
-    "group_median_twophase",
-    "window_sliding_distinct",
+    "ab_test_lift",
+    "ann_ivf_topk",
+    "ann_srp_lsh_pairs",
+    "attribution_channels",
+    "bucketed_join_colocated",
+    "clean_text_normalize",
+    "corpus_prep_pipeline",
+    "decontaminate_ngram_overlap",
+    "dedup_cluster_bigstar",
+    "dedup_cluster_components",
+    "dedup_embedding_pipeline",
+    "dedup_exact_substring",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "domain_mix_rebalance",
+    "dq_validation_report",
+    "embedding_quantize_int8",
+    "gap_islands_activity",
+    "geo_nearest_hub",
+    "grouping_sets_flags",
+    "mode_per_group",
+    "null_semantics",
+    "q6_forecast_revenue",
+    "regression_by_group",
+    "repetition_metrics",
+    "snapshot_diff_cdc",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "split_train_test",
+    "unpivot_metrics",
+    "vocab_top_terms",
+    "ann_ivf_kmeans_topk",
+    "asof_pandas_merge",
+    "asof_purchase_click",
+    "benford_first_digit",
+    "boolean_search_and",
+    "chi_square_independence",
+    "chunk_documents",
+    "dq_observe_inflight",
+    "event_pattern_regex",
+    "events_hourly_ffill",
 ]
 
 
