@@ -38,6 +38,7 @@ import io
 import json
 import os
 import re
+import threading
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 from typing import Any
@@ -69,11 +70,42 @@ from sf_etl_spark.connector.errors import ClientBuilderError
 FORMAT_NAME = "sfetl"
 
 
+# Process-local authenticated-client cache. Every partition task used
+# to run its own password grant: at cluster scale that is one OAuth
+# round trip per task — thousands of logins per job against an
+# endpoint real orgs rate-limit HARD (and slow-roll under suspicion of
+# credential stuffing). Executor worker processes are reused across
+# tasks, so caching per (endpoint, app, user, password, ...) amortizes
+# one login per worker instead of one per task. Session expiry is
+# already handled INSIDE the client (401 → replay with stored creds),
+# so a long-lived cached client stays valid; a rotated password keys a
+# new entry. Never pickled — each worker warms its own cache.
+_CLIENT_CACHE: dict[tuple, SfClient] = {}
+_CLIENT_CACHE_LOCK = threading.Lock()
+_CLIENT_CACHE_MAX = 32  # mock/test endpoints churn ports; stay bounded
+
+
 def _client_from_options(options: dict[str, str]) -> SfClient:
     required = ("login_url", "client_id", "client_secret", "username", "password")
     missing = [k for k in required if not options.get(k)]
     if missing:
         raise ClientBuilderError(f"missing connector options: {missing}")
+    key = tuple(
+        options.get(k)
+        for k in (
+            "login_url",
+            "client_id",
+            "client_secret",
+            "username",
+            "password",
+            "api_version",
+            "call_options",
+        )
+    )
+    with _CLIENT_CACHE_LOCK:
+        cached = _CLIENT_CACHE.get(key)
+    if cached is not None:
+        return cached
     client = SfClient(
         client_id=options["client_id"],
         client_secret=options["client_secret"],
@@ -84,6 +116,10 @@ def _client_from_options(options: dict[str, str]) -> SfClient:
         call_options=options.get("call_options"),
     )
     client.login(options["username"], options["password"])
+    with _CLIENT_CACHE_LOCK:
+        if len(_CLIENT_CACHE) >= _CLIENT_CACHE_MAX:
+            _CLIENT_CACHE.clear()
+        _CLIENT_CACHE[key] = client
     return client
 
 

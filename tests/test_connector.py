@@ -1178,3 +1178,26 @@ def test_native_stream_writer_captures_failed_rows(spark, tmp_path):
         assert sorted(r["K"] for r in server.rows) == ["k1", "k2"]
     finally:
         server.stop()
+
+
+def test_client_cache_amortizes_logins_per_process():
+    """Repeated _client_from_options calls with identical options must
+    reuse one authenticated client (one password grant per worker
+    process, not per task); changed credentials key a NEW entry."""
+    from sf_etl_spark.connector.datasource import _client_from_options
+
+    server = MockSalesforce(object_name="Case", rows=[])
+    url = server.start()
+    try:
+        opts = {**sf_options(url), "object": "Case"}
+        c1 = _client_from_options(opts)
+        c2 = _client_from_options(dict(opts))  # fresh dict, same values
+        assert c1 is c2
+        assert server.logins == 1
+        # a rotated password must NOT reuse the old session
+        server.valid_token = "ROT"
+        c3 = _client_from_options({**opts, "password": "pw2"})
+        assert c3 is not c1
+        assert server.logins == 2
+    finally:
+        server.stop()
