@@ -1201,3 +1201,48 @@ def test_client_cache_amortizes_logins_per_process():
         assert server.logins == 2
     finally:
         server.stop()
+
+
+def test_chunked_write_rejects_span_chunks(spark):
+    """Chunking x partial failure: poisoned rows scattered across a
+    partition that splits into several jobs must ALL surface in the
+    failed-results sweep (each chunk-job reports its own rejects)."""
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.ingest import failed_results_df
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "Ext__c", "type": "string", "length": 20},
+        {"name": "Val", "type": "string", "length": 40},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[], page_size=500)
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        # every 10th key poisoned (empty external id), single partition,
+        # tiny job budget -> poisoned rows land in DIFFERENT chunk jobs
+        data = [
+            (None if i % 10 == 0 else f"K{i:04d}", f"payload-{i:06d}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(data, ["Ext__c", "Val"]).coalesce(1)
+        opts = {**sf_options(url), "object": "Thing"}
+        (
+            df.write.format("sfetl")
+            .options(
+                **opts,
+                operation="upsert",
+                externalIdFieldName="Ext__c",
+                target_job_mb=str(2048 / (1024 * 1024)),
+            )
+            .mode("append")
+            .save()
+        )
+        n_jobs = sum(1 for j in server.jobs.values() if j.get("kind") == "ingest")
+        assert n_jobs >= 2
+        failed = failed_results_df(spark, opts).collect()
+        assert len(failed) == 20  # every poisoned row surfaced
+        assert len({r["job_id"] for r in failed}) >= 2  # from >= 2 chunk jobs
+        assert len(server.rows) == 180
+    finally:
+        server.stop()
