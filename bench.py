@@ -385,7 +385,14 @@ def main() -> None:
                         archive = json.load(f)
                 except ValueError:
                     archive = []
-            archive.extend(history[:-KEEP])
+            # crash-safety across the two files: the archive is
+            # replaced BEFORE the inline file, so a crash in between
+            # re-spills the same entries next run — dedupe by
+            # recorded_at (second resolution; runs take minutes)
+            seen = {e.get("recorded_at") for e in archive}
+            archive.extend(
+                e for e in history[:-KEEP] if e.get("recorded_at") not in seen
+            )
             history = history[-KEEP:]
             atmp = apath + ".tmp"
             with open(atmp, "w") as f:

@@ -22,6 +22,7 @@ implies but never implements (``errors.rs:3-27``).
 from __future__ import annotations
 
 import json
+import math
 import time
 import urllib.error
 import urllib.parse
@@ -258,7 +259,14 @@ class SfClient:
                     ra = e.headers.get("Retry-After") if e.headers else None
                     if ra:
                         try:
-                            retry_after = min(float(ra), _RETRY_AFTER_CAP)
+                            val = float(ra)
+                            # guard NaN/inf: they'd flow through min/max
+                            # into time.sleep and crash the task
+                            retry_after = (
+                                min(val, _RETRY_AFTER_CAP)
+                                if math.isfinite(val)
+                                else None
+                            )
                         except ValueError:
                             retry_after = None  # HTTP-date form: use backoff
                 else:
@@ -473,11 +481,17 @@ class SfClient:
     ) -> BulkJob:
         return self._wait(self.get_ingest_job_status, job_id, poll_interval, timeout)
 
+    #: pending-set size above which a status sweep goes through the
+    #: paginated job-LIST endpoint (N statuses per page request)
+    #: instead of one GET per job — per-job polling of a thousand-job
+    #: fan-out would itself burn the org's request bucket every sweep
+    _SWEEP_VIA_LIST_THRESHOLD = 8
+
     def wait_for_ingest_jobs(
         self,
         job_ids: Sequence[str],
         poll_interval: float = 0.2,
-        timeout: float = 300.0,
+        timeout: float = 3600.0,
     ) -> dict[str, BulkJob]:
         """Round-robin poll of MANY ingest jobs to a terminal state.
 
@@ -485,16 +499,23 @@ class SfClient:
         job, so the wall-clock of an N-job commit barrier is bounded by
         the SLOWEST job (plus one sweep), not N × poll_interval — the
         difference between seconds and hours when a load fans out
-        thousands of size-bounded jobs. Raises on the first Failed job;
-        the shared ``timeout`` deadline covers the whole set.
+        thousands of size-bounded jobs. Large pending sets sweep via the
+        paginated list endpoint (one request per page, not per job);
+        stragglers the list misses fall back to per-id GETs. Raises on
+        the first Failed job; the shared ``timeout`` deadline covers the
+        whole SET (default 1 h — it bounds total commit wait, not one
+        job, so it must absorb org-side queueing of the entire load).
         """
         pending = list(dict.fromkeys(j for j in job_ids if j))
         done: dict[str, BulkJob] = {}
         deadline = time.monotonic() + timeout
         while pending:
+            listed: dict[str, BulkJob] = {}
+            if len(pending) > self._SWEEP_VIA_LIST_THRESHOLD:
+                listed = {j.id: j for j in self.list_ingest_jobs()}
             still_pending: list[str] = []
             for jid in pending:
-                job = self.get_ingest_job_status(jid)
+                job = listed.get(jid) or self.get_ingest_job_status(jid)
                 if job.state == JobState.FAILED:
                     raise JobFailedError(
                         f"bulk job {jid} failed: {job.raw.get('errorMessage')}"

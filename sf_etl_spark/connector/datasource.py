@@ -118,7 +118,10 @@ def _client_from_options(options: dict[str, str]) -> SfClient:
     client.login(options["username"], options["password"])
     with _CLIENT_CACHE_LOCK:
         if len(_CLIENT_CACHE) >= _CLIENT_CACHE_MAX:
-            _CLIENT_CACHE.clear()
+            # evict the OLDEST single entry (insertion-ordered dict) —
+            # clearing everything would force a re-login storm for
+            # every live option-set, the burst the cache exists to stop
+            _CLIENT_CACHE.pop(next(iter(_CLIENT_CACHE)))
         _CLIENT_CACHE[key] = client
     return client
 
@@ -551,13 +554,21 @@ class SfIngestWriter(DataSourceWriter):
             raise
         return SfIngestCommit(job_ids=tuple(job_ids), n_rows=total)
 
-    def commit(self, messages) -> None:
+    def commit(self, messages) -> dict:
+        """Poll every job of the write to a terminal state (round-robin
+        sweep). Returns {job_id: BulkJob} of the completed jobs so the
+        streaming twin can chain reject capture. ``commit_timeout``
+        (seconds, default 3600) bounds the WHOLE barrier — it must
+        absorb org-side queueing of the entire load, not one job."""
         ids = [jid for msg in messages if msg for jid in msg.job_ids]
         if not ids:
-            return
+            return {}
         client = _client_from_options(self.options)
         interval = float(self.options.get("poll_interval", "0.2"))
-        client.wait_for_ingest_jobs(ids, poll_interval=interval)
+        deadline = float(self.options.get("commit_timeout", "3600"))
+        return client.wait_for_ingest_jobs(
+            ids, poll_interval=interval, timeout=deadline
+        )
 
     def abort(self, messages) -> None:
         client = _client_from_options(self.options)
@@ -612,17 +623,12 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
         return self._writer.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        ids = [jid for msg in messages if msg for jid in msg.job_ids]
-        if not ids:
-            return
-        opts = self._writer.options
-        client = _client_from_options(opts)
-        interval = float(opts.get("poll_interval", "0.2"))
-        done = client.wait_for_ingest_jobs(ids, poll_interval=interval)
+        done = self._writer.commit(messages)
         if not self.failed_results_path:
             return
         from sf_etl_spark.connector.ingest import _parse_failed_csv
 
+        client = _client_from_options(self._writer.options)
         rejects: list[dict[str, Any]] = []
         for jid, job in done.items():
             if not job.number_records_failed:
@@ -639,12 +645,19 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
                         "fields": fields,
                     }
                 )
-        if not rejects:
-            return
         os.makedirs(self.failed_results_path, exist_ok=True)
         path = os.path.join(
             self.failed_results_path, f"rejects-batch{batchId:09d}.jsonl"
         )
+        if not rejects:
+            # a REPLAYED batch that now fully applies must also erase
+            # its prior attempt's rejects — leaving the stale file
+            # would over-report rows that actually landed
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            return
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             for rec in rejects:

@@ -328,13 +328,30 @@ class MockSalesforce:
 
         if method == "GET" and path == f"{API}/jobs/ingest":
             # job-list endpoint (GET /jobs/ingest) — paginated like the
-            # real API: done/nextRecordsUrl, job_page_size per page
+            # real API: done/nextRecordsUrl, job_page_size per page.
+            # Listing is a status read: in-flight jobs advance through
+            # the same poll counter as the per-id GET (the real backend
+            # reports live state either way; the client's large-set
+            # commit sweep reads state from here)
             offset = int(qs.get("queryLocator", ["0"])[0] or 0)
             with self.lock:
                 ids = [
                     jid for jid, j in self.jobs.items() if j.get("kind") == "ingest"
                 ]
                 page = ids[offset : offset + self.job_page_size]
+                for jid in page:
+                    job = self.jobs[jid]
+                    if job["state"] in ("UploadComplete", "InProgress"):
+                        job["polls"] += 1
+                        if job["polls"] > self.fail_first_polls:
+                            self._apply_ingest(job)
+                            job["state"] = (
+                                "Failed"
+                                if job.get("error_message")
+                                else "JobComplete"
+                            )
+                        else:
+                            job["state"] = "InProgress"
                 records = [self.ingest_job_json(jid) for jid in page]
             nxt = offset + self.job_page_size
             payload = {"done": nxt >= len(ids), "records": records}

@@ -925,12 +925,13 @@ def test_commit_poll_raises_on_failed_job(monkeypatch):
         c.wait_for_ingest_jobs(["ok", "bad"], poll_interval=0.01)
 
 
-def test_spark_write_commit_wall_time_bounded_by_slowest(spark):
-    """End-to-end: 4 jobs each needing 2 extra polls at a 0.3s
-    interval. Serial polling sleeps >= 8x0.3 = 2.4s; the round-robin
-    sweep sleeps ~2x0.3. Assert the commit finished well under the
-    serial floor."""
-    import time as _t
+def test_spark_write_commit_polls_round_robin_not_serially(spark):
+    """End-to-end proof the commit barrier SWEEPS: the per-id status
+    GETs must interleave across all pending jobs (j1,j2,j3,j4,
+    j1,j2,...), never poll one job to completion before touching the
+    next (j1,j1,j1,j2,...). Request-order assertion — wall-clock-free,
+    so the documented host contention bursts can't flake it."""
+    import re as _re
 
     from sf_etl_spark.connector.datasource import register as register_sfetl
 
@@ -945,14 +946,17 @@ def test_spark_write_commit_wall_time_bounded_by_slowest(spark):
     try:
         register_sfetl(spark)
         df = spark.createDataFrame([(i,) for i in range(40)], ["Key"]).repartition(4)
-        opts = {**sf_options(url), "object": "Thing", "poll_interval": "0.3"}
-        t0 = _t.monotonic()
+        opts = {**sf_options(url), "object": "Thing", "poll_interval": "0.05"}
         df.write.format("sfetl").options(**opts).mode("append").save()
-        elapsed = _t.monotonic() - t0
         n_jobs = sum(1 for j in server.jobs.values() if j.get("kind") == "ingest")
         assert n_jobs == 4
-        # generous ceiling (host noise) but strictly below the 2.4s serial floor
-        assert elapsed < 2.2, f"commit barrier took {elapsed:.2f}s — serial polling?"
+        status_gets = [
+            m.group(1)
+            for r in server.requests_seen
+            if (m := _re.fullmatch(r"GET .*/jobs/ingest/(\w+)", r))
+        ]
+        # first sweep touches every job exactly once before any repeat
+        assert len(set(status_gets[:n_jobs])) == n_jobs, status_gets[:8]
     finally:
         server.stop()
 

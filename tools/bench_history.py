@@ -16,10 +16,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_history(repo: str = REPO) -> list:
-    out = []
+    out, seen = [], set()
     for name in ("BENCH_LOCAL_ARCHIVE.json", "BENCH_LOCAL.json"):
         path = os.path.join(repo, name)
         if os.path.exists(path):
             with open(path) as f:
-                out.extend(json.load(f))
+                for e in json.load(f):
+                    # repair layer for a crash between the two spill
+                    # writes: an entry archived AND still inline must
+                    # count once (recorded_at is second-resolution and
+                    # bench runs take minutes — unique per entry)
+                    key = e.get("recorded_at")
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    out.append(e)
     return out
