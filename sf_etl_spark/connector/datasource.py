@@ -501,6 +501,18 @@ class SfIngestWriter(DataSourceWriter):
             raise ClientBuilderError(
                 f"target_job_mb must be > 0, got {self.target_job_mb}"
             )
+        # job-count governance (real orgs cap ingest jobs per 24 h —
+        # ~100k — and each chunk IS a job): a task that would exceed
+        # this budget fails FAST with sizing guidance instead of
+        # silently spraying the org's quota. At the defaults this only
+        # binds past ~100 GB per partition — i.e. on misconfiguration
+        # (a tiny target_job_mb) or extreme skew, both of which the
+        # user should see, not absorb.
+        self.max_jobs_per_task = int(options.get("max_jobs_per_task", "1000"))
+        if self.max_jobs_per_task < 1:
+            raise ClientBuilderError(
+                f"max_jobs_per_task must be >= 1, got {self.max_jobs_per_task}"
+            )
 
     def write(self, iterator: Iterator) -> SfIngestCommit:
         client = _client_from_options(self.options)
@@ -511,6 +523,14 @@ class SfIngestWriter(DataSourceWriter):
         job_ids: list[str] = []
 
         def flush(csv_text: str) -> None:
+            if len(job_ids) >= self.max_jobs_per_task:
+                raise ClientBuilderError(
+                    f"partition would exceed max_jobs_per_task="
+                    f"{self.max_jobs_per_task} ingest jobs at target_job_mb="
+                    f"{self.target_job_mb}: raise target_job_mb, repartition "
+                    "the DataFrame, or raise max_jobs_per_task explicitly "
+                    "(each job draws from the org's daily ingest-job quota)"
+                )
             job = client.create_ingest_job(
                 self.options["object"],
                 operation=self.operation,

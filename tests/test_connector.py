@@ -1250,3 +1250,40 @@ def test_chunked_write_rejects_span_chunks(spark):
         assert len(server.rows) == 180
     finally:
         server.stop()
+
+
+def test_max_jobs_per_task_budget_fails_fast(spark):
+    """A partition whose chunking would exceed the per-task job budget
+    must fail with sizing guidance BEFORE spraying the org's daily
+    ingest-job quota — and its opened jobs must be aborted."""
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "Key", "type": "long"},
+        {"name": "Val", "type": "string", "length": 40},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        data = [(i, f"payload-{i:06d}") for i in range(300)]
+        df = spark.createDataFrame(data, ["Key", "Val"]).coalesce(1)
+        opts = {**sf_options(url), "object": "Thing"}
+        with pytest.raises(Exception, match="max_jobs_per_task"):
+            (
+                df.write.format("sfetl")
+                .options(
+                    **opts,
+                    target_job_mb=str(2048 / (1024 * 1024)),  # ~4 chunks
+                    max_jobs_per_task="2",
+                )
+                .mode("append")
+                .save()
+            )
+        # fail-fast cleanup: nothing half-applied
+        ingest = [j for j in server.jobs.values() if j.get("kind") == "ingest"]
+        assert all(j["state"] == "Aborted" for j in ingest)
+        assert len(server.rows) == 0
+    finally:
+        server.stop()
