@@ -546,6 +546,31 @@ class SfClient:
         )
         return payload.decode("utf-8")
 
+    def get_ingest_successful_results(self, job_id: str) -> str:
+        """GET ``/jobs/ingest/{id}/successfulResults`` — CSV of the rows
+        the backend APPLIED (``sf__Id,sf__Created`` + the original
+        columns). This is how a loader learns the server-assigned Ids
+        of what it just inserted — the read-back every downstream
+        keyed operation (delete, update, FK wiring) builds on."""
+        _, payload, _ = self._request(
+            "GET",
+            f"{self._base_path()}/jobs/ingest/{job_id}/successfulResults",
+            headers={"Accept": "text/csv"},
+        )
+        return payload.decode("utf-8")
+
+    def get_ingest_unprocessed_records(self, job_id: str) -> str:
+        """GET ``/jobs/ingest/{id}/unprocessedrecords`` — CSV of rows
+        the backend never attempted (job failed at the job level or
+        was aborted mid-stream): the retry set for a resumable loader,
+        distinct from ROW rejects (failedResults)."""
+        _, payload, _ = self._request(
+            "GET",
+            f"{self._base_path()}/jobs/ingest/{job_id}/unprocessedrecords",
+            headers={"Accept": "text/csv"},
+        )
+        return payload.decode("utf-8")
+
     def list_ingest_jobs(self) -> list[BulkJob]:
         """GET ``/jobs/ingest`` — enumerate ingest jobs (lets a caller
         sweep failed results without having tracked every job id).

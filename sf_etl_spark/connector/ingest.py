@@ -23,6 +23,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    BooleanType,
     MapType,
     StringType,
     StructField,
@@ -36,6 +37,17 @@ FAILED_RESULTS_SCHEMA = StructType(
         StructField("sf_error", StringType(), True),
         # original row payload as a map — jobs with different written
         # column sets coexist in one stable schema
+        StructField("fields", MapType(StringType(), StringType()), True),
+    ]
+)
+
+SUCCESSFUL_RESULTS_SCHEMA = StructType(
+    [
+        StructField("job_id", StringType(), False),
+        StructField("sf_id", StringType(), True),
+        # true = the row CREATED a record (insert / upsert-miss);
+        # false = it updated or deleted an existing one
+        StructField("created", BooleanType(), True),
         StructField("fields", MapType(StringType(), StringType()), True),
     ]
 )
@@ -99,3 +111,66 @@ def failed_results_df(
 
     rdd = spark.sparkContext.parallelize(ids, len(ids)).mapPartitions(fetch)
     return spark.createDataFrame(rdd, FAILED_RESULTS_SCHEMA)
+
+
+def _parse_successful_csv(job_id: str, text: str) -> Iterator[tuple]:
+    rows = csv.reader(io.StringIO(text))
+    header = next(rows, None) or []
+    data_cols = [c for c in header if c not in ("sf__Id", "sf__Created")]
+    idx = {c: header.index(c) for c in header}
+    for row in rows:
+        get = lambda c: row[idx[c]] if c in idx and idx[c] < len(row) else None
+        created = get("sf__Created")
+        yield (
+            job_id,
+            get("sf__Id") or None,
+            None if created is None else created.lower() == "true",
+            {c: get(c) for c in data_cols},
+        )
+
+
+def successful_results_df(
+    spark: SparkSession,
+    options: dict[str, str],
+    job_ids: Sequence[str] | None = None,
+) -> DataFrame:
+    """Applied rows of the given ingest jobs as a DataFrame —
+    ``/jobs/ingest/{id}/successfulResults`` (``sf__Id,sf__Created`` +
+    the original columns), one download task per job.
+
+    This is the read-back every keyed downstream step builds on: the
+    server-assigned Ids of what a load just created (``created=true``)
+    vs what it updated (``created=false``). Same sweep semantics as
+    :func:`failed_results_df` when ``job_ids`` is None (paginated list,
+    JobComplete + Failed, scoped to ``options['object']``).
+
+    Scale note: unlike rejects, successes are the BULK of a load —
+    at production volume pass explicit ``job_ids`` and aggregate or
+    write the result promptly rather than collecting it.
+    """
+    from sf_etl_spark.connector.client import JobState
+    from sf_etl_spark.connector.datasource import _client_from_options
+
+    if job_ids is None:
+        client = _client_from_options(options)
+        obj_name = options.get("object")
+        job_ids = [
+            j.id
+            for j in client.list_ingest_jobs()
+            if j.state in (JobState.JOB_COMPLETE, JobState.FAILED)
+            and (obj_name is None or j.object == obj_name)
+        ]
+    ids = [j for j in job_ids if j]
+    if not ids:
+        return spark.createDataFrame([], SUCCESSFUL_RESULTS_SCHEMA)
+    opts = dict(options)
+
+    def fetch(part: Iterator[str]) -> Iterator[tuple]:
+        client = _client_from_options(opts)
+        for jid in part:
+            yield from _parse_successful_csv(
+                jid, client.get_ingest_successful_results(jid)
+            )
+
+    rdd = spark.sparkContext.parallelize(ids, len(ids)).mapPartitions(fetch)
+    return spark.createDataFrame(rdd, SUCCESSFUL_RESULTS_SCHEMA)

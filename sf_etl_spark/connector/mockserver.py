@@ -285,6 +285,8 @@ class MockSalesforce:
                     "polls": 0,
                     "applied": False,
                     "failed": [],
+                    "succeeded": [],  # (sf_id, created, original row)
+                    "unprocessed": [],  # rows never attempted (job-level fail)
                     "header": [],
                 }
             return h._json(200, self.ingest_job_json(job_id))
@@ -324,6 +326,51 @@ class MockSalesforce:
                 w.writerow(["sf__Id", "sf__Error"] + job["header"])
                 for row, err in job["failed"]:
                     w.writerow(["", err] + [row.get(f, "") for f in job["header"]])
+            return h._send(200, buf.getvalue(), content_type="text/csv")
+
+        m = re.fullmatch(f"{API}/jobs/ingest/(\\w+)/successfulResults", path)
+        if method == "GET" and m:
+            with self.lock:
+                job = self.jobs.get(m.group(1))
+                if job is None or job["state"] not in ("JobComplete", "Failed"):
+                    return h._json(
+                        400,
+                        [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}],
+                    )
+                buf = io.StringIO()
+                w = csv.writer(buf, lineterminator="\n")
+                w.writerow(["sf__Id", "sf__Created"] + job["header"])
+                for sf_id, created, row in job.get("succeeded", []):
+                    w.writerow(
+                        [sf_id, "true" if created else "false"]
+                        + [row.get(f, "") for f in job["header"]]
+                    )
+            return h._send(200, buf.getvalue(), content_type="text/csv")
+
+        m = re.fullmatch(f"{API}/jobs/ingest/(\\w+)/unprocessedrecords", path)
+        if method == "GET" and m:
+            with self.lock:
+                job = self.jobs.get(m.group(1))
+                if job is None or job["state"] not in (
+                    "JobComplete",
+                    "Failed",
+                    "Aborted",
+                ):
+                    return h._json(
+                        400,
+                        [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}],
+                    )
+                if job["state"] == "Aborted" and job["csv"] and not job["unprocessed"]:
+                    # an aborted job's rows were never attempted: the
+                    # whole upload is the retry set
+                    rows = csv.reader(io.StringIO(job["csv"]))
+                    job["header"] = next(rows, None) or []
+                    job["unprocessed"] = [dict(zip(job["header"], r)) for r in rows]
+                buf = io.StringIO()
+                w = csv.writer(buf, lineterminator="\n")
+                w.writerow(job["header"])
+                for row in job.get("unprocessed", []):
+                    w.writerow([row.get(f, "") for f in job["header"]])
             return h._send(200, buf.getvalue(), content_type="text/csv")
 
         if method == "GET" and path == f"{API}/jobs/ingest":
@@ -436,6 +483,9 @@ class MockSalesforce:
             job["error_message"] = (
                 "InvalidJob : Id column not allowed on insert operation"
             )
+            # a job-level reject means NO row was attempted: the whole
+            # CSV is retrievable as unprocessed records (the retry set)
+            job["unprocessed"] = [dict(zip(header, r)) for r in rows]
             job["applied"] = True
             job["n_applied"] = 0
             return
@@ -457,6 +507,7 @@ class MockSalesforce:
                 rec = {f: ("" if v == "#N/A" else v) for f, v in rec.items()}
                 rec["Id"] = self._next_id()
                 self.rows.append(rec)
+                job["succeeded"].append((rec["Id"], True, rec))
                 n += 1
             elif op == "upsert":
                 key = rec.get(ext)
@@ -472,6 +523,7 @@ class MockSalesforce:
                         rec["Id"] = self._next_id()
                     self.rows.append(rec)
                     by_ext[key] = rec
+                    job["succeeded"].append((rec["Id"], True, rec))
                 else:
                     for f, v in rec.items():
                         if f == "Id":
@@ -480,6 +532,7 @@ class MockSalesforce:
                             continue  # empty cell = leave field as-is
                         # '#N/A' is the documented set-null sentinel
                         target[f] = "" if v == "#N/A" else v
+                    job["succeeded"].append((target["Id"], False, rec))
                 n += 1
             else:  # delete
                 rid = rec.get("Id")
@@ -488,6 +541,7 @@ class MockSalesforce:
                 if len(self.rows) == before:
                     job["failed"].append((rec, f"entity not found: {rid}"))
                 else:
+                    job["succeeded"].append((rid, False, rec))
                     n += 1
         job["applied"] = True
         job["n_applied"] = n

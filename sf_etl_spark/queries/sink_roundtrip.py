@@ -1420,6 +1420,98 @@ def sink_sfetl_failed_results(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Success-side retrieval — the other two thirds of the Bulk 2.0
+# results triple (failedResults is covered above): a first upsert
+# CREATES the whole slice (sf__Created=true, server-assigned Ids), a
+# second upsert of the LOWER half UPDATES in place (created=false),
+# and the ``/successfulResults`` sweep as a DataFrame
+# (`connector/ingest.successful_results_df`) must reproduce the
+# created/updated split per segment exactly — a loader that can't
+# tell what it created from what it touched can't wire FKs or build
+# idempotent retries. The oracle recomputes both counts from the
+# source slice.
+# ---------------------------------------------------------------------------
+@register(
+    "sink_sfetl_successful_results",
+    f"""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_created,
+           CAST(sum(CASE WHEN c_custkey <= {_SFETL_KEY_CAP // 2} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM customer
+    WHERE c_custkey <= {_SFETL_KEY_CAP}
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="upsert slice (all create) -> upsert lower half (all update) -> /successfulResults sweep -> created/updated split per segment",
+    executes_on_construct=True,
+)
+def sink_sfetl_successful_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.ingest import successful_results_df
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+
+    server = MockSalesforce(
+        object_name="Customer", fields=_SFETL_UPSERT_FIELDS, rows=[]
+    )
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "Customer",
+            "poll_interval": "0.02",  # mock completes instantly
+        }
+        base = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") <= _SFETL_KEY_CAP
+        )
+
+        def shaped(df):
+            return df.select(
+                F.format_string("%018d", F.col("c_custkey")).alias("ExtKey"),
+                F.col("c_mktsegment").alias("Segment"),
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("AcctCents"),
+            ).repartition(2)
+
+        register_sfetl(spark)
+        for frame in (
+            shaped(base),  # pass 1: every key creates
+            shaped(base.filter(F.col("c_custkey") <= _SFETL_KEY_CAP // 2)),
+        ):  # pass 2: lower half updates in place
+            (
+                frame.write.format("sfetl")
+                .options(**opts, operation="upsert", externalIdFieldName="ExtKey")
+                .mode("append")
+                .save()
+            )
+        ok = successful_results_df(spark, opts)  # sweep: no tracked ids
+        back = ok.localCheckpoint(eager=True)
+    finally:
+        server.stop()
+    return (
+        back.select(
+            F.col("fields")["Segment"].alias("segment"),
+            F.col("created"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("created"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_created"),
+            F.sum(F.when(F.col("created"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_updated"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming READ leg driver proof: ``spark.readStream.format("sfetl")``
 # run twice against the SAME checkpoint — the first availableNow pass
 # pulls the full object, then the upstream grows and the second pass

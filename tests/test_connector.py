@@ -1287,3 +1287,88 @@ def test_max_jobs_per_task_budget_fails_fast(spark):
         assert len(server.rows) == 0
     finally:
         server.stop()
+
+
+# -- successfulResults / unprocessedrecords (results-retrieval triple) ------
+
+
+def test_successful_results_created_vs_updated():
+    """successfulResults carries sf__Id,sf__Created + original cols:
+    upsert-miss rows report created=true with their server-assigned
+    Id, upsert-hit rows created=false with the existing Id."""
+    rows = [{"Id": "500P1", "Ext__c": "K1", "Val": "old"}]
+    server = MockSalesforce(object_name="Case", rows=list(rows))
+    url = server.start()
+    try:
+        c = _login(url)
+        job = c.create_ingest_job("Case", operation="upsert", external_id_field="Ext__c")
+        c.upload_ingest_batch(job.id, "Ext__c,Val\nK1,new\nK2,b\n")
+        c.close_ingest_job(job.id)
+        c.wait_for_ingest_job(job.id, poll_interval=0.01)
+        lines = c.get_ingest_successful_results(job.id).strip().split("\n")
+        assert lines[0] == "sf__Id,sf__Created,Ext__c,Val"
+        by_key = {ln.split(",")[2]: ln for ln in lines[1:]}
+        assert by_key["K1"] == "500P1,false,K1,new"  # update kept the Id
+        assert by_key["K2"].endswith(",true,K2,b")
+        assert by_key["K2"].startswith("500A")  # server-assigned Id
+    finally:
+        server.stop()
+
+
+def test_unprocessed_records_on_job_level_failure_and_abort():
+    """A job-level reject (Id on insert) or an abort never ATTEMPTS
+    rows — the whole upload is retrievable as unprocessedrecords,
+    distinct from row rejects."""
+    server = MockSalesforce(object_name="Case", rows=[])
+    url = server.start()
+    try:
+        c = _login(url)
+        bad = c.create_ingest_job("Case")
+        c.upload_ingest_batch(bad.id, "Id,Priority\nA1,Low\nA2,High\n")
+        c.close_ingest_job(bad.id)
+        with pytest.raises(Exception):
+            c.wait_for_ingest_job(bad.id, poll_interval=0.01)
+        lines = c.get_ingest_unprocessed_records(bad.id).strip().split("\n")
+        assert lines == ["Id,Priority", "A1,Low", "A2,High"]
+
+        ab = c.create_ingest_job("Case")
+        c.upload_ingest_batch(ab.id, "Priority\nMed\n")
+        c.abort_ingest_job(ab.id)
+        lines = c.get_ingest_unprocessed_records(ab.id).strip().split("\n")
+        assert lines == ["Priority", "Med"]
+    finally:
+        server.stop()
+
+
+def test_spark_successful_results_df(spark):
+    """The sweep-as-DataFrame leg for successes: one download task per
+    job, created flag typed boolean, server Ids surfaced."""
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.ingest import successful_results_df
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "Ext__c", "type": "string", "length": 20},
+        {"name": "Val", "type": "string", "length": 20},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        opts = {**sf_options(url), "object": "Thing"}
+        df = spark.createDataFrame([("K1", "a"), ("K2", "b")], ["Ext__c", "Val"])
+        w = (
+            df.coalesce(1).write.format("sfetl")
+            .options(**opts, operation="upsert", externalIdFieldName="Ext__c")
+            .mode("append")
+        )
+        w.save()
+        w.save()  # replay: same keys now UPDATE
+        got = successful_results_df(spark, opts).collect()
+        assert len(got) == 4
+        assert sum(1 for r in got if r["created"]) == 2
+        assert sum(1 for r in got if not r["created"]) == 2
+        assert all(r["sf_id"] for r in got)
+        assert {r["fields"]["Ext__c"] for r in got} == {"K1", "K2"}
+    finally:
+        server.stop()

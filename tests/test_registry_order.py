@@ -24,6 +24,7 @@ DRIVER_WINDOW = 50
 # the boundary.
 MUST_BE_IN_WINDOW = [
     "stream_sink_sfetl_failed_rows",
+    "sink_sfetl_successful_results",
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
     "sink_sfetl_failed_results",
@@ -72,7 +73,6 @@ MUST_BE_IN_WINDOW = [
     "chunk_documents",
     "dq_observe_inflight",
     "event_pattern_regex",
-    "events_hourly_ffill",
 ]
 
 
