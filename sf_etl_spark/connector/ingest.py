@@ -174,3 +174,54 @@ def successful_results_df(
 
     rdd = spark.sparkContext.parallelize(ids, len(ids)).mapPartitions(fetch)
     return spark.createDataFrame(rdd, SUCCESSFUL_RESULTS_SCHEMA)
+
+
+UNPROCESSED_RECORDS_SCHEMA = StructType(
+    [
+        StructField("job_id", StringType(), False),
+        StructField("fields", MapType(StringType(), StringType()), True),
+    ]
+)
+
+
+def unprocessed_records_df(
+    spark: SparkSession,
+    options: dict[str, str],
+    job_ids: Sequence[str] | None = None,
+) -> DataFrame:
+    """Rows the backend never ATTEMPTED, as a DataFrame — the retry
+    set of a resumable loader (``/jobs/ingest/{id}/unprocessedrecords``:
+    job-level failures and aborts leave their whole upload here,
+    distinct from ROW rejects). A 3-line resume is
+    ``unprocessed_records_df(...)`` → reshape ``fields`` → write back
+    through the sink. The ``job_ids=None`` sweep covers Failed and
+    Aborted jobs for ``options['object']``."""
+    from sf_etl_spark.connector.client import JobState
+    from sf_etl_spark.connector.datasource import _client_from_options
+
+    if job_ids is None:
+        client = _client_from_options(options)
+        obj_name = options.get("object")
+        job_ids = [
+            j.id
+            for j in client.list_ingest_jobs()
+            if j.state in (JobState.FAILED, JobState.ABORTED)
+            and (obj_name is None or j.object == obj_name)
+        ]
+    ids = [j for j in job_ids if j]
+    if not ids:
+        return spark.createDataFrame([], UNPROCESSED_RECORDS_SCHEMA)
+    opts = dict(options)
+
+    def fetch(part: Iterator[str]) -> Iterator[tuple]:
+        client = _client_from_options(opts)
+        for jid in part:
+            rows = csv.reader(
+                io.StringIO(client.get_ingest_unprocessed_records(jid))
+            )
+            header = next(rows, None) or []
+            for row in rows:
+                yield (jid, dict(zip(header, row)))
+
+    rdd = spark.sparkContext.parallelize(ids, len(ids)).mapPartitions(fetch)
+    return spark.createDataFrame(rdd, UNPROCESSED_RECORDS_SCHEMA)

@@ -1372,3 +1372,31 @@ def test_spark_successful_results_df(spark):
         assert {r["fields"]["Ext__c"] for r in got} == {"K1", "K2"}
     finally:
         server.stop()
+
+
+def test_unprocessed_records_df_resume_roundtrip(spark):
+    """The 3-line resumable-loader flow: an aborted job's upload comes
+    back as unprocessed_records_df, reshapes, and re-writes cleanly."""
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.ingest import unprocessed_records_df
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "Key", "type": "string", "length": 20},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        opts = {**sf_options(url), "object": "Thing"}
+        c = _login(url)
+        job = c.create_ingest_job("Thing")
+        c.upload_ingest_batch(job.id, "Key\nk1\nk2\nk3\n")
+        c.abort_ingest_job(job.id)  # never processed
+        retry = unprocessed_records_df(spark, opts)  # sweep Failed+Aborted
+        assert retry.count() == 3
+        out = retry.select(F.col("fields")["Key"].alias("Key"))
+        out.write.format("sfetl").options(**opts).mode("append").save()
+        assert sorted(r["Key"] for r in server.rows) == ["k1", "k2", "k3"]
+    finally:
+        server.stop()
