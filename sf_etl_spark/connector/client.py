@@ -509,6 +509,7 @@ class SfClient:
         pending = list(dict.fromkeys(j for j in job_ids if j))
         done: dict[str, BulkJob] = {}
         deadline = time.monotonic() + timeout
+        sleep_for = poll_interval
         while pending:
             listed: dict[str, BulkJob] = {}
             if len(pending) > self._SWEEP_VIA_LIST_THRESHOLD:
@@ -531,7 +532,13 @@ class SfClient:
                         f"{len(pending)} ingest jobs not terminal after "
                         f"{timeout}s (first: {pending[:5]})"
                     )
-                time.sleep(poll_interval)
+                time.sleep(sleep_for)
+                # gentle backoff: real Bulk jobs take minutes — a fixed
+                # sub-second cadence over a long load is thousands of
+                # wasted status sweeps against a rate-limited org.
+                # Capped at 10 s (or the caller's interval if larger)
+                # so completion detection stays responsive.
+                sleep_for = min(sleep_for * 1.5, max(poll_interval, 10.0))
         return done
 
     def get_ingest_failed_results(self, job_id: str) -> str:
