@@ -492,12 +492,13 @@ class SfClient:
         job_ids: Sequence[str],
         poll_interval: float = 0.2,
         timeout: float = 3600.0,
+        max_poll_interval: float | None = None,
     ) -> dict[str, BulkJob]:
         """Round-robin poll of MANY ingest jobs to a terminal state.
 
-        One status sweep per ``poll_interval`` across every still-pending
-        job, so the wall-clock of an N-job commit barrier is bounded by
-        the SLOWEST job (plus one sweep), not N × poll_interval — the
+        One status sweep per interval across every still-pending job,
+        so the wall-clock of an N-job commit barrier is bounded by the
+        SLOWEST job (plus one sweep), not N × poll_interval — the
         difference between seconds and hours when a load fans out
         thousands of size-bounded jobs. Large pending sets sweep via the
         paginated list endpoint (one request per page, not per job);
@@ -505,11 +506,20 @@ class SfClient:
         the first Failed job; the shared ``timeout`` deadline covers the
         whole SET (default 1 h — it bounds total commit wait, not one
         job, so it must absorb org-side queueing of the entire load).
+
+        Cadence: sweeps run at ``poll_interval`` exactly unless
+        ``max_poll_interval`` is set HIGHER, in which case the interval
+        grows 1.5× per empty sweep up to that cap — real Bulk jobs take
+        minutes, and a fixed sub-second cadence over a long load is
+        thousands of wasted status sweeps against a rate-limited org.
+        A caller's explicit interval is never exceeded unless they also
+        opted into the cap.
         """
         pending = list(dict.fromkeys(j for j in job_ids if j))
         done: dict[str, BulkJob] = {}
         deadline = time.monotonic() + timeout
         sleep_for = poll_interval
+        sleep_cap = max(poll_interval, max_poll_interval or 0.0)
         while pending:
             listed: dict[str, BulkJob] = {}
             if len(pending) > self._SWEEP_VIA_LIST_THRESHOLD:
@@ -533,12 +543,7 @@ class SfClient:
                         f"{timeout}s (first: {pending[:5]})"
                     )
                 time.sleep(sleep_for)
-                # gentle backoff: real Bulk jobs take minutes — a fixed
-                # sub-second cadence over a long load is thousands of
-                # wasted status sweeps against a rate-limited org.
-                # Capped at 10 s (or the caller's interval if larger)
-                # so completion detection stays responsive.
-                sleep_for = min(sleep_for * 1.5, max(poll_interval, 10.0))
+                sleep_for = min(sleep_for * 1.5, sleep_cap)
         return done
 
     def get_ingest_failed_results(self, job_id: str) -> str:

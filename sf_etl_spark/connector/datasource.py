@@ -65,7 +65,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StringType, StructField, StructType
 
 from sf_etl_spark.connector.client import SfClient
-from sf_etl_spark.connector.errors import ClientBuilderError
+from sf_etl_spark.connector.errors import ClientBuilderError, IngestBudgetError
 
 FORMAT_NAME = "sfetl"
 
@@ -524,7 +524,7 @@ class SfIngestWriter(DataSourceWriter):
 
         def flush(csv_text: str) -> None:
             if len(job_ids) >= self.max_jobs_per_task:
-                raise ClientBuilderError(
+                raise IngestBudgetError(
                     f"partition would exceed max_jobs_per_task="
                     f"{self.max_jobs_per_task} ingest jobs at target_job_mb="
                     f"{self.target_job_mb}: raise target_job_mb, repartition "
@@ -579,15 +579,30 @@ class SfIngestWriter(DataSourceWriter):
         sweep). Returns {job_id: BulkJob} of the completed jobs so the
         streaming twin can chain reject capture. ``commit_timeout``
         (seconds, default 3600) bounds the WHOLE barrier — it must
-        absorb org-side queueing of the entire load, not one job."""
+        absorb org-side queueing of the entire load, not one job.
+
+        Cadence: an EXPLICIT ``poll_interval`` is honored exactly (a
+        caller bounding commit latency gets what they asked for); with
+        the default, the sweep backs off toward ``max_poll_interval``
+        (default 10 s) so an hours-long load doesn't hammer the status
+        endpoint sub-second."""
         ids = [jid for msg in messages if msg for jid in msg.job_ids]
         if not ids:
             return {}
         client = _client_from_options(self.options)
         interval = float(self.options.get("poll_interval", "0.2"))
+        explicit = "poll_interval" in self.options
+        cap = float(
+            self.options.get(
+                "max_poll_interval", interval if explicit else "10"
+            )
+        )
         deadline = float(self.options.get("commit_timeout", "3600"))
         return client.wait_for_ingest_jobs(
-            ids, poll_interval=interval, timeout=deadline
+            ids,
+            poll_interval=interval,
+            timeout=deadline,
+            max_poll_interval=cap,
         )
 
     def abort(self, messages) -> None:

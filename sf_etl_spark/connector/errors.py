@@ -44,3 +44,10 @@ class HttpError(ConnectorError):
 
 class JobFailedError(ConnectorError):
     """A bulk extract job reached the ``Failed`` terminal state."""
+
+
+class IngestBudgetError(ConnectorError):
+    """A write task hit its runtime job-count budget
+    (``max_jobs_per_task``) mid-flight — a governance stop, distinct
+    from construction-time option validation (ClientBuilderError):
+    real jobs were already opened (and aborted) when this raises."""

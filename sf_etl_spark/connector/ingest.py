@@ -1,25 +1,27 @@
-"""Ingest-side result retrieval: failed-row download as a DataFrame.
+"""Ingest-side result retrieval: the Bulk 2.0 results TRIPLE as
+DataFrames — failed rows, applied rows, and never-attempted rows.
 
 The reference never ships a load leg at all (its job state machine,
 ``oxidized-force/src/response.rs:47-54``, covers only query jobs);
 this module extends the writer (`datasource.SfIngestWriter`) with the
-piece every production load needs: the ``/jobs/ingest/{id}/
-failedResults`` download, surfaced as a DataFrame.
+pieces every production load needs: ``/jobs/ingest/{id}/
+failedResults`` (row rejects), ``/successfulResults`` (applied rows
+with server-assigned Ids), and ``/unprocessedrecords`` (the retry set
+after a job-level failure or abort), each surfaced as a DataFrame.
 
 Scale shape: one task per ingest job id (``parallelize(ids, n)`` +
-``mapPartitions``) — each task logs in and pulls its job's reject CSV
-independently, so a 1000-job load (one job per written partition)
-drains its failures with cluster parallelism, not a driver loop. The
-per-job reject payload is the bounded one (failures are a sliver of a
-load, and Salesforce caps job size at 150M records), so rows stay
-executor-side until the caller aggregates or writes them.
+``mapPartitions``) — each task pulls its job's CSV independently, so
+a 1000-job load drains its results with cluster parallelism, not a
+driver loop. Reject/unprocessed payloads are the bounded slivers of a
+load; successes are the BULK — at production volume pass explicit
+``job_ids`` and aggregate or write promptly rather than collecting.
 """
 
 from __future__ import annotations
 
 import csv
 import io
-from collections.abc import Iterator, Sequence
+from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -52,6 +54,13 @@ SUCCESSFUL_RESULTS_SCHEMA = StructType(
     ]
 )
 
+UNPROCESSED_RECORDS_SCHEMA = StructType(
+    [
+        StructField("job_id", StringType(), False),
+        StructField("fields", MapType(StringType(), StringType()), True),
+    ]
+)
+
 
 def _parse_failed_csv(job_id: str, text: str) -> Iterator[tuple]:
     rows = csv.reader(io.StringIO(text))
@@ -66,51 +75,6 @@ def _parse_failed_csv(job_id: str, text: str) -> Iterator[tuple]:
             get("sf__Error"),
             {c: get(c) for c in data_cols},
         )
-
-
-def failed_results_df(
-    spark: SparkSession,
-    options: dict[str, str],
-    job_ids: Sequence[str] | None = None,
-) -> DataFrame:
-    """Rejected rows of the given ingest jobs as a DataFrame.
-
-    ``options`` are the same connector options the ``sfetl`` format
-    takes (login_url/client_id/.../object). ``job_ids=None`` sweeps
-    every finished ingest job the backend lists (GET /jobs/ingest,
-    every page) — the "what failed in last night's load?" call. The
-    sweep covers BOTH terminal-with-results states: ``JobComplete``
-    (partial row rejects) and ``Failed`` (job-level rejects — those
-    jobs still expose retrievable failed records), and is scoped to
-    ``options['object']`` when set, so one object's sweep never pulls
-    another pipeline's jobs (r11 ADVICE).
-    """
-    from sf_etl_spark.connector.client import JobState
-    from sf_etl_spark.connector.datasource import _client_from_options
-
-    if job_ids is None:
-        client = _client_from_options(options)
-        obj_name = options.get("object")
-        job_ids = [
-            j.id
-            for j in client.list_ingest_jobs()
-            if j.state in (JobState.JOB_COMPLETE, JobState.FAILED)
-            and (obj_name is None or j.object == obj_name)
-        ]
-    ids = [j for j in job_ids if j]
-    if not ids:
-        return spark.createDataFrame([], FAILED_RESULTS_SCHEMA)
-    opts = dict(options)
-
-    def fetch(part: Iterator[str]) -> Iterator[tuple]:
-        client = _client_from_options(opts)
-        for jid in part:
-            yield from _parse_failed_csv(
-                jid, client.get_ingest_failed_results(jid)
-            )
-
-    rdd = spark.sparkContext.parallelize(ids, len(ids)).mapPartitions(fetch)
-    return spark.createDataFrame(rdd, FAILED_RESULTS_SCHEMA)
 
 
 def _parse_successful_csv(job_id: str, text: str) -> Iterator[tuple]:
@@ -129,26 +93,43 @@ def _parse_successful_csv(job_id: str, text: str) -> Iterator[tuple]:
         )
 
 
-def successful_results_df(
+def _parse_unprocessed_csv(job_id: str, text: str) -> Iterator[tuple]:
+    rows = csv.reader(io.StringIO(text))
+    header = next(rows, None) or []
+    for row in rows:
+        yield (job_id, dict(zip(header, row)))
+
+
+# (client method name, CSV parser) per result kind — the per-partition
+# fetch resolves the method by name so only module-level references
+# are shipped to executors
+def _fetch_failed(client, jid):
+    return _parse_failed_csv(jid, client.get_ingest_failed_results(jid))
+
+
+def _fetch_successful(client, jid):
+    return _parse_successful_csv(jid, client.get_ingest_successful_results(jid))
+
+
+def _fetch_unprocessed(client, jid):
+    return _parse_unprocessed_csv(jid, client.get_ingest_unprocessed_records(jid))
+
+
+def _results_df(
     spark: SparkSession,
     options: dict[str, str],
-    job_ids: Sequence[str] | None = None,
+    job_ids: Sequence[str] | None,
+    sweep_states: tuple,
+    fetch_one: Callable,
+    schema: StructType,
 ) -> DataFrame:
-    """Applied rows of the given ingest jobs as a DataFrame —
-    ``/jobs/ingest/{id}/successfulResults`` (``sf__Id,sf__Created`` +
-    the original columns), one download task per job.
+    """Shared sweep skeleton for the three results endpoints.
 
-    This is the read-back every keyed downstream step builds on: the
-    server-assigned Ids of what a load just created (``created=true``)
-    vs what it updated (``created=false``). Same sweep semantics as
-    :func:`failed_results_df` when ``job_ids`` is None (paginated list,
-    JobComplete + Failed, scoped to ``options['object']``).
-
-    Scale note: unlike rejects, successes are the BULK of a load —
-    at production volume pass explicit ``job_ids`` and aggregate or
-    write the result promptly rather than collecting it.
+    ``job_ids=None`` enumerates the backend's ingest jobs (paginated
+    list walked to exhaustion), keeps those in ``sweep_states``, and —
+    when ``options['object']`` is set — only THIS object's jobs, so
+    one pipeline's sweep never pulls another's results (r11 ADVICE).
     """
-    from sf_etl_spark.connector.client import JobState
     from sf_etl_spark.connector.datasource import _client_from_options
 
     if job_ids is None:
@@ -157,31 +138,73 @@ def successful_results_df(
         job_ids = [
             j.id
             for j in client.list_ingest_jobs()
-            if j.state in (JobState.JOB_COMPLETE, JobState.FAILED)
+            if j.state in sweep_states
             and (obj_name is None or j.object == obj_name)
         ]
     ids = [j for j in job_ids if j]
     if not ids:
-        return spark.createDataFrame([], SUCCESSFUL_RESULTS_SCHEMA)
+        return spark.createDataFrame([], schema)
     opts = dict(options)
 
     def fetch(part: Iterator[str]) -> Iterator[tuple]:
         client = _client_from_options(opts)
         for jid in part:
-            yield from _parse_successful_csv(
-                jid, client.get_ingest_successful_results(jid)
-            )
+            yield from fetch_one(client, jid)
 
     rdd = spark.sparkContext.parallelize(ids, len(ids)).mapPartitions(fetch)
-    return spark.createDataFrame(rdd, SUCCESSFUL_RESULTS_SCHEMA)
+    return spark.createDataFrame(rdd, schema)
 
 
-UNPROCESSED_RECORDS_SCHEMA = StructType(
-    [
-        StructField("job_id", StringType(), False),
-        StructField("fields", MapType(StringType(), StringType()), True),
-    ]
-)
+def failed_results_df(
+    spark: SparkSession,
+    options: dict[str, str],
+    job_ids: Sequence[str] | None = None,
+) -> DataFrame:
+    """Rejected rows of the given ingest jobs as a DataFrame.
+
+    ``options`` are the same connector options the ``sfetl`` format
+    takes (login_url/client_id/.../object). ``job_ids=None`` sweeps
+    every finished ingest job the backend lists — the "what failed in
+    last night's load?" call, covering BOTH terminal-with-results
+    states: ``JobComplete`` (partial row rejects) and ``Failed``
+    (job-level rejects still expose retrievable failed records).
+    """
+    from sf_etl_spark.connector.client import JobState
+
+    return _results_df(
+        spark,
+        options,
+        job_ids,
+        (JobState.JOB_COMPLETE, JobState.FAILED),
+        _fetch_failed,
+        FAILED_RESULTS_SCHEMA,
+    )
+
+
+def successful_results_df(
+    spark: SparkSession,
+    options: dict[str, str],
+    job_ids: Sequence[str] | None = None,
+) -> DataFrame:
+    """Applied rows of the given ingest jobs as a DataFrame —
+    ``sf__Id,sf__Created`` + the original columns, one download task
+    per job.
+
+    This is the read-back every keyed downstream step builds on: the
+    server-assigned Ids of what a load just created (``created=true``)
+    vs what it updated (``created=false``). Same sweep semantics as
+    :func:`failed_results_df` when ``job_ids`` is None.
+    """
+    from sf_etl_spark.connector.client import JobState
+
+    return _results_df(
+        spark,
+        options,
+        job_ids,
+        (JobState.JOB_COMPLETE, JobState.FAILED),
+        _fetch_successful,
+        SUCCESSFUL_RESULTS_SCHEMA,
+    )
 
 
 def unprocessed_records_df(
@@ -190,38 +213,18 @@ def unprocessed_records_df(
     job_ids: Sequence[str] | None = None,
 ) -> DataFrame:
     """Rows the backend never ATTEMPTED, as a DataFrame — the retry
-    set of a resumable loader (``/jobs/ingest/{id}/unprocessedrecords``:
-    job-level failures and aborts leave their whole upload here,
-    distinct from ROW rejects). A 3-line resume is
-    ``unprocessed_records_df(...)`` → reshape ``fields`` → write back
-    through the sink. The ``job_ids=None`` sweep covers Failed and
-    Aborted jobs for ``options['object']``."""
+    set of a resumable loader (job-level failures and aborts leave
+    their whole upload here, distinct from ROW rejects). A 3-line
+    resume is ``unprocessed_records_df(...)`` → reshape ``fields`` →
+    write back through the sink. The ``job_ids=None`` sweep covers
+    Failed and Aborted jobs for ``options['object']``."""
     from sf_etl_spark.connector.client import JobState
-    from sf_etl_spark.connector.datasource import _client_from_options
 
-    if job_ids is None:
-        client = _client_from_options(options)
-        obj_name = options.get("object")
-        job_ids = [
-            j.id
-            for j in client.list_ingest_jobs()
-            if j.state in (JobState.FAILED, JobState.ABORTED)
-            and (obj_name is None or j.object == obj_name)
-        ]
-    ids = [j for j in job_ids if j]
-    if not ids:
-        return spark.createDataFrame([], UNPROCESSED_RECORDS_SCHEMA)
-    opts = dict(options)
-
-    def fetch(part: Iterator[str]) -> Iterator[tuple]:
-        client = _client_from_options(opts)
-        for jid in part:
-            rows = csv.reader(
-                io.StringIO(client.get_ingest_unprocessed_records(jid))
-            )
-            header = next(rows, None) or []
-            for row in rows:
-                yield (jid, dict(zip(header, row)))
-
-    rdd = spark.sparkContext.parallelize(ids, len(ids)).mapPartitions(fetch)
-    return spark.createDataFrame(rdd, UNPROCESSED_RECORDS_SCHEMA)
+    return _results_df(
+        spark,
+        options,
+        job_ids,
+        (JobState.FAILED, JobState.ABORTED),
+        _fetch_unprocessed,
+        UNPROCESSED_RECORDS_SCHEMA,
+    )

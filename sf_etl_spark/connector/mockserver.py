@@ -315,8 +315,14 @@ class MockSalesforce:
                 job = self.jobs.get(m.group(1))
                 # failed rows are retrievable from BOTH terminal-with-
                 # results states: JobComplete (row rejects) and Failed
-                # (job-level rejects) — matching the real endpoint
-                if job is None or job["state"] not in ("JobComplete", "Failed"):
+                # (job-level rejects) — matching the real endpoint.
+                # kind guard: a QUERY job id on an ingest-results route
+                # is INVALIDJOBSTATE, not a handler crash
+                if (
+                    job is None
+                    or job.get("kind") != "ingest"
+                    or job["state"] not in ("JobComplete", "Failed")
+                ):
                     return h._json(
                         400,
                         [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}],
@@ -332,7 +338,11 @@ class MockSalesforce:
         if method == "GET" and m:
             with self.lock:
                 job = self.jobs.get(m.group(1))
-                if job is None or job["state"] not in ("JobComplete", "Failed"):
+                if (
+                    job is None
+                    or job.get("kind") != "ingest"
+                    or job["state"] not in ("JobComplete", "Failed")
+                ):
                     return h._json(
                         400,
                         [{"errorCode": "INVALIDJOBSTATE", "message": m.group(1)}],
@@ -351,10 +361,10 @@ class MockSalesforce:
         if method == "GET" and m:
             with self.lock:
                 job = self.jobs.get(m.group(1))
-                if job is None or job["state"] not in (
-                    "JobComplete",
-                    "Failed",
-                    "Aborted",
+                if (
+                    job is None
+                    or job.get("kind") != "ingest"
+                    or job["state"] not in ("JobComplete", "Failed", "Aborted")
                 ):
                     return h._json(
                         400,

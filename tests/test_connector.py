@@ -1400,3 +1400,50 @@ def test_unprocessed_records_df_resume_roundtrip(spark):
         assert sorted(r["Key"] for r in server.rows) == ["k1", "k2", "k3"]
     finally:
         server.stop()
+
+
+def test_results_routes_reject_query_job_ids():
+    """An ingest-results route hit with a QUERY job id must return the
+    INVALIDJOBSTATE error body, never a handler crash."""
+    server = MockSalesforce(object_name="Case")
+    url = server.start()
+    try:
+        c = _login(url)
+        qjob = c.create_query_job("Case", ["Id"])
+        c.wait_for_job(qjob.id, poll_interval=0.01)  # JobComplete
+        for call in (
+            c.get_ingest_failed_results,
+            c.get_ingest_successful_results,
+            c.get_ingest_unprocessed_records,
+        ):
+            with pytest.raises(ResponseError, match="INVALIDJOBSTATE"):
+                call(qjob.id)
+    finally:
+        server.stop()
+
+
+def test_explicit_poll_interval_is_honored_exactly(monkeypatch):
+    """A caller bounding commit latency with an explicit poll_interval
+    must get a FIXED cadence — backoff only applies when they opt into
+    max_poll_interval (or left the default)."""
+    from sf_etl_spark.connector.client import BulkJob
+
+    c = SfClient(client_id="a", client_secret="b", login_url="http://unused")
+    sweeps_left = {"j0": 5}
+
+    def fake_status(jid):
+        sweeps_left[jid] -= 1
+        state = JobState.JOB_COMPLETE if sweeps_left[jid] <= 0 else JobState.IN_PROGRESS
+        return BulkJob(id=jid, state=state)
+
+    sleeps = []
+    monkeypatch.setattr(c, "get_ingest_job_status", fake_status)
+    monkeypatch.setattr(
+        "sf_etl_spark.connector.client.time.sleep", lambda s: sleeps.append(s)
+    )
+    c.wait_for_ingest_jobs(["j0"], poll_interval=0.5)  # no cap -> fixed
+    assert sleeps == [0.5, 0.5, 0.5, 0.5]
+    sleeps.clear()
+    sweeps_left["j0"] = 5
+    c.wait_for_ingest_jobs(["j0"], poll_interval=0.5, max_poll_interval=2.0)
+    assert sleeps == [0.5, 0.75, 1.125, 1.6875]  # 1.5x growth toward the cap
