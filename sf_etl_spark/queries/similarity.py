@@ -549,6 +549,59 @@ def dedup_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-space DECONTAMINATION — the paraphrase-robust complement
+# to `decontaminate_ngram_overlap` (training_data.py): n-gram overlap
+# misses reworded eval leakage; cosine similarity to the eval set
+# catches it. Every 10th vec_id plays the EVAL set (small by
+# construction, as real eval sets are); train vectors within
+# COS_THRESHOLD of ANY eval vector are the contamination report.
+#
+# Scale shape: broadcast(eval) × ONE linear pass over the train
+# corpus — the eval side is the thousands-of-rows side, so at 100 TB
+# this is a map-only scan with zero shuffle (no corpus×corpus join;
+# for eval sets too big to broadcast, LSH-bucket both sides first —
+# the machinery `ann_srp_lsh_pairs` already builds). The fixture cap
+# (_COSINE_GT_CAP) bounds the bench-scale pair count the same way the
+# cosine ground-truth lane does; it does not bind at driver scale.
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_embedding_cosine",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings WHERE vec_id < {_COSINE_GT_CAP}
+    ),
+    ev AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+    tr AS (SELECT * FROM n WHERE vec_id % 10 != 0)
+    SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+           {_SQL_DOT.format(dim=DIM, u='tr.v', v='ev.v')} / (tr.nm * ev.nm) AS cosine
+    FROM tr CROSS JOIN ev
+    WHERE {_SQL_DOT.format(dim=DIM, u='tr.v', v='ev.v')} / (tr.nm * ev.nm) >= {COS_THRESHOLD}
+    ORDER BY train_id, eval_id
+    """,
+    doc=f"train vectors within cosine {COS_THRESHOLD} of the eval set (broadcast eval x linear train pass)",
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normalized_vectors(spark, sf_dir).filter(
+        F.col("vec_id") < _COSINE_GT_CAP
+    )
+    ev = n.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev"), F.col("nm").alias("en")
+    )
+    tr = n.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("train_id"), F.col("v").alias("tv"), F.col("nm").alias("tn")
+    )
+    cosine = _dot(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en"))
+    return (
+        tr.crossJoin(F.broadcast(ev))  # eval side broadcast: map-only scan
+        .filter(cosine >= COS_THRESHOLD)
+        .select("train_id", "eval_id", cosine.alias("cosine"))
+        .orderBy("train_id", "eval_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Signed-random-projection LSH: 64 fixed ±1 hyperplanes (md5-seeded so
 # both engines regenerate them identically) → 4 bands × 16 sign bits →
 # candidates share any band bucket → exact-cosine verify ≥ threshold.

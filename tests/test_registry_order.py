@@ -25,6 +25,7 @@ DRIVER_WINDOW = 50
 MUST_BE_IN_WINDOW = [
     "stream_sink_sfetl_failed_rows",
     "sink_sfetl_successful_results",
+    "decontaminate_embedding_cosine",
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
     "sink_sfetl_failed_results",
@@ -72,7 +73,6 @@ MUST_BE_IN_WINDOW = [
     "chi_square_independence",
     "chunk_documents",
     "dq_observe_inflight",
-    "event_pattern_regex",
 ]
 
 
