@@ -980,3 +980,17 @@ def test_salted_topk_rejects_reserved_columns(spark):
     )
     with pytest.raises(ValueError, match="_salt"):
         salted_topk(df, ["g"], [SF.col("v")], 3, ["v"])
+
+
+def test_decontaminate_embedding_broadcasts_eval_side(spark):
+    """The decontamination scan must broadcast the (small) eval side —
+    a sort-merge or shuffled join here would shuffle the train corpus,
+    the exact cost the broadcast shape exists to avoid."""
+    from sf_etl_spark.queries import all_queries
+
+    df = all_queries()["decontaminate_embedding_cosine"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
