@@ -450,6 +450,12 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "ann_ivf_topk": (4, "bounded: K centroids + 1-row query"),
     "ann_srp_lsh_pairs": (2, "bounded: hyperplane rows"),
     "dedup_embedding_pipeline": (2, "bounded: K centroids"),
+    "decontaminate_embedding_cosine": (
+        1,
+        "bounded: the EVAL set (10% of the capped slice; eval sets are "
+        "thousands of rows by construction — too-big ones LSH-bucket "
+        "instead, see lane doc)",
+    ),
     "quality_percentile_filter": (1, "1-row: percentile cutoff"),
     "tfidf_top_terms": (1, "bounded: fixed term list's doc frequencies"),
     "q5_revenue_by_nation": (2, "dim: nation x region"),
