@@ -97,19 +97,23 @@ def register(
 # never hides a query).
 _PRIORITY_ORDER = [
     # --- round-12 rotation (r11 verdict task 2): the ~50-row
-    # driver window = (1) the 10 lanes NEW or behavior-changed this
+    # driver window = (1) the 12 lanes NEW or behavior-changed this
     # round — the new stream_sink_sfetl_failed_rows reject-capture
     # and sink_sfetl_successful_results created/updated-split lanes
-    # (the Bulk 2.0 results triple), the five sfetl lanes restaged on real Bulk 2.0 insert/
-    # upsert/delete semantics atop the chunked size-governed writer
-    # with its round-robin commit poll, and the two single-trigger
-    # replay lanes; (2) ALL 32 lanes whose newest driver evidence
-    # is r7 — the stalest block (verdict: 'the r12 rotation item');
-    # (3) the first 8 of the r8-fresh block. 10+32+8 = 50.
+    # (the Bulk 2.0 results triple), the new SemDeDup and PQ-ADC
+    # vector lanes, the five sfetl lanes restaged on real Bulk 2.0
+    # insert/upsert/delete semantics atop the chunked size-governed
+    # writer with its round-robin commit poll, and the two
+    # single-trigger replay lanes; (2) ALL 32 lanes whose newest
+    # driver evidence is r7 — the stalest block (verdict: 'the r12
+    # rotation item'); (3) the first 6 of the r8-fresh block.
+    # 12+32+6 = 50.
     # Below the boundary: the rest of the r8 block, then r9/r10/r11
     # blocks in prior order (freshest evidence rotates last). ---
     "stream_sink_sfetl_failed_rows",
     "sink_sfetl_successful_results",
+    "dedup_semdedup_prune",
+    "ann_pq_adc_topk",
     "decontaminate_embedding_cosine",
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
@@ -156,9 +160,9 @@ _PRIORITY_ORDER = [
     "benford_first_digit",
     "boolean_search_and",
     "chi_square_independence",
+    # --- below the r12 driver window ---
     "chunk_documents",
     "dq_observe_inflight",
-    # --- below the r12 driver window ---
     "event_pattern_regex",
     "events_hourly_ffill",
     "source_sfetl_stream_incremental",

@@ -1117,3 +1117,289 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the corpus in embedding space, then prune, within each
+# cluster, every vector that has a near-duplicate neighbor "closer to
+# the centroid" than itself — keeping, per duplicate group, the
+# representative FARTHEST from the cluster centroid (the paper's
+# low-centroid-similarity keep rule, applied through a deterministic
+# total order so exactly the non-minimal members of each dup group
+# are pruned).
+#
+# Clustering here is the same deterministic seed selection the IVF
+# lanes use (vec_id 1..K as centroids) so the DuckDB oracle replays
+# the WHOLE lane hash-for-hash; production swaps in trained k-means
+# (the fit path `ann_ivf_kmeans_topk` already exercises) without
+# changing any downstream plan shape.
+#
+# Scale: assignment is one broadcast(K centroids) map over the corpus
+# (no corpus shuffle); the dup-pair stage is an equi-join on cell id,
+# O(Sigma|cell|^2) = O(n^2/K) — with K ~ sqrt(n) at deployment that is
+# O(n^1.5), the SemDeDup paper's own cost argument; the prune rule is
+# a projection + distinct over dup pairs and a broadcast-able
+# anti-join back. No corpus x corpus join anywhere.
+# Reference parity: no vector ops in the reference (north-star
+# surface, SURVEY.md §2.2 last row).
+# ---------------------------------------------------------------------------
+SEM_K = 8
+SEM_EPS = COS_THRESHOLD
+
+
+@register(
+    "dedup_semdedup_prune",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id BETWEEN 1 AND {SEM_K}
+    ), scored AS (
+      SELECT n.vec_id, cents.cid,
+             {_SQL_DOT.format(dim=DIM, u='n.v', v='cents.cv')} / (n.nm * cents.cn) AS ccos,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='cents.cv')} / (n.nm * cents.cn) DESC,
+                        cents.cid
+             ) AS rn
+      FROM n CROSS JOIN cents
+    ), assign AS (
+      SELECT vec_id, cid, ccos AS cent_cos FROM scored WHERE rn = 1
+    ), pairs AS (
+      SELECT a.vec_id AS ia, a.cent_cos AS ca, b.vec_id AS ib, b.cent_cos AS cb
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN n x ON x.vec_id = a.vec_id
+      JOIN n y ON y.vec_id = b.vec_id
+      WHERE {_SQL_DOT.format(dim=DIM, u='x.v', v='y.v')} / (x.nm * y.nm) >= {SEM_EPS}
+    ), pruned AS (
+      SELECT DISTINCT
+             CASE WHEN (ca > cb) OR (ca = cb AND ia > ib) THEN ia ELSE ib END AS vec_id
+      FROM pairs
+    )
+    SELECT assign.vec_id, assign.cid, assign.cent_cos,
+           CAST(CASE WHEN pruned.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS pruned
+    FROM assign LEFT JOIN pruned ON assign.vec_id = pruned.vec_id
+    ORDER BY assign.vec_id
+    """,
+    doc=f"SemDeDup: seed-cell clustering, prune within-cell near-dups >= {SEM_EPS}"
+    " keeping the lowest-centroid-similarity representative",
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normalized_vectors(spark, sf_dir).select("vec_id", "v", "nm")
+    cents = n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= SEM_K)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nm").alias("cn")
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cn"))
+    assign = (
+        n.crossJoin(F.broadcast(cents))  # O(n*K): broadcast centroids, map-only
+        .withColumn("ccos", ccos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("ccos").alias("cent_cos"))
+    )
+    a = assign.select(
+        F.col("vec_id").alias("ia"), F.col("cid").alias("cid"), F.col("cent_cos").alias("ca")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("ib"), F.col("cid").alias("cid2"), F.col("cent_cos").alias("cb")
+    )
+    vx = n.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("nm").alias("na"))
+    vy = n.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("nm").alias("nb"))
+    pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # within-cell candidate pairs: equi-join on cell id — O(n^2/K),
+    # never corpus x corpus (guarded in tests/test_plans.py)
+    pairs = (
+        a.join(b, (F.col("cid") == F.col("cid2")) & (F.col("ia") < F.col("ib")))
+        .join(vx, "ia")
+        .join(vy, "ib")
+        .filter(pair_cos >= SEM_EPS)
+        .select("ia", "ca", "ib", "cb")
+    )
+    # SemDeDup keep rule as a deterministic total order: of every dup
+    # pair, prune the member with the HIGHER centroid similarity
+    # (tie-break: higher vec_id) — the per-group minimum survives.
+    pruned = pairs.select(
+        F.when(
+            (F.col("ca") > F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("ia") > F.col("ib"))),
+            F.col("ia"),
+        )
+        .otherwise(F.col("ib"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        assign.join(pruned.withColumn("_hit", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            "cent_cos",
+            F.when(F.col("_hit").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jegou, Douze, Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search"): split the 64-dim space
+# into M=8 subspaces of 8 dims; quantize each subvector to one of
+# C=16 per-subspace codewords; answer a query by ADC (asymmetric
+# distance computation) — a 128-entry lookup table of
+# query-subvector-to-codeword squared L2 distances, summed across the
+# M code assignments — then exact-cosine re-rank of the ADC
+# shortlist.
+#
+# Codebooks here are deterministic seed selection (subvectors of
+# vec_id 1..C) so DuckDB replays the whole lane hash-for-hash;
+# production trains per-subspace k-means (same fit machinery as
+# `ann_ivf_kmeans_topk`) with an unchanged encode/ADC plan shape.
+#
+# Scale: encoding is one broadcast(M*C codewords = 128 rows) pass;
+# the per-(vector, subspace) argmin goes through groupBy(min(struct))
+# — partial-aggregated map-side, so the shuffle carries n*M
+# pre-reduced rows, not n*M*C. ADC is a broadcast 128-row join + an
+# m-ordered fold (bit-stable sum order on both engines). Both cuts
+# (ADC shortlist, final top-10) are orderBy+limit, which Spark plans
+# as TakeOrderedAndProject — per-partition partial top-k, no global
+# sort shuffle. At deployment the codes are a persisted byte column
+# (M bytes/vector — the 16x-64x compression PQ exists for) and only
+# the re-rank touches raw vectors.
+# Reference parity: no vector ops in the reference (north-star
+# surface, SURVEY.md §2.2 last row).
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_C = 16  # codewords per subspace
+PQ_RERANK = 50  # ADC shortlist size fed to exact re-rank
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), ms AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+    ), cb AS (
+      SELECT ms.m, n.vec_id AS c,
+             list_slice(n.v, ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS w
+      FROM n CROSS JOIN ms WHERE n.vec_id BETWEEN 1 AND {PQ_C}
+    ), d AS (
+      SELECT n.vec_id, cb.m, cb.c,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+                           i -> (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
+                              * (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
+                         (a, b) -> a + b) AS d2
+      FROM n CROSS JOIN cb
+    ), enc AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT v AS qv, nm AS qn FROM n WHERE vec_id = {_QUERY_VEC}
+    ), qtab AS (
+      SELECT cb.m, cb.c,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+                           i -> (q.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
+                              * (q.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
+                         (a, b) -> a + b) AS qd2
+      FROM cb CROSS JOIN q
+    ), adc AS (
+      SELECT enc.vec_id,
+             list_reduce(list(qtab.qd2 ORDER BY enc.m), (a, b) -> a + b) AS adc_dist
+      FROM enc JOIN qtab ON enc.m = qtab.m AND enc.c = qtab.c
+      GROUP BY enc.vec_id
+    ), short AS (
+      SELECT vec_id, adc_dist FROM adc WHERE vec_id <> {_QUERY_VEC}
+      ORDER BY adc_dist, vec_id LIMIT {PQ_RERANK}
+    )
+    SELECT s.vec_id, n.label, s.adc_dist,
+           {_SQL_DOT.format(dim=DIM, u='n.v', v='q.qv')} / (n.nm * q.qn) AS cosine
+    FROM short s JOIN n ON n.vec_id = s.vec_id CROSS JOIN q
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT 10
+    """,
+    doc=f"PQ({PQ_M}x{PQ_C}) ADC shortlist({PQ_RERANK}) -> exact cosine re-rank top-10",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normalized_vectors(spark, sf_dir)
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    # codebook: M x C = 128 rows of PQ_SUBDIM doubles — broadcast-sized
+    # by construction at any corpus scale
+    cb = (
+        n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_C))
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "m",
+            F.col("vec_id").alias("c"),
+            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("w"),
+        )
+    )
+    subv = F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
+    d2 = F.aggregate(
+        F.zip_with(subv, F.col("w"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    # encode: argmin codeword per (vector, subspace) via min(struct) —
+    # lexicographic (d2, c), partial-aggregated map-side so the
+    # shuffle is n*M pre-reduced rows (never the n*M*C expansion)
+    enc = (
+        n.select("vec_id", "v")
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", "m", d2.alias("d2"), "c")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "c")).alias("s"))
+        .select("vec_id", "m", F.col("s.c").alias("c"))
+    )
+    q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
+    qsub = F.expr(f"slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
+    qd2 = F.aggregate(
+        F.zip_with(qsub, F.col("w"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    qtab = cb.crossJoin(F.broadcast(q)).select("m", "c", qd2.alias("qd2"))
+    # ADC: m-ordered fold (array_sort on struct(m, qd2) pins the sum
+    # order) so adc_dist is bit-identical to the oracle's
+    # list(qd2 ORDER BY m) fold
+    adc = (
+        enc.join(F.broadcast(qtab), ["m", "c"])
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "qd2"))),
+                F.lit(0.0),
+                lambda a, x: a + x["qd2"],
+            ).alias("adc_dist")
+        )
+    )
+    # orderBy+limit => TakeOrderedAndProject (partial per-partition
+    # top-k, no global sort shuffle)
+    short = (
+        adc.filter(F.col("vec_id") != _QUERY_VEC)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_RERANK)
+    )
+    cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    return (
+        n.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "adc_dist", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.asc("vec_id"))
+        .limit(10)
+    )

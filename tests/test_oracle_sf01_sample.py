@@ -41,6 +41,12 @@ LANES = [
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_successful_results",
     "stream_sink_sfetl_failed_rows",
+    # r12: vector lanes whose cut points only see contention at
+    # volume — the PQ ADC shortlist boundary (top-50 of 2000 ADC
+    # distances vs 500 at fixture scale) and SemDeDup's within-cell
+    # dup graph (cells 4x as large at sf0.1)
+    "ann_pq_adc_topk",
+    "dedup_semdedup_prune",
 ]
 
 

@@ -15,16 +15,19 @@ DRIVER_WINDOW = 50
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
 # (round 12 ordering) — they must sit inside the driver's ~50-row
 # window. Rank is by information value (the r11 verdict's task 2):
-# (1) the 8 lanes NEW or behavior-changed this round (the streaming
-# reject-capture lane, the sfetl lanes restaged on real Bulk 2.0
-# semantics atop the chunked size-governed writer with round-robin
-# commit polling, the single-trigger replays); (2) all 32 lanes whose
-# newest driver evidence is r7 — the stalest block; (3) the first 10
-# r8-fresh rows. Everything re-proven in r9/r10/r11 rotates behind
+# (1) the 12 lanes NEW or behavior-changed this round (the streaming
+# reject-capture lane, the SemDeDup and PQ-ADC vector lanes, the
+# sfetl lanes restaged on real Bulk 2.0 semantics atop the chunked
+# size-governed writer with round-robin commit polling, the
+# single-trigger replays); (2) all 32 lanes whose newest driver
+# evidence is r7 — the stalest block; (3) the first rows of the
+# r8-fresh block. Everything re-proven in r9/r10/r11 rotates behind
 # the boundary.
 MUST_BE_IN_WINDOW = [
     "stream_sink_sfetl_failed_rows",
     "sink_sfetl_successful_results",
+    "dedup_semdedup_prune",
+    "ann_pq_adc_topk",
     "decontaminate_embedding_cosine",
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
@@ -71,8 +74,6 @@ MUST_BE_IN_WINDOW = [
     "benford_first_digit",
     "boolean_search_and",
     "chi_square_independence",
-    "chunk_documents",
-    "dq_observe_inflight",
 ]
 
 
