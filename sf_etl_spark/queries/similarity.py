@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sf_etl_spark.operators.skew import SALT_COL, replicate_build, salt_probe
 from sf_etl_spark.queries import register
 from sf_etl_spark.sources import load_table
 
@@ -1146,6 +1147,7 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SEM_K = 8
 SEM_EPS = COS_THRESHOLD
+SEM_SALTS = 16  # (K cells x salts) buckets spread the pair stage
 
 
 @register(
@@ -1186,6 +1188,7 @@ SEM_EPS = COS_THRESHOLD
     """,
     doc=f"SemDeDup: seed-cell clustering, prune within-cell near-dups >= {SEM_EPS}"
     " keeping the lowest-centroid-similarity representative",
+    executes_on_construct=True,  # assign frame is localCheckpoint-ed
 )
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = normalized_vectors(spark, sf_dir).select("vec_id", "v", "nm")
@@ -1193,34 +1196,74 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nm").alias("cn")
     )
     ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cn"))
+    # assignment: broadcast(K centroids) expansion, then a map-side
+    # partial-agged argmax — max(struct(ccos, -cid)) is the
+    # (ccos DESC, cid ASC) winner; the K expanded rows of each vector
+    # sit in ONE partition (broadcast replication), so the partial
+    # aggregate collapses them before the shuffle: the exchange
+    # carries n pre-reduced rows, never n*K. The vector itself rides
+    # along via first() (functionally dependent on the group key).
+    # Materialized once (localCheckpoint): the pair stage consumes it
+    # on BOTH sides and the final projection a third time — without
+    # the cut the broadcast-expansion subtree executes three times.
     assign = (
-        n.crossJoin(F.broadcast(cents))  # O(n*K): broadcast centroids, map-only
-        .withColumn("ccos", ccos)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-            ),
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nm", "cid", ccos.alias("ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))).alias("s"),
+            F.first("v").alias("v"),
+            F.first("nm").alias("nm"),
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("ccos").alias("cent_cos"))
+        .select(
+            "vec_id",
+            (-F.col("s.ncid")).alias("cid"),
+            F.col("s.ccos").alias("cent_cos"),
+            "v",
+            "nm",
+        )
+        .localCheckpoint()
     )
     a = assign.select(
-        F.col("vec_id").alias("ia"), F.col("cid").alias("cid"), F.col("cent_cos").alias("ca")
+        F.col("vec_id").alias("ia"),
+        "cid",
+        F.col("cent_cos").alias("ca"),
+        F.col("v").alias("va"),
+        F.col("nm").alias("na"),
     )
     b = assign.select(
-        F.col("vec_id").alias("ib"), F.col("cid").alias("cid2"), F.col("cent_cos").alias("cb")
+        F.col("vec_id").alias("ib"),
+        F.col("cid").alias("cid2"),
+        F.col("cent_cos").alias("cb"),
+        F.col("v").alias("vb"),
+        F.col("nm").alias("nb"),
     )
-    vx = n.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("nm").alias("na"))
-    vy = n.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("nm").alias("nb"))
     pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     # within-cell candidate pairs: equi-join on cell id — O(n^2/K),
-    # never corpus x corpus (guarded in tests/test_plans.py)
+    # never corpus x corpus (guarded in tests/test_plans.py); vectors
+    # ride inside the assign frame so no extra attach joins.
+    #
+    # The join INPUT is n rows but its OUTPUT is n^2/K pair
+    # evaluations — the expansion AQE's byte-based coalescing cannot
+    # see (it would pack the tiny inputs into one partition and run
+    # every pair cosine on one core; measured 2.7 s single-task at
+    # sf0.1). Salt the cell key (operators/skew.py machinery: probe
+    # side one deterministic salt per row, build side replicated
+    # n_salts x) and EXPLICITLY hash-repartition both sides on
+    # (cell, salt) — user-specified repartitioning is exempt from AQE
+    # coalescing, so the K*n_salts buckets spread the quadratic
+    # evaluation across the cluster. Row-identical to the unsalted
+    # join; same fan-out discipline as salted_join_revenue.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = (
-        a.join(b, (F.col("cid") == F.col("cid2")) & (F.col("ia") < F.col("ib")))
-        .join(vx, "ia")
-        .join(vy, "ib")
-        .filter(pair_cos >= SEM_EPS)
+        salt_probe(a, SEM_SALTS, uniq_col="ia")
+        .repartition(n_part, "cid", SALT_COL)
+        .join(
+            replicate_build(b.withColumnRenamed("cid2", "cid"), SEM_SALTS)
+            .repartition(n_part, "cid", SALT_COL),
+            ["cid", SALT_COL],
+        )
+        .filter((F.col("ia") < F.col("ib")) & (pair_cos >= SEM_EPS))
         .select("ia", "ca", "ib", "cb")
     )
     # SemDeDup keep rule as a deterministic total order: of every dup
@@ -1262,16 +1305,20 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production trains per-subspace k-means (same fit machinery as
 # `ann_ivf_kmeans_topk`) with an unchanged encode/ADC plan shape.
 #
-# Scale: encoding is one broadcast(M*C codewords = 128 rows) pass;
-# the per-(vector, subspace) argmin goes through groupBy(min(struct))
-# — partial-aggregated map-side, so the shuffle carries n*M
-# pre-reduced rows, not n*M*C. ADC is a broadcast 128-row join + an
-# m-ordered fold (bit-stable sum order on both engines). Both cuts
-# (ADC shortlist, final top-10) are orderBy+limit, which Spark plans
-# as TakeOrderedAndProject — per-partition partial top-k, no global
-# sort shuffle. At deployment the codes are a persisted byte column
-# (M bytes/vector — the 16x-64x compression PQ exists for) and only
-# the re-rank touches raw vectors.
+# Scale: encode and ADC fuse into ONE pass + ONE shuffle. The
+# n*M*C expansion joins only broadcast relations (128-row codebook,
+# 1-row query) so it never leaves its map task; per subspace a
+# min(struct(d2, c, qd2)) picks the nearest codeword AND carries the
+# query's ADC table entry out with it — M=8 fixed agg expressions,
+# partial-aggregated map-side, so the single exchange moves n
+# pre-reduced rows (not n*M, let alone n*M*C). The ADC distance is
+# the M carried entries summed in fixed m order (bit-stable on both
+# engines). Both cuts (ADC shortlist, final top-10) are
+# orderBy+limit, which Spark plans as TakeOrderedAndProject —
+# per-partition partial top-k, no global sort shuffle. At deployment
+# the codes are a persisted byte column (M bytes/vector — the
+# 16x-64x compression PQ exists for) and only the re-rank touches
+# raw vectors.
 # Reference parity: no vector ops in the reference (north-star
 # surface, SURVEY.md §2.2 last row).
 # ---------------------------------------------------------------------------
@@ -1347,51 +1394,60 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("w"),
         )
     )
+    q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
     subv = F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
+    qsub = F.expr(f"slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
     d2 = F.aggregate(
         F.zip_with(subv, F.col("w"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    # encode: argmin codeword per (vector, subspace) via min(struct) —
-    # lexicographic (d2, c), partial-aggregated map-side so the
-    # shuffle is n*M pre-reduced rows (never the n*M*C expansion)
-    enc = (
-        n.select("vec_id", "v")
-        .crossJoin(F.broadcast(cb))
-        .select("vec_id", "m", d2.alias("d2"), "c")
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "c")).alias("s"))
-        .select("vec_id", "m", F.col("s.c").alias("c"))
-    )
-    q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
-        F.col("v").alias("qv"), F.col("nm").alias("qn")
-    )
-    qsub = F.expr(f"slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
     qd2 = F.aggregate(
         F.zip_with(qsub, F.col("w"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    qtab = cb.crossJoin(F.broadcast(q)).select("m", "c", qd2.alias("qd2"))
-    # ADC: m-ordered fold (array_sort on struct(m, qd2) pins the sum
-    # order) so adc_dist is bit-identical to the oracle's
-    # list(qd2 ORDER BY m) fold
-    adc = (
-        enc.join(F.broadcast(qtab), ["m", "c"])
-        .groupBy("vec_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("m", "qd2"))),
-                F.lit(0.0),
-                lambda a, x: a + x["qd2"],
-            ).alias("adc_dist")
-        )
+    # ONE expanded frame carrying encode distance AND the query's
+    # ADC table entry per (vector, subspace, codeword) — both the
+    # codebook (128 rows) and the query (1 row) are broadcast, so the
+    # n*M*C expansion never leaves its map task
+    # explicit repartition before the expansion: the corpus scan's
+    # partitioning reflects FILE sizes, not the n*M*C work the
+    # broadcast expansion fans out map-side (a single-file fixture
+    # would run every distance fold on one core; at deployment the
+    # scan is many-partition and this is a near-no-op rebalance)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    expanded = (
+        n.select("vec_id", "v")
+        .repartition(n_part)
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "m", "c", d2.alias("d2"), qd2.alias("qd2"))
     )
+    # encode + ADC in ONE partial-agged shuffle: per subspace m a
+    # min(struct(d2, c, qd2)) picks the nearest codeword ((d2, c)
+    # lexicographic — c unique makes it a total order) and carries
+    # that codeword's ADC table entry out with it; the M=8 fixed agg
+    # expressions collapse map-side, so the exchange moves n
+    # pre-reduced rows (never n*M, let alone n*M*C)
+    aggs = [
+        F.min(F.when(F.col("m") == m, F.struct("d2", "c", "qd2"))).alias(f"s{m}")
+        for m in range(PQ_M)
+    ]
+    per = expanded.groupBy("vec_id").agg(*aggs)
+    # ADC distance: the M table entries summed in fixed m order
+    # (left-to-right m=0..M-1) — bit-identical to the oracle's
+    # list(qd2 ORDER BY m) fold
+    adc_dist = F.col("s0.qd2")
+    for m in range(1, PQ_M):
+        adc_dist = adc_dist + F.col(f"s{m}.qd2")
     # orderBy+limit => TakeOrderedAndProject (partial per-partition
     # top-k, no global sort shuffle)
     short = (
-        adc.filter(F.col("vec_id") != _QUERY_VEC)
+        per.select("vec_id", adc_dist.alias("adc_dist"))
+        .filter(F.col("vec_id") != _QUERY_VEC)
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(PQ_RERANK)
     )

@@ -513,16 +513,11 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
         "|langs|-row assert-guard frame itself",
     ),
     "ratio_to_parent_share": (2, "dim: nation + region"),
-    "dedup_semdedup_prune": (
-        3,
-        "bounded: K centroids (assignment pass) + the hinted cents "
-        "subtree re-entering the pair stage's assign re-key twice",
-    ),
     "ann_pq_adc_topk": (
-        7,
-        "bounded: M-row subspace range + M*C=128-row codebook (encode "
-        "+ query-table passes) + 1-row query (x2 re-entries) + 128-row "
-        "ADC lookup table + PQ_RERANK=50-row shortlist",
+        5,
+        "bounded: M-row subspace range + M*C=128-row codebook + 1-row "
+        "query (2 re-entries: expansion + re-rank) + PQ_RERANK=50-row "
+        "shortlist",
     ),
 }
 
@@ -823,7 +818,6 @@ _BUFFER_ALLOWLIST: dict[str, tuple[int, str]] = {
     "session_paths": (1, "per-session path; sessions terminate at 30-min gaps — per-key state, not constant-parallelism; a pathological no-gap user is the event_pattern_regex cap regime"),
     "ewma_user_value": (1, "per-user ordered fold, events-per-user (deployment retention window); unbounded-key regime = transformWithState running-stats operator (streaming/pipelines.py), this lane is its batch-checkable twin"),
     "quality_percentile_filter": (1, "value-domain-bounded: Spark's exact Percentile buffers a value->count map over INTEGER n_chars — state ~ |n_chars domain|, not row count"),
-    "ann_pq_adc_topk": (1, "bounded: fixed fan-out — exactly PQ_M=8 (m, qd2) structs per vector, sorted to pin the ADC fold order"),
 }
 
 
