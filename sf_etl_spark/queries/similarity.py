@@ -93,7 +93,21 @@ def exact_cosine_pairs(
     vb = n.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb")
     )
-    cand = cand_ids.join(va, "vec_a").join(vb, "vec_b")
+    # The cosine fold runs in the stage of the SECOND attach join, and
+    # the candidate frame is narrow (two ids/row) — AQE's byte-based
+    # coalescing would pack it into one partition and evaluate every
+    # candidate's 64-dim fold on one core (measured single-task at
+    # sf0.1). EXPLICIT hash repartitions on each join key replace the
+    # implicit exchanges one-for-one (same shuffle count) and are
+    # exempt from AQE coalescing, so the O(|candidates|) verification
+    # spreads across the cluster at any candidate volume.
+    n_part = int(n.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        cand_ids.repartition(n_part, "vec_a")
+        .join(va, "vec_a")
+        .repartition(n_part, "vec_b")
+        .join(vb, "vec_b")
+    )
     cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.filter(cosine >= threshold)
@@ -147,10 +161,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < _COSINE_GT_CAP
     )
     n = e.select("vec_id", "label", _vec().alias("v"), _norm(_vec()).alias("nm"))
-    a, b = n.alias("a"), n.alias("b")
+    # inequality self-join => nested-loop: broadcast one side (bounded
+    # by _COSINE_GT_CAP rows BY CONSTRUCTION — the cap that makes this
+    # ground-truth form runnable at all) and EXPLICITLY repartition the
+    # streamed side: the fixture corpus is one parquet file, so
+    # without it every one of the O(cap^2) pair folds runs on a single
+    # core (measured 10 s single-task at sf0.1 -> ~1 s spread)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a, b = n.repartition(n_part).alias("a"), n.alias("b")
     cosine = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nm") * F.col("b.nm"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cosine >= COS_THRESHOLD)
         .select(
             F.col("a.vec_id").alias("vec_a"),

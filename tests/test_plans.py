@@ -493,6 +493,11 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
     "event_transitions": (1, "domain: totals per event_type"),
     "distribution_drift": (1, "1-row: overall distribution"),
     "ann_cosine_topk": (1, "1-row: query vector"),
+    "dedup_embedding_cosine": (
+        1,
+        "bounded: the _COSINE_GT_CAP slice (<=1000 rows by construction "
+        "— the cap that makes the O(cap^2) ground-truth form runnable)",
+    ),
     "pandas_udf_zscore": (1, "domain: per-status moments"),
     "geo_nearest_hub": (1, "bounded: 5 hub-coordinate literals"),
     "window_frames": (
