@@ -97,23 +97,24 @@ def register(
 # never hides a query).
 _PRIORITY_ORDER = [
     # --- round-12 rotation (r11 verdict task 2): the ~50-row
-    # driver window = (1) the 12 lanes NEW or behavior-changed this
+    # driver window = (1) the 13 lanes NEW or behavior-changed this
     # round — the new stream_sink_sfetl_failed_rows reject-capture
     # and sink_sfetl_successful_results created/updated-split lanes
-    # (the Bulk 2.0 results triple), the new SemDeDup and PQ-ADC
-    # vector lanes, the five sfetl lanes restaged on real Bulk 2.0
-    # insert/upsert/delete semantics atop the chunked size-governed
-    # writer with its round-robin commit poll, and the two
-    # single-trigger replay lanes; (2) ALL 32 lanes whose newest
+    # (the Bulk 2.0 results triple), the new SemDeDup / PQ-ADC /
+    # composed IVF-PQ vector lanes, the five sfetl lanes restaged on
+    # real Bulk 2.0 insert/upsert/delete semantics atop the chunked
+    # size-governed writer with its round-robin commit poll, and the
+    # two single-trigger replay lanes; (2) ALL 32 lanes whose newest
     # driver evidence is r7 — the stalest block (verdict: 'the r12
-    # rotation item'); (3) the first 6 of the r8-fresh block.
-    # 12+32+6 = 50.
+    # rotation item'); (3) the first 5 of the r8-fresh block.
+    # 13+32+5 = 50.
     # Below the boundary: the rest of the r8 block, then r9/r10/r11
     # blocks in prior order (freshest evidence rotates last). ---
     "stream_sink_sfetl_failed_rows",
     "sink_sfetl_successful_results",
     "dedup_semdedup_prune",
     "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "decontaminate_embedding_cosine",
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
@@ -159,8 +160,8 @@ _PRIORITY_ORDER = [
     "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
-    "chi_square_independence",
     # --- below the r12 driver window ---
+    "chi_square_independence",
     "chunk_documents",
     "dq_observe_inflight",
     "event_pattern_regex",

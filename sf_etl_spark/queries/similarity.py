@@ -1349,6 +1349,70 @@ PQ_C = 16  # codewords per subspace
 PQ_RERANK = 50  # ADC shortlist size fed to exact re-rank
 
 
+def _pq_codebook(spark: SparkSession, n: DataFrame) -> DataFrame:
+    """Seed-selection PQ codebook: M x C = 128 rows of PQ_SUBDIM-dim
+    codewords (subvectors of vec_id 1..C) — broadcast-sized by
+    construction at any corpus scale. Production trains per-subspace
+    k-means (same fit machinery as ann_ivf_kmeans_topk) with an
+    unchanged encode/ADC plan shape."""
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    return (
+        n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_C))
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "m",
+            F.col("vec_id").alias("c"),
+            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("w"),
+        )
+    )
+
+
+def _pq_adc_scores(base: DataFrame, cb: DataFrame, q: DataFrame) -> DataFrame:
+    """(vec_id, v) frame -> (vec_id, adc_dist): PQ encode argmin AND
+    the query's ADC table entry in ONE partial-agged shuffle.
+
+    The expanded frame joins only broadcast relations (128-row
+    codebook, 1-row query), so the |base|*M*C fan-out never leaves its
+    map task; per subspace m a min(struct(d2, c, qd2)) picks the
+    nearest codeword ((d2, c) lexicographic — c unique makes it a
+    total order) and carries that codeword's ADC table entry out with
+    it. The M fixed agg expressions collapse map-side, so the single
+    exchange moves |base| pre-reduced rows (never |base|*M, let alone
+    |base|*M*C). ADC distance = the M carried entries summed in fixed
+    m order (left-to-right) — bit-identical to the oracle's
+    list(qd2 ORDER BY m) fold.
+
+    Callers must spread ``base`` (explicit repartition) when its
+    partitioning reflects file sizes rather than the fan-out work —
+    see the AQE-coalescing pathology note in PLANS.md round 12."""
+    subv = F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
+    qsub = F.expr(f"slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
+    d2 = F.aggregate(
+        F.zip_with(subv, F.col("w"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    qd2 = F.aggregate(
+        F.zip_with(qsub, F.col("w"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    expanded = (
+        base.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "m", "c", d2.alias("d2"), qd2.alias("qd2"))
+    )
+    aggs = [
+        F.min(F.when(F.col("m") == m, F.struct("d2", "c", "qd2"))).alias(f"s{m}")
+        for m in range(PQ_M)
+    ]
+    per = expanded.groupBy("vec_id").agg(*aggs)
+    adc_dist = F.col("s0.qd2")
+    for m in range(1, PQ_M):
+        adc_dist = adc_dist + F.col(f"s{m}.qd2")
+    return per.select("vec_id", adc_dist.alias("adc_dist"))
+
+
 @register(
     "ann_pq_adc_topk",
     f"""
@@ -1403,75 +1467,177 @@ PQ_RERANK = 50  # ADC shortlist size fed to exact re-rank
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = normalized_vectors(spark, sf_dir)
-    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    # codebook: M x C = 128 rows of PQ_SUBDIM doubles — broadcast-sized
-    # by construction at any corpus scale
-    cb = (
-        n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_C))
-        .crossJoin(F.broadcast(ms))
-        .select(
-            "m",
-            F.col("vec_id").alias("c"),
-            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("w"),
-        )
-    )
+    cb = _pq_codebook(spark, n)
     q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
         F.col("v").alias("qv"), F.col("nm").alias("qn")
     )
-    subv = F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
-    qsub = F.expr(f"slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
-    d2 = F.aggregate(
-        F.zip_with(subv, F.col("w"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    qd2 = F.aggregate(
-        F.zip_with(qsub, F.col("w"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    # ONE expanded frame carrying encode distance AND the query's
-    # ADC table entry per (vector, subspace, codeword) — both the
-    # codebook (128 rows) and the query (1 row) are broadcast, so the
-    # n*M*C expansion never leaves its map task
     # explicit repartition before the expansion: the corpus scan's
     # partitioning reflects FILE sizes, not the n*M*C work the
     # broadcast expansion fans out map-side (a single-file fixture
     # would run every distance fold on one core; at deployment the
     # scan is many-partition and this is a near-no-op rebalance)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    expanded = (
-        n.select("vec_id", "v")
-        .repartition(n_part)
-        .crossJoin(F.broadcast(cb))
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", "m", "c", d2.alias("d2"), qd2.alias("qd2"))
-    )
-    # encode + ADC in ONE partial-agged shuffle: per subspace m a
-    # min(struct(d2, c, qd2)) picks the nearest codeword ((d2, c)
-    # lexicographic — c unique makes it a total order) and carries
-    # that codeword's ADC table entry out with it; the M=8 fixed agg
-    # expressions collapse map-side, so the exchange moves n
-    # pre-reduced rows (never n*M, let alone n*M*C)
-    aggs = [
-        F.min(F.when(F.col("m") == m, F.struct("d2", "c", "qd2"))).alias(f"s{m}")
-        for m in range(PQ_M)
-    ]
-    per = expanded.groupBy("vec_id").agg(*aggs)
-    # ADC distance: the M table entries summed in fixed m order
-    # (left-to-right m=0..M-1) — bit-identical to the oracle's
-    # list(qd2 ORDER BY m) fold
-    adc_dist = F.col("s0.qd2")
-    for m in range(1, PQ_M):
-        adc_dist = adc_dist + F.col(f"s{m}.qd2")
+    scores = _pq_adc_scores(n.select("vec_id", "v").repartition(n_part), cb, q)
     # orderBy+limit => TakeOrderedAndProject (partial per-partition
     # top-k, no global sort shuffle)
     short = (
-        per.select("vec_id", adc_dist.alias("adc_dist"))
-        .filter(F.col("vec_id") != _QUERY_VEC)
+        scores.filter(F.col("vec_id") != _QUERY_VEC)
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(PQ_RERANK)
     )
+    cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    return (
+        n.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "adc_dist", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed production ANN shape (FAISS's IVFPQ, Jegou et
+# al. 2011 §V): the IVF coarse quantizer prunes the corpus to the
+# query's nprobe nearest cells, PQ-ADC scores ONLY those candidates
+# from the 128-entry lookup table, and the exact re-rank touches just
+# the ADC shortlist. `ann_ivf_topk` and `ann_pq_adc_topk` each prove
+# one half; this lane is the composition a deployment actually runs —
+# scan fraction nprobe/K, scoring cost M lookups per candidate,
+# full-precision math only on PQ_RERANK rows.
+#
+# Same deterministic seed centroids/codebooks as the component lanes,
+# so DuckDB replays the WHOLE composition hash-for-hash; production
+# swaps in trained k-means for both quantizers (fit machinery =
+# ann_ivf_kmeans_topk) with an unchanged plan shape.
+#
+# Scale: assignment is the broadcast-K partial-agged argmax (exchange
+# carries n pre-reduced rows); the probe cut is a broadcast
+# nprobe-row semi-filter; PQ scoring via _pq_adc_scores is one
+# partial-agged shuffle of |candidates| rows; both cuts are
+# TakeOrderedAndProject. At deployment cell id is a partition column
+# (cell-pruned scans) and codes are a persisted M-byte column — the
+# probe then reads nprobe partitions of M-byte codes, never raw
+# vectors, until the re-rank.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_pq_topk",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id BETWEEN 1 AND {IVF_K}
+    ), scored AS (
+      SELECT n.vec_id, cents.cid,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='cents.cv')} / (n.nm * cents.cn) DESC,
+                        cents.cid
+             ) AS rn
+      FROM n CROSS JOIN cents
+    ), assign AS (
+      SELECT vec_id, cid FROM scored WHERE rn = 1
+    ), q AS (
+      SELECT v AS qv, nm AS qn FROM n WHERE vec_id = {_QUERY_VEC}
+    ), probe AS (
+      SELECT cid FROM (
+        SELECT cents.cid,
+               row_number() OVER (
+                 ORDER BY {_SQL_DOT.format(dim=DIM, u='cents.cv', v='q.qv')} / (cents.cn * q.qn) DESC,
+                          cents.cid
+               ) AS prn
+        FROM cents CROSS JOIN q
+      ) WHERE prn <= {IVF_NPROBE}
+    ), cand AS (
+      SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+      WHERE a.vec_id <> {_QUERY_VEC}
+    ), ms AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+    ), cb AS (
+      SELECT ms.m, n.vec_id AS c,
+             list_slice(n.v, ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS w
+      FROM n CROSS JOIN ms WHERE n.vec_id BETWEEN 1 AND {PQ_C}
+    ), d AS (
+      SELECT n.vec_id, cb.m, cb.c,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+                           i -> (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
+                              * (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
+                         (a, b) -> a + b) AS d2
+      FROM n JOIN cand USING (vec_id) CROSS JOIN cb
+    ), enc AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT cb.m, cb.c,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+                           i -> (q.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
+                              * (q.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
+                         (a, b) -> a + b) AS qd2
+      FROM cb CROSS JOIN q
+    ), adc AS (
+      SELECT enc.vec_id,
+             list_reduce(list(qtab.qd2 ORDER BY enc.m), (a, b) -> a + b) AS adc_dist
+      FROM enc JOIN qtab ON enc.m = qtab.m AND enc.c = qtab.c
+      GROUP BY enc.vec_id
+    ), short AS (
+      SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT {PQ_RERANK}
+    )
+    SELECT s.vec_id, n.label, s.adc_dist,
+           {_SQL_DOT.format(dim=DIM, u='n.v', v='q.qv')} / (n.nm * q.qn) AS cosine
+    FROM short s JOIN n ON n.vec_id = s.vec_id CROSS JOIN q
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT 10
+    """,
+    doc=f"IVF({IVF_K}, nprobe={IVF_NPROBE}) cell pruning -> PQ({PQ_M}x{PQ_C}) ADC"
+    f" scoring of candidates only -> exact re-rank top-10 (the composed IVFPQ path)",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normalized_vectors(spark, sf_dir)
+    cents = n.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nm").alias("cn")
+    )
+    q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
+    # assignment: broadcast-K expansion + map-side partial-agged
+    # argmax (same shape as dedup_semdedup_prune — the exchange
+    # carries n pre-reduced rows, never n*K); v rides along for the
+    # PQ scoring stage
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cn"))
+    assign = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", ccos.alias("ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))).alias("s"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", (-F.col("s.ncid")).alias("cid"), "v")
+    )
+    qcos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))  # K rows x 1 row
+        .select("cid", qcos.alias("ccos"))
+        .orderBy(F.col("ccos").desc(), "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = assign.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != _QUERY_VEC
+    )
+    cb = _pq_codebook(spark, n)
+    # explicit repartition: the candidate frame is narrow and
+    # AQE-coalescible while the PQ expansion's fold work is not byte-
+    # visible (PLANS.md round-12 pathology note)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    scores = _pq_adc_scores(cand.select("vec_id", "v").repartition(n_part), cb, q)
+    short = scores.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(PQ_RERANK)
     cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
     return (
         n.join(F.broadcast(short), "vec_id")

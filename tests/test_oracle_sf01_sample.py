@@ -46,6 +46,7 @@ LANES = [
     # distances vs 500 at fixture scale) and SemDeDup's within-cell
     # dup graph (cells 4x as large at sf0.1)
     "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "dedup_semdedup_prune",
 ]
 

@@ -524,6 +524,12 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
         "query (2 re-entries: expansion + re-rank) + PQ_RERANK=50-row "
         "shortlist",
     ),
+    "ann_ivf_pq_topk": (
+        8,
+        "bounded: K centroids (assignment) + 1-row query (probe, "
+        "expansion, re-rank re-entries) + nprobe-row probe set + M-row "
+        "subspace range + 128-row codebook + PQ_RERANK=50-row shortlist",
+    ),
 }
 
 

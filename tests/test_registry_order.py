@@ -28,6 +28,7 @@ MUST_BE_IN_WINDOW = [
     "sink_sfetl_successful_results",
     "dedup_semdedup_prune",
     "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "decontaminate_embedding_cosine",
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
@@ -73,7 +74,6 @@ MUST_BE_IN_WINDOW = [
     "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
-    "chi_square_independence",
 ]
 
 

@@ -127,3 +127,57 @@ def test_pq_adc_rerank_recall_and_exactness(spark):
     # true top-10 at fixture scale; brute force is the oracle lane
     assert recall >= 0.5, f"PQ recall@10 collapsed: {recall}"
     assert PQ_RERANK >= 10
+
+
+def test_ivfpq_is_pq_restricted_to_probed_cells(spark):
+    """The composed IVF-PQ lane must return vectors that (a) carry
+    exact true cosines (re-rank exactness) and (b) all belong to the
+    query's nprobe nearest seed cells — and its shortlist can only
+    LOSE candidates vs the unpruned PQ lane, never invent new ADC
+    distances (every returned (vec_id, adc_dist) must match the
+    full-corpus PQ scoring bit-for-bit, recomputed here in numpy)."""
+    from sf_etl_spark.queries.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        PQ_C,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+
+    ids, v = _embeddings(spark)
+    idx = {int(i): k for k, i in enumerate(ids)}
+    nm = np.linalg.norm(v, axis=1)
+    q = idx[0]
+
+    # seed-cell assignment + probe set (numpy recomputation)
+    cents = [idx[c] for c in range(1, IVF_K + 1)]
+    cc = (v @ v[cents].T) / np.outer(nm, nm[cents])
+    cell = cc.argmax(axis=1)  # first-max == lowest-cid tie-break
+    qc = cc[q]
+    probe = set(np.lexsort((np.arange(IVF_K), -qc))[:IVF_NPROBE])
+
+    # full PQ-ADC recomputation
+    cw = np.stack(
+        [
+            np.stack(
+                [v[idx[c]][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for c in range(1, PQ_C + 1)]
+            )
+            for m in range(PQ_M)
+        ]
+    )  # (M, C, SUBDIM)
+    qd2 = ((cw - v[q].reshape(PQ_M, PQ_SUBDIM)[:, None, :]) ** 2).sum(axis=2)  # (M, C)
+    sub = v.reshape(len(ids), PQ_M, PQ_SUBDIM)
+    d2 = ((sub[:, :, None, :] - cw[None]) ** 2).sum(axis=3)  # (n, M, C)
+    codes = d2.argmin(axis=2)  # first-min == lowest-c tie-break
+    adc = qd2[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+
+    got = all_queries()["ann_ivf_pq_topk"].fn(spark, SF_DIR).collect()
+    assert 0 < len(got) <= 10
+    cosines = (v @ v[q]) / (nm * nm[q])
+    for r in got:
+        k = idx[int(r["vec_id"])]
+        assert int(cell[k]) in probe  # candidate really came from a probed cell
+        assert abs(r["cosine"] - cosines[k]) < 1e-9  # exact re-rank
+        # float-tolerant vs numpy (sum order differs); the bit-exact
+        # gate vs the engine's own fold order is the DuckDB oracle
+        assert abs(r["adc_dist"] - adc[k]) < 1e-9
