@@ -97,17 +97,18 @@ def register(
 # never hides a query).
 _PRIORITY_ORDER = [
     # --- round-12 rotation (r11 verdict task 2): the ~50-row
-    # driver window = (1) the 13 lanes NEW or behavior-changed this
+    # driver window = (1) the 15 lanes NEW or behavior-changed this
     # round — the new stream_sink_sfetl_failed_rows reject-capture
     # and sink_sfetl_successful_results created/updated-split lanes
     # (the Bulk 2.0 results triple), the new SemDeDup / PQ-ADC /
-    # composed IVF-PQ vector lanes, the five sfetl lanes restaged on
-    # real Bulk 2.0 insert/upsert/delete semantics atop the chunked
-    # size-governed writer with its round-robin commit poll, and the
-    # two single-trigger replay lanes; (2) ALL 32 lanes whose newest
-    # driver evidence is r7 — the stalest block (verdict: 'the r12
-    # rotation item'); (3) the first 5 of the r8-fresh block.
-    # 13+32+5 = 50.
+    # composed IVF-PQ vector lanes, the new session-window and
+    # left-outer stream-stream join live-streaming lanes, the five
+    # sfetl lanes restaged on real Bulk 2.0 insert/upsert/delete
+    # semantics atop the chunked size-governed writer with its
+    # round-robin commit poll, and the two single-trigger replay
+    # lanes; (2) ALL 32 lanes whose newest driver evidence is r7 —
+    # the stalest block (verdict: 'the r12 rotation item'); (3) the
+    # first 3 of the r8-fresh block. 15+32+3 = 50.
     # Below the boundary: the rest of the r8 block, then r9/r10/r11
     # blocks in prior order (freshest evidence rotates last). ---
     "stream_sink_sfetl_failed_rows",
@@ -123,6 +124,8 @@ _PRIORITY_ORDER = [
     "stream_sink_sfetl_upsert",
     "stream_tumbling_1h",
     "stream_stateful_user_agg",
+    "stream_session_window",
+    "stream_stream_left_join_unmatched",
     "ab_test_lift",
     "ann_ivf_topk",
     "ann_srp_lsh_pairs",
@@ -158,9 +161,9 @@ _PRIORITY_ORDER = [
     "ann_ivf_kmeans_topk",
     "asof_pandas_merge",
     "asof_purchase_click",
+    # --- below the r12 driver window ---
     "benford_first_digit",
     "boolean_search_and",
-    # --- below the r12 driver window ---
     "chi_square_independence",
     "chunk_documents",
     "dq_observe_inflight",

@@ -147,6 +147,141 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+      FROM events
+    ), flg AS (
+      -- Spark session windows are [start, last + gap): an event AT
+      -- exactly prev + gap starts a NEW session, so the break test is
+      -- >= in exact microsecond arithmetic
+      SELECT *, CASE WHEN pus IS NULL OR us - pus >= 300000000 THEN 1 ELSE 0 END AS newf
+      FROM o
+    ), sids AS (
+      SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flg
+    ), sess AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 5 MINUTE AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
+      FROM sids GROUP BY user_id, sid
+    )
+    -- append mode emits a session once the watermark passes its end;
+    -- the availableNow run's final watermark is max(ts) - the 10m
+    -- delay, so sessions still open past it stay in state by design
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM sess
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    ORDER BY user_id, session_start
+    """,
+    doc="REAL readStream session windows (F.session_window, 5m gap, append mode)",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live session-window aggregation — ``F.session_window`` is the
+    one window type whose STATE must merge across micro-batches (two
+    partial sessions from different batches coalesce when an event
+    bridges them), so the multi-batch replay is the semantics under
+    test, not overhead. The oracle restates gaps-and-islands
+    sessionization in exact microsecond arithmetic plus the append-
+    mode emission rule (sessions closed before the final watermark).
+
+    Scale: state per (user, open session) only inside the watermark
+    horizon — the bounded-state contract; the batch twin for
+    unbounded retrospectives is ``sessionize_events``.
+    """
+    from sf_etl_spark.streaming import events_stream, run_to_memory_table, stream_session_agg
+
+    src = _stage(spark, sf_dir)
+    name, _ = run_to_memory_table(
+        stream_session_agg(events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER)),
+        output_mode="append",
+        shuffle_partitions=8,  # state ~ open sessions per user
+    )
+    return (
+        spark.table(name)
+        .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "stream_stream_left_join_unmatched",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT c.click_id, p.purchase_id, c.user_id,
+             CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT) AS gap_seconds
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
+    ), wm AS (
+      -- the global watermark of a two-watermark query is the MIN of
+      -- the per-stream watermarks (multipleWatermarkPolicy=min):
+      -- each side's watermark = its own max event time - 30m delay
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 30 MINUTE AS w
+    ), u AS (
+      -- a click emits its NULL row when state eviction proves no
+      -- future purchase can match: click_ts + horizon within the
+      -- final watermark; younger unmatched clicks stay in state
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+             CAST(NULL AS BIGINT) AS gap_seconds
+      FROM c, wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        AND c.click_ts + INTERVAL 30 MINUTE <= wm.w
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM u
+    ORDER BY click_id, purchase_id
+    """,
+    doc="stream-stream LEFT OUTER join: unmatched clicks emitted as NULL rows at watermark eviction",
+)
+def stream_stream_left_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTER leg of the watermarked interval join: conversions
+    emit as they match (the inner lane's rows, row-identical), and a
+    click whose join state is evicted without matching emits ONCE
+    with NULL purchase columns — "never converted" as a streaming
+    output instead of a second batch scan. Which clicks have
+    null-emitted by stream end is watermark-determined, so the oracle
+    restates the eviction rule exactly (min-of-watermarks policy,
+    calibrated empirically: the one withheld click at sf0.001 is the
+    max-click-time click itself, whose side watermark never passes
+    it).
+
+    Scale: same bounded state as the inner join — the interval
+    condition is what makes eviction (and thus the outer emission)
+    possible at all; an unbounded left stream join cannot emit nulls.
+    """
+    from sf_etl_spark.streaming import (
+        events_stream,
+        run_to_memory_table,
+        stream_click_attribution,
+    )
+
+    src = _stage(spark, sf_dir)
+    clicks = events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER).filter(F.col("event_type") == "purchase")
+    name, _ = run_to_memory_table(
+        stream_click_attribution(clicks, purchases, how="left"),
+        output_mode="append",
+        shuffle_partitions=8,  # join state ~ clicks in 30min horizon
+    )
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+@register(
     "stream_stateful_user_agg",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events

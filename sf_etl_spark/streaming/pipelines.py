@@ -197,10 +197,10 @@ def stream_dedup_within_watermark(events: DataFrame, watermark: str = "30 minute
 
 def stream_click_attribution(
     clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes",
-    watermark: str = "30 minutes",
+    watermark: str = "30 minutes", how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: purchases attributed to a same-user
-    click within ``horizon``.
+    """Stream-stream join: purchases attributed to a same-user click
+    within ``horizon``.
 
     Both sides carry watermarks and the join condition bounds event
     time from BOTH directions — exactly what lets Spark prune join
@@ -208,6 +208,14 @@ def stream_click_attribution(
     future purchase and is evicted. Unbounded state in a stream-stream
     join is the 100 TB killer; the interval condition is not an
     optimization, it is the correctness condition for bounded memory.
+
+    ``how="left"`` adds the OUTER leg: a click whose state is evicted
+    without ever matching emits once with NULL purchase columns — the
+    "clicks that never converted" stream, produced at watermark
+    passage rather than by a second batch scan. The global watermark
+    of a two-watermark query is the MIN of the per-stream watermarks
+    (Spark's default multipleWatermarkPolicy), which the oracle of the
+    registered lane restates.
     """
     c = (
         clicks.withWatermark("ts", watermark)
@@ -231,7 +239,7 @@ def stream_click_attribution(
             f"c_user = p_user AND purchase_ts >= click_ts "
             f"AND purchase_ts < click_ts + INTERVAL {horizon}"
         ),
-        "inner",
+        how,
     ).select(
         "click_id",
         "purchase_id",

@@ -48,6 +48,11 @@ LANES = [
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
     "dedup_semdedup_prune",
+    # r12: streaming emission boundaries are watermark-determined and
+    # data-dependent — re-verify the session close rule and the outer
+    # join's null-row eviction rule where the event horizon is densest
+    "stream_session_window",
+    "stream_stream_left_join_unmatched",
 ]
 
 

@@ -37,6 +37,8 @@ MUST_BE_IN_WINDOW = [
     "stream_sink_sfetl_upsert",
     "stream_tumbling_1h",
     "stream_stateful_user_agg",
+    "stream_session_window",
+    "stream_stream_left_join_unmatched",
     "ab_test_lift",
     "ann_ivf_topk",
     "ann_srp_lsh_pairs",
@@ -72,8 +74,6 @@ MUST_BE_IN_WINDOW = [
     "ann_ivf_kmeans_topk",
     "asof_pandas_merge",
     "asof_purchase_click",
-    "benford_first_digit",
-    "boolean_search_and",
 ]
 
 
