@@ -97,7 +97,7 @@ def register(
 # never hides a query).
 _PRIORITY_ORDER = [
     # --- round-12 rotation (r11 verdict task 2): the ~50-row
-    # driver window = (1) the 15 lanes NEW or behavior-changed this
+    # driver window = (1) the 16 lanes NEW or behavior-changed this
     # round — the new stream_sink_sfetl_failed_rows reject-capture
     # and sink_sfetl_successful_results created/updated-split lanes
     # (the Bulk 2.0 results triple), the new SemDeDup / PQ-ADC /
@@ -108,7 +108,7 @@ _PRIORITY_ORDER = [
     # round-robin commit poll, and the two single-trigger replay
     # lanes; (2) ALL 32 lanes whose newest driver evidence is r7 —
     # the stalest block (verdict: 'the r12 rotation item'); (3) the
-    # first 3 of the r8-fresh block. 15+32+3 = 50.
+    # first 2 of the r8-fresh block. 16+32+2 = 50.
     # Below the boundary: the rest of the r8 block, then r9/r10/r11
     # blocks in prior order (freshest evidence rotates last). ---
     "stream_sink_sfetl_failed_rows",
@@ -116,6 +116,7 @@ _PRIORITY_ORDER = [
     "dedup_semdedup_prune",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    "ann_pq_recall_metrics",
     "decontaminate_embedding_cosine",
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
@@ -160,8 +161,8 @@ _PRIORITY_ORDER = [
     "vocab_top_terms",
     "ann_ivf_kmeans_topk",
     "asof_pandas_merge",
-    "asof_purchase_click",
     # --- below the r12 driver window ---
+    "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
     "chi_square_independence",

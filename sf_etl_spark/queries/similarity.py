@@ -1367,7 +1367,9 @@ def _pq_codebook(spark: SparkSession, n: DataFrame) -> DataFrame:
     )
 
 
-def _pq_adc_scores(base: DataFrame, cb: DataFrame, q: DataFrame) -> DataFrame:
+def _pq_adc_scores(
+    base: DataFrame, cb: DataFrame, q: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
     """(vec_id, v) frame -> (vec_id, adc_dist): PQ encode argmin AND
     the query's ADC table entry in ONE partial-agged shuffle.
 
@@ -1400,17 +1402,21 @@ def _pq_adc_scores(base: DataFrame, cb: DataFrame, q: DataFrame) -> DataFrame:
     expanded = (
         base.crossJoin(F.broadcast(cb))
         .crossJoin(F.broadcast(q))
-        .select("vec_id", "m", "c", d2.alias("d2"), qd2.alias("qd2"))
+        .select("vec_id", *extra_keys, "m", "c", d2.alias("d2"), qd2.alias("qd2"))
     )
     aggs = [
         F.min(F.when(F.col("m") == m, F.struct("d2", "c", "qd2"))).alias(f"s{m}")
         for m in range(PQ_M)
     ]
-    per = expanded.groupBy("vec_id").agg(*aggs)
+    # extra_keys (e.g. a query id when ``q`` carries several queries)
+    # widen the group: codes (d2, c) repeat per key, the carried qd2
+    # is key-specific — still one partial-agged shuffle, |base|*|q|
+    # pre-reduced rows
+    per = expanded.groupBy("vec_id", *extra_keys).agg(*aggs)
     adc_dist = F.col("s0.qd2")
     for m in range(1, PQ_M):
         adc_dist = adc_dist + F.col(f"s{m}.qd2")
-    return per.select("vec_id", adc_dist.alias("adc_dist"))
+    return per.select("vec_id", *extra_keys, adc_dist.alias("adc_dist"))
 
 
 @register(
@@ -1645,4 +1651,192 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "adc_dist", cosine.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ quantization-quality EVAL — recall@10 + MRR of the PQ-ADC
+# shortlist-then-rerank pipeline against exact brute force, over the
+# same 5-query eval set as `ann_recall_metrics` (the IVF eval) and
+# `ann_matryoshka_recall` (the MRL eval). Together the three put a
+# NUMBER on each approximation axis a deployment tunes: cell pruning
+# (IVF), dimensionality (MRL), and code compression (PQ). Rankings
+# are deterministic end-to-end, so the metric itself hash-verifies.
+#
+# Scale: the multi-query ADC pass is the SAME single partial-agged
+# shuffle as the single-query lane — the query table is 5x128
+# broadcast rows and the group key widens to (vec_id, qid), so the
+# exchange carries n*|queries| pre-reduced rows; per-query cuts go
+# through the lossless salted two-phase top-k (never a full-corpus
+# window per qid); the exact re-rank touches only the 5*PQ_RERANK
+# shortlist rows (post-cut frames may window-sort, per the r11
+# TINYDOMAIN adjudication).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_pq_recall_metrics",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS qid, v AS qv, nm AS qn FROM n
+      WHERE vec_id IN {_EVAL_QUERIES}
+    ), brute AS (
+      SELECT qs.qid, n.vec_id,
+             row_number() OVER (
+               PARTITION BY qs.qid
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='qs.qv')} / (n.nm * qs.qn) DESC,
+                        n.vec_id
+             ) AS brank
+      FROM n, qs WHERE n.vec_id <> qs.qid
+    ), truth AS (
+      SELECT qid, vec_id, brank FROM brute WHERE brank <= 10
+    ), ms AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+    ), cb AS (
+      SELECT ms.m, n.vec_id AS c,
+             list_slice(n.v, ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS w
+      FROM n CROSS JOIN ms WHERE n.vec_id BETWEEN 1 AND {PQ_C}
+    ), d AS (
+      SELECT n.vec_id, cb.m, cb.c,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+                           i -> (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
+                              * (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
+                         (a, b) -> a + b) AS d2
+      FROM n CROSS JOIN cb
+    ), enc AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT qs.qid, cb.m, cb.c,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+                           i -> (qs.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
+                              * (qs.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
+                         (a, b) -> a + b) AS qd2
+      FROM cb CROSS JOIN qs
+    ), adc AS (
+      SELECT enc.vec_id, qtab.qid,
+             list_reduce(list(qtab.qd2 ORDER BY enc.m), (a, b) -> a + b) AS adc_dist
+      FROM enc JOIN qtab ON enc.m = qtab.m AND enc.c = qtab.c
+      GROUP BY enc.vec_id, qtab.qid
+    ), short AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS srn
+        FROM adc WHERE vec_id <> qid
+      ) WHERE srn <= {PQ_RERANK}
+    ), rerank AS (
+      SELECT s.qid, s.vec_id,
+             row_number() OVER (
+               PARTITION BY s.qid
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='qs.qv')} / (n.nm * qs.qn) DESC,
+                        s.vec_id
+             ) AS rrank
+      FROM short s JOIN n ON n.vec_id = s.vec_id JOIN qs ON qs.qid = s.qid
+    ), ptop AS (
+      SELECT qid, vec_id, rrank FROM rerank WHERE rrank <= 10
+    ), overlap AS (
+      SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM truth t JOIN ptop a ON t.qid = a.qid AND t.vec_id = a.vec_id
+      GROUP BY t.qid
+    ), rr AS (
+      SELECT t.qid,
+             coalesce(1.0 / CAST(a.rrank AS DOUBLE), 0.0) AS reciprocal_rank
+      FROM truth t
+      LEFT JOIN ptop a ON t.qid = a.qid AND t.vec_id = a.vec_id
+      WHERE t.brank = 1
+    )
+    SELECT qs.qid AS query_id,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / 10.0 AS recall_at_10,
+           rr.reciprocal_rank
+    FROM qs
+    LEFT JOIN overlap o ON o.qid = qs.qid
+    JOIN rr ON rr.qid = qs.qid
+    ORDER BY query_id
+    """,
+    doc=f"PQ({PQ_M}x{PQ_C}) ADC+rerank recall@10 + MRR vs brute force over"
+    f" {len(_EVAL_QUERIES)} queries",
+)
+def ann_pq_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.operators.topk import salted_topk
+
+    n = normalized_vectors(spark, sf_dir).select("vec_id", "v", "nm")
+    qs = n.filter(F.col("vec_id").isin(*_EVAL_QUERIES)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
+    qcos = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    brute = (
+        n.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_c", qcos)
+    )
+    truth = salted_topk(
+        brute,
+        ["qid"],
+        [F.col("_c").desc(), F.asc("vec_id")],
+        10,
+        ["vec_id"],
+        rank_col="brank",
+    ).select("qid", "vec_id", "brank")
+    cb = _pq_codebook(spark, n)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    scores = _pq_adc_scores(
+        n.select("vec_id", "v").repartition(n_part), cb, qs, extra_keys=("qid",)
+    ).filter(F.col("vec_id") != F.col("qid"))
+    short = salted_topk(
+        scores,
+        ["qid"],
+        [F.asc("adc_dist"), F.asc("vec_id")],
+        PQ_RERANK,
+        ["vec_id"],
+    ).select("qid", "vec_id")
+    # exact re-rank of the <= 5*PQ_RERANK shortlist rows: post-cut
+    # frame, window-sorted per the TINYDOMAIN adjudication
+    rerank = (
+        short.join(n, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .withColumn("_c", qcos)
+        .withColumn(
+            "rrank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("_c").desc(), "vec_id")
+            ),
+        )
+    )
+    ptop = rerank.filter(F.col("rrank") <= 10).select("qid", "vec_id", "rrank")
+    overlap = (
+        truth.join(ptop, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    rr = (
+        truth.filter(F.col("brank") == 1)
+        .join(ptop, ["qid", "vec_id"], "left")
+        .select(
+            "qid",
+            F.coalesce(
+                F.lit(1.0) / F.col("rrank").cast("double"), F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+    )
+    return (
+        qs.select("qid")
+        .join(overlap, "qid", "left")
+        .join(rr, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / 10.0).alias(
+                "recall_at_10"
+            ),
+            "reciprocal_rank",
+        )
+        .orderBy("query_id")
     )

@@ -530,6 +530,13 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
         "expansion, re-rank re-entries) + nprobe-row probe set + M-row "
         "subspace range + 128-row codebook + PQ_RERANK=50-row shortlist",
     ),
+    "ann_pq_recall_metrics": (
+        10,
+        "bounded: the 5-query eval set (brute pass + multi-query ADC "
+        "expansion + re-rank re-entries, appearing through the two "
+        "salted-topk subtrees) + M-row subspace range + 128-row "
+        "codebook — every hinted frame <= 5x128 rows by construction",
+    ),
 }
 
 
@@ -701,6 +708,7 @@ _WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     # salt keeps their partition spec high-cardinality).
     "ann_matryoshka_recall": (5, "post-cut: salted-phase survivors ≤ k·64 per eval query (truth ×1 + shortlist ×2 subtree copies) + ≤50-row shortlist rerank ×2"),
     "ann_recall_metrics": (6, "post-cut: salted-phase survivors ≤ 10·64 per eval query (truth + probed top-10, × subtree reuse in overlap/rr joins)"),
+    "ann_pq_recall_metrics": (6, "post-cut: salted-phase survivors ≤ k·64 per eval query (brute truth + ADC shortlist, × subtree reuse in overlap/rr joins) + ≤ PQ_RERANK-row rerank rank"),
 }
 
 _WINDOW_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {

@@ -29,6 +29,7 @@ MUST_BE_IN_WINDOW = [
     "dedup_semdedup_prune",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    "ann_pq_recall_metrics",
     "decontaminate_embedding_cosine",
     "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
@@ -73,7 +74,6 @@ MUST_BE_IN_WINDOW = [
     "vocab_top_terms",
     "ann_ivf_kmeans_topk",
     "asof_pandas_merge",
-    "asof_purchase_click",
 ]
 
 
