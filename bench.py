@@ -369,41 +369,23 @@ def main() -> None:
                 **result,
             }
         )
-        # Rolling inline window (r11 verdict task 7): entries beyond
-        # the newest KEEP spill into BENCH_LOCAL_ARCHIVE.json — the
-        # full per-lane maps were dominating repo diffs (2,275 lines
-        # of bench JSON across two r11 commits). tools/bench_history.
-        # load_history() reads archive+inline as one list, so
-        # bench_diff indices and noted-entry lookups are unchanged.
-        KEEP = 12
-        if len(history) > KEEP:
-            apath = os.path.join(repo, "BENCH_LOCAL_ARCHIVE.json")
-            archive = []
-            if os.path.exists(apath):
-                try:
-                    with open(apath) as f:
-                        archive = json.load(f)
-                except ValueError:
-                    archive = []
-            # crash-safety across the two files: the archive is
-            # replaced BEFORE the inline file, so a crash in between
-            # re-spills the same entries next run — dedupe by
-            # recorded_at (second resolution; runs take minutes)
-            seen = {e.get("recorded_at") for e in archive}
-            archive.extend(
-                e for e in history[:-KEEP] if e.get("recorded_at") not in seen
-            )
-            history = history[-KEEP:]
-            atmp = apath + ".tmp"
-            with open(atmp, "w") as f:
-                json.dump(archive, f, indent=1)
-            os.replace(atmp, apath)
         # write-to-tmp + atomic rename: an interrupted run must never
         # leave a truncated file that poisons every later invocation
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(history, f, indent=1)
         os.replace(tmp, path)
+        # Rolling inline window (r11 task 7, policy tightened r12
+        # task 7): unnoted per-invocation entries older than the two
+        # newest NOTED recordings spill to BENCH_LOCAL_ARCHIVE.json —
+        # the full per-lane maps were dominating repo diffs.
+        # tools/bench_history.load_history() reads archive+inline as
+        # one list, so bench_diff indices and noted-entry lookups are
+        # unchanged.
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        from bench_history import spill
+
+        spill(repo)
     except OSError:
         pass  # read-only checkout: the stdout line above still lands
 

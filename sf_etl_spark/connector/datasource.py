@@ -615,6 +615,30 @@ class SfIngestWriter(DataSourceWriter):
                     pass
 
 
+def _filesystem_for(path: str):
+    """Resolve *path* to a ``(pyarrow.fs.FileSystem, fs-native path)``
+    pair so the reject side table can land on whatever storage the
+    cluster actually has — ``file://``, ``s3://``, ``gs://``, ``hdfs://``
+    or a bare local path (LocalFileSystem fallback for scheme-less
+    relative paths, which ``from_uri`` rejects).
+
+    The Python DataSource ``commit()`` hook has no SparkSession, so the
+    side table cannot be written through Spark; ``pyarrow.fs`` (which
+    ships with PySpark) is the storage abstraction that keeps the
+    batch-id-named overwrite contract deployable beyond driver-local
+    POSIX paths. On LocalFileSystem/HDFS the tmp+``move`` is an atomic
+    rename; on object stores ``move`` is copy+delete — not atomic, but
+    the fixed per-batch name still converges on replay (exactly-once by
+    overwrite), which is the contract the reader relies on.
+    """
+    from pyarrow import fs as pafs
+
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except Exception:  # scheme-less relative path -> local filesystem
+        return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
 class SfIngestStreamWriter(DataSourceStreamWriter):
     """``df.writeStream.format("sfetl")`` — the NATIVE streaming sink
     (the batch writer's micro-batch twin; ``foreachBatch`` is no
@@ -639,12 +663,15 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
     jobs reporting ``numberRecordsFailed > 0``) and writes the batch's
     rejects as ONE JSON-lines file ``rejects-batch<id>.jsonl`` under
     the path — named by batchId so a replayed batch OVERWRITES its own
-    file (exactly-once on the side table), written atomically
-    (tmp+rename). Rejects are the bounded sliver of a load, so a
-    driver-side download is the right shape; the path should live on
-    storage the downstream reader sees (the side table reads back with
-    ``spark.read.json``, schema = ``connector.ingest.FAILED_RESULTS
-    _SCHEMA`` plus ``batch_id``).
+    file (exactly-once on the side table), written tmp+rename (atomic
+    on local/HDFS; overwrite-converged on object stores). The path is
+    resolved through ``pyarrow.fs`` (:func:`_filesystem_for`), so any
+    URI the cluster's storage layer speaks works — ``s3://``, ``gs://``,
+    ``hdfs://``, ``file://`` or a bare local path. Rejects are the
+    bounded sliver of a load, so a driver-side download is the right
+    shape; the path should live on storage the downstream reader sees
+    (the side table reads back with ``spark.read.json``, schema =
+    ``connector.ingest.FAILED_RESULTS_SCHEMA`` plus ``batch_id``).
     """
 
     def __init__(self, schema: StructType, options: dict[str, str]):
@@ -680,24 +707,23 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
                         "fields": fields,
                     }
                 )
-        os.makedirs(self.failed_results_path, exist_ok=True)
-        path = os.path.join(
-            self.failed_results_path, f"rejects-batch{batchId:09d}.jsonl"
-        )
+        from pyarrow.fs import FileType
+
+        fs, root = _filesystem_for(self.failed_results_path)
+        fs.create_dir(root, recursive=True)
+        path = f"{root.rstrip('/')}/rejects-batch{batchId:09d}.jsonl"
         if not rejects:
             # a REPLAYED batch that now fully applies must also erase
             # its prior attempt's rejects — leaving the stale file
             # would over-report rows that actually landed
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
+            if fs.get_file_info(path).type != FileType.NotFound:
+                fs.delete_file(path)
             return
         tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            for rec in rejects:
-                f.write(json.dumps(rec) + "\n")
-        os.replace(tmp, path)
+        payload = "".join(json.dumps(rec) + "\n" for rec in rejects)
+        with fs.open_output_stream(tmp) as f:
+            f.write(payload.encode("utf-8"))
+        fs.move(tmp, path)
 
     def abort(self, messages, batchId: int) -> None:
         self._writer.abort(messages)

@@ -217,7 +217,6 @@ _PRIORITY_ORDER = [
     "group_p90_twophase",
     "source_jdbc_roundtrip",
     "ratio_to_parent_share",
-    "multimodal_features",
     "stratified_sample_exact",
     "sample_per_label_cap",
     "pack_token_shards",

@@ -107,40 +107,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Byte-level feature extraction via Arrow-batched mapInPandas
-# (deterministic decode stand-in — see operators.multimodal). Format
-# rollup keeps the output small and order-stable. Rows-only: numpy
-# entropy is not SQL-expressible.
-# ---------------------------------------------------------------------------
-@register(
-    "multimodal_features",
-    None,  # mapInPandas numpy features: not SQL-expressible → rows-only
-    doc="Arrow-batched payload feature extraction (mean/std/entropy) per format",
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(media)
-    return (
-        feats.groupBy("format")
-        .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
-            F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
-        )
-        .orderBy("format")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Hash-verifiable companion of `multimodal_features`: the SAME
-# mapInPandas/numpy path, restricted to its exact-integer outputs
-# (byte_sum/min/max + n_bytes per payload), which the DuckDB oracle
-# restates independently by enumerating payload bytes from the BLOB's
-# bitstring — so the Arrow plumbing (batching, schema, zero-copy numpy
-# views) gets a full per-row value-hash check with no float tolerance.
-# The float features (mean/std/entropy) stay in the rows-only lane;
-# byte_mean is cross-checked here anyway since mean = sum/n.
-# Scale: same narrow mapInPandas pass; output is one 5-column row per
+# Byte-level feature extraction (operators.multimodal.extract_features)
+# verified through ONE hash-checked lane: the mapInPandas/numpy path's
+# per-payload features, restricted to the columns DuckDB can restate
+# EXACTLY by enumerating payload bytes from the BLOB's bitstring —
+# n_bytes / byte_sum / byte_min / byte_max as integers, plus the numpy
+# byte_mean, which is hash-safe with zero float tolerance because every
+# partial sum of byte values is an integer below 2^53 (exactly
+# representable whatever numpy's pairwise-summation order) and the
+# final mean is one division of two exact integers on both sides. So
+# the Arrow plumbing (batching, schema, zero-copy numpy views) AND a
+# float feature column get full per-row value-hash checks. The
+# remaining float features (std/entropy) are order-sensitive float
+# folds with no bit-equal SQL restatement; they are gated against a
+# pure-python reference in tests/test_multimodal.py. (The former
+# rows-only `multimodal_features` format rollup is retired — r12
+# verdict task 6: one lane, one green row.)
+# Scale: one narrow mapInPandas pass; output is one 6-column row per
 # media item, no shuffle beyond the final order.
 # ---------------------------------------------------------------------------
 @register(
@@ -167,19 +150,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_bytes,
            CAST(sum(bv) AS BIGINT) AS byte_sum,
            CAST(min(bv) AS INT) AS byte_min,
-           CAST(max(bv) AS INT) AS byte_max
+           CAST(max(bv) AS INT) AS byte_max,
+           CAST(sum(bv) AS DOUBLE) / count(*) AS byte_mean
     FROM v
     GROUP BY media_id
     ORDER BY media_id
     """,
-    doc="per-payload exact byte features (numpy) vs independent byte enumeration",
+    doc="per-payload exact byte features incl. numpy mean vs independent byte enumeration",
 )
 def multimodal_features_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return (
         feats.filter(F.col("n_bytes") > 0)
-        .select("media_id", "n_bytes", "byte_sum", "byte_min", "byte_max")
+        .select(
+            "media_id", "n_bytes", "byte_sum", "byte_min", "byte_max", "byte_mean"
+        )
         .orderBy("media_id")
     )
 

@@ -55,6 +55,16 @@ def _dot(u: F.Column, v: F.Column) -> F.Column:
     return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
 
 
+def _shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` parsed defensively: the conf
+    can be non-numeric (``auto`` under AQE-managed sessions) — fall
+    back to the cluster's default parallelism rather than raise."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 _SQL_NORM = (
     "sqrt(list_reduce(list_transform(CAST({e} AS DOUBLE[]), x -> x * x), (a, b) -> a + b))"
 )
@@ -101,7 +111,7 @@ def exact_cosine_pairs(
     # implicit exchanges one-for-one (same shuffle count) and are
     # exempt from AQE coalescing, so the O(|candidates|) verification
     # spreads across the cluster at any candidate volume.
-    n_part = int(n.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partitions(n.sparkSession)
     cand = (
         cand_ids.repartition(n_part, "vec_a")
         .join(va, "vec_a")
@@ -167,7 +177,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streamed side: the fixture corpus is one parquet file, so
     # without it every one of the O(cap^2) pair folds runs on a single
     # core (measured 10 s single-task at sf0.1 -> ~1 s spread)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partitions(spark)
     a, b = n.repartition(n_part).alias("a"), n.alias("b")
     cosine = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nm") * F.col("b.nm"))
     return (
@@ -377,27 +387,12 @@ IVF_KM_SEED = 7
     executes_on_construct=True,
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     n = normalized_vectors(spark, sf_dir)
-    vecs = n.withColumn("features", array_to_vector("v"))
-    model = KMeans(
-        k=IVF_KM_K, seed=IVF_KM_SEED, maxIter=10, featuresCol="features"
-    ).fit(vecs)
-    assigned = (
-        model.transform(vecs)
-        .withColumnRenamed("prediction", "cid")
-        .select("vec_id", "label", "v", "nm", "cid")
-    )
-    # centers: K×DIM doubles, driver-side by nature (the model object);
-    # re-enter the engine as a small broadcast relation — NOT as
-    # literals in an expression tree (Janino codegen stalls on big
-    # literal matrices, see ann_srp_lsh_pairs note).
-    centers_df = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cid int, cv array<double>",
-    )
+    # fit + assignment + K-row centers relation: _kmeans_centers (the
+    # centers re-enter the engine as a small broadcast relation — NOT
+    # as literals in an expression tree; Janino codegen stalls on big
+    # literal matrices, see ann_srp_lsh_pairs note)
+    assigned, centers_df = _kmeans_centers(spark, n)
     q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
         F.col("v").alias("qv"), F.col("nm").alias("qn")
     )
@@ -460,23 +455,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes_on_construct=True,
 )
 def ann_ivf_kmeans_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     n = normalized_vectors(spark, sf_dir)
-    vecs = n.withColumn("features", array_to_vector("v"))
-    model = KMeans(
-        k=IVF_KM_K, seed=IVF_KM_SEED, maxIter=10, featuresCol="features"
-    ).fit(vecs)
-    assigned = (
-        model.transform(vecs)
-        .withColumnRenamed("prediction", "cid")
-        .select("vec_id", "label", "v", "nm", "cid")
-    )
-    centers_df = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cid int, cv array<double>",
-    )
+    assigned, centers_df = _kmeans_centers(spark, n)
     q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
         F.col("v").alias("qv"), F.col("nm").alias("qn")
     )
@@ -1275,7 +1255,7 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalescing, so the K*n_salts buckets spread the quadratic
     # evaluation across the cluster. Row-identical to the unsalted
     # join; same fan-out discipline as salted_join_revenue.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partitions(spark)
     pairs = (
         salt_probe(a, SEM_SALTS, uniq_col="ia")
         .repartition(n_part, "cid", SALT_COL)
@@ -1347,6 +1327,54 @@ PQ_M = 8  # subspaces
 PQ_SUBDIM = DIM // PQ_M
 PQ_C = 16  # codewords per subspace
 PQ_RERANK = 50  # ADC shortlist size fed to exact re-rank
+
+
+def _sql_pq_ctes(cand_join: str = "", qtable: str = "q", per_qid: bool = False) -> str:
+    """The shared PQ oracle CTE chain — codebook (``ms``/``cb``) →
+    encode (``d``/``enc``) → query distance table (``qtab``) → ADC
+    scores (``adc``) — built ONCE and interpolated into the three PQ
+    oracles (`ann_pq_adc_topk`, `ann_ivf_pq_topk`,
+    `ann_pq_recall_metrics`), so PQ constants and the fold expression
+    live in one place. Parameterized on the candidate restriction
+    (*cand_join*, an extra join clause scoping ``d`` to IVF
+    candidates) and the query set (*qtable*: single-row ``q`` or
+    multi-row ``qs`` with *per_qid* grouping). Expects a CTE ``n``
+    (vec_id, v, nm) and the query CTE already in scope; starts with
+    ``ms AS`` (callers splice it after a comma)."""
+    qid_sel = f"{qtable}.qid, " if per_qid else ""
+    adc_qid = ", qtab.qid" if per_qid else ""
+    return f"""ms AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+    ), cb AS (
+      SELECT ms.m, n.vec_id AS c,
+             list_slice(n.v, ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS w
+      FROM n CROSS JOIN ms WHERE n.vec_id BETWEEN 1 AND {PQ_C}
+    ), d AS (
+      SELECT n.vec_id, cb.m, cb.c,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+                           i -> (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
+                              * (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
+                         (a, b) -> a + b) AS d2
+      FROM n {cand_join}CROSS JOIN cb
+    ), enc AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT {qid_sel}cb.m, cb.c,
+             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
+                           i -> ({qtable}.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
+                              * ({qtable}.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
+                         (a, b) -> a + b) AS qd2
+      FROM cb CROSS JOIN {qtable}
+    ), adc AS (
+      SELECT enc.vec_id{adc_qid},
+             list_reduce(list(qtab.qd2 ORDER BY enc.m), (a, b) -> a + b) AS adc_dist
+      FROM enc JOIN qtab ON enc.m = qtab.m AND enc.c = qtab.c
+      GROUP BY enc.vec_id{adc_qid}
+    )"""
 
 
 def _pq_codebook(spark: SparkSession, n: DataFrame) -> DataFrame:
@@ -1426,40 +1454,9 @@ def _pq_adc_scores(
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              {_SQL_NORM.format(e='embedding')} AS nm
       FROM embeddings
-    ), ms AS (
-      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
-    ), cb AS (
-      SELECT ms.m, n.vec_id AS c,
-             list_slice(n.v, ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS w
-      FROM n CROSS JOIN ms WHERE n.vec_id BETWEEN 1 AND {PQ_C}
-    ), d AS (
-      SELECT n.vec_id, cb.m, cb.c,
-             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
-                           i -> (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
-                              * (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
-                         (a, b) -> a + b) AS d2
-      FROM n CROSS JOIN cb
-    ), enc AS (
-      SELECT vec_id, m, c FROM (
-        SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-        FROM d
-      ) WHERE rn = 1
     ), q AS (
       SELECT v AS qv, nm AS qn FROM n WHERE vec_id = {_QUERY_VEC}
-    ), qtab AS (
-      SELECT cb.m, cb.c,
-             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
-                           i -> (q.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
-                              * (q.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
-                         (a, b) -> a + b) AS qd2
-      FROM cb CROSS JOIN q
-    ), adc AS (
-      SELECT enc.vec_id,
-             list_reduce(list(qtab.qd2 ORDER BY enc.m), (a, b) -> a + b) AS adc_dist
-      FROM enc JOIN qtab ON enc.m = qtab.m AND enc.c = qtab.c
-      GROUP BY enc.vec_id
-    ), short AS (
+    ), {_sql_pq_ctes()}, short AS (
       SELECT vec_id, adc_dist FROM adc WHERE vec_id <> {_QUERY_VEC}
       ORDER BY adc_dist, vec_id LIMIT {PQ_RERANK}
     )
@@ -1482,7 +1479,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast expansion fans out map-side (a single-file fixture
     # would run every distance fold on one core; at deployment the
     # scan is many-partition and this is a near-no-op rebalance)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partitions(spark)
     scores = _pq_adc_scores(n.select("vec_id", "v").repartition(n_part), cb, q)
     # orderBy+limit => TakeOrderedAndProject (partial per-partition
     # top-k, no global sort shuffle)
@@ -1560,38 +1557,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cand AS (
       SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
       WHERE a.vec_id <> {_QUERY_VEC}
-    ), ms AS (
-      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
-    ), cb AS (
-      SELECT ms.m, n.vec_id AS c,
-             list_slice(n.v, ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS w
-      FROM n CROSS JOIN ms WHERE n.vec_id BETWEEN 1 AND {PQ_C}
-    ), d AS (
-      SELECT n.vec_id, cb.m, cb.c,
-             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
-                           i -> (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
-                              * (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
-                         (a, b) -> a + b) AS d2
-      FROM n JOIN cand USING (vec_id) CROSS JOIN cb
-    ), enc AS (
-      SELECT vec_id, m, c FROM (
-        SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-        FROM d
-      ) WHERE rn = 1
-    ), qtab AS (
-      SELECT cb.m, cb.c,
-             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
-                           i -> (q.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
-                              * (q.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
-                         (a, b) -> a + b) AS qd2
-      FROM cb CROSS JOIN q
-    ), adc AS (
-      SELECT enc.vec_id,
-             list_reduce(list(qtab.qd2 ORDER BY enc.m), (a, b) -> a + b) AS adc_dist
-      FROM enc JOIN qtab ON enc.m = qtab.m AND enc.c = qtab.c
-      GROUP BY enc.vec_id
-    ), short AS (
+    ), {_sql_pq_ctes(cand_join="JOIN cand USING (vec_id) ")}, short AS (
       SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT {PQ_RERANK}
     )
     SELECT s.vec_id, n.label, s.adc_dist,
@@ -1641,7 +1607,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit repartition: the candidate frame is narrow and
     # AQE-coalescible while the PQ expansion's fold work is not byte-
     # visible (PLANS.md round-12 pathology note)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partitions(spark)
     scores = _pq_adc_scores(cand.select("vec_id", "v").repartition(n_part), cb, q)
     short = scores.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(PQ_RERANK)
     cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
@@ -1694,38 +1660,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n, qs WHERE n.vec_id <> qs.qid
     ), truth AS (
       SELECT qid, vec_id, brank FROM brute WHERE brank <= 10
-    ), ms AS (
-      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
-    ), cb AS (
-      SELECT ms.m, n.vec_id AS c,
-             list_slice(n.v, ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS w
-      FROM n CROSS JOIN ms WHERE n.vec_id BETWEEN 1 AND {PQ_C}
-    ), d AS (
-      SELECT n.vec_id, cb.m, cb.c,
-             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
-                           i -> (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
-                              * (n.v[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
-                         (a, b) -> a + b) AS d2
-      FROM n CROSS JOIN cb
-    ), enc AS (
-      SELECT vec_id, m, c FROM (
-        SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-        FROM d
-      ) WHERE rn = 1
-    ), qtab AS (
-      SELECT qs.qid, cb.m, cb.c,
-             list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),
-                           i -> (qs.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])
-                              * (qs.qv[cb.m * {PQ_SUBDIM} + i] - cb.w[i])),
-                         (a, b) -> a + b) AS qd2
-      FROM cb CROSS JOIN qs
-    ), adc AS (
-      SELECT enc.vec_id, qtab.qid,
-             list_reduce(list(qtab.qd2 ORDER BY enc.m), (a, b) -> a + b) AS adc_dist
-      FROM enc JOIN qtab ON enc.m = qtab.m AND enc.c = qtab.c
-      GROUP BY enc.vec_id, qtab.qid
-    ), short AS (
+    ), {_sql_pq_ctes(qtable="qs", per_qid=True)}, short AS (
       SELECT qid, vec_id FROM (
         SELECT qid, vec_id,
                row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS srn
@@ -1786,7 +1721,7 @@ def ann_pq_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="brank",
     ).select("qid", "vec_id", "brank")
     cb = _pq_codebook(spark, n)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partitions(spark)
     scores = _pq_adc_scores(
         n.select("vec_id", "v").repartition(n_part), cb, qs, extra_keys=("qid",)
     ).filter(F.col("vec_id") != F.col("qid"))
@@ -1837,6 +1772,290 @@ def ann_pq_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_10"
             ),
             "reciprocal_rank",
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TRAINED IVF-PQ — the end-to-end composition the seeded lanes promise
+# production swaps in (r12 verdict task 4): BOTH quantizers come from a
+# real fit — the coarse quantizer from the same pyspark.ml KMeans
+# machinery as `ann_ivf_kmeans_topk`, the PQ codebooks from a grouped
+# Lloyd fit that trains ALL M subspaces in one corpus scan per
+# iteration (M sequential MLlib fits would re-scan the corpus M times
+# per iteration — at 100 TB that multiplier is the difference between
+# one pipeline pass and eight). The encode→ADC→re-rank plan downstream
+# of the fit is byte-for-byte the seeded lanes' (`_pq_adc_scores`),
+# which is the claim being proven: trained codebooks drop in with an
+# unchanged plan shape.
+#
+# Verification follows the `ann_ivf_kmeans_agreement` pattern: run the
+# trained composition LOSSLESSLY (nprobe = K so cell pruning discards
+# nothing; no ADC shortlist cut so re-rank sees every candidate
+# exactly). The output is then the global brute-force top-10 whatever
+# the fit produced — which the DuckDB oracle computes independently —
+# while every trained stage stays load-bearing for the row SET: a
+# vector lost or duplicated by the coarse partition, the probe join,
+# the PQ encode argmin, or the ADC group-by changes the re-rank input
+# and breaks the hash. Codebook QUALITY (recall at real nprobe /
+# shortlist cuts) is gated by tests/test_ivf_pq_trained.py via
+# `_ivf_pq_recall`, which must score the trained fit at least as well
+# as the seed-selection codebooks at the same probe fraction.
+#
+# Scale: the grouped Lloyd iteration is two pre-reduced shuffles — the
+# argmin assignment collapses map-side to n·M rows (min(struct) per
+# (vec_id, m)), the recompute to M·C·SUBDIM mean cells — and the
+# codebook itself is 128 rows, a bounded-METADATA collect per
+# iteration (the same convention as the zone-map/layout collects).
+# ---------------------------------------------------------------------------
+PQ_TRAIN_ITERS = 4
+
+
+def _pq_train_codebooks(
+    spark: SparkSession, n: DataFrame, iters: int = PQ_TRAIN_ITERS
+) -> DataFrame:
+    """Grouped per-subspace k-means: (m, c, w) codebooks for all PQ_M
+    subspaces trained together, one corpus scan per Lloyd iteration.
+
+    Init = the deterministic seed codebook (`_pq_codebook`), so the
+    trained result is a strict refinement of what the oracle-checked
+    seeded lanes use. Empty codewords keep their previous position
+    (the standard Lloyd dead-cluster convention)."""
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = (
+        n.select("vec_id", "v")
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+        )
+    )
+    # codebook state lives driver-side between iterations: 128 rows of
+    # 8 doubles — re-entering as a literal relation truncates lineage
+    # (no growing plan across iterations) and broadcasts for free
+    code = {
+        (r["m"], r["c"]): [float(x) for x in r["w"]]
+        for r in _pq_codebook(spark, n).collect()
+    }
+    for _ in range(iters):
+        cb = spark.createDataFrame(
+            [(m, c, w) for (m, c), w in sorted(code.items())],
+            "m int, c int, w array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("w"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        # argmin codeword per (vec_id, m): min(struct(d2, c)) — c is
+        # unique per subspace, so the lexicographic min is a total
+        # order; collapses map-side to n·M rows
+        best = (
+            sub.join(F.broadcast(cb), "m")
+            .select("vec_id", "m", "sv", d2.alias("d2"), "c")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct("d2", "c")).alias("s"),
+                F.first("sv").alias("sv"),
+            )
+            .select("m", F.col("s.c").alias("c"), "sv")
+        )
+        # recompute: per-dimension mean — posexplode keeps the shuffle
+        # pre-reduced (avg combines map-side; M·C·SUBDIM output cells)
+        means = (
+            best.select("m", "c", F.posexplode("sv").alias("i", "x"))
+            .groupBy("m", "c", "i")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("m", "c")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("p"))
+            .select("m", "c", F.expr("transform(p, s -> s.mx)").alias("w"))
+        )
+        for r in means.collect():  # bounded: ≤ M·C = 128 rows
+            code[(r["m"], r["c"])] = [float(x) for x in r["w"]]
+    return spark.createDataFrame(
+        [(m, c, w) for (m, c), w in sorted(code.items())],
+        "m int, c int, w array<double>",
+    )
+
+
+def _kmeans_centers(spark: SparkSession, n: DataFrame):
+    """Coarse-quantizer fit + assignment — the shared machinery of the
+    `ann_ivf_kmeans_*` lanes, extracted for the trained composition:
+    returns (assigned, centers_df) with assigned = (vec_id, label, v,
+    nm, cid) and centers_df = (cid, cv), a K-row broadcast relation."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = n.withColumn("features", array_to_vector("v"))
+    model = KMeans(
+        k=IVF_KM_K, seed=IVF_KM_SEED, maxIter=10, featuresCol="features"
+    ).fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "cid")
+        .select("vec_id", "label", "v", "nm", "cid")
+    )
+    centers_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    return assigned, centers_df
+
+
+@register(
+    "ann_ivf_pq_trained_agreement",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), q AS (
+      SELECT v AS qv, nm AS qn FROM n WHERE vec_id = {_QUERY_VEC}
+    )
+    SELECT n.vec_id, n.label,
+           {_SQL_DOT.format(dim=DIM, u='n.v', v='q.qv')} / (n.nm * q.qn) AS cosine
+    FROM n CROSS JOIN q
+    WHERE n.vec_id <> {_QUERY_VEC}
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc=f"trained IVF({IVF_KM_K})-PQ({PQ_M}x{PQ_C}) run losslessly (nprobe=K,"
+    f" no shortlist cut) == exact brute-force top-10",
+    executes_on_construct=True,
+)
+def ann_ivf_pq_trained_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normalized_vectors(spark, sf_dir)
+    assigned, centers_df = _kmeans_centers(spark, n)
+    q = n.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
+    ccos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * F.col("qn"))
+    probe = (
+        centers_df.crossJoin(F.broadcast(q))  # K rows × 1 row
+        .select("cid", ccos.alias("ccos"))
+        .orderBy(F.col("ccos").desc(), "cid")
+        .limit(IVF_KM_K)  # nprobe = K: agreement mode, nothing pruned
+        .select("cid")
+    )
+    cand = assigned.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != _QUERY_VEC
+    )
+    cb = _pq_train_codebooks(spark, n)
+    n_part = _shuffle_partitions(spark)
+    scores = _pq_adc_scores(cand.select("vec_id", "v").repartition(n_part), cb, q)
+    # agreement mode: NO shortlist cut — the exact re-rank sees every
+    # ADC-scored candidate, so the top-10 is brute-force-equal while
+    # the encode/ADC row set stays load-bearing through this join
+    cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    return (
+        n.join(scores.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_pq_recall(
+    spark: SparkSession,
+    n: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    nprobe: int,
+) -> DataFrame:
+    """recall@10 of an IVF-PQ composition over the shared 5-query eval
+    set (`_EVAL_QUERIES`) — (query_id, recall_at_10). Parameterized on
+    the two quantizers so seeded and trained variants are measured by
+    the IDENTICAL probe/encode/ADC/re-rank plan; used by
+    tests/test_ivf_pq_trained.py to gate trained-codebook quality.
+
+    *cents* is (cid, cv); *cb* is (m, c, w); both broadcast-sized."""
+    from sf_etl_spark.operators.topk import salted_topk
+
+    qs = n.filter(F.col("vec_id").isin(*_EVAL_QUERIES)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nm").alias("qn")
+    )
+    qcos = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    truth = salted_topk(
+        n.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_c", qcos),
+        ["qid"],
+        [F.col("_c").desc(), F.asc("vec_id")],
+        10,
+        ["vec_id"],
+    ).select("qid", "vec_id")
+    # assignment: broadcast-K argmax, exchange carries n pre-reduced rows
+    acos = _dot(F.col("v"), F.col("cv")) / (F.col("nm") * _norm(F.col("cv")))
+    assign = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", acos.alias("ac"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("ac"), (-F.col("cid")).alias("nc"))).alias("s"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", (-F.col("s.nc")).alias("cid"), "v")
+    )
+    pcos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * F.col("qn"))
+    probe = (
+        cents.crossJoin(F.broadcast(qs))
+        .withColumn("_c", pcos)
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("_c").desc(), "cid")
+            ),
+        )
+        .filter(F.col("prn") <= nprobe)
+        .select("qid", "cid")
+    )
+    cand = assign.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    # ADC scores for the distinct candidate vectors × all 5 queries in
+    # one partial-agged shuffle, then restricted back to the per-query
+    # candidate pairs (cell membership differs per query)
+    base = cand.select("vec_id", "v").dropDuplicates(["vec_id"])
+    n_part = _shuffle_partitions(spark)
+    scores = _pq_adc_scores(
+        base.repartition(n_part), cb, qs, extra_keys=("qid",)
+    ).join(cand.select("vec_id", "qid"), ["vec_id", "qid"])
+    short = salted_topk(
+        scores,
+        ["qid"],
+        [F.asc("adc_dist"), F.asc("vec_id")],
+        PQ_RERANK,
+        ["vec_id"],
+    ).select("qid", "vec_id")
+    rerank = (
+        short.join(n, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .withColumn("_c", qcos)
+        .withColumn(
+            "rrank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("_c").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rrank") <= 10)
+        .select("qid", "vec_id")
+    )
+    overlap = (
+        truth.join(rerank, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        qs.select("qid")
+        .join(overlap, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / 10.0).alias(
+                "recall_at_10"
+            ),
         )
         .orderBy("query_id")
     )

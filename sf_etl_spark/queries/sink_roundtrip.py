@@ -1249,15 +1249,17 @@ def source_sfetl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extract-only; SURVEY §2.1 has no write op at all): the same
 # key-bounded customer slice is WRITTEN through
 # ``df.write.format("sfetl").mode("append")`` — each of the 4
-# partitions opens its own Bulk 2.0 ingest job (create → PUT CSV
-# batch → PATCH UploadComplete; Bulk 2.0 takes one upload per job, so
-# load parallelism = partitions = jobs), the driver's commit polls
-# every job to JobComplete — and then scanned BACK through the bulk
-# read path from a server that started EMPTY. The DuckDB oracle
-# aggregates the original parquet slice, so any row lost, duplicated,
-# or mangled anywhere in the write→ingest→apply→scan cycle breaks the
-# hash. The lane asserts ≥2 ingest jobs actually ran (parallel-load
-# shape, not one serialized upload).
+# partitions streams its rows into size-bounded CSV chunks, one Bulk
+# 2.0 ingest job per chunk (create → PUT CSV batch → PATCH
+# UploadComplete), the driver's commit round-robin polls every job to
+# JobComplete — and then scanned BACK through the bulk read path from
+# a server that started EMPTY. A deliberately tiny ``target_job_mb``
+# forces ≥2 chunk jobs per partition, so the chunk BOUNDARY logic
+# (rows split mid-partition across jobs) is on the driver-verified
+# path. The DuckDB oracle aggregates the original parquet slice, so
+# any row lost, duplicated, or mangled anywhere in the
+# write→chunk→ingest→apply→scan cycle breaks the hash. The lane
+# asserts ≥8 ingest jobs ran (4 partitions × ≥2 chunks).
 # ---------------------------------------------------------------------------
 @register(
     "sink_sfetl_ingest_roundtrip",
@@ -1309,10 +1311,19 @@ def sink_sfetl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(4)  # 4 partitions → 4 parallel ingest jobs
         )
         register_sfetl(spark)
-        out.write.format("sfetl").options(**opts).mode("append").save()
+        # ~300-byte job budget: every partition's CSV splits into
+        # SEVERAL size-bounded chunk jobs (r12 verdict task 5 — the
+        # chunk boundary logic create→PUT→close→sweep→results runs
+        # driver-verified in-lane, not just unit-tested; at the
+        # default 100 MB budget fixture partitions never split)
+        out.write.format("sfetl").options(**opts).option(
+            "target_job_mb", "0.0003"
+        ).mode("append").save()
         n_jobs = sum(1 for j in server.jobs.values() if j.get("kind") == "ingest")
-        if n_jobs < 2:
-            raise ValueError(f"expected >= 2 parallel ingest jobs, got {n_jobs}")
+        if n_jobs < 8:  # 4 partitions × ≥2 chunk jobs each
+            raise ValueError(
+                f"expected >= 8 chunked ingest jobs (2 per partition), got {n_jobs}"
+            )
         raw = read_object(spark, {**opts, "chunk_size": "100"}, "Customer", coerce=False)
         back = raw.localCheckpoint(eager=True)
     finally:

@@ -1184,6 +1184,83 @@ def test_native_stream_writer_captures_failed_rows(spark, tmp_path):
         server.stop()
 
 
+def test_filesystem_for_resolves_schemes(tmp_path):
+    """The reject side table resolves its path through pyarrow.fs so
+    it can land on object storage a real cluster uses (r12 verdict
+    task 1): URI schemes resolve via FileSystem.from_uri, scheme-less
+    relative paths fall back to LocalFileSystem + abspath."""
+    import os
+    from pyarrow import fs as pafs
+
+    from sf_etl_spark.connector.datasource import _filesystem_for
+
+    f, p = _filesystem_for(f"file://{tmp_path}/side")
+    assert isinstance(f, pafs.LocalFileSystem) and p == f"{tmp_path}/side"
+    f, p = _filesystem_for(str(tmp_path / "bare"))
+    assert isinstance(f, pafs.LocalFileSystem) and p == str(tmp_path / "bare")
+    f, p = _filesystem_for("relative/side")
+    assert isinstance(f, pafs.LocalFileSystem)
+    assert p == os.path.abspath("relative/side")
+
+
+def test_native_stream_writer_side_table_via_fs_uri(spark, tmp_path):
+    """failed_results_path given as a file:// URI must land the reject
+    files at the URI's path — proof the commit hook writes through the
+    pyarrow.fs handle, with no os.* path dependency (the old os.makedirs
+    on 'file:///…' would have created a literal 'file:' directory under
+    the driver's CWD and never touched the target)."""
+    import os
+
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "K", "type": "string", "length": 8},
+        {"name": "Tag", "type": "string", "length": 8},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [("k1", "good"), (None, "poison")], "K string, Tag string"
+        ).coalesce(1).write.parquet(str(src / "batch0"))
+        side = tmp_path / "rejects"
+        q = (
+            spark.readStream.schema("K string, Tag string")
+            .parquet(str(src / "batch0"))
+            .writeStream.format("sfetl")
+            .options(
+                **sf_options(url),
+                object="Thing",
+                operation="upsert",
+                externalIdFieldName="K",
+                failed_results_path=f"file://{side}",
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the file:// URI resolved to the local path — not to a literal
+        # "file:" directory — and the reject row is exactly the poison
+        files = sorted(os.listdir(side))
+        assert files == ["rejects-batch000000000.jsonl"]
+        assert not os.path.exists("file:")
+        rej = spark.read.schema(
+            "batch_id long, job_id string, sf_id string, "
+            "sf_error string, fields map<string,string>"
+        ).json(str(side))
+        rows = rej.collect()
+        assert [r["fields"]["Tag"] for r in rows] == ["poison"]
+        assert [r["K"] for r in server.rows] == ["k1"]
+    finally:
+        server.stop()
+
+
 def test_client_cache_amortizes_logins_per_process():
     """Repeated _client_from_options calls with identical options must
     reuse one authenticated client (one password grant per worker

@@ -549,6 +549,13 @@ _BROADCAST_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {
     "group_p90_twophase": (3, "bounded: per-group rank plan joined twice (semi + pick) + per-group sizes (budget-guarded)"),
     "ann_ivf_kmeans_agreement": (3, "bounded: K centroids + probe lists + 1-row query"),
     "ann_ivf_kmeans_topk": (3, "bounded: K centroids + probe lists + 1-row query"),
+    "ann_ivf_pq_trained_agreement": (
+        5,
+        "bounded: nprobe(=K)-row probe set + 128-row trained codebook "
+        "+ 1-row query (probe, ADC expansion, re-rank re-entries) — "
+        "the Lloyd-fit subtrees run at construct time and never enter "
+        "the returned plan",
+    ),
     "dpp_partitioned_join": (1, "dim: month dimension"),
     "percentiles_by_flag": (
         6,

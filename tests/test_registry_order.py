@@ -15,7 +15,7 @@ DRIVER_WINDOW = 50
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
 # (round 12 ordering) — they must sit inside the driver's ~50-row
 # window. Rank is by information value (the r11 verdict's task 2):
-# (1) the 12 lanes NEW or behavior-changed this round (the streaming
+# (1) the 16 lanes NEW or behavior-changed this round (the streaming
 # reject-capture lane, the SemDeDup and PQ-ADC vector lanes, the
 # sfetl lanes restaged on real Bulk 2.0 semantics atop the chunked
 # size-governed writer with round-robin commit polling, the

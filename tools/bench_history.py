@@ -15,6 +15,60 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def split_for_spill(history: list, keep_fallback: int = 12) -> tuple[list, list]:
+    """Partition *history* (the inline BENCH_LOCAL list, recording
+    order) into ``(to_archive, inline)`` under the r12-verdict-task-7
+    policy: everything older than the second-newest NOTED entry spills
+    — unnoted per-invocation entries are measurement inputs, not round
+    markers, and they were accreting inline between deliberate
+    recordings. With fewer than two noted entries, fall back to a
+    fixed newest-``keep_fallback`` window so the inline file is
+    bounded from the first run.
+    """
+    noted = [i for i, e in enumerate(history) if e.get("note")]
+    if len(noted) >= 2:
+        cut = noted[-2]
+    else:
+        cut = max(0, len(history) - keep_fallback)
+    return history[:cut], history[cut:]
+
+
+def spill(repo: str = REPO) -> None:
+    """Apply :func:`split_for_spill` to the on-disk pair. Archive is
+    replaced BEFORE the inline file, so a crash in between re-spills
+    the same entries next run — deduped by ``recorded_at`` (second
+    resolution; runs take minutes)."""
+    path = os.path.join(repo, "BENCH_LOCAL.json")
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as f:
+            history = json.load(f)
+    except ValueError:
+        return
+    to_archive, inline = split_for_spill(history)
+    if not to_archive:
+        return
+    apath = os.path.join(repo, "BENCH_LOCAL_ARCHIVE.json")
+    archive = []
+    if os.path.exists(apath):
+        try:
+            with open(apath) as f:
+                archive = json.load(f)
+        except ValueError:
+            archive = []
+    seen = {e.get("recorded_at") for e in archive}
+    archive.extend(e for e in to_archive if e.get("recorded_at") not in seen)
+    atmp = apath + ".tmp"
+    with open(atmp, "w") as f:
+        json.dump(archive, f, indent=1)
+    os.replace(atmp, apath)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(inline, f, indent=1)
+    os.replace(tmp, path)
+
+
 def load_history(repo: str = REPO) -> list:
     out, seen = [], set()
     for name in ("BENCH_LOCAL_ARCHIVE.json", "BENCH_LOCAL.json"):

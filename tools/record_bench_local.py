@@ -46,14 +46,23 @@ def main() -> None:
     # that produced it (r10 verdict task 6: per-lane load, not a
     # single launch-time sample)
     best, best_loads = {}, {}
-    for n in runs[0]["queries"]:
+    # intersect lane keys across runs: a code edit landing mid-recording
+    # can add/remove lanes between invocations — merge what's common
+    # rather than KeyError after N runs of work
+    common = set(runs[0]["queries"])
+    for r in runs[1:]:
+        common &= set(r["queries"])
+    for n in sorted(common):
         i = min(range(n_runs), key=lambda i: runs[i]["queries"][n])
         best[n] = runs[i]["queries"][n]
         ld = runs[i].get("loads", {}).get(n)
         if ld is not None:
             best_loads[n] = ld
     oneshot = {}
-    for n in runs[0].get("oneshot", {}):
+    ocommon = set(runs[0].get("oneshot", {}))
+    for r in runs[1:]:
+        ocommon &= set(r.get("oneshot", {}))
+    for n in sorted(ocommon):
         i = min(range(n_runs), key=lambda i: runs[i]["oneshot"][n])
         oneshot[n] = runs[i]["oneshot"][n]
         ld = runs[i].get("loads", {}).get(n)
@@ -77,6 +86,13 @@ def main() -> None:
     hist = json.load(open(path))
     hist.append(entry)
     json.dump(hist, open(path, "w"), indent=1)
+    # spill unnoted entries older than the last two noted recordings
+    # (r12 verdict task 7) — this keeps the inline file to the current
+    # round's deliberate recordings plus their measurement inputs
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_history import spill
+
+    spill(REPO)
     print(json.dumps({k: entry[k] for k in entry if k != "queries"}))
 
 
