@@ -228,3 +228,56 @@ def unprocessed_records_df(
         _fetch_unprocessed,
         UNPROCESSED_RECORDS_SCHEMA,
     )
+
+
+def foreach_batch_ingest_with_rejects(
+    spark: SparkSession,
+    options: dict[str, str],
+    rejects_path: str,
+):
+    """``foreachBatch`` twin of the native streaming sink's
+    ``failed_results_path`` reject capture (r12 verdict task 1, the
+    session-access alternative): returns a ``(batch_df, batch_id)``
+    callable that writes each micro-batch through the sfetl BATCH
+    writer and lands the batch's rejects as a PARQUET side table
+    written by Spark itself — so on a cluster the side table goes
+    through the same committers/filesystem layer (s3a/abfs/gs) as
+    every other Spark write, with no driver-local path involved. The
+    native sink's capture covers the no-session DataSource ``commit()``
+    hook via pyarrow.fs; this covers pipelines already on foreachBatch.
+
+    Exactly-once: the batch's rejects land under
+    ``<rejects_path>/batch_id=<n>`` in ``overwrite`` mode, so a
+    replayed batch rewrites its own partition (including erasing a
+    prior attempt's rejects when the replay fully applies). ``batch_id``
+    comes back as a partition column when the side table is read from
+    its root. The batch's jobs are identified by diffing the paginated
+    job LIST around the write (two bounded driver-side walks); the
+    reject download itself is :func:`failed_results_df` — one
+    distributed task per job.
+    """
+    from sf_etl_spark.connector.datasource import _client_from_options
+
+    obj = options.get("object")
+
+    def _job_ids() -> set:
+        client = _client_from_options(options)
+        return {
+            j.id
+            for j in client.list_ingest_jobs()
+            if obj is None or j.object == obj
+        }
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        before = _job_ids()
+        batch_df.write.format("sfetl").options(**options).mode("append").save()
+        new_ids = sorted(_job_ids() - before)
+        rejects = failed_results_df(spark, options, job_ids=new_ids)
+        # batch_id rides in the directory name (partition column on
+        # read), not as a data column — overwrite of the batch's own
+        # partition is the replay-idempotence contract
+        rejects.write.mode("overwrite").parquet(
+            f"{rejects_path.rstrip('/')}/batch_id={batch_id}"
+        )
+
+    return handle

@@ -95,30 +95,77 @@ def register(
 # from the list keep their registration order after the listed ones;
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
+#
+# Round-13 window (r12 verdict task 2), 8+41+1 = 50: (1) the 8 lanes
+# NEW or behavior-changed this round — trained IVF-PQ agreement, the
+# two binary-quantization ANN lanes, the Gopher quality filter, the
+# foreachBatch reject-capture twin, the chunk-splitting ingest
+# roundtrip, the byte_mean-folded multimodal checksum, and the
+# pyarrow.fs reject side table; (2) ALL 41 lanes whose newest driver
+# evidence is r8 (the 42nd of the verdict's list, multimodal_features,
+# was retired per task 6); (3) one r9 fill, ann_ivf_kmeans_agreement,
+# whose fit machinery moved into the shared _kmeans_centers helper.
+# Below the boundary: r9/r10/r11/r12 blocks, freshest last; stalest
+# below-boundary evidence is r9. This comment and the matching one in
+# tests/test_registry_order.py must agree on the counts (r12 ADVICE).
 _PRIORITY_ORDER = [
-    # --- round-12 rotation (r11 verdict task 2): the ~50-row
-    # driver window = (1) the 16 lanes NEW or behavior-changed this
-    # round — the new stream_sink_sfetl_failed_rows reject-capture
-    # and sink_sfetl_successful_results created/updated-split lanes
-    # (the Bulk 2.0 results triple), the new SemDeDup / PQ-ADC /
-    # composed IVF-PQ vector lanes, the new session-window and
-    # left-outer stream-stream join live-streaming lanes, the five
-    # sfetl lanes restaged on real Bulk 2.0 insert/upsert/delete
-    # semantics atop the chunked size-governed writer with its
-    # round-robin commit poll, and the two single-trigger replay
-    # lanes; (2) ALL 32 lanes whose newest driver evidence is r7 —
-    # the stalest block (verdict: 'the r12 rotation item'); (3) the
-    # first 2 of the r8-fresh block. 16+32+2 = 50.
-    # Below the boundary: the rest of the r8 block, then r9/r10/r11
-    # blocks in prior order (freshest evidence rotates last). ---
+    "sink_sfetl_ingest_roundtrip",
+    "multimodal_features_checksum",
     "stream_sink_sfetl_failed_rows",
+    "quality_gopher_filter",
+    "ann_ivf_pq_trained_agreement",
+    "ann_binary_hamming_topk",
+    "ann_binary_recall_metrics",
+    "stream_sink_sfetl_failed_rows_fb",
+    "asof_purchase_click",
+    "benford_first_digit",
+    "boolean_search_and",
+    "chi_square_independence",
+    "chunk_documents",
+    "dq_observe_inflight",
+    "event_pattern_regex",
+    "events_hourly_ffill",
+    "funnel_conversion",
+    "group_p90_twophase",
+    "histogram_totalprice",
+    "pack_token_shards",
+    "quality_percentile_filter",
+    "range_join_followups",
+    "ratio_to_parent_share",
+    "redact_pii",
+    "rollup_incremental_maintenance",
+    "sample_per_label_cap",
+    "scd2_dimension_history",
+    "sink_merge_cdc",
+    "sink_roundtrip_partitioned",
+    "soql_child_subquery",
+    "soql_child_subquery_where",
+    "soql_child_traversal",
+    "soql_cube_grouping",
+    "soql_date_functions",
+    "soql_documents_filter",
+    "soql_in_subquery_anti",
+    "soql_in_subquery_semi",
+    "soql_multihop_traversal",
+    "soql_orders_rollup",
+    "soql_parent_traversal",
+    "soql_rollup_traversal",
+    "source_jdbc_roundtrip",
+    "stratified_sample_exact",
+    "tfidf_top_terms",
+    "weighted_sample_priority",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
+    "zorder_roundtrip",
+    "ann_ivf_kmeans_agreement",
+    # --- below the driver window (auto-rotated) ---
     "sink_sfetl_successful_results",
     "dedup_semdedup_prune",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
     "ann_pq_recall_metrics",
     "decontaminate_embedding_cosine",
-    "sink_sfetl_ingest_roundtrip",
     "sink_sfetl_delete_roundtrip",
     "sink_sfetl_failed_results",
     "stream_sink_sfetl_native",
@@ -161,15 +208,6 @@ _PRIORITY_ORDER = [
     "vocab_top_terms",
     "ann_ivf_kmeans_topk",
     "asof_pandas_merge",
-    # --- below the r12 driver window ---
-    "asof_purchase_click",
-    "benford_first_digit",
-    "boolean_search_and",
-    "chi_square_independence",
-    "chunk_documents",
-    "dq_observe_inflight",
-    "event_pattern_regex",
-    "events_hourly_ffill",
     "source_sfetl_stream_incremental",
     "triangle_count",
     "ann_matryoshka_recall",
@@ -213,39 +251,6 @@ _PRIORITY_ORDER = [
     "forecast_feature_matrix",
     "group_median_twophase",
     "window_sliding_distinct",
-    "weighted_sample_priority",
-    "group_p90_twophase",
-    "source_jdbc_roundtrip",
-    "ratio_to_parent_share",
-    "stratified_sample_exact",
-    "sample_per_label_cap",
-    "pack_token_shards",
-    "funnel_conversion",
-    "soql_child_traversal",
-    "redact_pii",
-    "quality_percentile_filter",
-    "sink_merge_cdc",
-    "tfidf_top_terms",
-    "histogram_totalprice",
-    "zorder_roundtrip",
-    "rollup_incremental_maintenance",
-    "scd2_dimension_history",
-    "soql_orders_rollup",
-    "soql_documents_filter",
-    "soql_parent_traversal",
-    "soql_rollup_traversal",
-    "soql_child_subquery",
-    "soql_child_subquery_where",
-    "soql_multihop_traversal",
-    "soql_in_subquery_semi",
-    "soql_in_subquery_anti",
-    "soql_cube_grouping",
-    "soql_date_functions",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "range_join_followups",
-    "sink_roundtrip_partitioned",
     "source_csv_roundtrip",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -260,8 +265,6 @@ _PRIORITY_ORDER = [
     "percentiles_by_flag",
     "dedup_exact",
     "ngram_jaccard_pairs",
-    "ann_ivf_kmeans_agreement",
-    "multimodal_features_checksum",
     "soql_typeof",
     "q2_min_cost_supplier",
     "q11_important_parts",

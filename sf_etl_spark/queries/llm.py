@@ -1412,3 +1412,119 @@ def boolean_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return limited.select(
         "doc_id", "tf_total", F.row_number().over(w).cast("int").alias("rank")
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filtering (Rae et al. 2021 §A1.1 —
+# the heuristic filter battery every large-scale pretraining corpus
+# runs BEFORE the expensive dedup/decontamination stages): per-document
+# rule verdicts, rolled up per language so the report shows what each
+# rule removes. Rules kept to the subset the fixture corpus can
+# discriminate (no punctuation/line structure in the synthetic docs),
+# thresholds adapted to its 10-99-word shape:
+#   length    — word count in [20, 80]   (Gopher: [50, 100k])
+#   word_len  — mean word length in [3.0, 4.8]   (Gopher: [3, 10])
+#   stopword  — ≥2 distinct of {the, a, to, of, and}   (Gopher: ≥2)
+#   repetition— most-frequent-word fraction ≤ 0.15 (Gopher's top-gram
+#               fraction family)
+# All verdicts are integer/exact-division comparisons, so the DuckDB
+# oracle restates them bit-for-bit.
+# Scale: three map-side expressions + ONE pre-reduced shuffle pair for
+# the per-doc top-word count (explode → partial-agged (doc, word)
+# counts → per-doc max); everything else is an expression over the
+# scan. No Python, no windows, no driver collects.
+# ---------------------------------------------------------------------------
+_GOPHER_STOPWORDS = ("the", "a", "to", "of", "and")
+
+
+@register(
+    "quality_gopher_filter",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents
+    ), base AS (
+      SELECT doc_id, lang, len(words) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words) AS mwl,
+             len(list_intersect(list_distinct(words),
+                 ['the', 'a', 'to', 'of', 'and'])) AS n_stop
+      FROM w
+    ), ex AS (
+      SELECT doc_id, unnest(words) AS word FROM w
+    ), cnt AS (
+      SELECT doc_id, word, count(*) AS c FROM ex GROUP BY doc_id, word
+    ), tf AS (
+      SELECT doc_id, max(c) AS mc FROM cnt GROUP BY doc_id
+    ), verdicts AS (
+      SELECT lang,
+             n_words BETWEEN 20 AND 80 AS ok_len,
+             mwl BETWEEN 3.0 AND 4.8 AS ok_wl,
+             n_stop >= 2 AS ok_stop,
+             CAST(tf.mc AS DOUBLE) / n_words <= 0.15 AS ok_rep
+      FROM base JOIN tf USING (doc_id)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok_len THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_length,
+           CAST(sum(CASE WHEN ok_wl THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_word_len,
+           CAST(sum(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stopword,
+           CAST(sum(CASE WHEN ok_rep THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_repetition,
+           CAST(sum(CASE WHEN ok_len AND ok_wl AND ok_stop AND ok_rep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM verdicts
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Gopher-rule quality filter (length/word-len/stopword/repetition) per lang",
+)
+def quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mwl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        n_stop.alias("n_stop"),
+    )
+    # per-doc top-word count: explode collapses map-side into (doc,
+    # word) partials, then a per-doc max — both exchanges pre-reduced
+    tf = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    ok_len = F.col("n_words").between(20, 80)
+    ok_wl = F.col("mwl").between(3.0, 4.8)
+    ok_stop = F.col("n_stop") >= 2
+    ok_rep = (F.col("mc").cast("double") / F.col("n_words")) <= 0.15
+    fail = lambda ok: F.sum(F.when(ok, 0).otherwise(1)).cast("bigint")  # noqa: E731
+    return (
+        base.join(tf, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            fail(ok_len).alias("n_fail_length"),
+            fail(ok_wl).alias("n_fail_word_len"),
+            fail(ok_stop).alias("n_fail_stopword"),
+            fail(ok_rep).alias("n_fail_repetition"),
+            F.sum(
+                F.when(ok_len & ok_wl & ok_stop & ok_rep, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -2059,3 +2059,270 @@ def _ivf_pq_recall(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BINARY QUANTIZATION ANN — the fourth approximation axis after IVF
+# (cell pruning), Matryoshka (dimensionality) and PQ (codebook
+# compression): quantize each embedding to its coordinate SIGN BITS
+# (axis-aligned sign random projection — the degenerate-planes case of
+# `ann_srp_lsh_pairs`, legitimate here because the corpus is
+# zero-centered per dimension), shortlist by Hamming distance on the
+# packed code, re-rank the shortlist exactly. DIM=64 → the whole code
+# is 64 bits = 8 bytes/vector, a 32× cut vs float32 — the compression
+# regime binary quantization exists for. Packed as TWO 32-bit halves
+# in BIGINTs (the minhash/simhash band-packing convention) so neither
+# engine touches the sign bit of a 64-bit shift.
+#
+# Scale: the pack is a map-side expression over one corpus scan (at
+# deployment the code persists as an 8-byte column and the scan never
+# reads raw vectors until re-rank); the Hamming scoring is two XOR +
+# popcount per row against a broadcast 1-row query; both cuts are
+# TakeOrderedAndProject (no global sort); exact math touches the
+# 50-row shortlist. Fully deterministic → full DuckDB value-hash
+# oracle, unlike PQ there is nothing trained.
+# ---------------------------------------------------------------------------
+BQ_SHORTLIST = 50  # Hamming shortlist fed to exact re-rank
+
+
+def _bq_pack(col: str) -> list[F.Column]:
+    """Sign-bit pack of a DIM-array column into two BIGINT halves
+    (bits 1..32 and 33..64, LSB-first within each half)."""
+    def half(lo: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> "
+            f"acc + IF(element_at({col}, i + {lo}) > 0.0D, "
+            f"shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
+        )
+    return [half(0).alias("b1"), half(32).alias("b2")]
+
+
+_SQL_BQ_HALF = (
+    "list_reduce(list_transform(generate_series(1, 32), i -> "
+    "CASE WHEN {v}[i + {lo}] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+    "ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)"
+)
+
+
+@register(
+    "ann_binary_hamming_topk",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), code AS (
+      SELECT vec_id,
+             {_SQL_BQ_HALF.format(v='v', lo=0)} AS b1,
+             {_SQL_BQ_HALF.format(v='v', lo=32)} AS b2
+      FROM n
+    ), q AS (
+      SELECT n.v AS qv, n.nm AS qn, c.b1 AS qb1, c.b2 AS qb2
+      FROM n JOIN code c USING (vec_id) WHERE vec_id = {_QUERY_VEC}
+    ), short AS (
+      SELECT c.vec_id,
+             CAST(bit_count(xor(c.b1, q.qb1)) + bit_count(xor(c.b2, q.qb2)) AS INT)
+               AS hamming
+      FROM code c CROSS JOIN q
+      WHERE c.vec_id <> {_QUERY_VEC}
+      ORDER BY hamming, c.vec_id LIMIT {BQ_SHORTLIST}
+    )
+    SELECT s.vec_id, n.label, s.hamming,
+           {_SQL_DOT.format(dim=DIM, u='n.v', v='q.qv')} / (n.nm * q.qn) AS cosine
+    FROM short s JOIN n ON n.vec_id = s.vec_id CROSS JOIN q
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT 10
+    """,
+    doc=f"sign-bit binary code (64 bits) Hamming shortlist({BQ_SHORTLIST})"
+    f" -> exact cosine re-rank top-10",
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = normalized_vectors(spark, sf_dir)
+    code = n.select("vec_id", "v", "nm", "label", *_bq_pack("v"))
+    q = code.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"),
+        F.col("nm").alias("qn"),
+        F.col("b1").alias("qb1"),
+        F.col("b2").alias("qb2"),
+    )
+    hamming = (
+        F.bit_count(F.col("b1").bitwiseXOR(F.col("qb1")))
+        + F.bit_count(F.col("b2").bitwiseXOR(F.col("qb2")))
+    ).cast("int")
+    # orderBy+limit => TakeOrderedAndProject (partial per-partition
+    # top-k, no global sort shuffle)
+    short = (
+        code.crossJoin(F.broadcast(q.select("qb1", "qb2")))
+        .filter(F.col("vec_id") != _QUERY_VEC)
+        .select("vec_id", hamming.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(BQ_SHORTLIST)
+    )
+    cosine = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    return (
+        n.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(q.select("qv", "qn")))
+        .select("vec_id", "label", "hamming", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ann_binary_recall_metrics",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_SQL_NORM.format(e='embedding')} AS nm
+      FROM embeddings
+    ), code AS (
+      SELECT vec_id,
+             {_SQL_BQ_HALF.format(v='v', lo=0)} AS b1,
+             {_SQL_BQ_HALF.format(v='v', lo=32)} AS b2
+      FROM n
+    ), qs AS (
+      SELECT n.vec_id AS qid, n.v AS qv, n.nm AS qn, c.b1 AS qb1, c.b2 AS qb2
+      FROM n JOIN code c USING (vec_id) WHERE n.vec_id IN {_EVAL_QUERIES}
+    ), brute AS (
+      SELECT qs.qid, n.vec_id,
+             row_number() OVER (
+               PARTITION BY qs.qid
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='qs.qv')} / (n.nm * qs.qn) DESC,
+                        n.vec_id
+             ) AS brank
+      FROM n, qs WHERE n.vec_id <> qs.qid
+    ), truth AS (
+      SELECT qid, vec_id, brank FROM brute WHERE brank <= 10
+    ), short AS (
+      SELECT qid, vec_id FROM (
+        SELECT qs.qid, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY qs.qid
+                 ORDER BY bit_count(xor(c.b1, qs.qb1)) + bit_count(xor(c.b2, qs.qb2)),
+                          c.vec_id
+               ) AS srn
+        FROM code c CROSS JOIN qs WHERE c.vec_id <> qs.qid
+      ) WHERE srn <= {BQ_SHORTLIST}
+    ), rerank AS (
+      SELECT s.qid, s.vec_id,
+             row_number() OVER (
+               PARTITION BY s.qid
+               ORDER BY {_SQL_DOT.format(dim=DIM, u='n.v', v='qs.qv')} / (n.nm * qs.qn) DESC,
+                        s.vec_id
+             ) AS rrank
+      FROM short s JOIN n ON n.vec_id = s.vec_id JOIN qs ON qs.qid = s.qid
+    ), ptop AS (
+      SELECT qid, vec_id, rrank FROM rerank WHERE rrank <= 10
+    ), overlap AS (
+      SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM truth t JOIN ptop a ON t.qid = a.qid AND t.vec_id = a.vec_id
+      GROUP BY t.qid
+    ), rr AS (
+      SELECT t.qid,
+             coalesce(1.0 / CAST(a.rrank AS DOUBLE), 0.0) AS reciprocal_rank
+      FROM truth t
+      LEFT JOIN ptop a ON t.qid = a.qid AND t.vec_id = a.vec_id
+      WHERE t.brank = 1
+    )
+    SELECT qs.qid AS query_id,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / 10.0 AS recall_at_10,
+           rr.reciprocal_rank
+    FROM qs
+    LEFT JOIN overlap o ON o.qid = qs.qid
+    JOIN rr ON rr.qid = qs.qid
+    ORDER BY query_id
+    """,
+    doc=f"binary-code Hamming shortlist({BQ_SHORTLIST})+rerank recall@10 + MRR"
+    f" vs brute force over {len(_EVAL_QUERIES)} queries",
+)
+def ann_binary_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary axis of the approximation-eval triple-plus-one
+    (IVF `ann_recall_metrics`, MRL `ann_matryoshka_recall`, PQ
+    `ann_pq_recall_metrics`): one measured recall@10 + MRR per eval
+    query for the 64-bit sign code at shortlist {BQ_SHORTLIST}.
+
+    Scale: the multi-query Hamming pass is a map over the code column
+    (8 bytes/row) against 5 broadcast query codes; per-query cuts go
+    through the lossless salted two-phase top-k; exact math touches
+    5×shortlist rows."""
+    from sf_etl_spark.operators.topk import salted_topk
+
+    n = normalized_vectors(spark, sf_dir).select("vec_id", "v", "nm")
+    code = n.select("vec_id", *_bq_pack("v"))
+    qs = (
+        n.filter(F.col("vec_id").isin(*_EVAL_QUERIES))
+        .join(code, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nm").alias("qn"),
+            F.col("b1").alias("qb1"),
+            F.col("b2").alias("qb2"),
+        )
+    )
+    qcos = _dot(F.col("v"), F.col("qv")) / (F.col("nm") * F.col("qn"))
+    truth = salted_topk(
+        n.crossJoin(F.broadcast(qs.select("qid", "qv", "qn")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_c", qcos),
+        ["qid"],
+        [F.col("_c").desc(), F.asc("vec_id")],
+        10,
+        ["vec_id"],
+        rank_col="brank",
+    ).select("qid", "vec_id", "brank")
+    hamming = (
+        F.bit_count(F.col("b1").bitwiseXOR(F.col("qb1")))
+        + F.bit_count(F.col("b2").bitwiseXOR(F.col("qb2")))
+    ).cast("int")
+    short = salted_topk(
+        code.crossJoin(F.broadcast(qs.select("qid", "qb1", "qb2")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "qid", hamming.alias("hamming")),
+        ["qid"],
+        [F.asc("hamming"), F.asc("vec_id")],
+        BQ_SHORTLIST,
+        ["vec_id"],
+    ).select("qid", "vec_id")
+    rerank = (
+        short.join(n, "vec_id")
+        .join(F.broadcast(qs.select("qid", "qv", "qn")), "qid")
+        .withColumn("_c", qcos)
+        .withColumn(
+            "rrank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("_c").desc(), "vec_id")
+            ),
+        )
+    )
+    ptop = rerank.filter(F.col("rrank") <= 10).select("qid", "vec_id", "rrank")
+    overlap = (
+        truth.join(ptop, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    rr = (
+        truth.filter(F.col("brank") == 1)
+        .join(ptop, ["qid", "vec_id"], "left")
+        .select(
+            "qid",
+            F.coalesce(
+                F.lit(1.0) / F.col("rrank").cast("double"), F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+    )
+    return (
+        qs.select("qid")
+        .join(overlap, "qid", "left")
+        .join(rr, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / 10.0).alias(
+                "recall_at_10"
+            ),
+            "reciprocal_rank",
+        )
+        .orderBy("query_id")
+    )

@@ -537,6 +537,17 @@ _BROADCAST_ALLOWLIST: dict[str, tuple[int, str]] = {
         "salted-topk subtrees) + M-row subspace range + 128-row "
         "codebook — every hinted frame <= 5x128 rows by construction",
     ),
+    "ann_binary_hamming_topk": (
+        3,
+        "bounded: 1-row query code (Hamming pass) + BQ_SHORTLIST=50-row "
+        "shortlist + 1-row query vector (re-rank)",
+    ),
+    "ann_binary_recall_metrics": (
+        6,
+        "bounded: the 5-query eval set (code + vector projections "
+        "re-entering through the brute/Hamming/re-rank stages and the "
+        "salted-topk subtrees) — every hinted frame <= 5 rows",
+    ),
 }
 
 
@@ -716,6 +727,7 @@ _WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     "ann_matryoshka_recall": (5, "post-cut: salted-phase survivors ≤ k·64 per eval query (truth ×1 + shortlist ×2 subtree copies) + ≤50-row shortlist rerank ×2"),
     "ann_recall_metrics": (6, "post-cut: salted-phase survivors ≤ 10·64 per eval query (truth + probed top-10, × subtree reuse in overlap/rr joins)"),
     "ann_pq_recall_metrics": (6, "post-cut: salted-phase survivors ≤ k·64 per eval query (brute truth + ADC shortlist, × subtree reuse in overlap/rr joins) + ≤ PQ_RERANK-row rerank rank"),
+    "ann_binary_recall_metrics": (6, "post-cut: salted-phase survivors ≤ k·64 per eval query (brute truth + Hamming shortlist, × subtree reuse in overlap/rr joins) + ≤ BQ_SHORTLIST-row rerank rank"),
 }
 
 _WINDOW_ALLOWLIST_CONSTRUCT: dict[str, tuple[int, str]] = {

@@ -13,67 +13,68 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 12 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r11 verdict's task 2):
-# (1) the 16 lanes NEW or behavior-changed this round (the streaming
-# reject-capture lane, the SemDeDup and PQ-ADC vector lanes, the
-# sfetl lanes restaged on real Bulk 2.0 semantics atop the chunked
-# size-governed writer with round-robin commit polling, the
-# single-trigger replays); (2) all 32 lanes whose newest driver
-# evidence is r7 — the stalest block; (3) the first rows of the
-# r8-fresh block. Everything re-proven in r9/r10/r11 rotates behind
-# the boundary.
+# (round 13 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r12 verdict's task 2):
+# (1) the 8 lanes NEW or behavior-changed this round (trained IVF-PQ
+# agreement, the two binary-quantization ANN lanes, the Gopher quality
+# filter, the foreachBatch reject-capture twin; chunk-splitting ingest
+# roundtrip, byte_mean-folded multimodal checksum, the pyarrow.fs
+# reject side table); (2) all 41 lanes whose newest driver evidence is
+# r8 — the stalest block (the 42nd, multimodal_features, was retired);
+# (3) one r9 fill, ann_ivf_kmeans_agreement, whose fit machinery moved
+# into the shared _kmeans_centers helper. 8+41+1 = 50. Everything
+# re-proven in r9-r12 rotates behind the boundary.
 MUST_BE_IN_WINDOW = [
-    "stream_sink_sfetl_failed_rows",
-    "sink_sfetl_successful_results",
-    "dedup_semdedup_prune",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "ann_pq_recall_metrics",
-    "decontaminate_embedding_cosine",
     "sink_sfetl_ingest_roundtrip",
-    "sink_sfetl_delete_roundtrip",
-    "sink_sfetl_failed_results",
-    "stream_sink_sfetl_native",
-    "stream_sink_sfetl_upsert",
-    "stream_tumbling_1h",
-    "stream_stateful_user_agg",
-    "stream_session_window",
-    "stream_stream_left_join_unmatched",
-    "ab_test_lift",
-    "ann_ivf_topk",
-    "ann_srp_lsh_pairs",
-    "attribution_channels",
-    "bucketed_join_colocated",
-    "clean_text_normalize",
-    "corpus_prep_pipeline",
-    "decontaminate_ngram_overlap",
-    "dedup_cluster_bigstar",
-    "dedup_cluster_components",
-    "dedup_embedding_pipeline",
-    "dedup_exact_substring",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "domain_mix_rebalance",
-    "dq_validation_report",
-    "embedding_quantize_int8",
-    "gap_islands_activity",
-    "geo_nearest_hub",
-    "grouping_sets_flags",
-    "mode_per_group",
-    "null_semantics",
-    "q6_forecast_revenue",
-    "regression_by_group",
-    "repetition_metrics",
-    "snapshot_diff_cdc",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "split_train_test",
-    "unpivot_metrics",
-    "vocab_top_terms",
-    "ann_ivf_kmeans_topk",
-    "asof_pandas_merge",
+    "multimodal_features_checksum",
+    "stream_sink_sfetl_failed_rows",
+    "quality_gopher_filter",
+    "ann_ivf_pq_trained_agreement",
+    "ann_binary_hamming_topk",
+    "ann_binary_recall_metrics",
+    "stream_sink_sfetl_failed_rows_fb",
+    "asof_purchase_click",
+    "benford_first_digit",
+    "boolean_search_and",
+    "chi_square_independence",
+    "chunk_documents",
+    "dq_observe_inflight",
+    "event_pattern_regex",
+    "events_hourly_ffill",
+    "funnel_conversion",
+    "group_p90_twophase",
+    "histogram_totalprice",
+    "pack_token_shards",
+    "quality_percentile_filter",
+    "range_join_followups",
+    "ratio_to_parent_share",
+    "redact_pii",
+    "rollup_incremental_maintenance",
+    "sample_per_label_cap",
+    "scd2_dimension_history",
+    "sink_merge_cdc",
+    "sink_roundtrip_partitioned",
+    "soql_child_subquery",
+    "soql_child_subquery_where",
+    "soql_child_traversal",
+    "soql_cube_grouping",
+    "soql_date_functions",
+    "soql_documents_filter",
+    "soql_in_subquery_anti",
+    "soql_in_subquery_semi",
+    "soql_multihop_traversal",
+    "soql_orders_rollup",
+    "soql_parent_traversal",
+    "soql_rollup_traversal",
+    "source_jdbc_roundtrip",
+    "stratified_sample_exact",
+    "tfidf_top_terms",
+    "weighted_sample_priority",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
+    "zorder_roundtrip",
+    "ann_ivf_kmeans_agreement",
 ]
 
 
