@@ -616,27 +616,15 @@ class SfIngestWriter(DataSourceWriter):
 
 
 def _filesystem_for(path: str):
-    """Resolve *path* to a ``(pyarrow.fs.FileSystem, fs-native path)``
-    pair so the reject side table can land on whatever storage the
-    cluster actually has — ``file://``, ``s3://``, ``gs://``, ``hdfs://``
-    or a bare local path (LocalFileSystem fallback for scheme-less
-    relative paths, which ``from_uri`` rejects).
+    """Resolve *path* for the reject side table — see
+    :func:`sf_etl_spark.connector.fsutil.filesystem_for` (shared with
+    the incremental extractor's watermark state). The Python DataSource
+    ``commit()`` hook has no SparkSession, so the side table cannot be
+    written through Spark; ``pyarrow.fs`` keeps the batch-id-named
+    overwrite contract deployable beyond driver-local POSIX paths."""
+    from sf_etl_spark.connector.fsutil import filesystem_for
 
-    The Python DataSource ``commit()`` hook has no SparkSession, so the
-    side table cannot be written through Spark; ``pyarrow.fs`` (which
-    ships with PySpark) is the storage abstraction that keeps the
-    batch-id-named overwrite contract deployable beyond driver-local
-    POSIX paths. On LocalFileSystem/HDFS the tmp+``move`` is an atomic
-    rename; on object stores ``move`` is copy+delete — not atomic, but
-    the fixed per-batch name still converges on replay (exactly-once by
-    overwrite), which is the contract the reader relies on.
-    """
-    from pyarrow import fs as pafs
-
-    try:
-        return pafs.FileSystem.from_uri(path)
-    except Exception:  # scheme-less relative path -> local filesystem
-        return pafs.LocalFileSystem(), os.path.abspath(path)
+    return filesystem_for(path)
 
 
 class SfIngestStreamWriter(DataSourceStreamWriter):

@@ -36,7 +36,6 @@ mirroring the partition-local upsert lane in streaming/pipelines.py.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -59,17 +58,25 @@ class IncrementalResult:
 
 
 def _read_state(state_path: str) -> Any:
-    if os.path.exists(state_path):
-        with open(state_path, encoding="utf-8") as fh:
-            return json.load(fh).get("watermark")
-    return None
+    # storage-agnostic (fsutil/pyarrow.fs): the state file lives
+    # wherever the pipeline's checkpoints live — object-store paths on
+    # a real cluster, not just driver-local POSIX
+    from sf_etl_spark.connector.fsutil import read_small_file
+
+    raw = read_small_file(state_path)
+    if raw is None:
+        return None
+    return json.loads(raw.decode("utf-8")).get("watermark")
 
 
 def _write_state(state_path: str, watermark: Any) -> None:
-    tmp = state_path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"watermark": watermark}, fh)
-    os.replace(tmp, state_path)  # atomic: a crashed run never corrupts state
+    # tmp + move: atomic on local/HDFS — a crashed run never corrupts
+    # state; overwrite-converged on object stores
+    from sf_etl_spark.connector.fsutil import write_small_file_atomic
+
+    write_small_file_atomic(
+        state_path, json.dumps({"watermark": watermark}).encode("utf-8")
+    )
 
 
 def extract_incremental(

@@ -1809,7 +1809,7 @@ def ann_pq_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codebook itself is 128 rows, a bounded-METADATA collect per
 # iteration (the same convention as the zone-map/layout collects).
 # ---------------------------------------------------------------------------
-PQ_TRAIN_ITERS = 4
+PQ_TRAIN_ITERS = 3
 
 
 def _pq_train_codebooks(
@@ -1823,6 +1823,11 @@ def _pq_train_codebooks(
     seeded lanes use. Empty codewords keep their previous position
     (the standard Lloyd dead-cluster convention)."""
     ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    # localCheckpoint: every Lloyd iteration's collect re-executes its
+    # whole lineage (cb is a fresh literal each round), so without the
+    # checkpoint the scan+slice subtree re-reads the corpus `iters`
+    # times — materialized once, the iterations read executor blocks
+    # (same convention as the graph operators' iterate-checkpoint)
     sub = (
         n.select("vec_id", "v")
         .crossJoin(F.broadcast(ms))
@@ -1831,6 +1836,7 @@ def _pq_train_codebooks(
             "m",
             F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
         )
+        .localCheckpoint(eager=False)
     )
     # codebook state lives driver-side between iterations: 128 rows of
     # 8 doubles — re-entering as a literal relation truncates lineage

@@ -98,3 +98,25 @@ def test_incremental_numeric_not_lexicographic(server, tmp_path):
     state = str(tmp_path / "wm.json")
     _, res = extract_incremental(client, "Case", ["Id"], "Version", state)
     assert res.watermark == 24 != 9
+
+
+def test_incremental_state_via_fs_uri(server, tmp_path):
+    """The watermark state resolves through pyarrow.fs (fsutil), so a
+    file:// URI — the stand-in for an object-store checkpoint path a
+    real cluster uses — reads/writes the same state the bare local
+    path does; the old os.* code would have treated 'file:///…' as a
+    relative path named 'file:'."""
+    import os
+
+    s, url = server
+    client = make_client(url)
+    state = f"file://{tmp_path}/deep/dir/wm.json"
+    recs, res = extract_incremental(client, "Case", ["Id"], "Version", state)
+    assert res.n_rows == len(recs) > 0
+    res.commit()
+    # landed at the URI's local path (parent dirs created), not at ./file:
+    assert json.load(open(tmp_path / "deep" / "dir" / "wm.json"))["watermark"] == res.watermark
+    assert not os.path.exists("file:")
+    # second run through the URI sees the committed watermark: no delta
+    _, res2 = extract_incremental(client, "Case", ["Id"], "Version", state)
+    assert res2.n_rows == 0 and res2.committed
