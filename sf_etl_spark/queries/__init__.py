@@ -96,15 +96,14 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 #
-# Round-13 window (r12 verdict task 2), 8+41+1 = 50: (1) the 8 lanes
+# Round-13 window (r12 verdict task 2), 9+41 = 50: (1) the 9 lanes
 # NEW or behavior-changed this round — trained IVF-PQ agreement, the
 # two binary-quantization ANN lanes, the Gopher quality filter, the
-# foreachBatch reject-capture twin, the chunk-splitting ingest
-# roundtrip, the byte_mean-folded multimodal checksum, and the
-# pyarrow.fs reject side table; (2) ALL 41 lanes whose newest driver
-# evidence is r8 (the 42nd of the verdict's list, multimodal_features,
-# was retired per task 6); (3) one r9 fill, ann_ivf_kmeans_agreement,
-# whose fit machinery moved into the shared _kmeans_centers helper.
+# foreachBatch reject-capture twin, the resume-from-unprocessed retry
+# lane, the chunk-splitting ingest roundtrip, the byte_mean-folded
+# multimodal checksum, and the pyarrow.fs reject side table; (2) ALL
+# 41 lanes whose newest driver evidence is r8 (the 42nd of the
+# verdict's list, multimodal_features, was retired per task 6).
 # Below the boundary: r9/r10/r11/r12 blocks, freshest last; stalest
 # below-boundary evidence is r9. This comment and the matching one in
 # tests/test_registry_order.py must agree on the counts (r12 ADVICE).
@@ -117,6 +116,7 @@ _PRIORITY_ORDER = [
     "ann_binary_hamming_topk",
     "ann_binary_recall_metrics",
     "stream_sink_sfetl_failed_rows_fb",
+    "sink_sfetl_resume_unprocessed",
     "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
@@ -158,8 +158,8 @@ _PRIORITY_ORDER = [
     "window_sliding",
     "window_tumbling",
     "zorder_roundtrip",
-    "ann_ivf_kmeans_agreement",
     # --- below the driver window (auto-rotated) ---
+    "ann_ivf_kmeans_agreement",
     "sink_sfetl_successful_results",
     "dedup_semdedup_prune",
     "ann_pq_adc_topk",

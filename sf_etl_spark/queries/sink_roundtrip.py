@@ -1750,3 +1750,113 @@ def sink_sfetl_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resumable-loader proof — the USE of the Bulk 2.0 results triple's
+# third leg (r12 completed the failed/successful/unprocessed sweeps;
+# this lane runs the RETRY loop a production loader builds on them):
+# a misconfigured first load (Id column on an insert job — the exact
+# job-level reject real Bulk 2.0 raises) job-FAILS, the commit
+# barrier raises on the first Failed job and Spark aborts the sibling
+# jobs, so the whole upload — failed job's CSV plus aborted siblings'
+# — lands in the backend's unprocessed set, NO row applied. The lane
+# then sweeps it back as a DataFrame (`unprocessed_records_df`, one
+# distributed task per job), reshapes (drops Id), re-writes cleanly,
+# and scans back. The DuckDB oracle aggregates the original parquet
+# slice: a row lost between the failed attempt and the retry — or a
+# row double-applied by a half-failed first attempt — breaks the hash.
+# Scale: the retry set is the whole upload by construction (job-level
+# failure), swept one task per job; the re-write is the ordinary
+# chunked parallel load.
+# ---------------------------------------------------------------------------
+_RESUME_KEY_CAP = 200
+
+
+@register(
+    "sink_sfetl_resume_unprocessed",
+    f"""
+    WITH s AS (
+      SELECT c_mktsegment AS segment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+      WHERE c_custkey <= {_RESUME_KEY_CAP}
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM s
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="job-level-failed insert -> unprocessedrecords sweep -> reshape -> clean re-write -> scan back",
+    executes_on_construct=True,
+)
+def sink_sfetl_resume_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.connector import read_object
+    from sf_etl_spark.connector.client import JobFailedError
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.ingest import unprocessed_records_df
+    from sf_etl_spark.connector.mockserver import MockSalesforce
+
+    server = MockSalesforce(object_name="Customer", fields=_SFETL_FIELDS, rows=[])
+    url = server.start()
+    try:
+        opts = {
+            "login_url": url,
+            "client_id": "app",
+            "client_secret": "shhh",
+            "username": "user@test",
+            "password": "pw",
+            "object": "Customer",
+            "poll_interval": "0.02",  # mock completes instantly
+        }
+        src = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= _RESUME_KEY_CAP)
+            .select(
+                F.col("c_mktsegment").alias("Segment"),
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("AcctCents"),
+            )
+        )
+        register_sfetl(spark)
+        # first attempt: Id rides along on an INSERT job — the backend
+        # job-rejects every chunk; the commit barrier must surface it
+        bad = src.withColumn("Id", F.lit("000000000000000000")).repartition(2)
+        failed = False
+        try:
+            bad.write.format("sfetl").options(**opts).mode("append").save()
+        except Exception as exc:  # noqa: BLE001 - Py4J re-wraps JobFailedError
+            # the cause must be the commit barrier's job failure, not
+            # some unrelated error (Py4J flattens the chain to text)
+            failed = isinstance(exc, JobFailedError) or "JobFailedError" in str(exc)
+            if not failed:
+                raise
+        if not failed:
+            raise ValueError("misconfigured insert did not job-fail")
+        if server.rows:
+            raise ValueError("job-level reject must apply NO rows")
+        # retry loop: sweep the unprocessed set, reshape, clean insert
+        retry = unprocessed_records_df(spark, opts).select(
+            F.col("fields")["Segment"].alias("Segment"),
+            F.col("fields")["AcctCents"].cast("bigint").alias("AcctCents"),
+        )
+        retry.write.format("sfetl").options(**opts).mode("append").save()
+        raw = read_object(spark, {**opts, "chunk_size": "100"}, "Customer", coerce=False)
+        back = raw.localCheckpoint(eager=True)
+    finally:
+        server.stop()
+    return (
+        back.select(
+            F.col("Segment").alias("segment"),
+            F.col("AcctCents").cast("bigint").alias("cents"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -15,15 +15,14 @@ DRIVER_WINDOW = 50
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
 # (round 13 ordering) — they must sit inside the driver's ~50-row
 # window. Rank is by information value (the r12 verdict's task 2):
-# (1) the 8 lanes NEW or behavior-changed this round (trained IVF-PQ
+# (1) the 9 lanes NEW or behavior-changed this round (trained IVF-PQ
 # agreement, the two binary-quantization ANN lanes, the Gopher quality
-# filter, the foreachBatch reject-capture twin; chunk-splitting ingest
-# roundtrip, byte_mean-folded multimodal checksum, the pyarrow.fs
-# reject side table); (2) all 41 lanes whose newest driver evidence is
-# r8 — the stalest block (the 42nd, multimodal_features, was retired);
-# (3) one r9 fill, ann_ivf_kmeans_agreement, whose fit machinery moved
-# into the shared _kmeans_centers helper. 8+41+1 = 50. Everything
-# re-proven in r9-r12 rotates behind the boundary.
+# filter, the foreachBatch reject-capture twin, the resume-from-
+# unprocessed retry lane; chunk-splitting ingest roundtrip,
+# byte_mean-folded multimodal checksum, the pyarrow.fs reject side
+# table); (2) all 41 lanes whose newest driver evidence is r8 — the
+# stalest block (the 42nd, multimodal_features, was retired). 9+41 =
+# 50. Everything re-proven in r9-r12 rotates behind the boundary.
 MUST_BE_IN_WINDOW = [
     "sink_sfetl_ingest_roundtrip",
     "multimodal_features_checksum",
@@ -33,6 +32,7 @@ MUST_BE_IN_WINDOW = [
     "ann_binary_hamming_topk",
     "ann_binary_recall_metrics",
     "stream_sink_sfetl_failed_rows_fb",
+    "sink_sfetl_resume_unprocessed",
     "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
@@ -74,7 +74,6 @@ MUST_BE_IN_WINDOW = [
     "window_sliding",
     "window_tumbling",
     "zorder_roundtrip",
-    "ann_ivf_kmeans_agreement",
 ]
 
 
