@@ -96,17 +96,19 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 #
-# Round-13 window (r12 verdict task 2), 9+41 = 50: (1) the 9 lanes
+# Round-13 window (r12 verdict task 2), 10+40 = 50: (1) the 10 lanes
 # NEW or behavior-changed this round — trained IVF-PQ agreement, the
 # two binary-quantization ANN lanes, the Gopher quality filter, the
 # foreachBatch reject-capture twin, the resume-from-unprocessed retry
-# lane, the chunk-splitting ingest roundtrip, the byte_mean-folded
-# multimodal checksum, and the pyarrow.fs reject side table; (2) ALL
-# 41 lanes whose newest driver evidence is r8 (the 42nd of the
-# verdict's list, multimodal_features, was retired per task 6).
-# Below the boundary: r9/r10/r11/r12 blocks, freshest last; stalest
-# below-boundary evidence is r9. This comment and the matching one in
-# tests/test_registry_order.py must agree on the counts (r12 ADVICE).
+# lane, the FULL OUTER stream-stream join, the chunk-splitting ingest
+# roundtrip, the byte_mean-folded multimodal checksum, and the
+# pyarrow.fs reject side table; (2) 40 of the 41 lanes whose newest
+# driver evidence is r8 (multimodal_features, the verdict's 42nd, was
+# retired per task 6; zorder_roundtrip is the one r8 lane the 50-cut
+# could not fit — it rotates first in r14). Below the boundary:
+# zorder_roundtrip, then r9/r10/r11/r12 blocks, freshest last. This
+# comment and the matching one in tests/test_registry_order.py must
+# agree on the counts (r12 ADVICE).
 _PRIORITY_ORDER = [
     "sink_sfetl_ingest_roundtrip",
     "multimodal_features_checksum",
@@ -117,6 +119,7 @@ _PRIORITY_ORDER = [
     "ann_binary_recall_metrics",
     "stream_sink_sfetl_failed_rows_fb",
     "sink_sfetl_resume_unprocessed",
+    "stream_stream_full_join_unmatched",
     "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
@@ -157,8 +160,8 @@ _PRIORITY_ORDER = [
     "window_session",
     "window_sliding",
     "window_tumbling",
-    "zorder_roundtrip",
     # --- below the driver window (auto-rotated) ---
+    "zorder_roundtrip",
     "ann_ivf_kmeans_agreement",
     "sink_sfetl_successful_results",
     "dedup_semdedup_prune",

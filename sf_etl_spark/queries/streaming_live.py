@@ -760,3 +760,77 @@ def stream_sink_sfetl_failed_rows_fb(spark: SparkSession, sf_dir: str) -> DataFr
         back.select(F.col("fields")["EKey"].cast("bigint").alias("event_id"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER stream-stream join — the third leg of the watermarked
+# interval-join family (inner `stream_stream_join_attribution`, left
+# `stream_stream_left_join_unmatched`): matched conversions emit as
+# they match, unmatched CLICKS null-emit at state eviction (the left
+# lane's rule), and unmatched PURCHASES — conversions with no
+# attributable click, the orphan stream an attribution pipeline
+# reconciles — null-emit when THEIR state evicts. The purchase-side
+# eviction rule is the symmetric calibration: a purchase can match
+# clicks with click_ts in (purchase_ts − 30m, purchase_ts], so it is
+# provably unmatched once the global watermark (min of the two
+# per-stream watermarks) reaches purchase_ts. Both eviction rules are
+# restated exactly in the oracle.
+# Scale: identical bounded state to the inner lane — the interval
+# condition bounds BOTH sides, which is precisely what makes outer
+# emission possible; an unbounded full stream join can never emit
+# null rows at all.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_full_join_unmatched",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT c.click_id, p.purchase_id, c.user_id,
+             CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT) AS gap_seconds
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
+    ), wm AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 30 MINUTE AS w
+    ), u AS (
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+             CAST(NULL AS BIGINT) AS gap_seconds
+      FROM c, wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        AND c.click_ts + INTERVAL 30 MINUTE <= wm.w
+    ), up AS (
+      SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id, p.user_id,
+             CAST(NULL AS BIGINT) AS gap_seconds
+      FROM p, wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+        AND p.purchase_ts <= wm.w
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM u UNION ALL SELECT * FROM up
+    ORDER BY click_id, purchase_id
+    """,
+    doc="stream-stream FULL OUTER join: unmatched clicks AND orphaned purchases null-emit at their state evictions",
+)
+def stream_stream_full_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sf_etl_spark.streaming import (
+        events_stream,
+        run_to_memory_table,
+        stream_click_attribution,
+    )
+
+    src = _stage(spark, sf_dir)
+    clicks = events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, src, max_files_per_trigger=_REPLAY_FILES_PER_TRIGGER).filter(F.col("event_type") == "purchase")
+    name, _ = run_to_memory_table(
+        stream_click_attribution(clicks, purchases, how="full_outer"),
+        output_mode="append",
+        shuffle_partitions=8,  # join state bounded by the 30m horizon per side
+    )
+    return spark.table(name).orderBy("click_id", "purchase_id")

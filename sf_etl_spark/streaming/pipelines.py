@@ -212,10 +212,13 @@ def stream_click_attribution(
     ``how="left"`` adds the OUTER leg: a click whose state is evicted
     without ever matching emits once with NULL purchase columns — the
     "clicks that never converted" stream, produced at watermark
-    passage rather than by a second batch scan. The global watermark
-    of a two-watermark query is the MIN of the per-stream watermarks
-    (Spark's default multipleWatermarkPolicy), which the oracle of the
-    registered lane restates.
+    passage rather than by a second batch scan. ``how="full_outer"``
+    adds the symmetric purchase leg (purchases with no attributable
+    click — the orphaned-conversion stream); ``user_id`` coalesces
+    across sides so either leg's null row still carries it. The global
+    watermark of a two-watermark query is the MIN of the per-stream
+    watermarks (Spark's default multipleWatermarkPolicy), which the
+    oracles of the registered lanes restate.
     """
     c = (
         clicks.withWatermark("ts", watermark)
@@ -243,7 +246,9 @@ def stream_click_attribution(
     ).select(
         "click_id",
         "purchase_id",
-        F.col("c_user").alias("user_id"),
+        # coalesce: inner/left rows always carry c_user; full outer's
+        # orphaned-purchase rows only have p_user
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
             "gap_seconds"
         ),

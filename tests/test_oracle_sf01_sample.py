@@ -53,6 +53,13 @@ LANES = [
     # join's null-row eviction rule where the event horizon is densest
     "stream_session_window",
     "stream_stream_left_join_unmatched",
+    # r13: the full-outer leg adds the purchase-side eviction rule —
+    # re-verify BOTH null-emission boundaries at the dense horizon,
+    # plus the binary Hamming shortlist boundary (top-50 of 2000
+    # codes) and the trained-quantizer agreement at 4x corpus
+    "stream_stream_full_join_unmatched",
+    "ann_binary_hamming_topk",
+    "ann_ivf_pq_trained_agreement",
 ]
 
 

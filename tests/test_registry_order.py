@@ -15,14 +15,16 @@ DRIVER_WINDOW = 50
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
 # (round 13 ordering) — they must sit inside the driver's ~50-row
 # window. Rank is by information value (the r12 verdict's task 2):
-# (1) the 9 lanes NEW or behavior-changed this round (trained IVF-PQ
+# (1) the 10 lanes NEW or behavior-changed this round (trained IVF-PQ
 # agreement, the two binary-quantization ANN lanes, the Gopher quality
 # filter, the foreachBatch reject-capture twin, the resume-from-
-# unprocessed retry lane; chunk-splitting ingest roundtrip,
-# byte_mean-folded multimodal checksum, the pyarrow.fs reject side
-# table); (2) all 41 lanes whose newest driver evidence is r8 — the
-# stalest block (the 42nd, multimodal_features, was retired). 9+41 =
-# 50. Everything re-proven in r9-r12 rotates behind the boundary.
+# unprocessed retry lane, the FULL OUTER stream-stream join;
+# chunk-splitting ingest roundtrip, byte_mean-folded multimodal
+# checksum, the pyarrow.fs reject side table); (2) 40 of the 41 lanes
+# whose newest driver evidence is r8 (multimodal_features was retired;
+# zorder_roundtrip missed the 50-cut and rotates first in r14).
+# 10+40 = 50. Everything re-proven in r9-r12 rotates behind the
+# boundary.
 MUST_BE_IN_WINDOW = [
     "sink_sfetl_ingest_roundtrip",
     "multimodal_features_checksum",
@@ -33,6 +35,7 @@ MUST_BE_IN_WINDOW = [
     "ann_binary_recall_metrics",
     "stream_sink_sfetl_failed_rows_fb",
     "sink_sfetl_resume_unprocessed",
+    "stream_stream_full_join_unmatched",
     "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
@@ -73,7 +76,6 @@ MUST_BE_IN_WINDOW = [
     "window_session",
     "window_sliding",
     "window_tumbling",
-    "zorder_roundtrip",
 ]
 
 
