@@ -615,18 +615,6 @@ class SfIngestWriter(DataSourceWriter):
                     pass
 
 
-def _filesystem_for(path: str):
-    """Resolve *path* for the reject side table — see
-    :func:`sf_etl_spark.connector.fsutil.filesystem_for` (shared with
-    the incremental extractor's watermark state). The Python DataSource
-    ``commit()`` hook has no SparkSession, so the side table cannot be
-    written through Spark; ``pyarrow.fs`` keeps the batch-id-named
-    overwrite contract deployable beyond driver-local POSIX paths."""
-    from sf_etl_spark.connector.fsutil import filesystem_for
-
-    return filesystem_for(path)
-
-
 class SfIngestStreamWriter(DataSourceStreamWriter):
     """``df.writeStream.format("sfetl")`` — the NATIVE streaming sink
     (the batch writer's micro-batch twin; ``foreachBatch`` is no
@@ -697,17 +685,28 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
                 )
         from pyarrow.fs import FileType
 
-        fs, root = _filesystem_for(self.failed_results_path)
+        # The DataSource commit() hook has no SparkSession, so the side
+        # table cannot be written through Spark — pyarrow.fs (shared
+        # with the incremental watermark state) keeps the batch-id
+        # overwrite contract deployable beyond driver-local POSIX paths.
+        from sf_etl_spark.connector.fsutil import filesystem_for
+
+        fs, root = filesystem_for(self.failed_results_path)
         fs.create_dir(root, recursive=True)
         path = f"{root.rstrip('/')}/rejects-batch{batchId:09d}.jsonl"
+        tmp = path + ".tmp"
         if not rejects:
             # a REPLAYED batch that now fully applies must also erase
             # its prior attempt's rejects — leaving the stale file
-            # would over-report rows that actually landed
-            if fs.get_file_info(path).type != FileType.NotFound:
-                fs.delete_file(path)
+            # would over-report rows that actually landed. The .tmp
+            # sibling too: a prior attempt that crashed between write
+            # and move left one, and spark.read.json does NOT hide
+            # '*.tmp' (only '_'/'.'-prefixed files), so a stale tmp
+            # would resurrect the dead attempt's rejects.
+            for p in (path, tmp):
+                if fs.get_file_info(p).type != FileType.NotFound:
+                    fs.delete_file(p)
             return
-        tmp = path + ".tmp"
         payload = "".join(json.dumps(rec) + "\n" for rec in rejects)
         with fs.open_output_stream(tmp) as f:
             f.write(payload.encode("utf-8"))

@@ -16,11 +16,25 @@ from __future__ import annotations
 import os
 
 
+# Hadoop-ecosystem scheme aliases pyarrow does not recognize: Spark
+# users address S3 as s3a:// (and legacy s3n://); pyarrow's S3
+# filesystem answers only to s3://. Aliased, not dropped — a
+# silently-wrong LocalFileSystem fallback here would lose the
+# watermark/reject artifacts on a real cluster.
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+
 def filesystem_for(path: str):
     """Resolve *path* to a ``(pyarrow.fs.FileSystem, fs-native path)``
-    pair — ``file://``, ``s3://``, ``gs://``, ``hdfs://`` or a bare
-    local path (LocalFileSystem fallback for scheme-less relative
-    paths, which ``from_uri`` rejects).
+    pair — ``file://``, ``s3://`` (also ``s3a://``/``s3n://``, aliased),
+    ``gs://``, ``hdfs://`` or a bare local path.
+
+    Fallback policy: ONLY a scheme-less path (no ``://``, which
+    ``from_uri`` rejects as "empty scheme") falls back to the local
+    filesystem. A path WITH a scheme that pyarrow cannot resolve —
+    a typo, or a filesystem this build lacks — raises, because writing
+    a cluster artifact to a driver-local ``./s3a:/...`` directory is
+    silent data loss, not a fallback.
 
     On LocalFileSystem/HDFS a tmp+``move`` is an atomic rename; on
     object stores ``move`` is copy+delete — not atomic, but fixed
@@ -29,10 +43,16 @@ def filesystem_for(path: str):
     """
     from pyarrow import fs as pafs
 
-    try:
-        return pafs.FileSystem.from_uri(path)
-    except Exception:  # scheme-less relative path -> local filesystem
-        return pafs.LocalFileSystem(), os.path.abspath(path)
+    if "://" in path:
+        # unrecognized scheme raises inside from_uri
+        return pafs.FileSystem.from_uri(_normalize_uri(path))
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def _normalize_uri(path: str) -> str:
+    """Rewrite Hadoop scheme aliases to the scheme pyarrow speaks."""
+    scheme, rest = path.split("://", 1)
+    return f"{_SCHEME_ALIASES.get(scheme.lower(), scheme)}://{rest}"
 
 
 def read_small_file(path: str) -> bytes | None:

@@ -252,9 +252,21 @@ def foreach_batch_ingest_with_rejects(
     prior attempt's rejects when the replay fully applies). ``batch_id``
     comes back as a partition column when the side table is read from
     its root. The batch's jobs are identified by diffing the paginated
-    job LIST around the write (two bounded driver-side walks); the
-    reject download itself is :func:`failed_results_df` — one
-    distributed task per job.
+    job LIST around the write; the reject download itself is
+    :func:`failed_results_df` — one distributed task per job.
+
+    **Single-loader constraint**: the LIST diff attributes every job
+    created during the write window to THIS batch — a second pipeline
+    loading the SAME object concurrently would have its jobs (and
+    their rejects) misattributed to this side table. One loader per
+    object is standard Bulk 2.0 practice anyway (concurrent loads
+    contend on row locks), but where it cannot be guaranteed, use the
+    NATIVE sink's ``failed_results_path`` capture instead — its
+    commit() receives the batch's exact job ids from the writer's own
+    commit messages and has no attribution race. The LIST walk also
+    scans the org's job history (paginated, newest window first);
+    on orgs with very deep job logs prefer the native sink for the
+    same reason.
     """
     from sf_etl_spark.connector.datasource import _client_from_options
 

@@ -1184,23 +1184,36 @@ def test_native_stream_writer_captures_failed_rows(spark, tmp_path):
         server.stop()
 
 
-def test_filesystem_for_resolves_schemes(tmp_path):
-    """The reject side table resolves its path through pyarrow.fs so
-    it can land on object storage a real cluster uses (r12 verdict
-    task 1): URI schemes resolve via FileSystem.from_uri, scheme-less
-    relative paths fall back to LocalFileSystem + abspath."""
+def test_filesystem_for_resolves_schemes(tmp_path, monkeypatch):
+    """The reject side table and watermark state resolve their paths
+    through pyarrow.fs so they can land on object storage a real
+    cluster uses (r12 verdict task 1): URI schemes resolve via
+    FileSystem.from_uri (with the Hadoop s3a/s3n aliases rewritten to
+    the s3 scheme pyarrow speaks), scheme-less paths fall back to
+    LocalFileSystem + abspath, and an UNRECOGNIZED scheme raises —
+    a silent local fallback for 's3a://…' would write cluster
+    artifacts to a driver-local './s3a:/…' directory, i.e. lose them."""
     import os
     from pyarrow import fs as pafs
 
-    from sf_etl_spark.connector.datasource import _filesystem_for
+    from sf_etl_spark.connector.fsutil import filesystem_for
 
-    f, p = _filesystem_for(f"file://{tmp_path}/side")
+    f, p = filesystem_for(f"file://{tmp_path}/side")
     assert isinstance(f, pafs.LocalFileSystem) and p == f"{tmp_path}/side"
-    f, p = _filesystem_for(str(tmp_path / "bare"))
+    f, p = filesystem_for(str(tmp_path / "bare"))
     assert isinstance(f, pafs.LocalFileSystem) and p == str(tmp_path / "bare")
-    f, p = _filesystem_for("relative/side")
+    f, p = filesystem_for("relative/side")
     assert isinstance(f, pafs.LocalFileSystem)
     assert p == os.path.abspath("relative/side")
+    # s3a/s3n alias to s3 BEFORE from_uri (checked on the pure rewrite
+    # — a real s3 resolution would hit the network)
+    from sf_etl_spark.connector.fsutil import _normalize_uri
+
+    assert _normalize_uri("s3a://bucket/state.json") == "s3://bucket/state.json"
+    assert _normalize_uri("S3N://bucket/k") == "s3://bucket/k"
+    assert _normalize_uri("gs://bucket/k") == "gs://bucket/k"
+    with pytest.raises(Exception):  # unrecognized scheme must NOT fall back
+        filesystem_for("bogus://bucket/state.json")
 
 
 def test_native_stream_writer_side_table_via_fs_uri(spark, tmp_path):
