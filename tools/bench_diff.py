@@ -7,7 +7,9 @@ inputs, not round markers). Usage:
     python tools/bench_diff.py [idx_old idx_new] [--threshold 0.15]
 
 Prints the common-lane total ratio and every mover beyond the
-threshold, for both the headline (best-of-N) and oneshot maps.
+threshold, for the headline map and the non-headline map (the
+"oneshot" group of pre-r14 entries / "extended" group of r14+
+entries, merged transparently across the rename).
 """
 
 import argparse
@@ -25,20 +27,53 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("indices", nargs="*", type=int)
     ap.add_argument("--threshold", type=float, default=0.15)
+    ap.add_argument(
+        "--include-contended",
+        action="store_true",
+        help="let the default noted-pair selection pick entries the "
+        "recorder flagged contended=true (explicit indices always win)",
+    )
     ns = ap.parse_args()
     # archive + inline as one list: indices stable across the split
     hist = load_history(REPO)
     if len(ns.indices) == 2:
         old, new = hist[ns.indices[0]], hist[ns.indices[1]]
     else:
-        noted = [e for e in hist if e.get("note")]
+        # contended entries (recorder-flagged, r13 verdict task 7) are
+        # not valid ratio denominators/numerators — skip them unless
+        # explicitly requested; explicit indices bypass the filter
+        noted = [
+            e
+            for e in hist
+            if e.get("note")
+            and (ns.include_contended or not e.get("contended"))
+        ]
         if len(noted) < 2:
-            raise SystemExit("need two noted entries (or pass two indices)")
+            raise SystemExit(
+                "need two noted non-contended entries "
+                "(--include-contended or pass two indices)"
+            )
         old, new = noted[-2], noted[-1]
     print(f"old: {old.get('recorded_at')} {old.get('note', '')!r}")
     print(f"new: {new.get('recorded_at')} {new.get('note', '')!r}")
-    for key in ("queries", "oneshot"):
-        a, b = old.get(key, {}), new.get(key, {})
+    for e, tag in ((old, "old"), (new, "new")):
+        if e.get("contended"):
+            print(f"WARNING: {tag} entry is flagged CONTENDED — "
+                  "ratios below are host weather, not code")
+
+    # "oneshot" (single-run, pre-r14) and "extended" (best-of-N, r14+)
+    # are the same non-headline lane population across the rename —
+    # merged here so a diff spanning the transition still pairs lanes.
+    # Expect a one-time downward level shift at the transition
+    # (best-of-N <= one-shot by construction).
+    def non_headline(e):
+        return {**e.get("oneshot", {}), **e.get("extended", {})}
+
+    for key in ("queries", "non-headline"):
+        if key == "queries":
+            a, b = old.get(key, {}), new.get(key, {})
+        else:
+            a, b = non_headline(old), non_headline(new)
         common = sorted(set(a) & set(b))
         if not common:
             continue

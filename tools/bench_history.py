@@ -15,6 +15,36 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def contended(
+    load_1m: float | None,
+    lane_loads: dict[str, float],
+    load_allowance: float = 2.5,
+) -> bool:
+    """Entry-level contention verdict (r13 verdict task 7): lift the
+    per-lane CONTENDED heuristic bench_diff prints to a flag recorded
+    IN the entry, so a noisy recording is excluded from ratio defaults
+    by one field instead of a forensic session over its lane loads.
+
+    Two signals, either trips the flag:
+      * the launch/record-time ``load_1m`` exceeds *load_allowance*
+        (callers pass a higher allowance when the sample is taken
+        while the bench itself is loading the host — local[32]
+        self-load sits around 4-6);
+      * a meaningful slice of lanes (>= max(3, 5%)) finished under a
+        load well above the entry's own median lane-load — the
+        relative signature external contention leaves, since the
+        bench's self-load is roughly constant across lanes.
+    """
+    if load_1m is not None and load_1m > load_allowance:
+        return True
+    vals = sorted(lane_loads.values())
+    if not vals:
+        return False
+    med = vals[len(vals) // 2]
+    busy = sum(1 for v in vals if v > med + 2.5)
+    return busy >= max(3, len(vals) // 20)
+
+
 def split_for_spill(history: list, keep_fallback: int = 12) -> tuple[list, list]:
     """Partition *history* (the inline BENCH_LOCAL list, recording
     order) into ``(to_archive, inline)`` under the r12-verdict-task-7

@@ -45,40 +45,62 @@ def main() -> None:
     # per-lane best time, paired with the load context of the RUN
     # that produced it (r10 verdict task 6: per-lane load, not a
     # single launch-time sample)
-    best, best_loads = {}, {}
-    # intersect lane keys across runs: a code edit landing mid-recording
-    # can add/remove lanes between invocations — merge what's common
-    # rather than KeyError after N runs of work
-    common = set(runs[0]["queries"])
-    for r in runs[1:]:
-        common &= set(r["queries"])
-    for n in sorted(common):
-        i = min(range(n_runs), key=lambda i: runs[i]["queries"][n])
-        best[n] = runs[i]["queries"][n]
-        ld = runs[i].get("loads", {}).get(n)
-        if ld is not None:
-            best_loads[n] = ld
-    oneshot = {}
-    ocommon = set(runs[0].get("oneshot", {}))
-    for r in runs[1:]:
-        ocommon &= set(r.get("oneshot", {}))
-    for n in sorted(ocommon):
-        i = min(range(n_runs), key=lambda i: runs[i]["oneshot"][n])
-        oneshot[n] = runs[i]["oneshot"][n]
-        ld = runs[i].get("loads", {}).get(n)
-        if ld is not None:
-            best_loads[n] = ld
+    best_loads: dict[str, float] = {}
+
+    def merge_group(key: str) -> dict[str, float]:
+        # intersect lane keys across runs: a code edit landing
+        # mid-recording can add/remove lanes between invocations —
+        # merge what's common rather than KeyError after N runs of
+        # work. Lanes dropped by the intersection are NAMED on stderr
+        # (no-silent-caps convention — r13 ADVICE): a quietly smaller
+        # per-lane map reads as "covered everything" when it didn't.
+        common = set(runs[0].get(key, {}))
+        for r in runs[1:]:
+            common &= set(r.get(key, {}))
+        dropped = sorted(
+            {n for r in runs for n in r.get(key, {})} - common
+        )
+        if dropped:
+            print(
+                f"WARNING: [{key}] lanes present in only some runs "
+                f"(code changed mid-recording?) dropped from the merged "
+                f"entry: {', '.join(dropped)}",
+                file=sys.stderr,
+            )
+        out = {}
+        for n in sorted(common):
+            i = min(range(n_runs), key=lambda i: runs[i][key][n])
+            out[n] = runs[i][key][n]
+            ld = runs[i].get("loads", {}).get(n)
+            if ld is not None:
+                best_loads[n] = ld
+        return out
+
+    best = merge_group("queries")
+    # "oneshot" is the pre-r14 name of the non-headline group,
+    # "extended" the best-of-N r14+ one; recordings carry whichever
+    # the bench emitted (never both)
+    groups = {
+        k: merge_group(k) for k in ("oneshot", "extended")
+        if any(k in r for r in runs)
+    }
+    from bench_history import contended
+
     entry = {
         "recorded_at": datetime.datetime.now().isoformat(timespec="seconds"),
         "runs": n_runs,
         "load_1m": load1,
+        # launch-time load (pre-Spark) + per-lane in-run loads: either
+        # signal marks the whole entry CONTENDED so ratio tooling can
+        # skip it by default (r13 verdict task 7)
+        "contended": contended(load1, best_loads),
         "note": note,
         "metric": runs[0]["metric"],
         "value": round(sum(best.values()), 3),
         "unit": "sec",
         "queries": best,
-        "oneshot": oneshot,
-        "oneshot_total_sec": round(sum(oneshot.values()), 3),
+        **{k: v for k, v in groups.items()},
+        **{f"{k}_total_sec": round(sum(v.values()), 3) for k, v in groups.items()},
         "loads": best_loads,
         "sf": runs[0].get("sf"),
     }
