@@ -1537,3 +1537,168 @@ def test_explicit_poll_interval_is_honored_exactly(monkeypatch):
     sweeps_left["j0"] = 5
     c.wait_for_ingest_jobs(["j0"], poll_interval=0.5, max_poll_interval=2.0)
     assert sleeps == [0.5, 0.75, 1.125, 1.6875]  # 1.5x growth toward the cap
+
+
+# -- injected (non-local) pyarrow filesystems through fsutil ----------------
+# r13 verdict task 6: the docstrings promise object-store semantics —
+# tmp+move convergence, recursive create_dir, crash recovery — but
+# every prior test ultimately hit LocalFileSystem. These pin the
+# GENERIC code path against filesystems that are not the local one:
+# pyarrow's in-memory _MockFileSystem (nothing can silently fall back
+# to os.*) and SubTreeFileSystem (a re-rooted delegate, the shape of a
+# bucket-scoped store).
+
+
+def test_fsutil_scheme_registry_injected_fs(tmp_path):
+    """register_scheme routes a URI scheme to a caller-supplied
+    pyarrow filesystem instance (fsspec-wrapped stores, test doubles);
+    write/read round-trips live on THAT fs, the .tmp sibling is
+    consumed by the move, and deregistering restores strict
+    unknown-scheme behavior."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    from sf_etl_spark.connector import fsutil
+
+    mem = pafs._MockFileSystem()
+    fsutil.register_scheme("mem", lambda rest: (mem, rest))
+    try:
+        f, p = fsutil.filesystem_for("mem://deep/dir/a.json")
+        assert f is mem and p == "deep/dir/a.json"
+        fsutil.write_small_file_atomic("mem://deep/dir/a.json", b'{"v": 1}')
+        assert fsutil.read_small_file("mem://deep/dir/a.json") == b'{"v": 1}'
+        info = mem.get_file_info("deep/dir/a.json.tmp")
+        assert info.type == pafs.FileType.NotFound  # tmp consumed by move
+        assert not os.path.exists("mem:")  # nothing leaked locally
+        # replay convergence: a fixed-name artifact overwrites in place
+        fsutil.write_small_file_atomic("mem://deep/dir/a.json", b'{"v": 2}')
+        assert fsutil.read_small_file("mem://deep/dir/a.json") == b'{"v": 2}'
+    finally:
+        fsutil.unregister_scheme("mem")
+    with pytest.raises(Exception):  # back to raise-on-unknown-scheme
+        fsutil.filesystem_for("mem://deep/dir/a.json")
+
+
+def test_fsutil_subtree_fs_rebases_paths(tmp_path):
+    """SubTreeFileSystem injection: the artifact must land INSIDE the
+    subtree root via fs-native relative paths (recursive create_dir on
+    a rebased parent), never at a driver-local absolute path."""
+    from pyarrow import fs as pafs
+
+    from sf_etl_spark.connector import fsutil
+
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    fsutil.register_scheme("sub", lambda rest: (sub, rest))
+    try:
+        fsutil.write_small_file_atomic("sub://a/b/wm.json", b'{"watermark": 7}')
+        assert (tmp_path / "a" / "b" / "wm.json").read_bytes() == b'{"watermark": 7}'
+        assert fsutil.read_small_file("sub://a/b/wm.json") == b'{"watermark": 7}'
+        assert fsutil.read_small_file("sub://a/b/missing.json") is None
+    finally:
+        fsutil.unregister_scheme("sub")
+
+
+def test_watermark_state_through_injected_fs():
+    """The incremental extractor's two-phase watermark state must run
+    entirely on an injected in-memory filesystem — the object-store
+    stand-in where any os.* fallback in the state path would surface
+    as a NotFound/local-file divergence."""
+    import json as _json
+
+    from pyarrow import fs as pafs
+
+    from sf_etl_spark.connector import fsutil
+    from sf_etl_spark.connector.incremental import extract_incremental
+
+    server = MockSalesforce(n_rows=0, page_size=10)
+    server.rows = [
+        {"Id": f"500{i:015d}", "Version": str(i)} for i in range(12)
+    ]
+    url = server.start()
+    mem = pafs._MockFileSystem()
+    fsutil.register_scheme("mem", lambda rest: (mem, rest))
+    try:
+        c = _login(url)
+        state = "mem://ckpt/case/wm.json"
+        recs, res = extract_incremental(c, "Case", ["Id"], "Version", state)
+        assert res.n_rows == 12
+        res.commit()
+        raw = fsutil.read_small_file(state)
+        assert _json.loads(raw)["watermark"] == 11
+        # delta pull READS the committed state from the injected fs
+        recs2, res2 = extract_incremental(c, "Case", ["Id"], "Version", state)
+        assert res2.n_rows == 0 and res2.committed
+    finally:
+        fsutil.unregister_scheme("mem")
+        server.stop()
+
+
+def test_reject_side_table_through_injected_fs():
+    """The streaming sink's reject side table — download, tmp+move
+    write, zero-rejects erase INCLUDING a crashed attempt's stale .tmp
+    — must run on an injected non-local filesystem end-to-end. The
+    commit hook is driven directly (it is driver-side code with no
+    session), against REAL mock-backend jobs."""
+    import json as _json
+
+    from pyarrow import fs as pafs
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from sf_etl_spark.connector import fsutil
+    from sf_etl_spark.connector.datasource import (
+        SfIngestCommit,
+        SfIngestStreamWriter,
+    )
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "K", "type": "string", "length": 8},
+        {"name": "Tag", "type": "string", "length": 8},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    mem = pafs._MockFileSystem()
+    fsutil.register_scheme("mem", lambda rest: (mem, rest))
+    try:
+        c = _login(url)
+        schema = StructType(
+            [StructField("K", StringType()), StructField("Tag", StringType())]
+        )
+        writer = SfIngestStreamWriter(
+            schema,
+            {
+                **sf_options(url),
+                "object": "Thing",
+                "operation": "upsert",
+                "externalIdFieldName": "K",
+                "poll_interval": "0.02",
+                "failed_results_path": "mem://side/rejects",
+            },
+        )
+        # batch 3: one job, one poisoned row (empty external id)
+        job = c.create_ingest_job("Thing", "upsert", external_id_field="K")
+        c.upload_ingest_batch(job.id, "K,Tag\nk1,ok\n,poison\n")
+        c.close_ingest_job(job.id)
+        writer.commit([SfIngestCommit(job_ids=(job.id,), n_rows=2)], 3)
+        raw = fsutil.read_small_file("mem://side/rejects/rejects-batch000000003.jsonl")
+        recs = [_json.loads(line) for line in raw.decode().splitlines()]
+        assert len(recs) == 1 and recs[0]["fields"]["Tag"] == "poison"
+        assert recs[0]["batch_id"] == 3
+        # replay of batch 3 with zero rejects: stale .jsonl AND a
+        # crashed prior attempt's .tmp sibling are both erased
+        stale_tmp = "side/rejects/rejects-batch000000003.jsonl.tmp"
+        with mem.open_output_stream(stale_tmp) as f:
+            f.write(b'{"dead": true}\n')
+        job2 = c.create_ingest_job("Thing", "upsert", external_id_field="K")
+        c.upload_ingest_batch(job2.id, "K,Tag\nk2,ok\n")
+        c.close_ingest_job(job2.id)
+        writer.commit([SfIngestCommit(job_ids=(job2.id,), n_rows=1)], 3)
+        for leftover in (
+            "side/rejects/rejects-batch000000003.jsonl",
+            stale_tmp,
+        ):
+            assert mem.get_file_info(leftover).type == pafs.FileType.NotFound
+    finally:
+        fsutil.unregister_scheme("mem")
+        server.stop()
