@@ -513,6 +513,14 @@ class SfIngestWriter(DataSourceWriter):
             raise ClientBuilderError(
                 f"max_jobs_per_task must be >= 1, got {self.max_jobs_per_task}"
             )
+        # optional side channel (r13 verdict task 4): commit() publishes
+        # the EXACT job-id set this write created to the given path
+        # (fsutil tmp+move, any pyarrow.fs URI), so callers that need
+        # to correlate per-write backend artifacts — the foreachBatch
+        # reject capture — read the writer's own ids instead of
+        # diffing the org's job LIST around the write (which
+        # misattributes a concurrent loader's jobs on the same object).
+        self.job_ids_path = options.get("job_ids_path")
 
     def write(self, iterator: Iterator) -> SfIngestCommit:
         client = _client_from_options(self.options)
@@ -587,6 +595,18 @@ class SfIngestWriter(DataSourceWriter):
         (default 10 s) so an hours-long load doesn't hammer the status
         endpoint sub-second."""
         ids = [jid for msg in messages if msg for jid in msg.job_ids]
+        if self.job_ids_path:
+            # published BEFORE the poll barrier: a barrier failure
+            # (timeout, job-level reject) still leaves the attempt's
+            # exact ids observable for reject/unprocessed sweeps. An
+            # empty write publishes [] — "no jobs" is a result, not a
+            # missing file.
+            from sf_etl_spark.connector.fsutil import write_small_file_atomic
+
+            write_small_file_atomic(
+                self.job_ids_path,
+                json.dumps({"job_ids": sorted(ids)}).encode("utf-8"),
+            )
         if not ids:
             return {}
         client = _client_from_options(self.options)
@@ -641,7 +661,8 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
     the path — named by batchId so a replayed batch OVERWRITES its own
     file (exactly-once on the side table), written tmp+rename (atomic
     on local/HDFS; overwrite-converged on object stores). The path is
-    resolved through ``pyarrow.fs`` (:func:`_filesystem_for`), so any
+    resolved through ``pyarrow.fs``
+    (:func:`sf_etl_spark.connector.fsutil.filesystem_for`), so any
     URI the cluster's storage layer speaks works — ``s3://``, ``gs://``,
     ``hdfs://``, ``file://`` or a bare local path. Rejects are the
     bounded sliver of a load, so a driver-side download is the right

@@ -251,40 +251,48 @@ def foreach_batch_ingest_with_rejects(
     replayed batch rewrites its own partition (including erasing a
     prior attempt's rejects when the replay fully applies). ``batch_id``
     comes back as a partition column when the side table is read from
-    its root. The batch's jobs are identified by diffing the paginated
-    job LIST around the write; the reject download itself is
-    :func:`failed_results_df` — one distributed task per job.
+    its root. The reject download itself is :func:`failed_results_df`
+    — one distributed task per job.
 
-    **Single-loader constraint**: the LIST diff attributes every job
-    created during the write window to THIS batch — a second pipeline
-    loading the SAME object concurrently would have its jobs (and
-    their rejects) misattributed to this side table. One loader per
-    object is standard Bulk 2.0 practice anyway (concurrent loads
-    contend on row locks), but where it cannot be guaranteed, use the
-    NATIVE sink's ``failed_results_path`` capture instead — its
-    commit() receives the batch's exact job ids from the writer's own
-    commit messages and has no attribution race. The LIST walk also
-    scans the org's job history (paginated, newest window first);
-    on orgs with very deep job logs prefer the native sink for the
-    same reason.
+    **Exact job-id correlation** (r13 verdict task 4): the batch's
+    jobs are identified by the writer ITSELF — the write carries a
+    ``job_ids_path`` option, and the writer's commit() publishes the
+    exact job-id set assembled from its own commit messages (the same
+    ids the native sink's reject capture receives) to
+    ``<rejects_path>/_jobids/batch-<n>.json`` before the poll barrier.
+    A concurrent loader on the same object therefore cannot have its
+    jobs (or their rejects) misattributed to this side table — the
+    failure mode of the pre-r14 design, which diffed the org's
+    paginated job LIST around the write window. The ``_``-prefixed
+    side-channel directory is invisible to ``spark.read`` of the
+    rejects root; a replayed batch overwrites its own id file
+    (fsutil tmp+move) before overwriting its rejects partition.
     """
-    from sf_etl_spark.connector.datasource import _client_from_options
-
-    obj = options.get("object")
-
-    def _job_ids() -> set:
-        client = _client_from_options(options)
-        return {
-            j.id
-            for j in client.list_ingest_jobs()
-            if obj is None or j.object == obj
-        }
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        before = _job_ids()
-        batch_df.write.format("sfetl").options(**options).mode("append").save()
-        new_ids = sorted(_job_ids() - before)
-        rejects = failed_results_df(spark, options, job_ids=new_ids)
+        from sf_etl_spark.connector.fsutil import read_small_file
+
+        import json
+
+        ids_path = f"{rejects_path.rstrip('/')}/_jobids/batch-{batch_id}.json"
+        (
+            batch_df.write.format("sfetl")
+            .options(**options, job_ids_path=ids_path)
+            .mode("append")
+            .save()
+        )
+        raw = read_small_file(ids_path)
+        if raw is None:
+            # the writer contract guarantees the file exists after a
+            # successful save() — absence means the ids (and so the
+            # batch's rejects) are unknowable; failing replays the batch
+            raise RuntimeError(
+                f"ingest writer did not publish its job-id set at "
+                f"{ids_path!r}; cannot attribute rejects for batch "
+                f"{batch_id}"
+            )
+        job_ids = json.loads(raw)["job_ids"]
+        rejects = failed_results_df(spark, options, job_ids=job_ids)
         # batch_id rides in the directory name (partition column on
         # read), not as a data column — overwrite of the batch's own
         # partition is the replay-idempotence contract

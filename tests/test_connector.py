@@ -1702,3 +1702,90 @@ def test_reject_side_table_through_injected_fs():
     finally:
         fsutil.unregister_scheme("mem")
         server.stop()
+
+
+def test_foreach_batch_rejects_ignore_concurrent_loader(spark, tmp_path):
+    """r13 verdict task 4: the foreachBatch reject capture correlates
+    rejects by the EXACT job ids its own write created (published by
+    the writer's commit through the job_ids_path side channel), so a
+    concurrent loader hammering the SAME object with poisoned rows
+    throughout the batch window contributes zero misattributed rows to
+    the side table — the failure mode of the old before/after job-LIST
+    diff."""
+    import threading
+    import time as _time
+
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+    from sf_etl_spark.connector.ingest import foreach_batch_ingest_with_rejects
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "K", "type": "string", "length": 8},
+        {"name": "Tag", "type": "string", "length": 16},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        opts = {
+            **sf_options(url),
+            "object": "Thing",
+            "operation": "upsert",
+            "externalIdFieldName": "K",
+            # a real (if short) poll cadence keeps the batch window
+            # open long enough for the interferer to land jobs inside it
+            "poll_interval": "0.05",
+        }
+        side = str(tmp_path / "rejects")
+        handle = foreach_batch_ingest_with_rejects(spark, opts, side)
+
+        stop = threading.Event()
+        n_interfering = [0]
+
+        def interfere():
+            c = _login(url)
+            while not stop.is_set():
+                j = c.create_ingest_job("Thing", "upsert", external_id_field="K")
+                # poisoned row (empty external id) -> a reject that the
+                # old LIST-diff design would have swept into the table
+                c.upload_ingest_batch(j.id, "K,Tag\n,INTRUDER\n")
+                c.close_ingest_job(j.id)
+                # drive it to its terminal state (a real concurrent
+                # loader polls its own jobs) so the final sweep below
+                # can see its rejects
+                c.wait_for_ingest_job(j.id, poll_interval=0.01)
+                n_interfering[0] += 1
+                _time.sleep(0.01)
+
+        t = threading.Thread(target=interfere, daemon=True)
+        t.start()
+        try:
+            _time.sleep(0.05)  # interferer provably active before the write
+            batch = spark.createDataFrame(
+                [("k1", "ok1"), (None, "mine"), ("k2", "ok2")],
+                "K string, Tag string",
+            )
+            handle(batch, 0)
+        finally:
+            stop.set()
+            t.join()
+        assert n_interfering[0] >= 2  # jobs really landed during the window
+        rej = spark.read.parquet(side)
+        rows = rej.collect()
+        assert [r["fields"]["Tag"] for r in rows] == ["mine"]
+        assert {r["batch_id"] for r in rows} == {0}
+        # the side channel carries exactly this batch's job ids
+        import json as _json
+
+        ids = _json.loads((tmp_path / "rejects" / "_jobids" / "batch-0.json").read_text())
+        assert len(ids["job_ids"]) >= 1
+        # and the interfering rejects are still retrievable the right
+        # way — by their own job ids — proving they exist and were
+        # deliberately excluded, not merely never created
+        from sf_etl_spark.connector.ingest import failed_results_df
+
+        all_rejects = failed_results_df(spark, opts)  # sweep = every finished job
+        tags = [r["fields"]["Tag"] for r in all_rejects.collect()]
+        assert "INTRUDER" in tags and "mine" in tags
+    finally:
+        server.stop()
