@@ -92,3 +92,93 @@ def test_trained_pq_codebooks_cut_distortion(spark):
     seed = distortion(_pq_codebook(spark, n))
     trained = distortion(_pq_train_codebooks(spark, n))
     assert trained < seed
+
+
+def test_sampled_training_subtree_reads_sample_not_corpus(spark):
+    """r13 verdict task 1's plan gate: the Lloyd loop's training
+    relation (the frame that gets checkpointed and re-scanned per
+    iteration) must be built from the deterministic hash-sample — its
+    row count is |sample|*M, not |corpus|*M, and the sample filter
+    sits in its plan below the M-way expansion."""
+    from sf_etl_spark.queries.similarity import (
+        PQ_M,
+        _pq_train_subvectors,
+        _train_sample,
+        normalized_vectors,
+    )
+
+    n = normalized_vectors(spark, SF_DIR)
+    full = n.count()
+    sample = _train_sample(n, 4)
+    k = sample.count()
+    assert 0 < k < full
+    # deterministic: same vector set on every evaluation
+    ids = {r["vec_id"] for r in sample.select("vec_id").collect()}
+    ids2 = {r["vec_id"] for r in _train_sample(n, 4).select("vec_id").collect()}
+    assert ids == ids2
+    sub = _pq_train_subvectors(spark, n, train_sample_mod=4)
+    assert sub.count() == k * PQ_M
+    plan = sub._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan and "pmod" in plan
+    # default (mod=1) keeps the pre-r14 full-corpus fit bit-identical
+    assert _pq_train_subvectors(spark, n).count() == full * PQ_M
+
+
+def test_sampled_trained_quality_gate(spark):
+    """The SAMPLED-trained quantizers (the registered lane's — and a
+    100 TB deployment's — configuration) must pass the same gate as
+    the full-corpus fit: recall@10 >= the seed-selection quantizers'
+    at equal probe fraction, and full-corpus encode distortion
+    strictly below the seed codebooks' (the sample is i.i.d. by hash,
+    so the refinement generalizes off-sample)."""
+    from pyspark.sql import functions as F
+    from sf_etl_spark.queries.similarity import (
+        IVF_K,
+        IVF_KM_NPROBE,
+        IVF_NPROBE,
+        PQ_SUBDIM,
+        TRAIN_SAMPLE_MOD,
+        _ivf_pq_recall,
+        _kmeans_centers,
+        _pq_codebook,
+        _pq_train_codebooks,
+        normalized_vectors,
+    )
+
+    n = normalized_vectors(spark, SF_DIR)
+    seeded_cents = n.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)
+    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    seed_cb = _pq_codebook(spark, n)
+    seeded = _ivf_pq_recall(spark, n, seeded_cents, seed_cb, IVF_NPROBE).collect()
+
+    _, cents = _kmeans_centers(spark, n, train_sample_mod=TRAIN_SAMPLE_MOD)
+    cb = _pq_train_codebooks(spark, n, train_sample_mod=TRAIN_SAMPLE_MOD)
+    trained = _ivf_pq_recall(spark, n, cents, cb, IVF_KM_NPROBE).collect()
+
+    assert [r["query_id"] for r in seeded] == [r["query_id"] for r in trained]
+    seeded_mean = sum(r["recall_at_10"] for r in seeded) / len(seeded)
+    trained_mean = sum(r["recall_at_10"] for r in trained) / len(trained)
+    assert trained_mean >= seeded_mean
+    assert trained_mean > 0
+
+    # full-corpus distortion: sampled-trained < seed init
+    def distortion(codebook):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"),
+                F.col("w"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        per = (
+            n.select("vec_id", "v")
+            .crossJoin(F.broadcast(codebook))
+            .groupBy("vec_id", "m")
+            .agg(F.min(d2).alias("best"))
+        )
+        return per.agg(F.sum("best")).collect()[0][0]
+
+    assert distortion(cb) < distortion(seed_cb)
