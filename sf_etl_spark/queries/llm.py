@@ -1528,3 +1528,158 @@ def quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher PUBLISHED preset (r13 verdict task 5): the same report shape
+# as `quality_gopher_filter`, at the Rae et al. 2021 §A1.1 published
+# thresholds, with the structural rules the fixture preset cannot
+# discriminate (symbol-to-word ratio, bullet-/ellipsis-line ratios,
+# alphabetic-word ratio) implemented for real. The fixture lane keeps
+# its tuned thresholds for oracle stability; THIS lane is the config a
+# production corpus runs. §A1.1's repetition battery (duplicate-line /
+# top-n-gram character fractions) is a separate rule family, covered
+# by the fixture lane's top-word rule and `repetition_metrics`.
+#
+# Published thresholds: word count in [50, 100k]; mean word length in
+# [3, 10]; symbol-to-word ratio ('#' and ellipsis) <= 0.1; <= 90% of
+# lines starting with a bullet; <= 30% of lines ending in an ellipsis;
+# >= 80% of words containing an alphabetic character; >= 2 of the
+# stop set {the, be, to, of, and, that, have, with}.
+#
+# Scale: identical to the fixture lane minus its shuffle pair — every
+# rule here is a MAP-SIDE expression over the scan (array/line math on
+# the text column), so the only exchange is the per-lang rollup.
+# Exactness: word/line/symbol counts are integers, ratios are single
+# divisions of those integers compared against short decimal literals
+# — bit-identical in both engines.
+# ---------------------------------------------------------------------------
+_GOPHER_PUB_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_published_report(d: DataFrame) -> DataFrame:
+    """Per-lang Gopher §A1.1 published-threshold report over any
+    (doc_id, lang, text) frame — factored out of the lane so crafted
+    corpora (tests/test_gopher_published.py) run the identical plan."""
+    words = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    mwl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in _GOPHER_PUB_STOPWORDS]),
+        )
+    )
+
+    def count_of(lit: str) -> F.Column:
+        gone = F.length(F.replace(F.col("text"), F.lit(lit), F.lit("")))
+        return (F.length(F.col("text")) - gone) / len(lit)
+
+    n_sym = count_of("#") + count_of("...") + count_of("…")
+    base = d.select(
+        "lang",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        n_stop.alias("n_stop"),
+        n_sym.alias("n_sym"),
+        F.size(lines).alias("n_lines"),
+        F.expr(
+            "size(filter(split(text, '\\n'), l -> "
+            "l LIKE '•%' OR l LIKE '- %' OR l LIKE '* %'))"
+        ).alias("n_bullet"),
+        F.expr(
+            "size(filter(split(text, '\\n'), l -> "
+            "l LIKE '%...' OR l LIKE '%…'))"
+        ).alias("n_ell"),
+        F.expr(
+            "size(filter(split(text, ' '), w -> w RLIKE '[A-Za-z]'))"
+        ).alias("n_alpha"),
+    )
+    ok_len = F.col("n_words").between(50, 100000)
+    ok_wl = F.col("mwl").between(3.0, 10.0)
+    ok_sym = (F.col("n_sym") / F.col("n_words")) <= 0.1
+    ok_bullet = (F.col("n_bullet").cast("double") / F.col("n_lines")) <= 0.9
+    ok_ell = (F.col("n_ell").cast("double") / F.col("n_lines")) <= 0.3
+    ok_alpha = (F.col("n_alpha").cast("double") / F.col("n_words")) >= 0.8
+    ok_stop = F.col("n_stop") >= 2
+    fail = lambda ok: F.sum(F.when(ok, 0).otherwise(1)).cast("bigint")  # noqa: E731
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            fail(ok_len).alias("n_fail_length"),
+            fail(ok_wl).alias("n_fail_word_len"),
+            fail(ok_sym).alias("n_fail_symbol"),
+            fail(ok_bullet).alias("n_fail_bullet"),
+            fail(ok_ell).alias("n_fail_ellipsis"),
+            fail(ok_alpha).alias("n_fail_alpha"),
+            fail(ok_stop).alias("n_fail_stopword"),
+            F.sum(
+                F.when(
+                    ok_len & ok_wl & ok_sym & ok_bullet & ok_ell & ok_alpha & ok_stop,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "quality_gopher_published",
+    """
+    WITH base AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mwl,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               + (length(text) - length(replace(text, chr(8230), ''))) AS n_sym,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)), l ->
+                 l LIKE chr(8226) || '%' OR l LIKE '- %' OR l LIKE '* %')) AS n_bullet,
+             len(list_filter(string_split(text, chr(10)), l ->
+                 l LIKE '%...' OR l LIKE '%' || chr(8230))) AS n_ell,
+             len(list_filter(string_split(text, ' '), w ->
+                 regexp_matches(w, '[A-Za-z]'))) AS n_alpha
+      FROM documents
+    ), verdicts AS (
+      SELECT lang,
+             n_words BETWEEN 50 AND 100000 AS ok_len,
+             mwl BETWEEN 3.0 AND 10.0 AS ok_wl,
+             n_sym / n_words <= 0.1 AS ok_sym,
+             CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 AS ok_bullet,
+             CAST(n_ell AS DOUBLE) / n_lines <= 0.3 AS ok_ell,
+             CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS ok_alpha,
+             n_stop >= 2 AS ok_stop
+      FROM base
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok_len THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_length,
+           CAST(sum(CASE WHEN ok_wl THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_word_len,
+           CAST(sum(CASE WHEN ok_sym THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_symbol,
+           CAST(sum(CASE WHEN ok_bullet THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_bullet,
+           CAST(sum(CASE WHEN ok_ell THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_ellipsis,
+           CAST(sum(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_alpha,
+           CAST(sum(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stopword,
+           CAST(sum(CASE WHEN ok_len AND ok_wl AND ok_sym AND ok_bullet
+                         AND ok_ell AND ok_alpha AND ok_stop
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM verdicts
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Gopher quality filter at the PUBLISHED Rae et al. thresholds incl. symbol/bullet/ellipsis/alpha structural rules, per lang",
+)
+def quality_gopher_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_published_report(load_table(spark, sf_dir, "documents"))
