@@ -771,10 +771,15 @@ def stream_sink_sfetl_failed_rows_fb(spark: SparkSession, sf_dir: str) -> DataFr
 # attributable click, the orphan stream an attribution pipeline
 # reconciles — null-emit when THEIR state evicts. The purchase-side
 # eviction rule is the symmetric calibration: a purchase can match
-# clicks with click_ts in (purchase_ts − 30m, purchase_ts], so it is
-# provably unmatched once the global watermark (min of the two
-# per-stream watermarks) reaches purchase_ts. Both eviction rules are
-# restated exactly in the oracle.
+# clicks with click_ts in (purchase_ts − 30m, purchase_ts] — an
+# INCLUSIVE upper bound, so at watermark == purchase_ts a same-
+# timestamp click is not yet late and the purchase is provably
+# unmatched only once the global watermark (min of the two per-stream
+# watermarks) STRICTLY passes purchase_ts. Both eviction rules are
+# restated exactly in the oracle (strict for purchases, inclusive for
+# clicks — the horizon's strict upper bound makes the click boundary
+# provable at equality); both boundaries are pinned against the
+# engine by tests/test_stream_join_boundary.py.
 # Scale: identical bounded state to the inner lane — the interval
 # condition bounds BOTH sides, which is precisely what makes outer
 # emission possible; an unbounded full stream join can never emit
@@ -807,11 +812,19 @@ def stream_sink_sfetl_failed_rows_fb(spark: SparkSession, sf_dir: str) -> DataFr
       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
         AND c.click_ts + INTERVAL 30 MINUTE <= wm.w
     ), up AS (
+      -- STRICT inequality (r13 ADVICE, pinned by
+      -- tests/test_stream_join_boundary.py): a purchase can match
+      -- clicks with click_ts == purchase_ts, and at watermark ==
+      -- purchase_ts such a click is not yet late — Spark keeps the
+      -- purchase in state one more beat, so it null-emits only once
+      -- the watermark STRICTLY passes purchase_ts. The click rule in
+      -- u above is correctly INCLUSIVE: the horizon's strict upper
+      -- bound makes a click provably unmatched AT equality.
       SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id, p.user_id,
              CAST(NULL AS BIGINT) AS gap_seconds
       FROM p, wm
       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
-        AND p.purchase_ts <= wm.w
+        AND p.purchase_ts < wm.w
     )
     SELECT * FROM m UNION ALL SELECT * FROM u UNION ALL SELECT * FROM up
     ORDER BY click_id, purchase_id
