@@ -96,30 +96,78 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 #
-# Round-13 window (r12 verdict task 2), 10+40 = 50: (1) the 10 lanes
-# NEW or behavior-changed this round — trained IVF-PQ agreement, the
-# two binary-quantization ANN lanes, the Gopher quality filter, the
-# foreachBatch reject-capture twin, the resume-from-unprocessed retry
-# lane, the FULL OUTER stream-stream join, the chunk-splitting ingest
-# roundtrip, the byte_mean-folded multimodal checksum, and the
-# pyarrow.fs reject side table; (2) 40 of the 41 lanes whose newest
-# driver evidence is r8 (multimodal_features, the verdict's 42nd, was
-# retired per task 6; zorder_roundtrip is the one r8 lane the 50-cut
-# could not fit — it rotates first in r14). Below the boundary:
-# zorder_roundtrip, then r9/r10/r11/r12 blocks, freshest last. This
-# comment and the matching one in tests/test_registry_order.py must
-# agree on the counts (r12 ADVICE).
+# Round-14 window (r13 verdict task 2), 4+1+45 = 50: (1) the 4 lanes
+# NEW or behavior-changed this round — the published-threshold Gopher
+# preset (new), the trained IVF-PQ agreement (now sample-bounded
+# training, hash unchanged by agreement mode), the foreachBatch reject
+# twin (now exact job-id correlation via the writer's side channel),
+# and the FULL OUTER stream-stream join (oracle's purchase eviction
+# restated strictly, hash verified unchanged); (2) zorder_roundtrip,
+# the r8 straggler the r13 cut could not fit; (3) 45 of the 46 lanes
+# whose newest driver evidence is r9 (window_suite is the one the
+# 50-cut could not fit — it rotates first in r15). Below the
+# boundary: window_suite, then r10/r11/r12/r13 blocks, freshest last.
+# This comment and the matching one in tests/test_registry_order.py
+# must agree on the counts (r12 ADVICE).
 _PRIORITY_ORDER = [
+    "quality_gopher_published",
+    "ann_ivf_pq_trained_agreement",
+    "stream_sink_sfetl_failed_rows_fb",
+    "stream_stream_full_join_unmatched",
+    "zorder_roundtrip",
+    "ann_ivf_kmeans_agreement",
+    "bigram_novelty",
+    "bloom_semi_join_revenue",
+    "bm25_topk",
+    "cohort_retention",
+    "column_profile",
+    "dedup_exact",
+    "dedup_incremental_ingest",
+    "distribution_drift",
+    "dpp_partitioned_join",
+    "event_transitions",
+    "ewma_user_value",
+    "exists_correlated",
+    "fk_integrity",
+    "grouped_agg_trimmed_mean",
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "interval_coverage",
+    "json_schema_on_read",
+    "kll_quantile_merge",
+    "market_basket_lift",
+    "merge_change_feed",
+    "merge_time_travel",
+    "ngram_jaccard_pairs",
+    "null_skew_outer_join",
+    "pagerank_topk",
+    "percentiles_by_flag",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q1_pricing_summary",
+    "q20_promo_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "robust_outliers",
+    "salted_join_revenue",
+    "scalar_subquery",
+    "scd2_point_in_time_join",
+    "sessionize_events",
+    "soql_fields_all",
+    "soql_typeof",
+    "source_csv_roundtrip",
+    "spark_sql_front",
+    "table_checksum",
+    "timezone_local_hours",
+    # --- below the driver window (auto-rotated) ---
     "sink_sfetl_ingest_roundtrip",
     "multimodal_features_checksum",
     "stream_sink_sfetl_failed_rows",
     "quality_gopher_filter",
-    "ann_ivf_pq_trained_agreement",
     "ann_binary_hamming_topk",
     "ann_binary_recall_metrics",
-    "stream_sink_sfetl_failed_rows_fb",
     "sink_sfetl_resume_unprocessed",
-    "stream_stream_full_join_unmatched",
     "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
@@ -160,9 +208,6 @@ _PRIORITY_ORDER = [
     "window_session",
     "window_sliding",
     "window_tumbling",
-    # --- below the driver window (auto-rotated) ---
-    "zorder_roundtrip",
-    "ann_ivf_kmeans_agreement",
     "sink_sfetl_successful_results",
     "dedup_semdedup_prune",
     "ann_pq_adc_topk",
@@ -254,51 +299,7 @@ _PRIORITY_ORDER = [
     "forecast_feature_matrix",
     "group_median_twophase",
     "window_sliding_distinct",
-    "source_csv_roundtrip",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q14_promo_revenue",
-    "salted_join_revenue",
     "window_suite",
-    "exists_correlated",
-    "scalar_subquery",
-    "fk_integrity",
-    "json_schema_on_read",
-    "percentiles_by_flag",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "soql_typeof",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_promo_suppliers",
-    "dedup_incremental_ingest",
-    "sessionize_events",
-    "cohort_retention",
-    "robust_outliers",
-    "bm25_topk",
-    "bloom_semi_join_revenue",
-    "merge_time_travel",
-    "pagerank_topk",
-    "heavy_hitters_twopass",
-    "hll_rollup_merge",
-    "kll_quantile_merge",
-    "column_profile",
-    "interval_coverage",
-    "merge_change_feed",
-    "ewma_user_value",
-    "bigram_novelty",
-    "dpp_partitioned_join",
-    "table_checksum",
-    "soql_fields_all",
-    "market_basket_lift",
-    "event_transitions",
-    "grouped_agg_trimmed_mean",
-    "scd2_point_in_time_join",
-    "distribution_drift",
-    "spark_sql_front",
-    "timezone_local_hours",
-    "null_skew_outer_join",
     "source_sfetl_roundtrip",
     "equidepth_histogram",
     "correlation_matrix",

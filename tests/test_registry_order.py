@@ -13,69 +13,68 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 13 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r12 verdict's task 2):
-# (1) the 10 lanes NEW or behavior-changed this round (trained IVF-PQ
-# agreement, the two binary-quantization ANN lanes, the Gopher quality
-# filter, the foreachBatch reject-capture twin, the resume-from-
-# unprocessed retry lane, the FULL OUTER stream-stream join;
-# chunk-splitting ingest roundtrip, byte_mean-folded multimodal
-# checksum, the pyarrow.fs reject side table); (2) 40 of the 41 lanes
-# whose newest driver evidence is r8 (multimodal_features was retired;
-# zorder_roundtrip missed the 50-cut and rotates first in r14).
-# 10+40 = 50. Everything re-proven in r9-r12 rotates behind the
+# (round 14 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r13 verdict's task 2):
+# (1) the 4 lanes NEW or behavior-changed this round (published-
+# threshold Gopher preset; trained IVF-PQ agreement on sample-bounded
+# training; foreachBatch reject twin on exact job-id correlation;
+# FULL OUTER stream join with the strictly-restated purchase
+# eviction); (2) zorder_roundtrip, the r8 straggler the r13 cut could
+# not fit; (3) 45 of the 46 lanes whose newest driver evidence is r9
+# (window_suite missed the 50-cut and rotates first in r15).
+# 4+1+45 = 50. Everything re-proven in r10-r13 rotates behind the
 # boundary.
 MUST_BE_IN_WINDOW = [
-    "sink_sfetl_ingest_roundtrip",
-    "multimodal_features_checksum",
-    "stream_sink_sfetl_failed_rows",
-    "quality_gopher_filter",
+    "quality_gopher_published",
     "ann_ivf_pq_trained_agreement",
-    "ann_binary_hamming_topk",
-    "ann_binary_recall_metrics",
     "stream_sink_sfetl_failed_rows_fb",
-    "sink_sfetl_resume_unprocessed",
     "stream_stream_full_join_unmatched",
-    "asof_purchase_click",
-    "benford_first_digit",
-    "boolean_search_and",
-    "chi_square_independence",
-    "chunk_documents",
-    "dq_observe_inflight",
-    "event_pattern_regex",
-    "events_hourly_ffill",
-    "funnel_conversion",
-    "group_p90_twophase",
-    "histogram_totalprice",
-    "pack_token_shards",
-    "quality_percentile_filter",
-    "range_join_followups",
-    "ratio_to_parent_share",
-    "redact_pii",
-    "rollup_incremental_maintenance",
-    "sample_per_label_cap",
-    "scd2_dimension_history",
-    "sink_merge_cdc",
-    "sink_roundtrip_partitioned",
-    "soql_child_subquery",
-    "soql_child_subquery_where",
-    "soql_child_traversal",
-    "soql_cube_grouping",
-    "soql_date_functions",
-    "soql_documents_filter",
-    "soql_in_subquery_anti",
-    "soql_in_subquery_semi",
-    "soql_multihop_traversal",
-    "soql_orders_rollup",
-    "soql_parent_traversal",
-    "soql_rollup_traversal",
-    "source_jdbc_roundtrip",
-    "stratified_sample_exact",
-    "tfidf_top_terms",
-    "weighted_sample_priority",
-    "window_session",
-    "window_sliding",
-    "window_tumbling",
+    "zorder_roundtrip",
+    "ann_ivf_kmeans_agreement",
+    "bigram_novelty",
+    "bloom_semi_join_revenue",
+    "bm25_topk",
+    "cohort_retention",
+    "column_profile",
+    "dedup_exact",
+    "dedup_incremental_ingest",
+    "distribution_drift",
+    "dpp_partitioned_join",
+    "event_transitions",
+    "ewma_user_value",
+    "exists_correlated",
+    "fk_integrity",
+    "grouped_agg_trimmed_mean",
+    "heavy_hitters_twopass",
+    "hll_rollup_merge",
+    "interval_coverage",
+    "json_schema_on_read",
+    "kll_quantile_merge",
+    "market_basket_lift",
+    "merge_change_feed",
+    "merge_time_travel",
+    "ngram_jaccard_pairs",
+    "null_skew_outer_join",
+    "pagerank_topk",
+    "percentiles_by_flag",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q1_pricing_summary",
+    "q20_promo_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "robust_outliers",
+    "salted_join_revenue",
+    "scalar_subquery",
+    "scd2_point_in_time_join",
+    "sessionize_events",
+    "soql_fields_all",
+    "soql_typeof",
+    "source_csv_roundtrip",
+    "spark_sql_front",
+    "table_checksum",
+    "timezone_local_hours",
 ]
 
 
