@@ -67,12 +67,18 @@ def filesystem_for(path: str):
     from pyarrow import fs as pafs
 
     if "://" in path:
+        # aliases FIRST, then resolver lookup: a resolver registered
+        # for 's3' must also catch the Hadoop-conventional 's3a://'
+        # spelling this module canonicalizes — otherwise the aliased
+        # path would silently bypass the injected filesystem and
+        # construct a real S3FileSystem
+        path = _normalize_uri(path)
         scheme, rest = path.split("://", 1)
         resolver = _SCHEME_RESOLVERS.get(scheme.lower())
         if resolver is not None:
             return resolver(rest)
         # unrecognized scheme raises inside from_uri
-        return pafs.FileSystem.from_uri(_normalize_uri(path))
+        return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), os.path.abspath(path)
 
 

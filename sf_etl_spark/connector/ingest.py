@@ -275,9 +275,13 @@ def foreach_batch_ingest_with_rejects(
         import json
 
         ids_path = f"{rejects_path.rstrip('/')}/_jobids/batch-{batch_id}.json"
+        # the helper OWNS the side channel: a caller-supplied
+        # job_ids_path in `options` is overridden (a **kwargs splice
+        # alongside the keyword would raise TypeError instead)
+        write_opts = {**options, "job_ids_path": ids_path}
         (
             batch_df.write.format("sfetl")
-            .options(**options, job_ids_path=ids_path)
+            .options(**write_opts)
             .mode("append")
             .save()
         )

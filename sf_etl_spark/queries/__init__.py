@@ -106,9 +106,11 @@ def register(
 # the r8 straggler the r13 cut could not fit; (3) 45 of the 46 lanes
 # whose newest driver evidence is r9 (window_suite is the one the
 # 50-cut could not fit — it rotates first in r15). Below the
-# boundary: window_suite, then r10/r11/r12/r13 blocks, freshest last.
-# This comment and the matching one in tests/test_registry_order.py
-# must agree on the counts (r12 ADVICE).
+# boundary, names keep their prior RELATIVE order (the rotation tool
+# does not re-sort them); freshness-wise the stalest remaining lane
+# is window_suite (r9), first in line for r15. This comment and the
+# matching one in tests/test_registry_order.py must agree on the
+# counts (r12 ADVICE).
 _PRIORITY_ORDER = [
     "quality_gopher_published",
     "ann_ivf_pq_trained_agreement",

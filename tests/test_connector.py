@@ -1578,6 +1578,18 @@ def test_fsutil_scheme_registry_injected_fs(tmp_path):
         fsutil.unregister_scheme("mem")
     with pytest.raises(Exception):  # back to raise-on-unknown-scheme
         fsutil.filesystem_for("mem://deep/dir/a.json")
+    # aliases apply BEFORE resolver lookup (r14 review pass): a
+    # resolver registered for 's3' must also catch the Hadoop
+    # spellings this module canonicalizes — otherwise an 's3a://'
+    # path would bypass the injected fs and build a real S3FileSystem
+    fsutil.register_scheme("s3", lambda rest: (mem, rest))
+    try:
+        f, p = fsutil.filesystem_for("s3a://bucket/wm.json")
+        assert f is mem and p == "bucket/wm.json"
+        f, p = fsutil.filesystem_for("S3N://bucket/wm.json")
+        assert f is mem and p == "bucket/wm.json"
+    finally:
+        fsutil.unregister_scheme("s3")
 
 
 def test_fsutil_subtree_fs_rebases_paths(tmp_path):

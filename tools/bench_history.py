@@ -15,6 +15,16 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: in-run lane loads above this are external contention with certainty:
+#: the bench's own local[32] self-load tops out around 7.4 across the
+#: noted quiet-host entries (measured over BENCH_LOCAL history), while
+#: the r13 contaminated entry carried lane loads up to 15.5. A RELATIVE
+#: margin (median+2.5) cannot be the entry-level signal — quiet
+#: recordings legitimately spread lane loads 2.7-7.4 by lane type and
+#: would flag themselves (caught in the r14 review pass).
+IN_RUN_LOAD_CEILING = 10.0
+
+
 def contended(
     load_1m: float | None,
     lane_loads: dict[str, float],
@@ -30,18 +40,14 @@ def contended(
         (callers pass a higher allowance when the sample is taken
         while the bench itself is loading the host — local[32]
         self-load sits around 4-6);
-      * a meaningful slice of lanes (>= max(3, 5%)) finished under a
-        load well above the entry's own median lane-load — the
-        relative signature external contention leaves, since the
-        bench's self-load is roughly constant across lanes.
+      * >= max(3, 5%) of lanes finished under a load above the
+        ABSOLUTE :data:`IN_RUN_LOAD_CEILING` — a level the bench's own
+        self-load never reaches, so it can only be a neighbor.
     """
     if load_1m is not None and load_1m > load_allowance:
         return True
-    vals = sorted(lane_loads.values())
-    if not vals:
-        return False
-    med = vals[len(vals) // 2]
-    busy = sum(1 for v in vals if v > med + 2.5)
+    vals = list(lane_loads.values())
+    busy = sum(1 for v in vals if v > IN_RUN_LOAD_CEILING)
     return busy >= max(3, len(vals) // 20)
 
 

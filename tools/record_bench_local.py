@@ -47,43 +47,48 @@ def main() -> None:
     # single launch-time sample)
     best_loads: dict[str, float] = {}
 
-    def merge_group(key: str) -> dict[str, float]:
+    def merge_group(label: str, keys: tuple[str, ...]) -> dict[str, float]:
         # intersect lane keys across runs: a code edit landing
         # mid-recording can add/remove lanes between invocations —
         # merge what's common rather than KeyError after N runs of
         # work. Lanes dropped by the intersection are NAMED on stderr
         # (no-silent-caps convention — r13 ADVICE): a quietly smaller
         # per-lane map reads as "covered everything" when it didn't.
-        common = set(runs[0].get(key, {}))
-        for r in runs[1:]:
-            common &= set(r.get(key, {}))
-        dropped = sorted(
-            {n for r in runs for n in r.get(key, {})} - common
-        )
+        # *keys* may span multiple map names so a rename landing
+        # mid-recording (oneshot -> extended, r14) still pairs the
+        # same lane population instead of intersecting to empty.
+        per_run = [
+            {n: t for k in keys for n, t in r.get(k, {}).items()}
+            for r in runs
+        ]
+        common = set(per_run[0])
+        for m in per_run[1:]:
+            common &= set(m)
+        dropped = sorted({n for m in per_run for n in m} - common)
         if dropped:
             print(
-                f"WARNING: [{key}] lanes present in only some runs "
+                f"WARNING: [{label}] lanes present in only some runs "
                 f"(code changed mid-recording?) dropped from the merged "
                 f"entry: {', '.join(dropped)}",
                 file=sys.stderr,
             )
         out = {}
         for n in sorted(common):
-            i = min(range(n_runs), key=lambda i: runs[i][key][n])
-            out[n] = runs[i][key][n]
+            i = min(range(n_runs), key=lambda i: per_run[i][n])
+            out[n] = per_run[i][n]
             ld = runs[i].get("loads", {}).get(n)
             if ld is not None:
                 best_loads[n] = ld
         return out
 
-    best = merge_group("queries")
-    # "oneshot" is the pre-r14 name of the non-headline group,
-    # "extended" the best-of-N r14+ one; recordings carry whichever
-    # the bench emitted (never both)
-    groups = {
-        k: merge_group(k) for k in ("oneshot", "extended")
-        if any(k in r for r in runs)
-    }
+    best = merge_group("queries", ("queries",))
+    # non-headline group: "oneshot" (single-run, pre-r14) and
+    # "extended" (best-of-N, r14+) are the same lane population —
+    # merged under whichever name the NEWEST bench emitted
+    groups: dict[str, dict[str, float]] = {}
+    if any(("oneshot" in r or "extended" in r) for r in runs):
+        key = "extended" if any("extended" in r for r in runs) else "oneshot"
+        groups[key] = merge_group("non-headline", ("oneshot", "extended"))
     from bench_history import contended
 
     entry = {
