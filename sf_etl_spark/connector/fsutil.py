@@ -38,12 +38,33 @@ def register_scheme(scheme: str, resolver) -> None:
     ``FileSystem.from_uri``. The resolver receives the path WITHOUT
     the ``scheme://`` prefix and must return a ``(pyarrow FileSystem,
     fs-native path)`` pair — typically a shared filesystem instance,
-    so state persists across `filesystem_for` calls."""
-    _SCHEME_RESOLVERS[scheme.lower()] = resolver
+    so state persists across `filesystem_for` calls.
+
+    The registry is PROCESS-LOCAL. It serves the driver-process
+    consumers — the incremental extractor's watermark state and
+    :func:`foreach_batch_ingest_with_rejects`' job-id read — but NOT
+    the Python DataSource commit hooks (the streaming sink's reject
+    side table, the writer's ``job_ids_path`` publish): PySpark runs
+    ``DataSourceWriter.commit()`` in a freshly spawned Python worker
+    (``pyspark/sql/worker/commit_data_source_write.py``) that
+    re-imports this module with an empty registry, so those paths
+    support only the schemes ``from_uri`` speaks (file/s3/gs/hdfs and
+    the Hadoop aliases). A registered-scheme path reaching a commit
+    hook fails LOUDLY with the unknown-scheme raise — never a silent
+    local fallback."""
+    _SCHEME_RESOLVERS[_canonical_scheme(scheme)] = resolver
 
 
 def unregister_scheme(scheme: str) -> None:
-    _SCHEME_RESOLVERS.pop(scheme.lower(), None)
+    _SCHEME_RESOLVERS.pop(_canonical_scheme(scheme), None)
+
+
+def _canonical_scheme(scheme: str) -> str:
+    """The registry is keyed by the CANONICAL scheme — registering the
+    aliased spelling ('s3a') must route the same lookups as 's3', or
+    the injected filesystem would be silently bypassed for exactly the
+    spelling the user's cluster writes."""
+    return _SCHEME_ALIASES.get(scheme.lower(), scheme.lower())
 
 
 def filesystem_for(path: str):

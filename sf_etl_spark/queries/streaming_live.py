@@ -663,14 +663,16 @@ def stream_sink_sfetl_failed_rows(spark: SparkSession, sf_dir: str) -> DataFrame
 # task 1's session-access alternative): same poisoned-key stream, same
 # upsert sink — but the reject side table is written BY SPARK from
 # inside foreachBatch (connector.ingest.foreach_batch_ingest_with_
-# rejects): per batch, the job LIST is diffed around the write, the
-# new jobs' /failedResults download as a distributed DataFrame, and
-# the batch's rejects OVERWRITE the side table's batch_id=<n>
-# partition. On a cluster this rides the session's own
-# committers/filesystem (object stores included) — the property the
-# native sink's commit() hook, having no session, approximates with
-# pyarrow.fs. Same oracle as the native lane: the side table must
-# surface exactly the poisoned keys.
+# rejects): the writer's commit() publishes the batch's EXACT job-id
+# set through the job_ids_path side channel (r13 verdict task 4 —
+# replacing the LIST-diff-around-the-write design, whose window
+# misattributed a concurrent loader's jobs), those jobs'
+# /failedResults download as a distributed DataFrame, and the batch's
+# rejects OVERWRITE the side table's batch_id=<n> partition. On a
+# cluster this rides the session's own committers/filesystem (object
+# stores included) — the property the native sink's commit() hook,
+# having no session, approximates with pyarrow.fs. Same oracle as the
+# native lane: the side table must surface exactly the poisoned keys.
 # ---------------------------------------------------------------------------
 @register(
     "stream_sink_sfetl_failed_rows_fb",

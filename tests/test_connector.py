@@ -1590,6 +1590,19 @@ def test_fsutil_scheme_registry_injected_fs(tmp_path):
         assert f is mem and p == "bucket/wm.json"
     finally:
         fsutil.unregister_scheme("s3")
+    # and the converse: REGISTERING the aliased spelling must route the
+    # canonical one too — the registry is keyed by canonical scheme, so
+    # register('s3a') and register('s3') are the same entry (the high-
+    # effort r14 review caught register('s3a') as silently dead)
+    fsutil.register_scheme("s3a", lambda rest: (mem, rest))
+    try:
+        for spelling in ("s3a://b/k.json", "s3://b/k.json", "s3n://b/k.json"):
+            f, p = fsutil.filesystem_for(spelling)
+            assert f is mem and p == "b/k.json", spelling
+    finally:
+        fsutil.unregister_scheme("s3n")  # any spelling unregisters the entry
+    with pytest.raises(Exception):
+        fsutil.filesystem_for("bogus2://b/k.json")
 
 
 def test_fsutil_subtree_fs_rebases_paths(tmp_path):
