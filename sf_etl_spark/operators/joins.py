@@ -65,13 +65,20 @@ def asof_join(
 
     Ties: a right row at exactly left_ts matches (right sorts first via
     the side tag), mirroring DuckDB/pandas `merge_asof` inclusive
-    semantics.
+    semantics. Several right rows sharing one (key, ts): the payload
+    struct is the final sort key, making the order TOTAL — without it
+    last() picks a partition-order-dependent payload and the result
+    flaps across runs (the fix asof_nearest_join has carried since
+    r12, applied here in r14). Right rows with a NULL timestamp are
+    excluded up front (merge_asof/DuckDB ASOF semantics): a null _ts
+    sorts first with a NON-null payload struct, so it would otherwise
+    become every early left row's phantom match.
     """
     lcols = left.columns
     payload_struct = F.struct(
         F.col(right_ts).alias("_ats"), *[F.col(c).alias(c) for c in right_payload]
     )
-    r = right.select(
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -87,7 +94,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l.unionByName(r).withColumn(
@@ -133,7 +140,7 @@ def asof_nearest_join(
     payload_struct = F.struct(
         F.col(right_ts).alias("_ats"), *[F.col(c).alias(c) for c in right_payload]
     )
-    r = right.select(
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -206,20 +213,31 @@ def range_join_buckets(
     ``lower < r[right_ts] - l[left_ts] <= upper`` (bounds as interval
     Columns, e.g. ``F.expr("INTERVAL 0 SECOND")``).
 
-    Scale recipe: bucketize both sides to `bucket_seconds` (≥ the band
-    width), equi-join on (key, bucket) for the right side's bucket and
-    its predecessor, then apply the exact band predicate. The
-    equi-join keeps the shuffle hash-partitioned and lets AQE handle
-    skew; the candidate set per row is O(rows in 2 buckets), not O(all
-    rows per key). This is the standard interval-join decomposition
-    used by stream processors.
+    Scale recipe: bucketize both sides to `bucket_seconds`, equi-join
+    on (key, bucket) for every bucket the band can reach, then apply
+    the exact band predicate. The probe set is DERIVED from the band
+    per right row — a right row at ts r can match left rows with
+    ``r - upper <= l < r - lower``, i.e. left buckets
+    ``floor((r-upper)/B) .. floor((r-lower)/B)`` — so ANY
+    lower/upper/bucket_seconds combination is covered (the pre-r14
+    hard-coded {b, b-1} probe silently dropped matches whenever
+    lower > 0 or upper > bucket_seconds), and ``floor`` keeps
+    pre-epoch timestamps in the right bucket (a bigint cast truncates
+    toward zero). The equi-join keeps the shuffle hash-partitioned and
+    lets AQE handle skew; candidates per row are O(rows in
+    band/bucket_seconds + 1 buckets), not O(all rows per key). This is
+    the standard interval-join decomposition used by stream
+    processors; size bucket_seconds to the band width so the probe
+    fan-out stays at 2.
     """
-    lb = left.withColumn("_bkt", (F.unix_timestamp(left_ts) / bucket_seconds).cast("bigint"))
-    rb = right.withColumn("_bkt", (F.unix_timestamp(right_ts) / bucket_seconds).cast("bigint"))
-    # right row with bucket b can match left rows in buckets b and b-1
-    rb = rb.withColumn("_probe", F.explode(F.array(F.col("_bkt"), F.col("_bkt") - 1))).drop(
-        "_bkt"
+    lb = left.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(left_ts) / bucket_seconds)
     )
+    # left-bucket range reachable from this right row's band, via
+    # timestamp-interval arithmetic (the bounds are interval Columns)
+    lo_b = F.floor(F.unix_timestamp(F.col(right_ts) - upper) / bucket_seconds)
+    hi_b = F.floor(F.unix_timestamp(F.col(right_ts) - lower) / bucket_seconds)
+    rb = right.withColumn("_probe", F.explode(F.sequence(lo_b, hi_b)))
     cond = (
         (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}") + lower)
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + upper)

@@ -68,6 +68,27 @@ def _reject_null_groups(hist_rows, op_name: str, group_col: str) -> None:
             )
 
 
+def _plan_size_schemas(df, group_col: str, with_slot: bool):
+    """Explicit schemas for the driver-built plan/size relations of the
+    two-phase operators: schema inference over a Python list raises on
+    an EMPTY (but valid) input — e.g. caller-supplied covering bounds
+    over a filtered slice with zero rows — where the operator should
+    just return an empty frame. Keeps all five variants on the same
+    contract as grouped_exact_rank's prefix relation."""
+    gt = df.schema[group_col].dataType
+    plan_fields = [
+        T.StructField(group_col, gt),
+        T.StructField("_b", T.LongType()),
+        T.StructField("_k", T.LongType()),
+    ]
+    if with_slot:
+        plan_fields.append(T.StructField("_slot", T.LongType()))
+    return (
+        T.StructType(plan_fields),
+        T.StructType([T.StructField(group_col, gt), T.StructField("n", T.LongType())]),
+    )
+
+
 def kth_smallest(
     df: DataFrame,
     col: str,
@@ -332,7 +353,7 @@ def grouped_median_twophase(
                 cum += counts[b]
     spark = df.sparkSession
     plan_df = F.broadcast(
-        spark.createDataFrame(plans, [group_col, "_b", "_k", "_slot"])
+        spark.createDataFrame(plans, _plan_size_schemas(df, group_col, True)[0])
     )
     ranked = (
         df.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
@@ -355,7 +376,7 @@ def grouped_median_twophase(
         .withColumnRenamed("2", "v_hi")
     )
     size_df = F.broadcast(
-        spark.createDataFrame(list(sizes.items()), [group_col, "n"])
+        spark.createDataFrame(list(sizes.items()), _plan_size_schemas(df, group_col, False)[1])
     )
     return wide.join(size_df, group_col).select(
         group_col,
@@ -456,7 +477,7 @@ def grouped_median_twophase_double(
                 cum += counts[b]
     spark = df.sparkSession
     plan_df = F.broadcast(  # bounded: ≤2 rows per group, budget-guarded
-        spark.createDataFrame(plans, [group_col, "_b", "_k", "_slot"])
+        spark.createDataFrame(plans, _plan_size_schemas(df, group_col, True)[0])
     )
     ranked = (
         d.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
@@ -481,7 +502,7 @@ def grouped_median_twophase_double(
         .withColumnRenamed("2", "v_hi")
     )
     size_df = F.broadcast(  # bounded: one row per group
-        spark.createDataFrame(list(sizes.items()), [group_col, "n"])
+        spark.createDataFrame(list(sizes.items()), _plan_size_schemas(df, group_col, False)[1])
     )
     return wide.join(size_df, group_col).select(
         group_col,
@@ -533,6 +554,16 @@ def grouped_exact_rank(
     integer order-image of the sort column and ``(img, tie)`` unique
     per group. Returns df's columns plus ``_rank`` / ``_gn`` (bigint).
     """
+    clobbered = {"_b", "_pre", "_gn", "_rank"} & set(df.columns)
+    if clobbered:
+        # withColumn silently REPLACES same-named columns, and the
+        # prefix join would make _gn ambiguous — same guard contract
+        # as salted_topk (a re-ranked frame still carrying _rank/_gn
+        # from a prior call is the realistic trigger)
+        raise ValueError(
+            f"grouped_exact_rank: input already has reserved column(s) "
+            f"{sorted(clobbered)}; rename or drop them first"
+        )
     g, img = F.col(group_col), F.col(img_col)
     d = df.filter(img.isNotNull())
     if bounds is None:
@@ -946,7 +977,7 @@ def grouped_quantile_twophase(
             cum += counts[b]
     spark = df.sparkSession
     plan_df = F.broadcast(  # bounded: one row per group, budget-guarded above
-        spark.createDataFrame(plans, [group_col, "_b", "_k"])
+        spark.createDataFrame(plans, _plan_size_schemas(df, group_col, False)[0])
     )
     ranked = (
         df.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
@@ -958,7 +989,7 @@ def grouped_quantile_twophase(
     )
     picked = ranked.join(plan_df, [group_col, "_b"]).filter(F.col("_rk") == F.col("_k"))
     size_df = F.broadcast(  # bounded: one row per group
-        spark.createDataFrame(list(sizes.items()), [group_col, "n"])
+        spark.createDataFrame(list(sizes.items()), _plan_size_schemas(df, group_col, False)[1])
     )
     return picked.join(size_df, group_col).select(
         group_col,

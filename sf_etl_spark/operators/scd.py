@@ -49,6 +49,9 @@ def scd2_apply(
     * tracked attributes changed vs the stored current version → close
       the stored version (``__valid_to = ts``, ``__is_current =
       false``) and insert the new current one;
+    * changed at the SAME ts as the stored version's ``__valid_from``
+      → correct that version in place (attrs replaced, still current;
+      no zero-length closed version);
     * unchanged → no write at all (idempotent re-applies).
     """
     from sf_etl_spark.streaming.pipelines import (
@@ -107,7 +110,16 @@ def scd2_apply(
     new_keys = joined.filter(F.col(f"c.{VALID_FROM}").isNull())
     changed = joined.filter(F.col(f"c.{VALID_FROM}").isNotNull() & changed_expr)
 
-    closed = changed.select(
+    # A change whose effective_ts EQUALS the stored current version's
+    # __valid_from is a CORRECTION: the opened row below replaces that
+    # version in place (same (key, __valid_from) merge key, attrs
+    # updated, still current). Emitting a closed row too would create
+    # a zero-length version AND collide with the opened row on the
+    # merge key — the merge's dropDuplicates would then keep an
+    # arbitrary one of the two, nondeterministically losing either the
+    # history close or the correction (r14 review finding).
+    same_ts = F.col(f"c.{VALID_FROM}") == F.col("b.__ts").cast("timestamp_ntz")
+    closed = changed.filter(~same_ts).select(
         *key_cols,
         *[F.col(f"c.{t}").alias(t) for t in tracked_cols],
         F.col(f"c.{VALID_FROM}").alias(VALID_FROM),

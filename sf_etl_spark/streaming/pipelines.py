@@ -99,6 +99,14 @@ def stage_events_as_stream_source(
     base_mtime = time.time()
     for i in range(n_chunks):
         cdir = os.path.join(staging, f"_chunk={i}")
+        if not os.path.isdir(cdir):
+            # fewer rows than chunks: the row_number chunking wrote no
+            # partition for this index — fail with the real cause, not
+            # a bare FileNotFoundError from os.listdir
+            raise ValueError(
+                f"stage_events_as_stream_source: {n} rows cannot fill "
+                f"n_chunks={n_chunks} (chunk {i} is empty); lower n_chunks"
+            )
         files = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
         assert len(files) == 1, f"chunk {i}: expected 1 file, got {files}"
         chunk_path = os.path.join(out_dir, f"chunk_{i:04d}.parquet")
@@ -532,6 +540,15 @@ def _write_merge_meta(
     try:
         vout = fs.create(vfile, False)  # CAS point: exclusive create
     except Exception:
+        # Only a LOST RACE looks like this AND leaves vfile existing.
+        # A non-race failure (permissions, transient IO) must propagate
+        # as itself — routing it into the heal path would tell the
+        # operator to delete a version file that does not exist, and
+        # ConcurrentMergeError would send the caller into max_retries
+        # of full re-merges against a permanently failing filesystem
+        # (r14 review finding).
+        if not fs.exists(vfile):
+            raise
         _heal_unswapped_version(spark, fs, target_path, vfile, version, prev_version)
         raise ConcurrentMergeError(
             f"{target_path}: lost the commit race for v{version} "

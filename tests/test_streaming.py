@@ -823,3 +823,43 @@ def test_stateful_plans_run_under_rocksdb_state_store(spark, staged, sf_dir):
         ["window_start", "event_type", "n_events", "total_value"],
     )
     assert rocks == default and len(rocks) > 0
+
+
+def test_scd2_same_timestamp_change_is_inplace_correction(spark, tmp_path):
+    """A changed batch at the SAME effective_ts as the stored current
+    version's __valid_from must correct that version in place — one
+    current row with the new attrs, no zero-length closed version, and
+    deterministically so (the pre-r14 close+open pair collided on the
+    (key, __valid_from) merge key and dropDuplicates kept an arbitrary
+    one — sometimes leaving the key with NO current row at all)."""
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.operators.scd import (
+        IS_CURRENT,
+        VALID_FROM,
+        VALID_TO,
+        scd2_apply,
+    )
+    from sf_etl_spark.streaming.pipelines import read_merge_target
+
+    dim = str(tmp_path / "dim")
+    t0 = "2024-03-01 00:00:00"
+    batch1 = spark.createDataFrame([(1, "bronze")], "k int, tier string")
+    scd2_apply(batch1, dim, ["k"], ["tier"], F.lit(t0), n_buckets=2)
+    # correction at the same effective ts
+    batch2 = spark.createDataFrame([(1, "gold")], "k int, tier string")
+    scd2_apply(batch2, dim, ["k"], ["tier"], F.lit(t0), n_buckets=2)
+    rows = read_merge_target(spark, dim).collect()
+    assert len(rows) == 1  # no zero-length closed version
+    r = rows[0]
+    assert r["tier"] == "gold" and r[IS_CURRENT] and r[VALID_TO] is None
+    assert str(r[VALID_FROM]).startswith("2024-03-01")
+    # a LATER change still closes + opens normally
+    t1 = "2024-03-02 00:00:00"
+    batch3 = spark.createDataFrame([(1, "platinum")], "k int, tier string")
+    scd2_apply(batch3, dim, ["k"], ["tier"], F.lit(t1), n_buckets=2)
+    rows = {
+        (r["tier"], r[IS_CURRENT]): r for r in read_merge_target(spark, dim).collect()
+    }
+    assert set(rows) == {("gold", False), ("platinum", True)}
+    assert str(rows[("gold", False)][VALID_TO]).startswith("2024-03-02")
