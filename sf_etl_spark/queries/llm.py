@@ -1683,3 +1683,316 @@ def gopher_published_report(d: DataFrame) -> DataFrame:
 )
 def quality_gopher_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_published_report(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher §A1.1 REPETITION battery (r14 verdict task 2): the 13
+# published repetition rules Rae et al. 2021 apply ahead of the
+# structural preset — duplicate line / paragraph fractions (by count
+# and by character share, <= 0.30/0.30 and 0.20/0.20), top-2/3/4-gram
+# character fractions (<= 0.20/0.18/0.16), and dup-5..10-gram
+# character fractions (<= 0.15..0.10). Rae et al. report these remove
+# more data than all structural rules combined, so this is the config
+# a real 100 TB corpus runs. Same report shape as the sibling presets:
+# per-lang n_docs / per-rule fail counts / n_kept.
+#
+# Exact semantics (mirrored bit-for-bit by the DuckDB oracle and the
+# pure-Python reference in tests/test_gopher_repetition.py):
+# - lines = split(text, '\n'); paras = regex-split on '\n{2,}';
+#   words = split(text, ' ') — empty strings kept on both engines;
+# - tl = greatest(length(text), 1) denominates EVERY char fraction;
+# - dup_line_frac = (n_lines − n_distinct_lines) / n_lines; the char
+#   twin sums (count−1)·len over line values occurring >= 2 times
+#   (EXCESS occurrences — the first copy is not a duplicate); same
+#   pair for paragraphs;
+# - top-n-gram (n=2,3,4): grams join n consecutive words with ' ';
+#   mass = max_count · max(len among grams at max_count) when
+#   max_count >= 2 else 0 (the deterministic restatement of the
+#   paper's "most frequently-occurring n-gram" under count ties);
+# - dup-n-gram (n=5..10): the paper's "characters contained within
+#   all duplicate n-grams, taking care not to count characters twice"
+#   as a position-coverage union — word positions covered by ANY
+#   occurrence of a gram seen >= 2 times; covered chars = Σ len(word)
+#   over covered positions (spaces never counted);
+# - a rule FAILS when its fraction EXCEEDS the published threshold.
+#
+# Scale: the line/paragraph pair is MAP-SIDE (array lambdas over the
+# split — O(L²) in lines-per-doc, the right trade against a shuffle
+# for the ≤10³-line documents of a web corpus). The n-gram battery is
+# the fixture lane's explode→partial-count pattern widened to 9 gram
+# sizes: every exchange is keyed by doc_id ((doc,n,gram) counts
+# pre-reduce map-side; the coverage DISTINCT and the two pivots
+# likewise), so AQE coalesces and nothing is all-pairs — the exploded
+# volume is ~9 rows per token, linear in corpus size, the standard
+# cost of this filter family. No Python, no windows, no driver
+# collects.
+# ---------------------------------------------------------------------------
+_REP_NS = list(range(2, 11))
+
+
+def gopher_repetition_report(d: DataFrame) -> DataFrame:
+    """Per-lang Gopher §A1.1 repetition-battery report over any
+    (doc_id, lang, text) frame — factored out of the lane so crafted
+    corpora (tests/test_gopher_repetition.py) run the identical plan.
+    Semantics documented at the section header above."""
+
+    def dup_pair(col: str) -> tuple:
+        n = F.size(F.col(col))
+        dup_n = n - F.size(F.array_distinct(F.col(col)))
+        dup_chars = F.expr(
+            f"aggregate(array_distinct({col}), 0L, (acc, d) -> acc + "
+            f"CASE WHEN size(filter({col}, x -> x = d)) >= 2 "
+            f"THEN CAST((size(filter({col}, x -> x = d)) - 1) "
+            f"     * length(d) AS BIGINT) ELSE 0L END)"
+        )
+        return n, dup_n, dup_chars
+
+    w = d.select(
+        "doc_id",
+        "lang",
+        F.split(F.col("text"), " ").alias("words"),
+        F.split(F.col("text"), "\n").alias("lines"),
+        F.split(F.col("text"), "\n{2,}").alias("paras"),
+        F.greatest(F.length("text"), F.lit(1)).alias("tl"),
+    )
+    n_lines, dup_lines, dup_line_chars = dup_pair("lines")
+    n_paras, dup_paras, dup_para_chars = dup_pair("paras")
+    base = w.select(
+        "doc_id",
+        "lang",
+        "tl",
+        n_lines.alias("n_lines"),
+        dup_lines.alias("dup_lines"),
+        dup_line_chars.alias("dup_line_chars"),
+        n_paras.alias("n_paras"),
+        dup_paras.alias("dup_paras"),
+        dup_para_chars.alias("dup_para_chars"),
+    )
+    # one explode per document over all 9 gram sizes: (doc, n, i, gram)
+    gram_struct = "struct<n:int,i:int,g:string>"
+    per_n = [
+        f"CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(1, size(words) - {n} + 1), i -> "
+        f"struct({n} AS n, i AS i, "
+        f"array_join(slice(words, i, {n}), ' ') AS g)) "
+        f"ELSE CAST(array() AS array<{gram_struct}>) END"
+        for n in _REP_NS
+    ]
+    occ = w.select(
+        "doc_id", F.explode(F.expr("concat(" + ", ".join(per_n) + ")")).alias("o")
+    ).select(
+        "doc_id",
+        F.col("o.n").alias("n"),
+        F.col("o.i").alias("i"),
+        F.col("o.g").alias("g"),
+    )
+    cnt = occ.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    # top-n-gram mass (n=2,3,4): max count, then max gram length at
+    # that count (two-step, identical to the oracle's restatement)
+    topf = (
+        cnt.filter((F.col("n") <= 4) & (F.col("c") >= 2))
+        .groupBy("doc_id", "n")
+        .agg(F.max("c").alias("mc"))
+    )
+    topg = (
+        cnt.join(topf, ["doc_id", "n"])
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("doc_id", "n", "mc")
+        .agg(F.max(F.length("g")).alias("gl"))
+    )
+    topw = topg.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("mc") * F.col("gl"))).alias(
+                f"top{n}"
+            )
+            for n in (2, 3, 4)
+        ]
+    )
+    # dup-n-gram coverage (n=5..10): occurrences of repeated grams →
+    # covered word positions (DISTINCT union) → sum of word lengths
+    dupocc = occ.filter(F.col("n") >= 5).join(
+        cnt.filter((F.col("n") >= 5) & (F.col("c") >= 2)).select(
+            "doc_id", "n", "g"
+        ),
+        ["doc_id", "n", "g"],
+        "left_semi",
+    )
+    cov = dupocc.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)).alias("j"),
+    ).distinct()
+    wl = w.select(
+        "doc_id", F.posexplode("words").alias("p", "word")
+    ).select("doc_id", (F.col("p") + 1).alias("j"), F.length("word").alias("wlen"))
+    covc = cov.join(wl, ["doc_id", "j"]).groupBy("doc_id", "n").agg(
+        F.sum("wlen").alias("cc")
+    )
+    covw = covc.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("cc"))).alias(f"c{n}")
+            for n in range(5, 11)
+        ]
+    )
+    j = base.join(topw, "doc_id", "left").join(covw, "doc_id", "left")
+    tl = F.col("tl")
+    oks = {
+        "dup_line": (F.col("dup_lines").cast("double") / F.col("n_lines"))
+        <= 0.30,
+        "dup_line_char": (F.col("dup_line_chars").cast("double") / tl) <= 0.20,
+        "dup_para": (F.col("dup_paras").cast("double") / F.col("n_paras"))
+        <= 0.30,
+        "dup_para_char": (F.col("dup_para_chars").cast("double") / tl) <= 0.20,
+        "top_2gram": (F.coalesce(F.col("top2"), F.lit(0)).cast("double") / tl)
+        <= 0.20,
+        "top_3gram": (F.coalesce(F.col("top3"), F.lit(0)).cast("double") / tl)
+        <= 0.18,
+        "top_4gram": (F.coalesce(F.col("top4"), F.lit(0)).cast("double") / tl)
+        <= 0.16,
+    }
+    for n, thr in zip(range(5, 11), (0.15, 0.14, 0.13, 0.12, 0.11, 0.10)):
+        oks[f"dup_{n}gram"] = (
+            F.coalesce(F.col(f"c{n}"), F.lit(0)).cast("double") / tl
+        ) <= thr
+    fail = lambda ok: F.sum(F.when(ok, 0).otherwise(1)).cast("bigint")  # noqa: E731
+    kept = None
+    for ok in oks.values():
+        kept = ok if kept is None else (kept & ok)
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *[fail(ok).alias(f"n_fail_{k}") for k, ok in oks.items()],
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "quality_gopher_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, text,
+             string_split(text, ' ') AS words,
+             string_split(text, chr(10)) AS lines,
+             regexp_split_to_array(text, chr(10) || '{2,}') AS paras,
+             greatest(length(text), 1) AS tl
+      FROM documents
+    ), base AS (
+      SELECT doc_id, lang, tl,
+             len(lines) AS n_lines,
+             len(lines) - len(list_distinct(lines)) AS dup_lines,
+             coalesce(list_sum(list_transform(list_distinct(lines), d ->
+               CASE WHEN len(list_filter(lines, x -> x = d)) >= 2
+                    THEN (len(list_filter(lines, x -> x = d)) - 1) * length(d)
+                    ELSE 0 END)), 0) AS dup_line_chars,
+             len(paras) AS n_paras,
+             len(paras) - len(list_distinct(paras)) AS dup_paras,
+             coalesce(list_sum(list_transform(list_distinct(paras), d ->
+               CASE WHEN len(list_filter(paras, x -> x = d)) >= 2
+                    THEN (len(list_filter(paras, x -> x = d)) - 1) * length(d)
+                    ELSE 0 END)), 0) AS dup_para_chars
+      FROM w
+    ), occ AS (
+      SELECT doc_id, (u).n AS n, (u).i AS i, (u).g AS g
+      FROM (
+        SELECT doc_id,
+               unnest(flatten(list_transform([2,3,4,5,6,7,8,9,10], n ->
+                 list_transform(range(1, len(words) - n + 2), i ->
+                   {'n': n, 'i': i,
+                    'g': array_to_string(words[i:i+n-1], ' ')})))) AS u
+        FROM w
+      )
+    ), cnt AS (
+      SELECT doc_id, n, g, count(*) AS c
+      FROM occ GROUP BY doc_id, n, g
+    ), topf AS (
+      SELECT doc_id, n, max(c) AS mc
+      FROM cnt WHERE n <= 4 AND c >= 2 GROUP BY doc_id, n
+    ), topg AS (
+      SELECT cnt.doc_id, cnt.n, topf.mc, max(length(cnt.g)) AS gl
+      FROM cnt JOIN topf
+        ON cnt.doc_id = topf.doc_id AND cnt.n = topf.n AND cnt.c = topf.mc
+      GROUP BY cnt.doc_id, cnt.n, topf.mc
+    ), topw AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN mc * gl END) AS top2,
+             max(CASE WHEN n = 3 THEN mc * gl END) AS top3,
+             max(CASE WHEN n = 4 THEN mc * gl END) AS top4
+      FROM topg GROUP BY doc_id
+    ), dupocc AS (
+      SELECT occ.doc_id, occ.n, occ.i
+      FROM occ JOIN cnt
+        ON occ.doc_id = cnt.doc_id AND occ.n = cnt.n AND occ.g = cnt.g
+      WHERE occ.n >= 5 AND cnt.c >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, n, unnest(range(i, i + n)) AS j
+      FROM dupocc
+    ), wl AS (
+      SELECT doc_id, (u).i AS j, (u).l AS wlen
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words) + 1), i ->
+                 {'i': i, 'l': length(words[i])})) AS u
+        FROM w
+      )
+    ), covc AS (
+      SELECT cov.doc_id, cov.n, sum(wl.wlen) AS cc
+      FROM cov JOIN wl ON cov.doc_id = wl.doc_id AND cov.j = wl.j
+      GROUP BY cov.doc_id, cov.n
+    ), covw AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 5 THEN cc END) AS c5,
+             max(CASE WHEN n = 6 THEN cc END) AS c6,
+             max(CASE WHEN n = 7 THEN cc END) AS c7,
+             max(CASE WHEN n = 8 THEN cc END) AS c8,
+             max(CASE WHEN n = 9 THEN cc END) AS c9,
+             max(CASE WHEN n = 10 THEN cc END) AS c10
+      FROM covc GROUP BY doc_id
+    ), verdicts AS (
+      SELECT b.lang,
+             CAST(b.dup_lines AS DOUBLE) / b.n_lines <= 0.30 AS ok_dl,
+             CAST(b.dup_line_chars AS DOUBLE) / b.tl <= 0.20 AS ok_dlc,
+             CAST(b.dup_paras AS DOUBLE) / b.n_paras <= 0.30 AS ok_dp,
+             CAST(b.dup_para_chars AS DOUBLE) / b.tl <= 0.20 AS ok_dpc,
+             CAST(coalesce(t.top2, 0) AS DOUBLE) / b.tl <= 0.20 AS ok_t2,
+             CAST(coalesce(t.top3, 0) AS DOUBLE) / b.tl <= 0.18 AS ok_t3,
+             CAST(coalesce(t.top4, 0) AS DOUBLE) / b.tl <= 0.16 AS ok_t4,
+             CAST(coalesce(c.c5, 0) AS DOUBLE) / b.tl <= 0.15 AS ok_d5,
+             CAST(coalesce(c.c6, 0) AS DOUBLE) / b.tl <= 0.14 AS ok_d6,
+             CAST(coalesce(c.c7, 0) AS DOUBLE) / b.tl <= 0.13 AS ok_d7,
+             CAST(coalesce(c.c8, 0) AS DOUBLE) / b.tl <= 0.12 AS ok_d8,
+             CAST(coalesce(c.c9, 0) AS DOUBLE) / b.tl <= 0.11 AS ok_d9,
+             CAST(coalesce(c.c10, 0) AS DOUBLE) / b.tl <= 0.10 AS ok_d10
+      FROM base b
+      LEFT JOIN topw t USING (doc_id)
+      LEFT JOIN covw c USING (doc_id)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok_dl THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_line,
+           CAST(sum(CASE WHEN ok_dlc THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_line_char,
+           CAST(sum(CASE WHEN ok_dp THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_para,
+           CAST(sum(CASE WHEN ok_dpc THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_para_char,
+           CAST(sum(CASE WHEN ok_t2 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_top_2gram,
+           CAST(sum(CASE WHEN ok_t3 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_top_3gram,
+           CAST(sum(CASE WHEN ok_t4 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_top_4gram,
+           CAST(sum(CASE WHEN ok_d5 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_5gram,
+           CAST(sum(CASE WHEN ok_d6 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_6gram,
+           CAST(sum(CASE WHEN ok_d7 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_7gram,
+           CAST(sum(CASE WHEN ok_d8 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_8gram,
+           CAST(sum(CASE WHEN ok_d9 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_9gram,
+           CAST(sum(CASE WHEN ok_d10 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup_10gram,
+           CAST(sum(CASE WHEN ok_dl AND ok_dlc AND ok_dp AND ok_dpc
+                         AND ok_t2 AND ok_t3 AND ok_t4 AND ok_d5 AND ok_d6
+                         AND ok_d7 AND ok_d8 AND ok_d9 AND ok_d10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM verdicts
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Gopher SA1.1 REPETITION battery at published thresholds: dup line/paragraph fractions (count+char), top-2/3/4-gram and dup-5..10-gram char fractions, per lang",
+)
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_repetition_report(load_table(spark, sf_dir, "documents"))
