@@ -521,6 +521,25 @@ class SfIngestWriter(DataSourceWriter):
         # diffing the org's job LIST around the write (which
         # misattributes a concurrent loader's jobs on the same object).
         self.job_ids_path = options.get("job_ids_path")
+        # optional scheme-resolver spec (r14 verdict task 3): commit()
+        # runs in a freshly spawned worker whose fsutil registry is
+        # empty, so custom schemes for job_ids_path / the streaming
+        # sink's failed_results_path ride along as an importable spec
+        # the hook re-applies. Validated HERE (driver, plan time) by a
+        # dry parse+import — a typo must not surface minutes later
+        # inside the commit barrier after the upload already ran.
+        self.fs_resolver = options.get("fs_resolver")
+        if self.fs_resolver:
+            from sf_etl_spark.connector.fsutil import parse_resolver_spec
+
+            try:
+                # parse+import only — validation must not mutate the
+                # driver's registry; the commit hooks APPLY the spec
+                parse_resolver_spec(self.fs_resolver)
+            except Exception as e:
+                raise ClientBuilderError(
+                    f"invalid fs_resolver option {self.fs_resolver!r}: {e}"
+                ) from e
 
     def write(self, iterator: Iterator) -> SfIngestCommit:
         client = _client_from_options(self.options)
@@ -601,8 +620,15 @@ class SfIngestWriter(DataSourceWriter):
             # exact ids observable for reject/unprocessed sweeps. An
             # empty write publishes [] — "no jobs" is a result, not a
             # missing file.
-            from sf_etl_spark.connector.fsutil import write_small_file_atomic
+            from sf_etl_spark.connector.fsutil import (
+                apply_resolver_spec,
+                write_small_file_atomic,
+            )
 
+            # this may be a freshly spawned commit worker with an
+            # empty scheme registry — rebuild custom schemes from the
+            # option-borne spec before resolving the path
+            apply_resolver_spec(self.fs_resolver)
             write_small_file_atomic(
                 self.job_ids_path,
                 json.dumps({"job_ids": sorted(ids)}).encode("utf-8"),
@@ -710,8 +736,15 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
         # table cannot be written through Spark — pyarrow.fs (shared
         # with the incremental watermark state) keeps the batch-id
         # overwrite contract deployable beyond driver-local POSIX paths.
-        from sf_etl_spark.connector.fsutil import filesystem_for
+        # Custom schemes rebuild from the option-borne resolver spec
+        # first: this hook runs in a spawned worker whose registry
+        # starts empty (r14 verdict task 3).
+        from sf_etl_spark.connector.fsutil import (
+            apply_resolver_spec,
+            filesystem_for,
+        )
 
+        apply_resolver_spec(self._writer.fs_resolver)
         fs, root = filesystem_for(self.failed_results_path)
         fs.create_dir(root, recursive=True)
         path = f"{root.rstrip('/')}/rejects-batch{batchId:09d}.jsonl"

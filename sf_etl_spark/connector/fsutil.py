@@ -40,23 +40,92 @@ def register_scheme(scheme: str, resolver) -> None:
     fs-native path)`` pair — typically a shared filesystem instance,
     so state persists across `filesystem_for` calls.
 
-    The registry is PROCESS-LOCAL. It serves the driver-process
-    consumers — the incremental extractor's watermark state and
-    :func:`foreach_batch_ingest_with_rejects`' job-id read — but NOT
+    The registry is PROCESS-LOCAL. A direct ``register_scheme`` call
+    therefore serves only the driver-process consumers — the
+    incremental extractor's watermark state and
+    :func:`foreach_batch_ingest_with_rejects`' job-id read — and NOT
     the Python DataSource commit hooks (the streaming sink's reject
     side table, the writer's ``job_ids_path`` publish): PySpark runs
     ``DataSourceWriter.commit()`` in a freshly spawned Python worker
     (``pyspark/sql/worker/commit_data_source_write.py``) that
-    re-imports this module with an empty registry, so those paths
-    support only the schemes ``from_uri`` speaks (file/s3/gs/hdfs and
-    the Hadoop aliases). A registered-scheme path reaching a commit
-    hook fails LOUDLY with the unknown-scheme raise — never a silent
-    local fallback."""
+    re-imports this module with an empty registry. To reach those
+    hooks, carry the resolver as a SPEC in the writer's
+    ``fs_resolver`` option (see :func:`apply_resolver_spec`) — the
+    commit hook re-registers it in the worker. A registered-scheme
+    path reaching a commit hook with no spec fails LOUDLY with the
+    unknown-scheme raise — never a silent local fallback."""
     _SCHEME_RESOLVERS[_canonical_scheme(scheme)] = resolver
 
 
 def unregister_scheme(scheme: str) -> None:
     _SCHEME_RESOLVERS.pop(_canonical_scheme(scheme), None)
+
+
+def is_registered_scheme(scheme: str) -> bool:
+    """True when *scheme* (any alias spelling) currently routes
+    through a caller-registered resolver in THIS process."""
+    return _canonical_scheme(scheme) in _SCHEME_RESOLVERS
+
+
+def apply_resolver_spec(spec: str | None) -> None:
+    """Idempotently register scheme resolvers from a SERIALIZABLE spec
+    string ``'scheme=module:attr[,scheme=module:attr…]'`` — the form a
+    writer option (``fs_resolver``) can carry into the freshly spawned
+    DataSource commit worker, whose process-local registry starts
+    empty (r14 verdict task 3). Each ``module:attr`` names an
+    importable callable with the :func:`register_scheme` resolver
+    contract (path-after-scheme → (FileSystem, fs-native path)); an
+    fsspec-backed store is a 3-line module::
+
+        # myproj/abfs_resolver.py
+        def resolve(rest):
+            import fsspec
+            from pyarrow.fs import FSSpecHandler, PyFileSystem
+            fs = PyFileSystem(FSSpecHandler(fsspec.filesystem("abfs")))
+            return fs, rest
+
+    carried as ``fs_resolver='abfss=myproj.abfs_resolver:resolve'``.
+    Malformed entries and unimportable targets raise loudly — a typo
+    must never degrade to the unknown-scheme raise minutes later
+    inside the commit barrier."""
+    for scheme, resolver in parse_resolver_spec(spec):
+        register_scheme(scheme, resolver)
+
+
+def parse_resolver_spec(spec: str | None) -> list:
+    """Parse (and import) an ``fs_resolver`` spec WITHOUT touching the
+    registry — the driver-side plan-time validation path. Returns
+    ``[(scheme, resolver), …]``; raises on malformed entries or
+    unimportable targets."""
+    if not spec:
+        return []
+    import importlib
+
+    out = []
+    for entry in spec.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        scheme, sep, target = entry.partition("=")
+        mod, msep, attr = target.partition(":")
+        if not sep or not msep or not scheme or not mod or not attr:
+            raise ValueError(
+                f"malformed fs_resolver entry {entry!r}: expected "
+                f"'scheme=module:attr'"
+            )
+        out.append((scheme, getattr(importlib.import_module(mod), attr)))
+    return out
+
+
+def local_passthrough_resolver(rest: str):
+    """Resolver mapping ``<scheme>:///abs/path`` to the local
+    filesystem at ``/abs/path`` — a pure scheme-aliasing resolver with
+    no state, used by the commit-worker tests to prove the
+    ``fs_resolver`` spec plumbing reaches a process whose registry
+    started empty (and handy as the minimal template for real ones)."""
+    from pyarrow import fs as pafs
+
+    return pafs.LocalFileSystem(), "/" + rest.lstrip("/")
 
 
 def _canonical_scheme(scheme: str) -> str:
@@ -122,12 +191,20 @@ def read_small_file(path: str) -> bytes | None:
 
 def write_small_file_atomic(path: str, payload: bytes) -> None:
     """Write a small artifact via tmp + move (atomic on local/HDFS,
-    overwrite-converged on object stores); parent dirs are created."""
+    overwrite-converged on object stores); parent dirs are created.
+    The tmp name carries a per-attempt uniquifier (r14 ADVICE): two
+    concurrent attempts of the same artifact — a zombie commit racing
+    a retry — must never interleave writes on one tmp path and move a
+    truncated file into place. A crashed attempt can orphan its tmp;
+    that is harmless clutter (consumers read the artifact by exact
+    name), preferred over the corruption the fixed name risked."""
+    import uuid
+
     fs, p = filesystem_for(path)
     parent = p.rsplit("/", 1)[0] if "/" in p else ""
     if parent:
         fs.create_dir(parent, recursive=True)
-    tmp = p + ".tmp"
+    tmp = f"{p}.tmp.{os.getpid():x}-{uuid.uuid4().hex[:8]}"
     with fs.open_output_stream(tmp) as f:
         f.write(payload)
     fs.move(tmp, p)

@@ -267,7 +267,28 @@ def foreach_batch_ingest_with_rejects(
     side-channel directory is invisible to ``spark.read`` of the
     rejects root; a replayed batch overwrites its own id file
     (fsutil tmp+move) before overwriting its rejects partition.
+
+    A ``rejects_path`` on a driver-registered custom scheme (r14
+    ADVICE): the id file is PUBLISHED by the writer's commit hook in a
+    freshly spawned worker whose scheme registry is empty, so without
+    an ``fs_resolver`` spec in *options* every batch would fail at
+    commit — that misconfiguration raises HERE, before the first
+    write. (With the spec, the worker rebuilds the scheme; Spark's own
+    parquet writer for the rejects partitions must also know the
+    scheme via the cluster's Hadoop configuration.)
     """
+    from sf_etl_spark.connector.fsutil import is_registered_scheme
+
+    if "://" in rejects_path:
+        scheme = rejects_path.split("://", 1)[0]
+        if is_registered_scheme(scheme) and not options.get("fs_resolver"):
+            raise ValueError(
+                f"rejects_path {rejects_path!r} uses the caller-registered "
+                f"scheme {scheme!r}, but the writer's commit() publishes the "
+                f"job-id side channel from a fresh worker whose registry is "
+                f"empty — pass options['fs_resolver'] = "
+                f"'{scheme}=module:attr' so the worker can rebuild it"
+            )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         from sf_etl_spark.connector.fsutil import read_small_file

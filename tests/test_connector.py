@@ -1814,3 +1814,203 @@ def test_foreach_batch_rejects_ignore_concurrent_loader(spark, tmp_path):
         assert "INTRUDER" in tags and "mine" in tags
     finally:
         server.stop()
+
+
+def test_apply_resolver_spec_parses_registers_and_fails_loud(tmp_path):
+    """`fs_resolver` spec strings ('scheme=module:attr[,…]') register
+    importable resolvers idempotently; malformed entries and
+    unimportable targets raise with the offending entry named — the
+    spec is what a writer option carries into the freshly spawned
+    DataSource commit worker, so a typo must surface loudly, not as a
+    silently empty registry."""
+    from sf_etl_spark.connector import fsutil
+
+    fsutil.apply_resolver_spec(None)  # no-op
+    fsutil.apply_resolver_spec("")  # no-op
+    spec = "passx=sf_etl_spark.connector.fsutil:local_passthrough_resolver"
+    fsutil.apply_resolver_spec(spec)
+    try:
+        f, p = fsutil.filesystem_for(f"passx://{tmp_path}/a.json")
+        assert p == f"{tmp_path}/a.json"
+        fsutil.apply_resolver_spec(spec)  # idempotent re-register
+        fsutil.write_small_file_atomic(f"passx://{tmp_path}/a.json", b"x")
+        assert (tmp_path / "a.json").read_bytes() == b"x"
+    finally:
+        fsutil.unregister_scheme("passx")
+    with pytest.raises(ValueError, match="malformed"):
+        fsutil.apply_resolver_spec("no-equals-sign")
+    with pytest.raises(ValueError, match="malformed"):
+        fsutil.apply_resolver_spec("s=module_without_attr")
+    with pytest.raises(ModuleNotFoundError):
+        fsutil.apply_resolver_spec("s=nonexistent_mod_xyz:fn")
+    with pytest.raises(AttributeError):
+        fsutil.apply_resolver_spec("s=sf_etl_spark.connector.fsutil:nope")
+
+
+def test_writer_validates_fs_resolver_at_plan_time():
+    """A bad fs_resolver option must fail at writer CONSTRUCTION on
+    the driver (plan time), not minutes later inside the commit
+    worker after the upload already ran."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from sf_etl_spark.connector.datasource import (
+        ClientBuilderError,
+        SfIngestWriter,
+    )
+
+    schema = StructType([StructField("K", StringType())])
+    base = {
+        "url": "http://localhost:1",
+        "client_id": "i",
+        "client_secret": "s",
+        "username": "u",
+        "password": "p",
+        "object": "Thing",
+    }
+    with pytest.raises(ClientBuilderError, match="fs_resolver"):
+        SfIngestWriter(schema, {**base, "fs_resolver": "garbage-entry"})
+    with pytest.raises(ClientBuilderError, match="fs_resolver"):
+        SfIngestWriter(
+            schema, {**base, "fs_resolver": "s=nonexistent_mod_xyz:fn"}
+        )
+    # a valid spec constructs fine
+    SfIngestWriter(
+        schema,
+        {
+            **base,
+            "fs_resolver": "p=sf_etl_spark.connector.fsutil:local_passthrough_resolver",
+        },
+    )
+
+
+def test_stream_writer_commit_worker_resolves_registered_scheme(spark, tmp_path):
+    """r14 verdict task 3: the fs_resolver option carries a scheme
+    resolver into the DataSource commit hook, which PySpark runs in a
+    freshly spawned Python worker whose process-local fsutil registry
+    starts EMPTY. Both commit-hook write paths — the streaming sink's
+    reject side table AND the batch writer's job_ids_path publish —
+    land through the resolver-registered scheme with zero
+    unknown-scheme raises. The driver deliberately never registers the
+    scheme: only the spec riding the writer options can make the
+    worker resolve it."""
+    import json as _json
+    import os
+
+    from sf_etl_spark.connector.datasource import register as register_sfetl
+
+    fields = [
+        {"name": "Id", "type": "id", "length": 18, "nillable": False},
+        {"name": "K", "type": "string", "length": 8},
+        {"name": "Tag", "type": "string", "length": 8},
+    ]
+    server = MockSalesforce(object_name="Thing", fields=fields, rows=[])
+    url = server.start()
+    try:
+        register_sfetl(spark)
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [("k1", "good"), (None, "poison")], "K string, Tag string"
+        ).coalesce(1).write.parquet(str(src / "batch0"))
+        side = tmp_path / "rejects"
+        ids_file = tmp_path / "ids" / "batch.json"
+        q = (
+            spark.readStream.schema("K string, Tag string")
+            .parquet(str(src / "batch0"))
+            .writeStream.format("sfetl")
+            .options(
+                **sf_options(url),
+                object="Thing",
+                operation="upsert",
+                externalIdFieldName="K",
+                failed_results_path=f"wrkfs://{side}",
+                job_ids_path=f"wrkfs://{ids_file}",
+                fs_resolver=(
+                    "wrkfs=sf_etl_spark.connector.fsutil:"
+                    "local_passthrough_resolver"
+                ),
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # reject side table landed at the resolver-mapped local path
+        files = sorted(os.listdir(side))
+        assert files == ["rejects-batch000000000.jsonl"]
+        rej = spark.read.schema(
+            "batch_id long, job_id string, sf_id string, "
+            "sf_error string, fields map<string,string>"
+        ).json(str(side))
+        assert [r["fields"]["Tag"] for r in rej.collect()] == ["poison"]
+        # job-id publish landed too, with the batch's real job ids
+        ids = _json.loads(ids_file.read_text())
+        assert len(ids["job_ids"]) >= 1
+        assert [r["K"] for r in server.rows] == ["k1"]
+    finally:
+        server.stop()
+
+
+def test_fb_rejects_registered_scheme_without_resolver_spec(spark, tmp_path):
+    """r14 ADVICE: foreach_batch_ingest_with_rejects derives its
+    job-id side channel from rejects_path, but the writer publishes it
+    from a commit WORKER whose registry is empty — a rejects_path on a
+    driver-registered scheme with no fs_resolver spec would fail at
+    the first batch's commit. The helper must raise at CONSTRUCTION,
+    naming the fix."""
+    from pyarrow import fs as pafs
+
+    from sf_etl_spark.connector import fsutil
+    from sf_etl_spark.connector.ingest import (
+        foreach_batch_ingest_with_rejects,
+    )
+
+    mem = pafs._MockFileSystem()
+    fsutil.register_scheme("memfb", lambda rest: (mem, rest))
+    try:
+        with pytest.raises(ValueError, match="fs_resolver"):
+            foreach_batch_ingest_with_rejects(
+                spark, {"object": "Thing"}, "memfb://side/rejects"
+            )
+        # with a resolver spec the construction is accepted — the
+        # worker can rebuild the scheme from the spec
+        foreach_batch_ingest_with_rejects(
+            spark,
+            {
+                "object": "Thing",
+                "fs_resolver": (
+                    "memfb=sf_etl_spark.connector.fsutil:"
+                    "local_passthrough_resolver"
+                ),
+            },
+            "memfb://side/rejects",
+        )
+    finally:
+        fsutil.unregister_scheme("memfb")
+
+
+def test_write_small_file_atomic_survives_stale_foreign_tmp(tmp_path):
+    """r14 ADVICE: the tmp sibling carries a per-attempt uniquifier,
+    so a zombie attempt's leftover tmp can neither be clobbered
+    mid-write by a retry nor corrupt the moved artifact. A stale
+    foreign tmp on disk must not break a fresh write."""
+    import os
+
+    from sf_etl_spark.connector import fsutil
+
+    p = tmp_path / "wm.json"
+    stale = tmp_path / "wm.json.tmp.deadbeef"
+    stale.write_bytes(b"{trunc")
+    fsutil.write_small_file_atomic(str(p), b'{"v": 1}')
+    assert p.read_bytes() == b'{"v": 1}'
+    assert stale.read_bytes() == b"{trunc"  # orphan untouched, harmless
+    # two writes in a row: artifact converges, no tmp siblings leak
+    fsutil.write_small_file_atomic(str(p), b'{"v": 2}')
+    assert p.read_bytes() == b'{"v": 2}'
+    leftovers = [
+        f
+        for f in os.listdir(tmp_path)
+        if f.startswith("wm.json.tmp.") and f != "wm.json.tmp.deadbeef"
+    ]
+    assert leftovers == []
