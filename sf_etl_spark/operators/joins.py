@@ -69,7 +69,16 @@ def asof_join(
     struct is the final sort key, making the order TOTAL — without it
     last() picks a partition-order-dependent payload and the result
     flaps across runs (the fix asof_nearest_join has carried since
-    r12, applied here in r14). Right rows with a NULL timestamp are
+    r12, applied here in r14). Two consequences of that sort key (r14
+    ADVICE, applies to :func:`asof_nearest_join` identically): the
+    winner among tied right rows is the MAXIMUM payload struct under
+    Spark's field-wise struct comparison (an oracle restatement must
+    tie-break the same way — ``max_by(payload, payload)`` /
+    ``ORDER BY payload DESC LIMIT 1`` per (key, ts)); and every
+    ``right_payload`` column must be ORDERABLE (no MapType — Spark
+    raises AnalysisException on the window sort; wrap such columns in
+    a sortable encoding, or add a unique orderable tie column to the
+    payload, before joining). Right rows with a NULL timestamp are
     excluded up front (merge_asof/DuckDB ASOF semantics): a null _ts
     sorts first with a NON-null payload struct, so it would otherwise
     become every early left row's phantom match.
@@ -237,7 +246,14 @@ def range_join_buckets(
     # timestamp-interval arithmetic (the bounds are interval Columns)
     lo_b = F.floor(F.unix_timestamp(F.col(right_ts) - upper) / bucket_seconds)
     hi_b = F.floor(F.unix_timestamp(F.col(right_ts) - lower) / bucket_seconds)
-    rb = right.withColumn("_probe", F.explode(F.sequence(lo_b, hi_b)))
+    # empty band (lower > upper): lo_b > hi_b would make sequence()
+    # generate a DESCENDING bucket list — full probe fan-out for a
+    # provably empty result. when() yields NULL instead; explode
+    # drops it, short-circuiting to zero rows (r14 ADVICE).
+    rb = right.withColumn(
+        "_probe",
+        F.explode(F.when(lo_b <= hi_b, F.sequence(lo_b, hi_b))),
+    )
     cond = (
         (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}") + lower)
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + upper)

@@ -18,6 +18,18 @@ loop (3 rounds cover any int64 range at B=4096); the final in-bucket
 step is a TakeOrdered of the remaining rank — never a global sort of
 n rows.
 
+The grouped two-phase family (medians, discrete/continuous
+quantiles, exact ranks) shares ONE skeleton (r14 verdict task 4 —
+previously five copies of the same subtle boundary logic):
+covering-bounds scan → per-(group, bucket) count histogram under a
+driver-metadata budget → driver prefix-sum walk locating each
+target rank's (bucket, residual) → phase-2 rank of ONLY the selected
+bucket slices re-entered through a broadcast plan relation. The
+helpers below (`_covering_bounds`, `_int_bucket`, `_grouped_hist`,
+`_locate_rank`, `_median_plans`, `_pick_two_slots`) ARE that
+skeleton; each public operator is a thin wrapper choosing its bucket
+expression, plan shape, and output casts.
+
 At 100 TB: each round is a full scan (cheap, pushed filters narrow
 it progressively) + B-row shuffle; driver traffic is O(B·rounds)
 integers. Contrast: ``ORDER BY x LIMIT 1 OFFSET k`` plans a global
@@ -52,6 +64,29 @@ def _bucket_col(col_name: str, lo: int, width: int, span: int):
     return ((a - F.pmod(a, F.lit(width))) / F.lit(width)).cast("long")
 
 
+def _covering_bounds(
+    df: DataFrame, col: str, bounds: tuple[int, int] | None, op_name: str
+) -> tuple[int, int]:
+    """Phase-1 bounds: the caller's covering (lo, hi) when given
+    (parquet footer statistics — they need only COVER the true
+    min/max), else one min/max scan; all-null fails loud."""
+    if bounds is None:
+        c = F.col(col)
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        bounds = (row["lo"], row["hi"])
+    lo, hi = bounds
+    if lo is None:
+        raise ValueError(f"{op_name} on all-null column {col!r}")
+    return lo, hi
+
+
+def _int_bucket(col: str, lo: int, hi: int, n_buckets: int):
+    """Equi-width exact integer bucket expression over [lo, hi]."""
+    span = int(hi) - int(lo) + 1
+    width = -(-span // n_buckets)  # ceil; >= 1
+    return _bucket_col(col, int(lo), width, span)
+
+
 def _reject_null_groups(hist_rows, op_name: str, group_col: str) -> None:
     """The grouped two-phase operators re-enter their driver-computed
     plans via INNER equi-joins on the group column, so a NULL group
@@ -66,6 +101,45 @@ def _reject_null_groups(hist_rows, op_name: str, group_col: str) -> None:
                 "(driver plans re-enter via an equi-join, which would "
                 "silently drop the null group); coalesce it to a sentinel"
             )
+
+
+def _grouped_hist(
+    hist_df: DataFrame,
+    op_name: str,
+    group_col: str,
+    max_meta_rows: int,
+    hint: str = "lower n_buckets or raise max_meta_rows",
+    kind: str = "per-(group,bucket)",
+) -> dict:
+    """Collect a per-(group, bucket) count histogram under the
+    driver-metadata budget and fold it to {group: {bucket: count}}.
+    limit(budget+1) caps what can ever reach the driver; one extra
+    row distinguishes "at budget" from "over budget" without a
+    separate count job. NULL group keys fail loud."""
+    hist = hist_df.limit(max_meta_rows + 1).collect()
+    if len(hist) > max_meta_rows:
+        raise ValueError(
+            f"{op_name}: {kind} histogram exceeds "
+            f"max_meta_rows={max_meta_rows} (high-cardinality "
+            f"{group_col!r}?); {hint}"
+        )
+    _reject_null_groups(hist, op_name, group_col)
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
+    return per_group
+
+
+def _locate_rank(counts: dict[int, int], k: int) -> tuple[int, int]:
+    """Walk a group's sorted bucket prefix sums to the bucket holding
+    1-based rank *k*; returns (bucket, residual rank within it).
+    Raises AssertionError past the group size (callers bound k)."""
+    cum = 0
+    for b in sorted(counts):
+        if cum + counts[b] >= k:
+            return b, k - cum
+        cum += counts[b]
+    raise AssertionError(f"rank {k} exceeds group size {cum}")
 
 
 def _plan_size_schemas(df, group_col: str, with_slot: bool):
@@ -87,6 +161,69 @@ def _plan_size_schemas(df, group_col: str, with_slot: bool):
         T.StructType(plan_fields),
         T.StructType([T.StructField(group_col, gt), T.StructField("n", T.LongType())]),
     )
+
+
+def _median_plans(per_group: dict) -> tuple[list, dict]:
+    """Two-slot middle-rank plans per group: slot 1 = rank ⌈n/2⌉,
+    slot 2 = rank n/2+1 for even n (== slot 1 for odd). Returns
+    ([(group, bucket, residual, slot)…], {group: n})."""
+    plans, sizes = [], {}
+    for grp, counts in per_group.items():
+        n = sum(counts.values())
+        sizes[grp] = n
+        k1 = (n + 1) // 2
+        k2 = n // 2 + 1 if n % 2 == 0 else k1
+        for slot, k in ((1, k1), (2, k2)):
+            b, rk = _locate_rank(counts, k)
+            plans.append((grp, b, rk, slot))
+    return plans, sizes
+
+
+def _pick_two_slots(
+    d: DataFrame,
+    group_col: str,
+    col: str,
+    bucket,
+    plans: list,
+    sizes: dict,
+) -> DataFrame:
+    """Shared phase 2 of the median twins: rank ONLY the plan-selected
+    (group, bucket) slices (broadcast plan re-entry, ~n/B rows per
+    window partition), pick the two slot ranks, pivot them wide, and
+    join the per-group sizes. Returns (group, n, v_lo, v_hi) with the
+    values still in *col*'s input type — casts are the wrappers'."""
+    g, c = F.col(group_col), F.col(col)
+    spark = d.sparkSession
+    plan_schema, size_schema = _plan_size_schemas(d, group_col, True)
+    plan_df = F.broadcast(  # bounded: ≤2 rows per group, budget-guarded
+        spark.createDataFrame(plans, plan_schema)
+    )
+    ranked = (
+        d.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
+        .join(
+            plan_df.select(group_col, "_b").distinct(),
+            [group_col, "_b"],
+            "left_semi",
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy(group_col, "_b").orderBy(col)),
+        )
+    )
+    picked = ranked.join(plan_df, [group_col, "_b"]).filter(
+        F.col("_rk") == F.col("_k")
+    )
+    wide = (
+        picked.groupBy(group_col)
+        .pivot("_slot", [1, 2])
+        .agg(F.first(col))
+        .withColumnRenamed("1", "v_lo")
+        .withColumnRenamed("2", "v_hi")
+    )
+    size_df = F.broadcast(  # bounded: one row per group
+        spark.createDataFrame(list(sizes.items()), size_schema)
+    )
+    return wide.join(size_df, group_col)
 
 
 def kth_smallest(
@@ -195,28 +332,17 @@ def rank_cutpoints(
         raise ValueError(f"rank_cutpoints on empty/all-null column {key_col!r}")
     if max(ks) > n:
         raise ValueError(f"rank {max(ks)} exceeds non-null rows ({n}) of {key_col!r}")
-    lo, hi = int(lo), int(hi)
-    span = hi - lo + 1
-    width = -(-span // n_buckets)
-    bucket = _bucket_col(key_col, lo, width, span)
+    bucket = _int_bucket(key_col, int(lo), int(hi), n_buckets)
     hist = (
         df.groupBy(bucket.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()  # <= n_buckets rows: bounded metadata
     )
     counts = {int(r["_b"]): int(r["_n"]) for r in hist}
-    order = sorted(counts)
-    prefix: dict[int, int] = {}
-    cum = 0
-    for b in order:
-        prefix[b] = cum  # rows strictly before bucket b
-        cum += counts[b]
     plans: dict[tuple[int, int], list[int]] = {}  # (bucket, resid) -> [k...]
     for k in ks:
-        for b in order:
-            if prefix[b] + counts[b] >= k:
-                plans.setdefault((b, k - prefix[b]), []).append(k)
-                break
+        b, rk = _locate_rank(counts, k)
+        plans.setdefault((b, rk), []).append(k)
     sel = sorted({b for b, _ in plans})
     pick_cond = None
     for b, r in plans:
@@ -306,79 +432,23 @@ def grouped_median_twophase(
     """
     g, c = F.col(group_col), F.col(col)
     df = df.filter(c.isNotNull())
-    if bounds is None:
-        # callers with covering bounds (parquet footer statistics, a
-        # shared agg scan) skip this job; bucketing only needs a range
-        # that COVERS the true min/max
-        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
-        bounds = (row["lo"], row["hi"])
-    lo, hi = bounds
-    if lo is None:
-        raise ValueError(f"grouped_median_twophase on all-null column {col!r}")
-    span = int(hi) - int(lo) + 1
-    width = -(-span // n_buckets)
-    bucket = _bucket_col(col, int(lo), width, span)
+    lo, hi = _covering_bounds(df, col, bounds, "grouped_median_twophase")
+    bucket = _int_bucket(col, lo, hi, n_buckets)
     hist_df = df.groupBy(g.alias("_g"), bucket.alias("_b")).agg(
         F.count(F.lit(1)).alias("_n")
     )
-    # limit(budget+1) caps what can ever reach the driver; one extra
-    # row distinguishes "at budget" from "over budget" without a
-    # separate count job.
-    hist = hist_df.limit(max_meta_rows + 1).collect()
-    if len(hist) > max_meta_rows:
-        raise ValueError(
-            f"grouped_median_twophase: per-(group,bucket) histogram exceeds "
-            f"max_meta_rows={max_meta_rows} (high-cardinality {group_col!r}?); "
-            f"lower n_buckets, raise max_meta_rows, or use a window-based "
-            f"per-group median instead"
-        )
-    _reject_null_groups(hist, "grouped_median_twophase", group_col)
-    per_group: dict = {}
-    for r in hist:
-        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
-    # per group: locate the bucket + residual rank for ranks k1, k2
-    plans = []  # (group, bucket, residual_rank, slot) slot∈{1,2}
-    sizes = {}
-    for grp, counts in per_group.items():
-        n = sum(counts.values())
-        sizes[grp] = n
-        k1 = (n + 1) // 2
-        k2 = n // 2 + 1 if n % 2 == 0 else k1
-        for slot, k in ((1, k1), (2, k2)):
-            cum = 0
-            for b in sorted(counts):
-                if cum + counts[b] >= k:
-                    plans.append((grp, b, k - cum, slot))
-                    break
-                cum += counts[b]
-    spark = df.sparkSession
-    plan_df = F.broadcast(
-        spark.createDataFrame(plans, _plan_size_schemas(df, group_col, True)[0])
+    per_group = _grouped_hist(
+        hist_df,
+        "grouped_median_twophase",
+        group_col,
+        max_meta_rows,
+        hint=(
+            "lower n_buckets, raise max_meta_rows, or use a window-based "
+            "per-group median instead"
+        ),
     )
-    ranked = (
-        df.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
-        .join(plan_df.select(group_col, "_b").distinct(), [group_col, "_b"], "left_semi")
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy(group_col, "_b").orderBy(col)
-            ),
-        )
-    )
-    picked = ranked.join(plan_df, [group_col, "_b"]).filter(
-        F.col("_rk") == F.col("_k")
-    )
-    wide = (
-        picked.groupBy(group_col)
-        .pivot("_slot", [1, 2])
-        .agg(F.first(col))
-        .withColumnRenamed("1", "v_lo")
-        .withColumnRenamed("2", "v_hi")
-    )
-    size_df = F.broadcast(
-        spark.createDataFrame(list(sizes.items()), _plan_size_schemas(df, group_col, False)[1])
-    )
-    return wide.join(size_df, group_col).select(
+    plans, sizes = _median_plans(per_group)
+    return _pick_two_slots(df, group_col, col, bucket, plans, sizes).select(
         group_col,
         F.col("n").cast("bigint").alias("n"),
         F.col("v_lo").cast("bigint").alias("v_lo"),
@@ -425,12 +495,9 @@ def grouped_median_twophase_double(
 
     g, c = F.col(group_col), F.col(col)
     d = df.filter(c.isNotNull())
-    bounds = d.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:
-        raise ValueError(
-            f"grouped_median_twophase_double on all-null column {col!r}"
-        )
+    lo, hi = _covering_bounds(
+        d, col, None, "grouped_median_twophase_double"
+    )
     lo, hi = float(lo), float(hi)
     if hi > lo:
         width = (hi - lo) / n_buckets
@@ -445,66 +512,14 @@ def grouped_median_twophase_double(
         ).cast("long")
     else:
         bucket = F.lit(0).cast("long")
-    hist = (
-        d.groupBy(g.alias("_g"), bucket.alias("_b"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .limit(max_meta_rows + 1)
-        .collect()
+    hist_df = d.groupBy(g.alias("_g"), bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n")
     )
-    if len(hist) > max_meta_rows:
-        raise ValueError(
-            f"grouped_median_twophase_double: per-(group,bucket) histogram "
-            f"exceeds max_meta_rows={max_meta_rows} (high-cardinality "
-            f"{group_col!r}?); lower n_buckets or raise max_meta_rows"
-        )
-    _reject_null_groups(hist, "grouped_median_twophase_double", group_col)
-    per_group: dict = {}
-    for r in hist:
-        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
-    plans = []  # (group, bucket, residual_rank, slot) slot∈{1,2}
-    sizes = {}
-    for grp, counts in per_group.items():
-        n = sum(counts.values())
-        sizes[grp] = n
-        k1 = (n + 1) // 2
-        k2 = n // 2 + 1 if n % 2 == 0 else k1
-        for slot, k in ((1, k1), (2, k2)):
-            cum = 0
-            for b in sorted(counts):
-                if cum + counts[b] >= k:
-                    plans.append((grp, b, k - cum, slot))
-                    break
-                cum += counts[b]
-    spark = df.sparkSession
-    plan_df = F.broadcast(  # bounded: ≤2 rows per group, budget-guarded
-        spark.createDataFrame(plans, _plan_size_schemas(df, group_col, True)[0])
+    per_group = _grouped_hist(
+        hist_df, "grouped_median_twophase_double", group_col, max_meta_rows
     )
-    ranked = (
-        d.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
-        .join(
-            plan_df.select(group_col, "_b").distinct(),
-            [group_col, "_b"],
-            "left_semi",
-        )
-        .withColumn(
-            "_rk",
-            F.row_number().over(Window.partitionBy(group_col, "_b").orderBy(col)),
-        )
-    )
-    picked = ranked.join(plan_df, [group_col, "_b"]).filter(
-        F.col("_rk") == F.col("_k")
-    )
-    wide = (
-        picked.groupBy(group_col)
-        .pivot("_slot", [1, 2])
-        .agg(F.first(col))
-        .withColumnRenamed("1", "v_lo")
-        .withColumnRenamed("2", "v_hi")
-    )
-    size_df = F.broadcast(  # bounded: one row per group
-        spark.createDataFrame(list(sizes.items()), _plan_size_schemas(df, group_col, False)[1])
-    )
-    return wide.join(size_df, group_col).select(
+    plans, sizes = _median_plans(per_group)
+    return _pick_two_slots(d, group_col, col, bucket, plans, sizes).select(
         group_col,
         F.col("n").cast("bigint").alias("n"),
         F.col("v_lo").cast("double").alias("v_lo"),
@@ -530,23 +545,21 @@ def grouped_exact_rank(
              + row_number within the (group, bucket) slice
 
     Phase 1 is the shared two-phase machinery: a bounds scan (skipped
-    when the caller passes covering ``bounds`` — e.g. from parquet
-    footer statistics, the zone-map trick; they need only COVER the
-    true min/max) + one per-(group, bucket) count histogram the
-    driver prefix-sums (same ``max_meta_rows`` budget contract as the
-    sibling operators). Phase 2 is ONE data pass: prefix counts
-    re-enter as a broadcast relation keyed (group, bucket) and the
-    only window partitions by (group, bucket) — a slice is
-    ≈ group_n / n_buckets rows, so sort parallelism grows with
-    n_buckets instead of collapsing to one task per group; the one
-    full-data exchange is the same volume any repartition pays.
-    Cheaper than the r9 cut-point pick-pass plan (grouped
-    boundary-value picks + per-row comparisons — retired, see git
-    history) when every row needs its rank/tile anyway: no pick pass,
-    no pivot, one fewer scan; measured interleaved at sf0.1: 1.5 s vs
-    2.2 s — and it also beat a straddle-bucket union variant that
-    ranked only cut-containing buckets but paid a second scan +
-    union, 2.0 s.
+    when the caller passes covering ``bounds``) + one per-(group,
+    bucket) count histogram the driver prefix-sums (same
+    ``max_meta_rows`` budget contract as the sibling operators).
+    Phase 2 is ONE data pass: prefix counts re-enter as a broadcast
+    relation keyed (group, bucket) and the only window partitions by
+    (group, bucket) — a slice is ≈ group_n / n_buckets rows, so sort
+    parallelism grows with n_buckets instead of collapsing to one
+    task per group; the one full-data exchange is the same volume any
+    repartition pays. Cheaper than the r9 cut-point pick-pass plan
+    (grouped boundary-value picks + per-row comparisons — retired,
+    see git history) when every row needs its rank/tile anyway: no
+    pick pass, no pivot, one fewer scan; measured interleaved at
+    sf0.1: 1.5 s vs 2.2 s — and it also beat a straddle-bucket union
+    variant that ranked only cut-containing buckets but paid a second
+    scan + union, 2.0 s.
 
     NULL semantics: rows with NULL ``img_col`` are dropped (ranks are
     over non-null sort keys); NULL group keys fail loud (see
@@ -566,31 +579,14 @@ def grouped_exact_rank(
         )
     g, img = F.col(group_col), F.col(img_col)
     d = df.filter(img.isNotNull())
-    if bounds is None:
-        row = d.agg(F.min(img).alias("lo"), F.max(img).alias("hi")).first()
-        bounds = (row["lo"], row["hi"])
-    lo, hi = bounds
-    if lo is None:
-        raise ValueError(f"grouped_exact_rank on all-null column {img_col!r}")
-    span = int(hi) - int(lo) + 1
-    width = -(-span // n_buckets)
-    bucket = _bucket_col(img_col, int(lo), width, span)
-    hist = (
-        d.groupBy(g.alias("_g"), bucket.alias("_b"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .limit(max_meta_rows + 1)
-        .collect()
+    lo, hi = _covering_bounds(d, img_col, bounds, "grouped_exact_rank")
+    bucket = _int_bucket(img_col, lo, hi, n_buckets)
+    hist_df = d.groupBy(g.alias("_g"), bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n")
     )
-    if len(hist) > max_meta_rows:
-        raise ValueError(
-            f"grouped_exact_rank: per-(group,bucket) histogram exceeds "
-            f"max_meta_rows={max_meta_rows} (high-cardinality {group_col!r}?); "
-            f"lower n_buckets or raise max_meta_rows"
-        )
-    _reject_null_groups(hist, "grouped_exact_rank", group_col)
-    per_group: dict = {}
-    for r in hist:
-        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
+    per_group = _grouped_hist(
+        hist_df, "grouped_exact_rank", group_col, max_meta_rows
+    )
     prefix_rows = []  # (group, bucket, rows_before_bucket, group_n)
     for grp, counts in per_group.items():
         n = sum(counts.values())
@@ -750,14 +746,10 @@ def grouped_percentile_cont_multi(
 
     buckets = []  # per-spec bucket column expression
     for img, _, _ in specs:
-        lo, hi = bounds_map[img]
-        if lo is None:
-            raise ValueError(
-                f"grouped_percentile_cont_multi on all-null column {img!r}"
-            )
-        span = int(hi) - int(lo) + 1
-        width = -(-span // n_buckets)
-        buckets.append(_bucket_col(img, int(lo), width, span))
+        lo, hi = _covering_bounds(
+            df, img, bounds_map[img], "grouped_percentile_cont_multi"
+        )
+        buckets.append(_int_bucket(img, lo, hi, n_buckets))
 
     # phase 1: one scan → per-(group, spec, bucket) counts. The
     # explode multiplies rows ×|specs| BEFORE the partial aggregate,
@@ -770,15 +762,14 @@ def grouped_percentile_cont_multi(
             for i, b in enumerate(buckets)
         ]
     )
-    hist = (
+    hist_df = (
         df.select(g.alias("_g"), F.explode(pairs).alias("_p"))
         .select("_g", F.col("_p._t").alias("_t"), F.col("_p._b").alias("_b"))
         .filter(F.col("_b").isNotNull())
         .groupBy("_g", "_t", "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .limit(max_meta_rows + 1)
-        .collect()
     )
+    hist = hist_df.limit(max_meta_rows + 1).collect()
     if len(hist) > max_meta_rows:
         raise ValueError(
             f"grouped_percentile_cont_multi: per-(group,spec,bucket) histogram "
@@ -805,19 +796,6 @@ def grouped_percentile_cont_multi(
                 row_w += [None, None] * len(qs)
                 continue
             n = sum(counts.values())
-            order = sorted(counts)
-            prefix: dict[int, int] = {}
-            cum = 0
-            for b in order:
-                prefix[b] = cum
-                cum += counts[b]
-
-            def _locate(k: int) -> tuple[int, int]:
-                for b in order:
-                    if prefix[b] + counts[b] >= k:
-                        return b, k - prefix[b]
-                raise AssertionError(f"rank {k} exceeds group size {n}")
-
             for name, q in qs.items():
                 # IEEE-double position exactly as Spark's Percentile
                 # and DuckDB's quantile_cont compute it
@@ -830,9 +808,9 @@ def grouped_percentile_cont_multi(
                     w_lo = float(higher) - pos
                     w_hi = pos - float(lower)
                 row_w += [w_lo, w_hi]
-                b, rk = _locate(lower + 1)
+                b, rk = _locate_rank(counts, lower + 1)
                 plans.append((grp, i, b, rk, f"{name}__lo"))
-                b, rk = _locate(higher + 1)
+                b, rk = _locate_rank(counts, higher + 1)
                 plans.append((grp, i, b, rk, f"{name}__hi"))
         weights.append(tuple(row_w))
     plan_schema = T.StructType(
@@ -907,7 +885,6 @@ def grouped_percentile_cont_multi(
     return wide.join(w_df, group_col).select(*outs)
 
 
-
 def grouped_quantile_twophase(
     df: DataFrame,
     group_col: str,
@@ -939,45 +916,33 @@ def grouped_quantile_twophase(
         raise ValueError(f"q must be in (0, 1]: got {q_num}/{q_den}")
     g, c = F.col(group_col), F.col(col)
     df = df.filter(c.isNotNull())
-    if bounds is None:
-        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
-        bounds = (row["lo"], row["hi"])
-    lo, hi = bounds
-    if lo is None:
-        raise ValueError(f"grouped_quantile_twophase on all-null column {col!r}")
-    span = int(hi) - int(lo) + 1
-    width = -(-span // n_buckets)
-    bucket = _bucket_col(col, int(lo), width, span)
+    lo, hi = _covering_bounds(df, col, bounds, "grouped_quantile_twophase")
+    bucket = _int_bucket(col, lo, hi, n_buckets)
     hist_df = df.groupBy(g.alias("_g"), bucket.alias("_b")).agg(
         F.count(F.lit(1)).alias("_n")
     )
-    hist = hist_df.limit(max_meta_rows + 1).collect()
-    if len(hist) > max_meta_rows:
-        raise ValueError(
-            f"grouped_quantile_twophase: per-(group,bucket) histogram exceeds "
-            f"max_meta_rows={max_meta_rows} (high-cardinality {group_col!r}?); "
-            f"lower n_buckets, raise max_meta_rows, or use a window-based "
-            f"per-group quantile instead"
-        )
-    _reject_null_groups(hist, "grouped_quantile_twophase", group_col)
-    per_group: dict = {}
-    for r in hist:
-        per_group.setdefault(r["_g"], {})[int(r["_b"])] = int(r["_n"])
+    per_group = _grouped_hist(
+        hist_df,
+        "grouped_quantile_twophase",
+        group_col,
+        max_meta_rows,
+        hint=(
+            "lower n_buckets, raise max_meta_rows, or use a window-based "
+            "per-group quantile instead"
+        ),
+    )
     plans = []  # (group, bucket, residual_rank)
     sizes = {}
     for grp, counts in per_group.items():
         n = sum(counts.values())
         sizes[grp] = n
         k = -(-q_num * n // q_den)  # ceil(q*n), integer-exact
-        cum = 0
-        for b in sorted(counts):
-            if cum + counts[b] >= k:
-                plans.append((grp, b, k - cum))
-                break
-            cum += counts[b]
+        b, rk = _locate_rank(counts, k)
+        plans.append((grp, b, rk))
     spark = df.sparkSession
+    plan_schema, size_schema = _plan_size_schemas(df, group_col, False)
     plan_df = F.broadcast(  # bounded: one row per group, budget-guarded above
-        spark.createDataFrame(plans, _plan_size_schemas(df, group_col, False)[0])
+        spark.createDataFrame(plans, plan_schema)
     )
     ranked = (
         df.select(g.alias(group_col), c.alias(col), bucket.alias("_b"))
@@ -989,7 +954,7 @@ def grouped_quantile_twophase(
     )
     picked = ranked.join(plan_df, [group_col, "_b"]).filter(F.col("_rk") == F.col("_k"))
     size_df = F.broadcast(  # bounded: one row per group
-        spark.createDataFrame(list(sizes.items()), _plan_size_schemas(df, group_col, False)[1])
+        spark.createDataFrame(list(sizes.items()), size_schema)
     )
     return picked.join(size_df, group_col).select(
         group_col,

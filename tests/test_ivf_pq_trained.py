@@ -182,3 +182,32 @@ def test_sampled_trained_quality_gate(spark):
         return per.agg(F.sum("best")).collect()[0][0]
 
     assert distortion(cb) < distortion(seed_cb)
+
+
+def test_mod_for_target_bounds_training_sample():
+    """r14 verdict task 7: the count-targeted sample helper — a
+    deployment wants '<= target training vectors' regardless of corpus
+    size; mod_for_target turns that into the train_sample_mod knob.
+    Expected sample size n/mod stays <= target, and small corpora
+    train on everything (mod 1)."""
+    import pytest
+
+    from sf_etl_spark.queries.similarity import mod_for_target
+
+    assert mod_for_target(500, 1_000_000) == 1  # corpus below target
+    assert mod_for_target(1_000_000, 1_000_000) == 1
+    assert mod_for_target(1_000_001, 1_000_000) == 2
+    assert mod_for_target(100_000_000, 1_000_000) == 100
+    assert mod_for_target(0, 1_000_000) == 1  # empty corpus: no-op knob
+    # expected size bound holds across a sweep
+    for n in (1, 999, 10**6 + 7, 3 * 10**7):
+        m = mod_for_target(n, 250_000)
+        assert n / m <= 250_000
+        # and the sample is not over-thinned: one step coarser would
+        # still exceed the target (tightest integer modulus)
+        if m > 1:
+            assert n / (m - 1) > 250_000
+    with pytest.raises(ValueError):
+        mod_for_target(100, 0)
+    with pytest.raises(ValueError):
+        mod_for_target(-1, 10)

@@ -646,3 +646,34 @@ def test_grouped_exact_rank_covering_bounds(spark):
     exact = ranks(None)  # operator derives tight bounds itself
     assert ranks((-1000, 1000)) == exact  # wider covering bounds
     assert ranks((-50, 2**40)) == exact  # asymmetric cover
+
+
+def test_range_join_empty_band_short_circuits(spark):
+    """r14 ADVICE: an empty band (lower > upper) must yield ZERO rows
+    without probe fan-out — sequence(lo_b, hi_b) with lo_b > hi_b
+    generates a DESCENDING bucket list, so the pre-fix code did full
+    join work for a provably empty result. The when() guard nulls the
+    sequence and explode drops it."""
+    from pyspark.sql import functions as F
+
+    from sf_etl_spark.operators.joins import range_join_buckets
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00")], "k string, lts string"
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:30:00")], "k string, rts string"
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"))
+    # sane band still matches
+    out = range_join_buckets(
+        left, right, "k", "lts", "rts",
+        F.expr("INTERVAL 0 SECOND"), F.expr("INTERVAL 1 HOUR"), 3600,
+    )
+    assert out.count() == 1
+    # inverted band: empty result, and the exploded probe side is
+    # itself empty (the short-circuit, not just the band filter)
+    empty = range_join_buckets(
+        left, right, "k", "lts", "rts",
+        F.expr("INTERVAL 1 HOUR"), F.expr("INTERVAL 0 SECOND"), 3600,
+    )
+    assert empty.count() == 0
