@@ -370,7 +370,7 @@ def main() -> None:
                 history = []  # corrupt/partial file: restart history, don't wedge
         sys.path.insert(0, os.path.join(repo, "tools"))
         try:
-            from bench_history import contended
+            from bench_history import contended, entry_dict
 
             # end-of-run load_1m INCLUDES the bench's own local[32]
             # load (~4-6), hence the raised allowance; the per-lane
@@ -378,17 +378,35 @@ def main() -> None:
             is_contended = contended(
                 os.getloadavg()[0], loads, load_allowance=8.0
             )
+            # the canonical entry shape shared with the merge recorder
+            # (r14 verdict task 6) — note="" marks an unnoted
+            # per-invocation append
+            entry = entry_dict(
+                recorded_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
+                runs=runs,
+                load_1m=os.getloadavg()[0],
+                contended=is_contended,
+                note="",
+                metric=result["metric"],
+                value=result["value"],
+                queries=timings,
+                extended=extended,
+                extended_runs=runs,
+                loads=loads,
+                excluded={},
+                sf=sf,
+            )
         except Exception:
-            is_contended = False  # history append must never fail on this
-        history.append(
-            {
+            # history append must never fail on tooling import — fall
+            # back to the raw result with minimal context
+            entry = {
                 "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "runs": runs,
                 "load_1m": os.getloadavg()[0],
-                "contended": is_contended,
+                "contended": False,
                 **result,
             }
-        )
+        history.append(entry)
         # write-to-tmp + atomic rename: an interrupted run must never
         # leave a truncated file that poisons every later invocation
         tmp = path + ".tmp"

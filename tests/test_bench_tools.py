@@ -125,3 +125,65 @@ def test_recorder_merges_non_headline_across_rename():
     best = {n: min(m[n] for m in per_run) for n in common}
     assert best == {"x": 4.0, "y": 7.0}
     assert rbl  # module imports cleanly alongside bench_history
+
+
+def test_bench_and_recorder_entry_shapes_identical():
+    """r14 verdict task 6: both BENCH_LOCAL writers — bench.py's
+    per-invocation append and tools/record_bench_local.py's merged
+    noted entry — must emit the SAME key set in the SAME order, via
+    the shared bench_history.entry_dict. The r14 'final' entry lacked
+    extended_runs because the merge tool predated the field."""
+    import importlib
+
+    from bench_history import ENTRY_KEYS, entry_dict
+
+    rbl = importlib.import_module("record_bench_local")
+    fake_runs = [
+        {
+            "metric": "headline_queries_total_sec",
+            "value": 10.0,
+            "unit": "sec",
+            "queries": {"a": 4.0, "b": 6.0},
+            "extended": {"c": 1.0},
+            "extended_total_sec": 1.0,
+            "extended_runs": 3,
+            "loads": {"a": 1.0, "b": 1.2, "c": 0.9},
+            "excluded": {},
+            "sf": "0.1",
+        },
+        {
+            "metric": "headline_queries_total_sec",
+            "value": 9.0,
+            "unit": "sec",
+            "queries": {"a": 3.0, "b": 6.5},
+            "extended": {"c": 0.8},
+            "extended_total_sec": 0.8,
+            "extended_runs": 3,
+            "loads": {"a": 1.1, "b": 1.0, "c": 0.8},
+            "excluded": {},
+            "sf": "0.1",
+        },
+    ]
+    merged = rbl.merged_entry(fake_runs, note="test", load1=0.5)
+    direct = entry_dict(
+        recorded_at="2026-01-01T00:00:00",
+        runs=3,
+        load_1m=0.5,
+        contended=False,
+        note="",
+        metric="headline_queries_total_sec",
+        value=10.0,
+        queries={"a": 4.0},
+        extended={"c": 1.0},
+        extended_runs=3,
+        loads={"a": 1.0},
+        excluded={},
+        sf="0.1",
+    )
+    assert tuple(merged) == tuple(direct) == ENTRY_KEYS
+    # the merge keeps per-lane minima and books the total repeat count
+    assert merged["queries"] == {"a": 3.0, "b": 6.0}
+    assert merged["extended"] == {"c": 0.8}
+    assert merged["extended_runs"] == 6  # 2 invocations x best-of-3
+    assert merged["value"] == 9.0
+    assert merged["note"] == "test"

@@ -14,6 +14,69 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: the ONE canonical BENCH_LOCAL entry shape (r14 verdict task 6):
+#: bench.py's per-invocation append and record_bench_local.py's merged
+#: noted entry both build through :func:`entry_dict`, so the two
+#: writers can never drift apart again (the r14 "final" entry lacked
+#: extended_runs because the merge tool predated the field).
+ENTRY_KEYS = (
+    "recorded_at",
+    "runs",
+    "load_1m",
+    "contended",
+    "note",
+    "metric",
+    "value",
+    "unit",
+    "queries",
+    "extended",
+    "extended_total_sec",
+    "extended_runs",
+    "loads",
+    "excluded",
+    "sf",
+)
+
+
+def entry_dict(
+    *,
+    recorded_at: str,
+    runs: int,
+    load_1m: float,
+    contended: bool,
+    note: str,
+    metric: str,
+    value: float,
+    queries: dict,
+    extended: dict,
+    extended_runs: int,
+    loads: dict,
+    excluded: dict,
+    sf,
+) -> dict:
+    """Build a BENCH_LOCAL entry with the canonical key set/order.
+    ``note`` is "" for unnoted per-invocation appends (spill() keys on
+    note truthiness, so "" and absent behave identically);
+    ``extended_runs`` is the TOTAL repeats each extended lane's min is
+    over (invocations × per-invocation best-of-N)."""
+    return {
+        "recorded_at": recorded_at,
+        "runs": runs,
+        "load_1m": load_1m,
+        "contended": contended,
+        "note": note,
+        "metric": metric,
+        "value": value,
+        "unit": "sec",
+        "queries": queries,
+        "extended": extended,
+        "extended_total_sec": round(sum(extended.values()), 3),
+        "extended_runs": extended_runs,
+        "loads": loads,
+        "excluded": excluded,
+        "sf": sf,
+    }
+
 
 #: in-run lane loads above this are external contention with certainty:
 #: the bench's own local[32] self-load tops out around 7.4 across the

@@ -18,33 +18,16 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("n_runs", nargs="?", type=int, default=3)
-    ap.add_argument("--note", default="")
-    ap.add_argument("--force", action="store_true")
-    ns = ap.parse_args()
-    n_runs, note = ns.n_runs, ns.note
-    load1 = os.getloadavg()[0]
-    if load1 > 2.5 and not ns.force:
-        sys.exit(f"load_1m={load1:.2f} > 2.5 — not a quiet host (--force to override)")
-    runs = []
-    for i in range(n_runs):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=REPO,
-        ).stdout
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        runs.append(json.loads(line))
-        print(f"run {i + 1}/{n_runs}: {runs[-1]['value']} s", file=sys.stderr)
-    # per-lane best time, paired with the load context of the RUN
-    # that produced it (r10 verdict task 6: per-lane load, not a
-    # single launch-time sample)
+def merged_entry(runs: list[dict], note: str, load1: float) -> dict:
+    """Merge N bench.py stdout dicts into ONE noted entry: per-lane
+    minima (paired with the load context of the run that produced each
+    minimum — r10 verdict task 6), built through the canonical
+    bench_history.entry_dict so this writer and bench.py's own append
+    emit the identical key shape (r14 verdict task 6)."""
+    n_runs = len(runs)
     best_loads: dict[str, float] = {}
 
     def merge_group(label: str, keys: tuple[str, ...]) -> dict[str, float]:
@@ -84,31 +67,56 @@ def main() -> None:
     best = merge_group("queries", ("queries",))
     # non-headline group: "oneshot" (single-run, pre-r14) and
     # "extended" (best-of-N, r14+) are the same lane population —
-    # merged under whichever name the NEWEST bench emitted
-    groups: dict[str, dict[str, float]] = {}
-    if any(("oneshot" in r or "extended" in r) for r in runs):
-        key = "extended" if any("extended" in r for r in runs) else "oneshot"
-        groups[key] = merge_group("non-headline", ("oneshot", "extended"))
-    from bench_history import contended
+    # merged under the canonical "extended" name
+    extended = merge_group("non-headline", ("oneshot", "extended"))
+    from bench_history import contended, entry_dict
 
-    entry = {
-        "recorded_at": datetime.datetime.now().isoformat(timespec="seconds"),
-        "runs": n_runs,
-        "load_1m": load1,
+    return entry_dict(
+        recorded_at=datetime.datetime.now().isoformat(timespec="seconds"),
+        runs=n_runs,
+        load_1m=load1,
         # launch-time load (pre-Spark) + per-lane in-run loads: either
         # signal marks the whole entry CONTENDED so ratio tooling can
         # skip it by default (r13 verdict task 7)
-        "contended": contended(load1, best_loads),
-        "note": note,
-        "metric": runs[0]["metric"],
-        "value": round(sum(best.values()), 3),
-        "unit": "sec",
-        "queries": best,
-        **{k: v for k, v in groups.items()},
-        **{f"{k}_total_sec": round(sum(v.values()), 3) for k, v in groups.items()},
-        "loads": best_loads,
-        "sf": runs[0].get("sf"),
-    }
+        contended=contended(load1, best_loads),
+        note=note,
+        metric=runs[0]["metric"],
+        value=round(sum(best.values()), 3),
+        queries=best,
+        extended=extended,
+        # total repeats each extended lane's min is over: invocations
+        # × each invocation's own best-of-N (pre-r14 "oneshot" runs
+        # carried no field = 1 repeat each)
+        extended_runs=sum(int(r.get("extended_runs", 1)) for r in runs),
+        loads=best_loads,
+        excluded=runs[0].get("excluded", {}),
+        sf=runs[0].get("sf"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("n_runs", nargs="?", type=int, default=3)
+    ap.add_argument("--note", default="")
+    ap.add_argument("--force", action="store_true")
+    ns = ap.parse_args()
+    n_runs, note = ns.n_runs, ns.note
+    load1 = os.getloadavg()[0]
+    if load1 > 2.5 and not ns.force:
+        sys.exit(f"load_1m={load1:.2f} > 2.5 — not a quiet host (--force to override)")
+    runs = []
+    for i in range(n_runs):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        ).stdout
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        runs.append(json.loads(line))
+        print(f"run {i + 1}/{n_runs}: {runs[-1]['value']} s", file=sys.stderr)
+    entry = merged_entry(runs, note, load1)
     path = os.path.join(REPO, "BENCH_LOCAL.json")
     hist = json.load(open(path))
     hist.append(entry)
@@ -116,7 +124,6 @@ def main() -> None:
     # spill unnoted entries older than the last two noted recordings
     # (r12 verdict task 7) — this keeps the inline file to the current
     # round's deliberate recordings plus their measurement inputs
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_history import spill
 
     spill(REPO)
