@@ -96,22 +96,70 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 #
-# Round-14 window (r13 verdict task 2), 4+1+45 = 50: (1) the 4 lanes
-# NEW or behavior-changed this round — the published-threshold Gopher
-# preset (new), the trained IVF-PQ agreement (now sample-bounded
-# training, hash unchanged by agreement mode), the foreachBatch reject
-# twin (now exact job-id correlation via the writer's side channel),
-# and the FULL OUTER stream-stream join (oracle's purchase eviction
-# restated strictly, hash verified unchanged); (2) zorder_roundtrip,
-# the r8 straggler the r13 cut could not fit; (3) 45 of the 46 lanes
-# whose newest driver evidence is r9 (window_suite is the one the
-# 50-cut could not fit — it rotates first in r15). Below the
+# Round-15 window (r14 verdict task 1), 1+1+47+1 = 50: (1)
+# quality_gopher_repetition, the round's one NEW lane (the full
+# published SA1.1 repetition battery); (2) window_suite, the r9
+# straggler the r14 cut could not fit; (3) the ENTIRE 47-lane block
+# whose newest driver evidence is r10 (the relational scalar/agg/set
+# long tail, the arrow/udtf extension lanes, q4/q7/q8/q9); (4)
+# agms_join_size, the first r11 lane, filling to 50. Below the
 # boundary, names keep their prior RELATIVE order (the rotation tool
-# does not re-sort them); freshness-wise the stalest remaining lane
-# is window_suite (r9), first in line for r15. This comment and the
-# matching one in tests/test_registry_order.py must agree on the
-# counts (r12 ADVICE).
+# does not re-sort them); freshness-wise the stalest remaining lanes
+# are the other r11 block members, first in line for r16. This
+# comment and the matching one in tests/test_registry_order.py must
+# agree on the counts (r12 ADVICE).
 _PRIORITY_ORDER = [
+    "quality_gopher_repetition",
+    "window_suite",
+    "agg_having",
+    "agg_stats_by_status",
+    "ann_cosine_topk",
+    "approx_distinct_custkeys",
+    "array_functions",
+    "arrow_batch_textstats",
+    "conditional_predicates",
+    "correlation_matrix",
+    "cube_status_priority",
+    "date_functions",
+    "dispersion_stats",
+    "distinct_flags",
+    "doc_fingerprint",
+    "embedding_stats",
+    "equidepth_histogram",
+    "feature_hashing",
+    "filter_project",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "lang_id",
+    "map_functions",
+    "math_functions",
+    "min_per_group_joinback",
+    "multimodal_frame_sample",
+    "multimodal_meta_stats",
+    "order_limit_offset",
+    "pandas_udf_zscore",
+    "pivot_returnflag",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_flags",
+    "session_paths",
+    "set_ops",
+    "set_ops_all",
+    "source_sfetl_roundtrip",
+    "string_functions",
+    "text_quality",
+    "token_counts",
+    "udtf_bigrams",
+    "user_behavior_profile",
+    "variant_extract_orders",
+    "window_frames",
+    "window_session_dynamic_gap",
+    "agms_join_size",
+    # --- below the driver window (auto-rotated) ---
     "quality_gopher_published",
     "ann_ivf_pq_trained_agreement",
     "stream_sink_sfetl_failed_rows_fb",
@@ -162,7 +210,6 @@ _PRIORITY_ORDER = [
     "spark_sql_front",
     "table_checksum",
     "timezone_local_hours",
-    # --- below the driver window (auto-rotated) ---
     "sink_sfetl_ingest_roundtrip",
     "multimodal_features_checksum",
     "stream_sink_sfetl_failed_rows",
@@ -296,59 +343,10 @@ _PRIORITY_ORDER = [
     "asof_nearest_click",
     "funnel_time_to_convert",
     "multimodal_resize_stats",
-    "agms_join_size",
     "target_encoding_smoothed",
     "forecast_feature_matrix",
     "group_median_twophase",
     "window_sliding_distinct",
-    "window_suite",
-    "source_sfetl_roundtrip",
-    "equidepth_histogram",
-    "correlation_matrix",
-    "window_frames",
-    "variant_extract_orders",
-    "arrow_batch_textstats",
-    "window_session_dynamic_gap",
-    "feature_hashing",
-    "user_behavior_profile",
-    "session_paths",
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
-    "lang_id",
-    "embedding_stats",
-    "ann_cosine_topk",
-    "udtf_bigrams",
-    "pandas_udf_zscore",
-    "dispersion_stats",
-    "multimodal_meta_stats",
-    "multimodal_frame_sample",
-    "agg_having",
-    "agg_stats_by_status",
-    "approx_distinct_custkeys",
-    "array_functions",
-    "conditional_predicates",
-    "cube_status_priority",
-    "date_functions",
-    "distinct_flags",
-    "filter_project",
-    "join_anti",
-    "join_left_outer",
-    "join_semi",
-    "json_extract",
-    "map_functions",
-    "math_functions",
-    "min_per_group_joinback",
-    "order_limit_offset",
-    "pivot_returnflag",
-    "rollup_flags",
-    "set_ops",
-    "set_ops_all",
-    "string_functions",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
 ]
 
 

@@ -13,68 +13,65 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 14 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r13 verdict's task 2):
-# (1) the 4 lanes NEW or behavior-changed this round (published-
-# threshold Gopher preset; trained IVF-PQ agreement on sample-bounded
-# training; foreachBatch reject twin on exact job-id correlation;
-# FULL OUTER stream join with the strictly-restated purchase
-# eviction); (2) zorder_roundtrip, the r8 straggler the r13 cut could
-# not fit; (3) 45 of the 46 lanes whose newest driver evidence is r9
-# (window_suite missed the 50-cut and rotates first in r15).
-# 4+1+45 = 50. Everything re-proven in r10-r13 rotates behind the
-# boundary.
+# (round 15 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r14 verdict's task 1):
+# (1) quality_gopher_repetition, the round's one NEW lane (the full
+# published SA1.1 repetition battery); (2) window_suite, the r9
+# straggler the r14 cut could not fit; (3) the ENTIRE 47-lane block
+# whose newest driver evidence is r10; (4) agms_join_size, the first
+# r11 lane, filling to 50. 1+1+47+1 = 50. Everything re-proven in
+# r11-r14 rotates behind the boundary.
 MUST_BE_IN_WINDOW = [
-    "quality_gopher_published",
-    "ann_ivf_pq_trained_agreement",
-    "stream_sink_sfetl_failed_rows_fb",
-    "stream_stream_full_join_unmatched",
-    "zorder_roundtrip",
-    "ann_ivf_kmeans_agreement",
-    "bigram_novelty",
-    "bloom_semi_join_revenue",
-    "bm25_topk",
-    "cohort_retention",
-    "column_profile",
-    "dedup_exact",
-    "dedup_incremental_ingest",
-    "distribution_drift",
-    "dpp_partitioned_join",
-    "event_transitions",
-    "ewma_user_value",
-    "exists_correlated",
-    "fk_integrity",
-    "grouped_agg_trimmed_mean",
-    "heavy_hitters_twopass",
-    "hll_rollup_merge",
-    "interval_coverage",
-    "json_schema_on_read",
-    "kll_quantile_merge",
-    "market_basket_lift",
-    "merge_change_feed",
-    "merge_time_travel",
-    "ngram_jaccard_pairs",
-    "null_skew_outer_join",
-    "pagerank_topk",
-    "percentiles_by_flag",
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q1_pricing_summary",
-    "q20_promo_suppliers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "robust_outliers",
-    "salted_join_revenue",
-    "scalar_subquery",
-    "scd2_point_in_time_join",
-    "sessionize_events",
-    "soql_fields_all",
-    "soql_typeof",
-    "source_csv_roundtrip",
-    "spark_sql_front",
-    "table_checksum",
-    "timezone_local_hours",
+    "quality_gopher_repetition",
+    "window_suite",
+    "agg_having",
+    "agg_stats_by_status",
+    "ann_cosine_topk",
+    "approx_distinct_custkeys",
+    "array_functions",
+    "arrow_batch_textstats",
+    "conditional_predicates",
+    "correlation_matrix",
+    "cube_status_priority",
+    "date_functions",
+    "dispersion_stats",
+    "distinct_flags",
+    "doc_fingerprint",
+    "embedding_stats",
+    "equidepth_histogram",
+    "feature_hashing",
+    "filter_project",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "lang_id",
+    "map_functions",
+    "math_functions",
+    "min_per_group_joinback",
+    "multimodal_frame_sample",
+    "multimodal_meta_stats",
+    "order_limit_offset",
+    "pandas_udf_zscore",
+    "pivot_returnflag",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_flags",
+    "session_paths",
+    "set_ops",
+    "set_ops_all",
+    "source_sfetl_roundtrip",
+    "string_functions",
+    "text_quality",
+    "token_counts",
+    "udtf_bigrams",
+    "user_behavior_profile",
+    "variant_extract_orders",
+    "window_frames",
+    "window_session_dynamic_gap",
+    "agms_join_size",
 ]
 
 
