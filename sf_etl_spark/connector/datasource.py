@@ -747,19 +747,50 @@ class SfIngestStreamWriter(DataSourceStreamWriter):
         apply_resolver_spec(self._writer.fs_resolver)
         fs, root = filesystem_for(self.failed_results_path)
         fs.create_dir(root, recursive=True)
-        path = f"{root.rstrip('/')}/rejects-batch{batchId:09d}.jsonl"
-        tmp = path + ".tmp"
+        base = f"rejects-batch{batchId:09d}.jsonl"
+        path = f"{root.rstrip('/')}/{base}"
+        # tmp naming (review pass, mirroring write_small_file_atomic's
+        # r14 ADVICE fix): '.'-PREFIXED so spark.read.json can never
+        # read a half-written or crashed attempt's tmp (it hides only
+        # '_'/'.'-prefixed files — a bare '*.tmp' suffix is NOT
+        # hidden), and per-attempt UNIQUIFIED so a zombie commit
+        # racing a replay cannot interleave writes on one tmp path and
+        # move a truncated file into place.
+        import uuid
+
+        tmp = (
+            f"{root.rstrip('/')}/.{base}.tmp."
+            f"{os.getpid():x}-{uuid.uuid4().hex[:8]}"
+        )
+        # best-effort sweep of THIS batch's orphaned tmps (crashed
+        # attempts) + the pre-upgrade fixed-name sibling, which was
+        # visible to spark.read.json and would resurrect a dead
+        # attempt's rejects. Deleting a LIVE zombie's tmp is correct:
+        # its move then fails loudly and the zombie batch fails —
+        # the committed attempt owns the batch.
+        from pyarrow.fs import FileSelector
+
+        try:
+            stale = [
+                info.path
+                for info in fs.get_file_info(
+                    FileSelector(root.rstrip("/"), allow_not_found=True)
+                )
+                if info.base_name.startswith((f".{base}.tmp", f"{base}.tmp"))
+            ]
+        except Exception:  # noqa: BLE001 - listing is hygiene, not correctness
+            stale = []
+        for p in stale:
+            try:
+                fs.delete_file(p)
+            except Exception:  # noqa: BLE001 - already gone / racing peer
+                pass
         if not rejects:
             # a REPLAYED batch that now fully applies must also erase
             # its prior attempt's rejects — leaving the stale file
-            # would over-report rows that actually landed. The .tmp
-            # sibling too: a prior attempt that crashed between write
-            # and move left one, and spark.read.json does NOT hide
-            # '*.tmp' (only '_'/'.'-prefixed files), so a stale tmp
-            # would resurrect the dead attempt's rejects.
-            for p in (path, tmp):
-                if fs.get_file_info(p).type != FileType.NotFound:
-                    fs.delete_file(p)
+            # would over-report rows that actually landed.
+            if fs.get_file_info(path).type != FileType.NotFound:
+                fs.delete_file(path)
             return
         payload = "".join(json.dumps(rec) + "\n" for rec in rejects)
         with fs.open_output_stream(tmp) as f:

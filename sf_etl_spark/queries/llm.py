@@ -1739,11 +1739,15 @@ def gopher_repetition_report(d: DataFrame) -> DataFrame:
     def dup_pair(col: str) -> tuple:
         n = F.size(F.col(col))
         dup_n = n - F.size(F.array_distinct(F.col(col)))
+        # occurrence count computed ONCE per distinct element (via a
+        # (count, len) struct), not once in the WHEN and again in the
+        # THEN — halves the O(distinct·L) equality scans (review pass)
         dup_chars = F.expr(
-            f"aggregate(array_distinct({col}), 0L, (acc, d) -> acc + "
-            f"CASE WHEN size(filter({col}, x -> x = d)) >= 2 "
-            f"THEN CAST((size(filter({col}, x -> x = d)) - 1) "
-            f"     * length(d) AS BIGINT) ELSE 0L END)"
+            f"aggregate(transform(array_distinct({col}), d -> "
+            f"struct(size(filter({col}, x -> x = d)) AS c, "
+            f"length(d) AS l)), 0L, (acc, s) -> acc + "
+            f"CASE WHEN s.c >= 2 "
+            f"THEN CAST((s.c - 1) * s.l AS BIGINT) ELSE 0L END)"
         )
         return n, dup_n, dup_chars
 
@@ -1883,16 +1887,18 @@ def gopher_repetition_report(d: DataFrame) -> DataFrame:
       SELECT doc_id, lang, tl,
              len(lines) AS n_lines,
              len(lines) - len(list_distinct(lines)) AS dup_lines,
-             coalesce(list_sum(list_transform(list_distinct(lines), d ->
-               CASE WHEN len(list_filter(lines, x -> x = d)) >= 2
-                    THEN (len(list_filter(lines, x -> x = d)) - 1) * length(d)
-                    ELSE 0 END)), 0) AS dup_line_chars,
+             coalesce(list_sum(list_transform(
+               list_transform(list_distinct(lines), d ->
+                 {'c': len(list_filter(lines, x -> x = d)), 'l': length(d)}),
+               s -> CASE WHEN s.c >= 2 THEN (s.c - 1) * s.l ELSE 0 END)), 0)
+               AS dup_line_chars,
              len(paras) AS n_paras,
              len(paras) - len(list_distinct(paras)) AS dup_paras,
-             coalesce(list_sum(list_transform(list_distinct(paras), d ->
-               CASE WHEN len(list_filter(paras, x -> x = d)) >= 2
-                    THEN (len(list_filter(paras, x -> x = d)) - 1) * length(d)
-                    ELSE 0 END)), 0) AS dup_para_chars
+             coalesce(list_sum(list_transform(
+               list_transform(list_distinct(paras), d ->
+                 {'c': len(list_filter(paras, x -> x = d)), 'l': length(d)}),
+               s -> CASE WHEN s.c >= 2 THEN (s.c - 1) * s.l ELSE 0 END)), 0)
+               AS dup_para_chars
       FROM w
     ), occ AS (
       SELECT doc_id, (u).n AS n, (u).i AS i, (u).g AS g

@@ -184,6 +184,8 @@ def test_bench_and_recorder_entry_shapes_identical():
     # the merge keeps per-lane minima and books the total repeat count
     assert merged["queries"] == {"a": 3.0, "b": 6.0}
     assert merged["extended"] == {"c": 0.8}
-    assert merged["extended_runs"] == 6  # 2 invocations x best-of-3
+    # 'runs' and 'extended_runs' carry ONE meaning in both writers:
+    # total repeats the minima are over (2 invocations x best-of-3)
+    assert merged["runs"] == merged["extended_runs"] == 6
     assert merged["value"] == 9.0
     assert merged["note"] == "test"

@@ -1710,11 +1710,21 @@ def test_reject_side_table_through_injected_fs():
         recs = [_json.loads(line) for line in raw.decode().splitlines()]
         assert len(recs) == 1 and recs[0]["fields"]["Tag"] == "poison"
         assert recs[0]["batch_id"] == 3
-        # replay of batch 3 with zero rejects: stale .jsonl AND a
-        # crashed prior attempt's .tmp sibling are both erased
+        # replay of batch 3 with zero rejects: the stale .jsonl, a
+        # PRE-UPGRADE fixed-name .tmp sibling, and a crashed attempt's
+        # hidden uniquified tmp (the current naming) are ALL erased —
+        # visible stale tmps would resurrect a dead attempt's rejects
+        # through spark.read.json, hidden ones are swept as hygiene
         stale_tmp = "side/rejects/rejects-batch000000003.jsonl.tmp"
-        with mem.open_output_stream(stale_tmp) as f:
-            f.write(b'{"dead": true}\n')
+        stale_hidden = "side/rejects/.rejects-batch000000003.jsonl.tmp.dead-beef"
+        other_batch = "side/rejects/rejects-batch000000004.jsonl"
+        for p, payload in (
+            (stale_tmp, b'{"dead": true}\n'),
+            (stale_hidden, b'{"dead": true}\n'),
+            (other_batch, b'{"other": true}\n'),
+        ):
+            with mem.open_output_stream(p) as f:
+                f.write(payload)
         job2 = c.create_ingest_job("Thing", "upsert", external_id_field="K")
         c.upload_ingest_batch(job2.id, "K,Tag\nk2,ok\n")
         c.close_ingest_job(job2.id)
@@ -1722,8 +1732,11 @@ def test_reject_side_table_through_injected_fs():
         for leftover in (
             "side/rejects/rejects-batch000000003.jsonl",
             stale_tmp,
+            stale_hidden,
         ):
             assert mem.get_file_info(leftover).type == pafs.FileType.NotFound
+        # another batch's artifacts are untouched by the sweep
+        assert mem.get_file_info(other_batch).type != pafs.FileType.NotFound
     finally:
         fsutil.unregister_scheme("mem")
         server.stop()

@@ -56,9 +56,11 @@ def entry_dict(
 ) -> dict:
     """Build a BENCH_LOCAL entry with the canonical key set/order.
     ``note`` is "" for unnoted per-invocation appends (spill() keys on
-    note truthiness, so "" and absent behave identically);
-    ``extended_runs`` is the TOTAL repeats each extended lane's min is
-    over (invocations × per-invocation best-of-N)."""
+    note truthiness, so "" and absent behave identically). ``runs``
+    and ``extended_runs`` both mean the TOTAL repeats the group's
+    per-lane minima are over — best-of-N for a single bench.py
+    invocation, invocations × N for a merged recording — so
+    identically-shaped entries are comparably interpretable."""
     return {
         "recorded_at": recorded_at,
         "runs": runs,

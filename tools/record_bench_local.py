@@ -71,9 +71,16 @@ def merged_entry(runs: list[dict], note: str, load1: float) -> dict:
     extended = merge_group("non-headline", ("oneshot", "extended"))
     from bench_history import contended, entry_dict
 
+    # 'runs' carries ONE meaning across both writers (review pass):
+    # the total repeats each headline lane's minimum is over. For
+    # bench.py that is its own best-of-N; for a merged entry it is
+    # invocations × each invocation's N (read from extended_runs,
+    # which bench.py sets to the same env knob; pre-r14 runs lacking
+    # the field count as 1).
+    total_repeats = sum(int(r.get("extended_runs", 1)) for r in runs)
     return entry_dict(
         recorded_at=datetime.datetime.now().isoformat(timespec="seconds"),
-        runs=n_runs,
+        runs=total_repeats,
         load_1m=load1,
         # launch-time load (pre-Spark) + per-lane in-run loads: either
         # signal marks the whole entry CONTENDED so ratio tooling can
@@ -84,10 +91,8 @@ def merged_entry(runs: list[dict], note: str, load1: float) -> dict:
         value=round(sum(best.values()), 3),
         queries=best,
         extended=extended,
-        # total repeats each extended lane's min is over: invocations
-        # × each invocation's own best-of-N (pre-r14 "oneshot" runs
-        # carried no field = 1 repeat each)
-        extended_runs=sum(int(r.get("extended_runs", 1)) for r in runs),
+        # same total-repeats meaning for the extended group
+        extended_runs=total_repeats,
         loads=best_loads,
         excluded=runs[0].get("excluded", {}),
         sf=runs[0].get("sf"),
