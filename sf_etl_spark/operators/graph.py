@@ -137,6 +137,11 @@ def star_components(
         .distinct()
         .localCheckpoint()
     )
+    # the canonical edge count, carried across rounds in Python: each
+    # round's fixpoint test needs |E| and |e2|, and |E| is exactly the
+    # previous round's |e2| — recounting the materialized frame every
+    # round was one redundant job per round (r15 optimization round)
+    e_count = E.count()
     rounds = 0
     converged = False
     for _ in range(max_iter):
@@ -151,13 +156,18 @@ def star_components(
             .select("u", F.least("u", "mv").alias("m"))
         )
         # (larger neighbor, neighborhood min): m <= u < v, so the
-        # output is already canonical and self-loop-free
+        # output is already canonical and self-loop-free. e1 stays
+        # LAZY: its two consumers (the small-star min and the
+        # small-star join) share the distinct's exchange via
+        # ReuseExchange, so folding both stars into e2's one job beats
+        # materializing the intermediate (r15 optimization round:
+        # 6.7 s → 5.7 s best-of-3 on the linkage match graph, one
+        # localCheckpoint job per round removed).
         e1 = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
         )
         # -- small-star -- (canonical E already orients u -> smaller v)
         mins_s = e1.groupBy("u").agg(F.min("v").alias("m"))
@@ -173,12 +183,15 @@ def star_components(
             .localCheckpoint()
         )
         # fixpoint test on the canonical sets (both distinct, so set
-        # equality = equal counts + empty left-anti difference)
-        if e2.count() == E.count() and e2.join(E, ["u", "v"], "left_anti").limit(1).count() == 0:
+        # equality = equal counts + empty left-anti difference); the
+        # anti-join probe only runs on rounds where the counts agree
+        e2_count = e2.count()
+        if e2_count == e_count and e2.join(E, ["u", "v"], "left_anti").limit(1).count() == 0:
             E = e2
             converged = True
             break
         E = e2
+        e_count = e2_count
     if rounds_out is not None:
         rounds_out.append(rounds)
     if not converged:
@@ -203,6 +216,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     sum_scale: int = 10,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Synchronous power-iteration PageRank over a directed edge set,
     in plain DataFrame ops (no GraphFrames).
@@ -233,9 +247,21 @@ def pagerank(
     contribution union (narrow, no join; see below), so there is no
     second join per iteration. The rank vector is O(nodes); edges are
     never re-derived (pass a materialized/cached frame for big
-    graphs). K is fixed and small — the lazy plan stays depth-K; for
-    K ≳ 8 callers should ``localCheckpoint`` between iterations like
-    connected_components.
+    graphs).
+
+    Lineage policy (r15 optimization round, A/B-measured): each
+    iteration's rank vector is referenced exactly once, so a K-deep
+    lazy chain WOULD execute as one job — but materializing each
+    round's ranks is what lets AQE see their true (tiny) size and
+    promote the edges⋈ranks join to a broadcast; in the lazy chain the
+    rank subtree has no runtime size and the joins fall back to
+    sort-merge (customer↔supplier graph at sf0.1: lazy 5.6 s vs
+    per-round cuts 3.3 s, interleaved best-of-3). So the default stays
+    ``checkpoint_interval=1``; the one free win kept from the A/B is
+    skipping the cut after the FINAL iteration — the caller's terminal
+    action consumes that chain immediately, and AQE still broadcasts
+    because the PREVIOUS round was materialized. The arithmetic — and
+    therefore the result — is identical at any interval.
     """
     # Materialize the edge relation ONCE at entry: callers hand in a
     # lazy edge derivation (joins/distincts), and deg, n, the rank
@@ -272,7 +298,7 @@ def pagerank(
     )
     ranks = zeros.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     teleport = (1.0 - damping) / n_nodes  # same IEEE divide the SQL ran
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = e2.join(ranks, e2[src] == ranks["node"]).select(
             F.col(dst).alias("node"),
             (F.col("pr") / F.col("outdeg")).cast(dec).alias("c"),
@@ -289,10 +315,13 @@ def pagerank(
                 (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("pr"),
             )
         )
-        # Cut the lineage per iteration: the rank vector is O(nodes)
-        # (tiny next to edges); without the cut, iteration k's join
-        # replays iterations 1..k-1 end-to-end.
-        ranks = ranks.localCheckpoint()
+        # Cut the lineage only every `checkpoint_interval` rounds: the
+        # rank vector is referenced once per iteration, so the lazy
+        # chain between cuts executes as one job — no replay (see
+        # docstring). Never cut after the LAST iteration: the caller's
+        # terminal action is about to consume the chain anyway.
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -313,18 +342,23 @@ def bfs_hops(
 
     Scale: per round ONE frontier⋈edges equi-join (frontier is the
     small side — broadcastable when it fits) + a partial-agged
-    distinct + an anti-join against visited. All three frames are
-    ``localCheckpoint``'d so round k never replays rounds 1..k-1, and
-    the only driver traffic is one bounded scalar per round (frontier
-    size, for the early-exit — the connected_components policy).
-    State is O(reached nodes); rounds bounded by ``max_hops``, the
-    graph analogue of a watermark bound on stream state.
+    distinct + an anti-join against visited. Each round's frontier is
+    ``localCheckpoint``'d so round k never replays rounds 1..k-1; the
+    visited set is the LAZY union of those materialized per-round
+    frames (scanning k small materialized frames is free — the pre-r15
+    shape re-materialized the whole growing set every round, one extra
+    job per hop for zero compute saved). The only driver traffic is
+    one bounded scalar per round (frontier size, for the early-exit —
+    the connected_components policy). State is O(reached nodes);
+    rounds bounded by ``max_hops``, the graph analogue of a watermark
+    bound on stream state.
     """
     edges = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).localCheckpoint()
-    visited = sources.select("node", F.lit(0).alias("hops")).localCheckpoint()
-    frontier = visited.select("node")
+    first = sources.select("node", F.lit(0).alias("hops")).localCheckpoint()
+    visited = first
+    frontier = first.select("node")
     for d in range(1, max_hops + 1):
         nxt = (
             edges.join(frontier, edges["_src"] == frontier["node"])
@@ -336,6 +370,7 @@ def bfs_hops(
         )
         if nxt.count() == 0:  # bounded scalar, one per round
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # lazy union of materialized rounds — no re-materialization
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited

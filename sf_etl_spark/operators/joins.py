@@ -276,6 +276,7 @@ def asof_join_pandas(
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
+    buckets: int | None = None,
 ) -> DataFrame:
     """As-of join via cogrouped ``applyInPandas`` + ``pd.merge_asof``
     — the Arrow-batched alternative to :func:`asof_join` for when the
@@ -283,13 +284,21 @@ def asof_join_pandas(
     direction='nearest', multi-column by-keys: all pandas one-liners,
     all painful as window recipes).
 
-    Scale: cogroup shuffles BOTH sides once on the key — same shuffle
-    count as the union+window recipe — then per-key work happens in
-    Arrow batches. The cost difference is Python/Arrow transfer, so
-    prefer :func:`asof_join` when plain backward-match semantics
-    suffice (it stays fully JVM-side); this lane exists for the
-    semantics built-ins can't express. Skew caveat: one giant key
-    lands one task — salt first (`operators.skew`) if keys are hot.
+    Scale: cogroup shuffles BOTH sides once — same shuffle count as
+    the union+window recipe — then per-group work happens in Arrow
+    batches. The cogroup key is NOT the raw join key: it is a
+    deterministic hash BUCKET of it (``pmod(xxhash64(on), buckets)``),
+    and the per-bucket merge delegates the key grouping to
+    ``pd.merge_asof(by=on)``. One Python/Arrow crossing per bucket
+    instead of one per key — with millions of small keys the per-group
+    invocation overhead dominated the whole lane (guide §4: keep the
+    batches crossing the boundary large). Results are identical:
+    ``merge_asof(by=...)`` applies the same backward match within each
+    key. ``buckets`` defaults to 2× the scheduler parallelism —
+    scale-adaptive, never a constant tuned to one host; per-bucket
+    memory is O(rows/buckets), and a hot single key still lands one
+    bucket (salt first via `operators.skew` if keys are hot, exactly
+    as before).
 
     Inclusive backward match (``right_ts <= left_ts``), identical to
     :func:`asof_join` and DuckDB ``ASOF JOIN``.
@@ -317,17 +326,40 @@ def asof_join_pandas(
         F.col(right_ts).alias("asof_ts"),
         *[F.col(c).alias(f"asof_{c}") for c in right_payload],
     )
+    n_buckets = buckets or max(
+        2 * left.sparkSession.sparkContext.defaultParallelism, 16
+    )
+    bkt = F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets)).cast("int")
+    l_b = left.withColumn("_bkt", bkt)
+    r_b = r_renamed.withColumn("_bkt", bkt)
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(l_pdf):
             return pd.DataFrame(columns=out_cols)
         l_sorted = l_pdf.sort_values(left_ts)
-        r_sorted = r_pdf.drop(columns=[on]).sort_values("asof_ts")
-        merged = pd.merge_asof(
-            l_sorted, r_sorted, left_on=left_ts, right_on="asof_ts", direction="backward"
-        )
+        r_sorted = r_pdf.drop(columns=["_bkt"]).sort_values("asof_ts")
+        if not len(r_sorted):
+            # merge_asof(by=...) needs a non-empty right frame; an
+            # empty one means every left row is unmatched — same rows
+            # the per-key shape produced
+            merged = pd.merge_asof(
+                l_sorted,
+                r_sorted.drop(columns=[on]),
+                left_on=left_ts,
+                right_on="asof_ts",
+                direction="backward",
+            )
+        else:
+            merged = pd.merge_asof(
+                l_sorted,
+                r_sorted,
+                left_on=left_ts,
+                right_on="asof_ts",
+                by=on,
+                direction="backward",
+            )
         return merged[out_cols]
 
     return (
-        left.groupBy(on).cogroup(r_renamed.groupBy(on)).applyInPandas(merge, out_schema)
+        l_b.groupBy("_bkt").cogroup(r_b.groupBy("_bkt")).applyInPandas(merge, out_schema)
     )

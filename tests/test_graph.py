@@ -146,3 +146,42 @@ def test_pagerank_keeps_zero_indegree_nodes(spark):
     # b receives a's full (damped) rank each iteration; with 'a' dropped
     # after iter 1, b's rank at iter>=2 would miss that contribution
     assert got["b"] > got["c"] > got["a"]
+
+
+def test_pagerank_checkpoint_interval_invariant(spark):
+    """r15 optimization: the lazy iteration chain (cut only every
+    `checkpoint_interval` rounds) must be BIT-identical to cutting
+    after every round — same arithmetic, different lineage."""
+    from sf_etl_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("c", "y"), ("y", "b")],
+        "l string, r string",
+    )
+    edges = pairs.selectExpr("l AS src", "r AS dst").unionAll(
+        pairs.selectExpr("r AS src", "l AS dst")
+    )
+    lazy = {
+        r.node: r.pr
+        for r in pagerank(edges, iterations=5, checkpoint_interval=5).collect()
+    }
+    cut = {
+        r.node: r.pr
+        for r in pagerank(edges, iterations=5, checkpoint_interval=1).collect()
+    }
+    assert lazy == cut  # exact equality, not approx
+
+
+def test_bfs_lazy_visited_union(spark):
+    """r15 optimization: visited is a lazy union of the materialized
+    per-round frontiers; distances on a known graph stay exact."""
+    from sf_etl_spark.operators.graph import bfs_hops
+
+    # path a-b-c-d plus a shortcut a-c: min-hops must take the shortcut
+    e = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    edges = spark.createDataFrame(
+        e + [(y, x) for x, y in e], "src string, dst string"
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, src, max_hops=4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
