@@ -1919,40 +1919,57 @@ def _pq_train_codebooks(
         for r in _pq_codebook(spark, n).collect()
     }
     for _ in range(iters):
-        cb = spark.createDataFrame(
-            [(m, c, w) for (m, c), w in sorted(code.items())],
-            "m int, c int, w array<double>",
+        # Codebook as ONE literal array-of-arrays expression indexed
+        # [m+1][c] (element_at is 1-based; c ids are 1..PQ_C by
+        # construction, see _pq_codebook). The argmin codeword per
+        # (vec_id, m) is then a PER-ROW expression — each sub row IS
+        # one (vec_id, m) subvector — so the pre-r15 broadcast join
+        # (×C fan-out) plus (vec_id, m) re-aggregation disappears:
+        # one Lloyd iteration = one map-side assignment + ONE shuffle
+        # (the per-dimension mean), ~half the per-iteration wall time
+        # (r15 optimization round, A/B below). Arithmetic is identical:
+        # same zip_with/aggregate d2 fold, and array_position of the
+        # array_min picks the FIRST (= lowest-c) exact minimum — the
+        # same tie-break min(struct(d2, c)) applied.
+        cb_arr = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in code[(m, c)]])
+                        for c in range(1, PQ_C + 1)
+                    ]
+                )
+                for m in range(PQ_M)
+            ]
         )
-        d2 = F.aggregate(
-            F.zip_with(F.col("sv"), F.col("w"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, b: a + b,
+        cw = F.element_at(cb_arr, F.col("m") + 1)
+        d2s = F.transform(
+            cw,
+            lambda w: F.aggregate(
+                F.zip_with(F.col("sv"), w, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
         )
-        # argmin codeword per (vec_id, m): min(struct(d2, c)) — c is
-        # unique per subspace, so the lexicographic min is a total
-        # order; collapses map-side to n·M rows
-        best = (
-            sub.join(F.broadcast(cb), "m")
-            .select("vec_id", "m", "sv", d2.alias("d2"), "c")
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min(F.struct("d2", "c")).alias("s"),
-                F.first("sv").alias("sv"),
-            )
-            .select("m", F.col("s.c").alias("c"), "sv")
+        best = sub.select(
+            "m",
+            F.array_position(d2s, F.array_min(d2s)).cast("int").alias("c"),
+            "sv",
         )
         # recompute: per-dimension mean — posexplode keeps the shuffle
-        # pre-reduced (avg combines map-side; M·C·SUBDIM output cells)
+        # pre-reduced (avg combines map-side; ≤ M·C·SUBDIM = 1024
+        # output cells, collected directly and re-assembled in Python
+        # instead of paying a second shuffle for the array packing)
         means = (
             best.select("m", "c", F.posexplode("sv").alias("i", "x"))
             .groupBy("m", "c", "i")
             .agg(F.avg("x").alias("mx"))
-            .groupBy("m", "c")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("p"))
-            .select("m", "c", F.expr("transform(p, s -> s.mx)").alias("w"))
         )
-        for r in means.collect():  # bounded: ≤ M·C = 128 rows
-            code[(r["m"], r["c"])] = [float(x) for x in r["w"]]
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means.collect():  # bounded: ≤ M·C·SUBDIM = 1024 rows
+            upd.setdefault((r["m"], r["c"]), {})[r["i"]] = float(r["mx"])
+        for key, dims in upd.items():
+            code[key] = [dims[i] for i in sorted(dims)]
     return spark.createDataFrame(
         [(m, c, w) for (m, c), w in sorted(code.items())],
         "m int, c int, w array<double>",
@@ -1972,9 +1989,19 @@ def _kmeans_centers(spark: SparkSession, n: DataFrame, train_sample_mod: int = 1
     from pyspark.ml.functions import array_to_vector
 
     vecs = n.withColumn("features", array_to_vector("v"))
-    model = KMeans(
-        k=IVF_KM_K, seed=IVF_KM_SEED, maxIter=10, featuresCol="features"
-    ).fit(_train_sample(vecs, train_sample_mod))
+    # cache the (sample-bounded) fit input for the fit's duration:
+    # MLlib's Lloyd loop re-scans its input once per iteration, and
+    # without the cache each of those scans replays the parquet read +
+    # normalization + array_to_vector lineage (r15 optimization round;
+    # bounded memory — this is the ≤`mod_for_target` training sample,
+    # not the corpus, and it is unpersisted before encode/score)
+    fit_input = _train_sample(vecs, train_sample_mod).persist()
+    try:
+        model = KMeans(
+            k=IVF_KM_K, seed=IVF_KM_SEED, maxIter=10, featuresCol="features"
+        ).fit(fit_input)
+    finally:
+        fit_input.unpersist()
     assigned = (
         model.transform(vecs)
         .withColumnRenamed("prediction", "cid")
