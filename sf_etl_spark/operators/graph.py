@@ -263,6 +263,10 @@ def pagerank(
     because the PREVIOUS round was materialized. The arithmetic — and
     therefore the result — is identical at any interval.
     """
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     # Materialize the edge relation ONCE at entry: callers hand in a
     # lazy edge derivation (joins/distincts), and deg, n, the rank
     # init, e2, and every iteration would otherwise each re-execute it

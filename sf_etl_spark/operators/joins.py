@@ -295,10 +295,15 @@ def asof_join_pandas(
     batches crossing the boundary large). Results are identical:
     ``merge_asof(by=...)`` applies the same backward match within each
     key. ``buckets`` defaults to 2× the scheduler parallelism —
-    scale-adaptive, never a constant tuned to one host; per-bucket
-    memory is O(rows/buckets), and a hot single key still lands one
-    bucket (salt first via `operators.skew` if keys are hot, exactly
-    as before).
+    scale-adaptive, never a constant tuned to one host. THE MEMORY
+    CONTRACT CHANGES with bucketing: each bucket materializes as one
+    pandas frame in one Python worker, so per-task memory is
+    O(rows/buckets) where the per-key cogroup bounded it by the
+    hottest key. On clusters the default tracks cluster size (and
+    therefore normal data growth); for a huge frame on a small
+    cluster pass ``buckets ≈ total_rows / target_group_rows``
+    explicitly. A hot single key still lands one bucket (salt first
+    via `operators.skew` if keys are hot, exactly as before).
 
     Inclusive backward match (``right_ts <= left_ts``), identical to
     :func:`asof_join` and DuckDB ``ASOF JOIN``.
@@ -329,7 +334,17 @@ def asof_join_pandas(
     n_buckets = buckets or max(
         2 * left.sparkSession.sparkContext.defaultParallelism, 16
     )
-    bkt = F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets)).cast("int")
+    # NULL join keys get their own reserved bucket (-1): inside it the
+    # merge runs WITHOUT `by`, preserving the pre-bucketing semantics
+    # exactly — a null-key cogroup matched within itself, the same
+    # null-grouping the JVM recipe's window partitioning applies. It
+    # also sidesteps a real pandas failure: a bucket MIXING null and
+    # non-null numeric keys arrives with a float64(NaN) by-column on
+    # one side and int64 on the other, and merge_asof(by=...) raises
+    # MergeError on the dtype mismatch (review finding, repro'd).
+    bkt = F.when(F.col(on).isNull(), F.lit(-1)).otherwise(
+        F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets)).cast("int")
+    )
     l_b = left.withColumn("_bkt", bkt)
     r_b = r_renamed.withColumn("_bkt", bkt)
 
@@ -338,10 +353,11 @@ def asof_join_pandas(
             return pd.DataFrame(columns=out_cols)
         l_sorted = l_pdf.sort_values(left_ts)
         r_sorted = r_pdf.drop(columns=["_bkt"]).sort_values("asof_ts")
-        if not len(r_sorted):
-            # merge_asof(by=...) needs a non-empty right frame; an
-            # empty one means every left row is unmatched — same rows
-            # the per-key shape produced
+        if not len(r_sorted) or l_sorted["_bkt"].iat[0] == -1:
+            # empty right (every left row unmatched), or the reserved
+            # null-key bucket (all keys null on both sides: match
+            # within the group, no `by`) — both are the pre-bucketing
+            # per-group path
             merged = pd.merge_asof(
                 l_sorted,
                 r_sorted.drop(columns=[on]),

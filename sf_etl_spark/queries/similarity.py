@@ -1920,25 +1920,37 @@ def _pq_train_codebooks(
     }
     for _ in range(iters):
         # Codebook as ONE literal array-of-arrays expression indexed
-        # [m+1][c] (element_at is 1-based; c ids are 1..PQ_C by
-        # construction, see _pq_codebook). The argmin codeword per
-        # (vec_id, m) is then a PER-ROW expression — each sub row IS
-        # one (vec_id, m) subvector — so the pre-r15 broadcast join
-        # (×C fan-out) plus (vec_id, m) re-aggregation disappears:
-        # one Lloyd iteration = one map-side assignment + ONE shuffle
-        # (the per-dimension mean), ~half the per-iteration wall time
-        # (r15 optimization round, A/B below). Arithmetic is identical:
-        # same zip_with/aggregate d2 fold, and array_position of the
-        # array_min picks the FIRST (= lowest-c) exact minimum — the
-        # same tie-break min(struct(d2, c)) applied.
+        # [m+1][position] (element_at is 1-based), with a parallel
+        # position→c-id literal so any PRESENT key set works — the
+        # seed codebook's c ids are corpus vec_ids and a filtered
+        # corpus may lack some (review finding; the pre-r15 join shape
+        # tolerated subsets, this shape must too). Positions are
+        # c-ascending per subspace, so array_position of the
+        # array_min — the FIRST exact minimum — is the lowest-c
+        # minimum: the same min(struct(d2, c)) tie-break as before.
+        # The argmin codeword per (vec_id, m) is then a PER-ROW
+        # expression — each sub row IS one (vec_id, m) subvector — so
+        # the pre-r15 broadcast join (×C fan-out) plus (vec_id, m)
+        # re-aggregation disappears: one Lloyd iteration = one
+        # map-side assignment + ONE shuffle (the per-dimension mean).
+        # Arithmetic is identical: same zip_with/aggregate d2 fold.
+        cs_per_m = {
+            m: sorted(c for (mm, c) in code if mm == m) for m in range(PQ_M)
+        }
         cb_arr = F.array(
             *[
                 F.array(
                     *[
                         F.array(*[F.lit(float(x)) for x in code[(m, c)]])
-                        for c in range(1, PQ_C + 1)
+                        for c in cs_per_m[m]
                     ]
                 )
+                for m in range(PQ_M)
+            ]
+        )
+        cid_arr = F.array(
+            *[
+                F.array(*[F.lit(int(c)) for c in cs_per_m[m]])
                 for m in range(PQ_M)
             ]
         )
@@ -1951,9 +1963,12 @@ def _pq_train_codebooks(
                 lambda a, b: a + b,
             ),
         )
+        best_pos = F.array_position(d2s, F.array_min(d2s)).cast("int")
         best = sub.select(
             "m",
-            F.array_position(d2s, F.array_min(d2s)).cast("int").alias("c"),
+            F.element_at(F.element_at(cid_arr, F.col("m") + 1), best_pos)
+            .cast("int")
+            .alias("c"),
             "sv",
         )
         # recompute: per-dimension mean — posexplode keeps the shuffle

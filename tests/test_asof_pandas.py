@@ -83,3 +83,33 @@ def test_bucketed_empty_right_side(spark):
         (r["event_id"], r["user_id"], r["ts"]) for r in left.orderBy("event_id").collect()
     ]
     assert all(g[3] is None and g[4] is None for g in got)
+
+
+def test_null_join_keys_match_jvm_recipe(spark):
+    """NULL join keys ride the reserved bucket and keep the pre-
+    bucketing semantics (the JVM window recipe groups nulls together
+    too); a bucket mixing null and non-null int keys must not crash
+    pandas on a by-column dtype mismatch."""
+    left = spark.createDataFrame(
+        [(1, None, _ts(9)), (2, 10, _ts(9)), (3, None, _ts(5))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(8), 3.5), (10, _ts(8), 1.5)],
+        "user_id int, ts timestamp, value double",
+    )
+    want = _rows(
+        asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts", right_payload=["value"])
+    )
+    for buckets in (1, 4):
+        got = _rows(
+            asof_join_pandas(
+                left, right, on="user_id", left_ts="ts", right_ts="ts",
+                right_payload=["value"], buckets=buckets,
+            )
+        )
+        assert got == want, f"buckets={buckets}"
+    by_id = {r[0]: r for r in want}
+    assert by_id[1][4] == 3.5   # null left key matches the null-key right row
+    assert by_id[2][4] == 1.5   # non-null key unaffected
+    assert by_id[3][4] is None  # null key, before the null right row

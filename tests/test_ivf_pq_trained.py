@@ -211,3 +211,27 @@ def test_mod_for_target_bounds_training_sample():
         mod_for_target(100, 0)
     with pytest.raises(ValueError):
         mod_for_target(-1, 10)
+
+
+def test_lloyd_tolerates_missing_seed_ids(spark):
+    """A corpus lacking some seed vec_ids (1..PQ_C) yields a smaller
+    seed codebook; the literal-codebook Lloyd iteration must train on
+    whatever key subset exists instead of raising (r15 review
+    finding), and every assignment must reference a PRESENT c id."""
+    from pyspark.sql import functions as F
+    from sf_etl_spark.queries.similarity import (
+        PQ_M,
+        _pq_codebook,
+        _pq_train_codebooks,
+        normalized_vectors,
+    )
+
+    n = normalized_vectors(spark, SF_DIR).filter(~F.col("vec_id").isin(5, 11))
+    seed = _pq_codebook(spark, n)
+    n_seed = seed.count()
+    cb = _pq_train_codebooks(spark, n, iters=2)
+    assert cb.count() == n_seed  # same key set in, same key set out
+    ids = {(r["m"], r["c"]) for r in cb.select("m", "c").collect()}
+    assert ids == {(r["m"], r["c"]) for r in seed.select("m", "c").collect()}
+    assert all(c not in (5, 11) for _, c in ids)
+    assert len({m for m, _ in ids}) == PQ_M
