@@ -350,7 +350,29 @@ def main() -> None:
         "excluded": {},  # every registered lane is timed above
         "sf": sf,
     }
-    print(json.dumps(result))
+    one_line = json.dumps(result)
+
+    # Harden the one-line-JSON channel (r15 verdict task 1): the
+    # driver keeps only a ~2,000-char TAIL of stdout, which truncated
+    # the head of this (much longer) line for 12 straight rounds and
+    # made round-over-round PERF comparison impossible. Two defenses:
+    # (a) the line is mirrored VERBATIM to BENCH_OUT.json (atomic
+    # write), a fixed sidecar either channel can read; (b) the print
+    # moves to the very END of the run — after all history
+    # housekeeping — so it is the guaranteed-last stdout line and the
+    # kept tail ends exactly at its terminator. Content and
+    # methodology are byte-identical to r15; only the emit order and
+    # the sidecar are new.
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"
+        )
+        tmp_out = out_path + ".tmp"
+        with open(tmp_out, "w") as f:
+            f.write(one_line + "\n")
+        os.replace(tmp_out, out_path)
+    except OSError:
+        pass  # read-only checkout: the stdout line below still lands
 
     # Durable full-per-query artifact (r6 verdict task 4): the driver
     # stores only a 2,000-char tail of this stdout, which truncates
@@ -429,7 +451,11 @@ def main() -> None:
         except Exception:
             pass
     except OSError:
-        pass  # read-only checkout: the stdout line above still lands
+        pass  # read-only checkout: the stdout line below still lands
+
+    # guaranteed-last stdout line (see the BENCH_OUT.json note above)
+    print(one_line)
+    sys.stdout.flush()
 
     spark.stop()
 

@@ -153,7 +153,14 @@ class MockSalesforce:
                 self._record_and_route("PUT")
 
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+        # poll_interval: serve_forever's shutdown-flag poll gates how
+        # long stop() blocks — the 0.5 s default cost every sfetl lane
+        # ~0.35 s of pure teardown sleep (r16 profile); requests are
+        # select()-driven either way, so a tight poll costs nothing.
+        threading.Thread(
+            target=lambda: self.server.serve_forever(poll_interval=0.02),
+            daemon=True,
+        ).start()
         host, port = self.server.server_address
         return f"http://{host}:{port}"
 

@@ -101,7 +101,7 @@ def connected_components(
 
 
 def star_components(
-    vertices: DataFrame,
+    vertices: DataFrame | None,
     edges: DataFrame,
     vertex_col: str = "vertex",
     src_col: str = "src",
@@ -129,7 +129,18 @@ def star_components(
     the star decomposition; labels read off the final edges. Each
     step is one groupBy-min + one equi-join on the node id.
     ``rounds_out``, when given, receives the executed round count
-    (test introspection of the O(log n) bound)."""
+    (test introspection of the O(log n) bound).
+
+    ``vertices=None`` labels exactly the ENDPOINTS of ``edges``,
+    derived from the already-materialized canonical edge set instead
+    of the caller's (possibly expensive) edge-derivation subtree —
+    when the vertex universe IS "whatever the pair finder connected"
+    (the linkage lane), passing the mpairs-derived union here
+    recomputed that whole subtree in the final read-off job for zero
+    information (r16 optimization; interleaved A/B 26.8 -> 21.4 s at
+    the sf1 probe). Callers with isolated vertices (or vertices whose
+    only edges are self-loops, which the canonicalization drops) must
+    still pass them explicitly to get their singleton rows."""
     E = (
         edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
         .filter(F.col("x") != F.col("y"))
@@ -137,6 +148,14 @@ def star_components(
         .distinct()
         .localCheckpoint()
     )
+    if vertices is None:
+        # scanning the checkpointed blocks twice is cheap; rebuilding
+        # the caller's edge lineage twice is not
+        vertices = (
+            E.select(F.col("u").alias(vertex_col))
+            .union(E.select(F.col("v").alias(vertex_col)))
+            .distinct()
+        )
     # the canonical edge count, carried across rounds in Python: each
     # round's fixpoint test needs |E| and |e2|, and |E| is exactly the
     # previous round's |e2| — recounting the materialized frame every

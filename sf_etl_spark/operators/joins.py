@@ -277,6 +277,7 @@ def asof_join_pandas(
     right_ts: str,
     right_payload: list[str],
     buckets: int | None = None,
+    max_rows_per_bucket: int | None = None,
 ) -> DataFrame:
     """As-of join via cogrouped ``applyInPandas`` + ``pd.merge_asof``
     — the Arrow-batched alternative to :func:`asof_join` for when the
@@ -302,14 +303,29 @@ def asof_join_pandas(
     hottest key. On clusters the default tracks cluster size (and
     therefore normal data growth); for a huge frame on a small
     cluster pass ``buckets ≈ total_rows / target_group_rows``
-    explicitly. A hot single key still lands one bucket (salt first
-    via `operators.skew` if keys are hot, exactly as before).
+    explicitly, and/or set ``max_rows_per_bucket`` — a per-bucket row
+    budget enforced inside the worker (fail-fast with sizing advice
+    instead of an opaque OOM kill). A hot single key still lands one
+    bucket (salt first via `operators.skew` if keys are hot, exactly
+    as before).
 
     Inclusive backward match (``right_ts <= left_ts``), identical to
     :func:`asof_join` and DuckDB ``ASOF JOIN``.
     """
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
+
+    # "_bkt" is the internal cogroup key: a pre-existing left column of
+    # that name would be silently overwritten and come back filled with
+    # bucket ids (out_cols is built from left.schema) — corruption, not
+    # a conflict error, so refuse up front (r15 ADVICE).
+    if "_bkt" in left.columns or on == "_bkt":
+        raise ValueError(
+            "asof_join_pandas: '_bkt' is reserved for the internal "
+            "cogroup bucket key; rename the input column"
+        )
+    if buckets is not None and buckets < 1:
+        raise ValueError(f"asof_join_pandas: buckets must be >= 1, got {buckets}")
 
     right_schema = {f.name: f for f in right.schema.fields}
     out_schema = StructType(
@@ -349,6 +365,20 @@ def asof_join_pandas(
     r_b = r_renamed.withColumn("_bkt", bkt)
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        # Runtime memory guard (r15 verdict): each bucket materializes
+        # as ONE pandas frame in one worker — O(rows/buckets), not the
+        # per-key bound of the unbucketed cogroup. When the caller
+        # declares a per-bucket row budget, a pathological rows/buckets
+        # ratio fails fast with sizing advice instead of OOM-killing
+        # the worker. Costs one len() per side — no extra Spark job.
+        if max_rows_per_bucket is not None and (
+            len(l_pdf) > max_rows_per_bucket or len(r_pdf) > max_rows_per_bucket
+        ):
+            raise ValueError(
+                f"asof_join_pandas: bucket holds {max(len(l_pdf), len(r_pdf))} "
+                f"rows > max_rows_per_bucket={max_rows_per_bucket}; raise "
+                "`buckets` (~ total_rows / target_group_rows) or the budget"
+            )
         if not len(l_pdf):
             return pd.DataFrame(columns=out_cols)
         l_sorted = l_pdf.sort_values(left_ts)

@@ -2311,9 +2311,6 @@ def linkage_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein(F.col("a_p_name"), F.col("b_p_name")) <= 3)
         .select(F.col("a_p_partkey").alias("src"), F.col("b_p_partkey").alias("dst"))
     )
-    verts = mpairs.select(F.col("src").alias("vertex")).unionByName(
-        mpairs.select(F.col("dst").alias("vertex"))
-    ).distinct()
     # Star contraction FIRST-CLASS (r6 verdict task 6): sorted-
     # neighborhood match graphs are name-sorted CHAINS (high diameter
     # — measured 56 components over 20k verts at sf0.1), so min-label
@@ -2323,7 +2320,14 @@ def linkage_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(log n) large-star/small-star machinery. Calling it directly
     # removes those dead rounds; labels are identical (component min
     # is method-independent — the oracle hash is unchanged).
-    comp = star_components(verts, mpairs, vertex_col="vertex")
+    # vertices=None (r16): the vertex universe here IS the mpairs
+    # endpoint set, and deriving it operator-side from the
+    # materialized canonical edges stops the final read-off job from
+    # replaying the whole window+explode-join+levenshtein subtree a
+    # second (and third) time — interleaved A/B 26.8 -> 21.4 s at the
+    # sf1 probe, 8.8 -> 8.4 s at sf0.1 (match pairs never self-loop,
+    # so no endpoint is lost to canonicalization).
+    comp = star_components(None, mpairs, vertex_col="vertex")
     attrs = comp.join(p, comp["vertex"] == p["p_partkey"]).select(
         F.col("component").alias("cluster"), "p_partkey", "p_name", "cents"
     )

@@ -1892,17 +1892,110 @@ def _pq_train_codebooks(
     n: DataFrame,
     iters: int = PQ_TRAIN_ITERS,
     train_sample_mod: int = 1,
+    impl: str = "grouped",
 ) -> DataFrame:
     """Grouped per-subspace k-means: (m, c, w) codebooks for all PQ_M
-    subspaces trained together, one training-sample scan per Lloyd
-    iteration (*train_sample_mod* bounds the sample; 1 = full corpus).
+    subspaces trained together (*train_sample_mod* bounds the sample;
+    1 = full corpus).
 
     Init = the deterministic seed codebook (`_pq_codebook`) — a
     16-row pushdown-pruned lookup (vec_id BETWEEN 1 AND 16), not an
     O(n) scan, so it stays on the full frame under sampling. The
     trained result is a strict refinement of what the oracle-checked
     seeded lanes use. Empty codewords keep their previous position
-    (the standard Lloyd dead-cluster convention)."""
+    (the standard Lloyd dead-cluster convention).
+
+    ``impl`` picks the execution shape (r15 verdict task 5 A/B; both
+    produce BIT-IDENTICAL codebooks, pinned by
+    tests/test_ivf_pq_trained.py::test_fold_matches_expression_loop):
+
+    * ``"grouped"`` (default) — ALL ``iters`` Lloyd iterations run
+      inside ONE ``groupBy("m").applyInPandas`` job: subspaces are
+      independent, so each of the PQ_M tasks holds every row it needs
+      for the whole loop. One pass over the sample instead of one
+      scan + one driver round-trip PER iteration (guide §1.2);
+      interleaved A/B 11.7 -> 1.3 s best-of-3 on the sf0.1 training
+      step. Per-task memory is O(sample_rows x SUBDIM) — bounded by
+      the documented <= ~1M-vector `mod_for_target` sample (~64 MB),
+      with the distance matrix computed in 64k-row chunks. The
+      arithmetic is the SAME per-element (x-y)^2 fold, and the
+      fixture's float32-sourced values make the per-cell sums exact
+      in double (<= ~44 significant bits), so summation order cannot
+      perturb the means — that is why cross-shape bit-identity holds
+      and is test-pinned rather than assumed.
+    * ``"expr"`` — the r15 shape kept as the pinned reference: the
+      codebook re-enters each iteration as a literal expression,
+      assignment is map-side, and the <= M*C*SUBDIM per-dimension
+      means are collected per iteration.
+    """
+    if impl not in ("grouped", "expr"):
+        raise ValueError(f"impl must be 'grouped' or 'expr', got {impl!r}")
+    # codebook state lives driver-side between iterations: 128 rows of
+    # 8 doubles — re-entering as a literal relation truncates lineage
+    # (no growing plan across iterations) and broadcasts for free
+    code = {
+        (r["m"], r["c"]): [float(x) for x in r["w"]]
+        for r in _pq_codebook(spark, n).collect()
+    }
+    # Empty seed codebook (corpus lacks every seed vec_id): degrade to
+    # an empty trained codebook exactly like the pre-r15 join shape
+    # did. Without this the literal-expression path builds zero-width
+    # arrays, array_min yields NULL assignments, and the means collect
+    # poisons `code` with (m, None) keys that blow up the final sort
+    # (r15 ADVICE).
+    if not code:
+        return spark.createDataFrame([], "m int, c int, w array<double>")
+    if impl == "grouped":
+        import numpy as np
+        import pandas as pd
+
+        seeds: dict[int, list[tuple[int, list[float]]]] = {}
+        for (m, c), w in code.items():
+            seeds.setdefault(m, []).append((c, w))
+        b_seeds = spark.sparkContext.broadcast(seeds)
+
+        def train(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = int(pdf["m"].iloc[0])
+            X = np.vstack(pdf["sv"].to_numpy())
+            cw = {c: np.asarray(w) for c, w in b_seeds.value[m]}
+            for _ in range(iters):
+                cs = sorted(cw)
+                C = np.vstack([cw[c] for c in cs])
+                # chunked explicit (x-c)^2: bounds the rows x C x dim
+                # intermediate to ~64 MB per chunk; argmin of the FIRST
+                # minimum = the lowest-c tie-break (same as the expr
+                # shape's min(struct(d2, c)))
+                best = np.empty(len(X), dtype=np.int64)
+                for lo in range(0, len(X), 65536):
+                    chunk = X[lo : lo + 65536]
+                    d2 = ((chunk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    best[lo : lo + len(chunk)] = d2.argmin(axis=1)
+                for j, c in enumerate(cs):
+                    mask = best == j
+                    if mask.any():
+                        cw[c] = X[mask].mean(axis=0)
+            cs = sorted(cw)
+            return pd.DataFrame(
+                {"m": m, "c": cs, "w": [list(cw[c]) for c in cs]}
+            )
+
+        sub = _pq_train_subvectors(spark, n, train_sample_mod)
+        trained = sub.groupBy("m").applyInPandas(
+            train, "m int, c int, w array<double>"
+        )
+        # bounded collect (<= M*C = 128 rows) and re-entry as a literal
+        # relation — identical convention to the expr shape: consumers
+        # referencing the codebook several times must not re-run the
+        # training job, and the literal broadcasts for free
+        out = {
+            (r["m"], r["c"]): [float(x) for x in r["w"]]
+            for r in trained.collect()
+        }
+        return spark.createDataFrame(
+            [(m, c, w) for (m, c), w in sorted(out.items())],
+            "m int, c int, w array<double>",
+        )
+    # impl == "expr": the r15 literal-expression loop (reference shape)
     # localCheckpoint: every Lloyd iteration's collect re-executes its
     # whole lineage (cb is a fresh literal each round), so without the
     # checkpoint the scan+slice subtree re-reads the sample `iters`
@@ -1911,13 +2004,6 @@ def _pq_train_codebooks(
     sub = _pq_train_subvectors(spark, n, train_sample_mod).localCheckpoint(
         eager=False
     )
-    # codebook state lives driver-side between iterations: 128 rows of
-    # 8 doubles — re-entering as a literal relation truncates lineage
-    # (no growing plan across iterations) and broadcasts for free
-    code = {
-        (r["m"], r["c"]): [float(x) for x in r["w"]]
-        for r in _pq_codebook(spark, n).collect()
-    }
     for _ in range(iters):
         # Codebook as ONE literal array-of-arrays expression indexed
         # [m+1][position] (element_at is 1-based), with a parallel

@@ -113,3 +113,44 @@ def test_null_join_keys_match_jvm_recipe(spark):
     assert by_id[1][4] == 3.5   # null left key matches the null-key right row
     assert by_id[2][4] == 1.5   # non-null key unaffected
     assert by_id[3][4] is None  # null key, before the null right row
+
+
+def test_reserved_bucket_column_collision_raises(spark):
+    """'_bkt' on the left side would be silently overwritten with
+    internal bucket ids and come back corrupted via out_cols (r15
+    ADVICE) — refuse it up front."""
+    import pytest
+
+    left, right = _fixture(spark)
+    with pytest.raises(ValueError, match="_bkt"):
+        asof_join_pandas(
+            left.withColumn("_bkt", left.event_id), right,
+            on="user_id", left_ts="ts", right_ts="ts", right_payload=["value"],
+        )
+    with pytest.raises(ValueError, match="buckets"):
+        asof_join_pandas(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            right_payload=["value"], buckets=0,
+        )
+
+
+def test_max_rows_per_bucket_guard(spark):
+    """The per-bucket row budget (r15 verdict: the bucketed cogroup's
+    memory contract is O(rows/buckets)) fails fast with sizing advice
+    on a pathological rows/buckets ratio, and passes untouched when
+    the budget holds."""
+    import pytest
+
+    left, right = _fixture(spark)
+    kw = dict(on="user_id", left_ts="ts", right_ts="ts", right_payload=["value"])
+    # everything in one bucket, budget of 2 rows -> must raise in the worker
+    with pytest.raises(Exception, match="max_rows_per_bucket"):
+        asof_join_pandas(
+            left, right, buckets=1, max_rows_per_bucket=2, **kw
+        ).collect()
+    # generous budget: identical rows to the unguarded path
+    want = _rows(asof_join_pandas(left, right, buckets=4, **kw))
+    got = _rows(
+        asof_join_pandas(left, right, buckets=4, max_rows_per_bucket=1000, **kw)
+    )
+    assert got == want

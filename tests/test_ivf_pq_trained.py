@@ -235,3 +235,57 @@ def test_lloyd_tolerates_missing_seed_ids(spark):
     assert ids == {(r["m"], r["c"]) for r in seed.select("m", "c").collect()}
     assert all(c not in (5, 11) for _, c in ids)
     assert len({m for m, _ in ids}) == PQ_M
+
+
+def test_empty_seed_codebook_degrades_to_empty(spark):
+    """A corpus lacking EVERY seed vec_id yields an empty seed
+    codebook; the literal-expression Lloyd must degrade to an empty
+    trained codebook like the pre-r15 join shape did, instead of
+    building zero-width literal arrays whose NULL assignments poison
+    the means collect (r15 ADVICE)."""
+    from pyspark.sql import functions as F
+    from sf_etl_spark.queries.similarity import (
+        PQ_C,
+        _pq_train_codebooks,
+        normalized_vectors,
+    )
+
+    n = normalized_vectors(spark, SF_DIR).filter(F.col("vec_id") > PQ_C)
+    cb = _pq_train_codebooks(spark, n, iters=2)
+    assert cb.count() == 0
+    assert [f.name for f in cb.schema.fields] == ["m", "c", "w"]
+
+
+def test_fold_matches_expression_loop(spark):
+    """r15 verdict task 5: the single-job grouped-pandas Lloyd fold
+    (impl='grouped', default) must produce BIT-IDENTICAL codebooks to
+    the r15 literal-expression per-iteration loop (impl='expr', the
+    pinned reference shape). Bit-identity is structural, not luck:
+    the corpus is float32-sourced, so every per-cell sum stays exact
+    in double and summation order cannot perturb the means — this
+    test is the tripwire if a future fixture breaks that exactness."""
+    from sf_etl_spark.queries.similarity import (
+        _pq_train_codebooks,
+        normalized_vectors,
+    )
+
+    n = normalized_vectors(spark, SF_DIR)
+    a = {(r["m"], r["c"]): r["w"] for r in _pq_train_codebooks(spark, n, iters=2).collect()}
+    b = {
+        (r["m"], r["c"]): r["w"]
+        for r in _pq_train_codebooks(spark, n, iters=2, impl="expr").collect()
+    }
+    assert set(a) == set(b)
+    assert all(a[k] == b[k] for k in a)  # exact doubles, not approx
+
+
+def test_train_codebooks_rejects_unknown_impl(spark):
+    import pytest
+
+    from sf_etl_spark.queries.similarity import (
+        _pq_train_codebooks,
+        normalized_vectors,
+    )
+
+    with pytest.raises(ValueError, match="impl"):
+        _pq_train_codebooks(spark, normalized_vectors(spark, SF_DIR), impl="nope")
