@@ -96,19 +96,70 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 #
-# Round-15 window (r14 verdict task 1), 1+1+47+1 = 50: (1)
-# quality_gopher_repetition, the round's one NEW lane (the full
-# published SA1.1 repetition battery); (2) window_suite, the r9
-# straggler the r14 cut could not fit; (3) the ENTIRE 47-lane block
-# whose newest driver evidence is r10 (the relational scalar/agg/set
-# long tail, the arrow/udtf extension lanes, q4/q7/q8/q9); (4)
-# agms_join_size, the first r11 lane, filling to 50. Below the
-# boundary, names keep their prior RELATIVE order (the rotation tool
-# does not re-sort them); freshness-wise the stalest remaining lanes
-# are the other r11 block members, first in line for r16. This
+# Round-16 window (r15 verdict task 8), 16+34 = 50: (1) the 16 lanes
+# this optimization round TOUCHED — the dedup-cluster pair (edge
+# derivation reshaped), linkage_survivorship (star verts-from-edges),
+# ann_ivf_pq_trained_agreement (grouped Lloyd fold), asof_pandas_merge
+# (collision + bucket-budget guards), and the 11 sfetl sink/source/
+# stream lanes riding the mockserver teardown fix; (2) 34 lanes of the
+# r11-stale block (the standing scheme: stalest evidence first),
+# filling to 50. Below the boundary, names keep their prior RELATIVE
+# order (the rotation tool does not re-sort them); the remaining
+# r11-evidence lanes are first in line for the next rotation. This
 # comment and the matching one in tests/test_registry_order.py must
 # agree on the counts (r12 ADVICE).
 _PRIORITY_ORDER = [
+    "dedup_cluster_components",
+    "dedup_cluster_bigstar",
+    "linkage_survivorship",
+    "ann_ivf_pq_trained_agreement",
+    "asof_pandas_merge",
+    "source_sfetl_roundtrip",
+    "sink_sfetl_ingest_roundtrip",
+    "sink_sfetl_failed_results",
+    "sink_sfetl_successful_results",
+    "source_sfetl_stream_incremental",
+    "sink_sfetl_delete_roundtrip",
+    "sink_sfetl_resume_unprocessed",
+    "stream_sink_sfetl_upsert",
+    "stream_sink_sfetl_native",
+    "stream_sink_sfetl_failed_rows",
+    "stream_sink_sfetl_failed_rows_fb",
+    "ann_matryoshka_recall",
+    "ann_recall_metrics",
+    "asof_nearest_click",
+    "bfs_shortest_paths",
+    "countmin_point_estimates",
+    "cusum_drift_detection",
+    "decile_lift_table",
+    "dedup_embedding_cosine",
+    "exact_median_histogram",
+    "forecast_feature_matrix",
+    "funnel_time_to_convert",
+    "fuzzy_name_match",
+    "group_median_twophase",
+    "ivm_join_deltas",
+    "keyword_textrank",
+    "kmv_set_overlap",
+    "multimodal_decode_stats",
+    "multimodal_resize_stats",
+    "pareto_frontier_parts",
+    "phrase_search_positional",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_or_of_ands",
+    "q21_waiting_suppliers",
+    "q22_dormant_balance",
+    "rolling_median_7d",
+    "seasonal_anomaly_slots",
+    "stream_dedup_exactly_once",
+    "stream_stream_join_attribution",
+    # --- below the driver window (auto-rotated) ---
     "quality_gopher_repetition",
     "window_suite",
     "agg_having",
@@ -149,7 +200,6 @@ _PRIORITY_ORDER = [
     "session_paths",
     "set_ops",
     "set_ops_all",
-    "source_sfetl_roundtrip",
     "string_functions",
     "text_quality",
     "token_counts",
@@ -159,10 +209,7 @@ _PRIORITY_ORDER = [
     "window_frames",
     "window_session_dynamic_gap",
     "agms_join_size",
-    # --- below the driver window (auto-rotated) ---
     "quality_gopher_published",
-    "ann_ivf_pq_trained_agreement",
-    "stream_sink_sfetl_failed_rows_fb",
     "stream_stream_full_join_unmatched",
     "zorder_roundtrip",
     "ann_ivf_kmeans_agreement",
@@ -210,13 +257,10 @@ _PRIORITY_ORDER = [
     "spark_sql_front",
     "table_checksum",
     "timezone_local_hours",
-    "sink_sfetl_ingest_roundtrip",
     "multimodal_features_checksum",
-    "stream_sink_sfetl_failed_rows",
     "quality_gopher_filter",
     "ann_binary_hamming_topk",
     "ann_binary_recall_metrics",
-    "sink_sfetl_resume_unprocessed",
     "asof_purchase_click",
     "benford_first_digit",
     "boolean_search_and",
@@ -257,16 +301,11 @@ _PRIORITY_ORDER = [
     "window_session",
     "window_sliding",
     "window_tumbling",
-    "sink_sfetl_successful_results",
     "dedup_semdedup_prune",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
     "ann_pq_recall_metrics",
     "decontaminate_embedding_cosine",
-    "sink_sfetl_delete_roundtrip",
-    "sink_sfetl_failed_results",
-    "stream_sink_sfetl_native",
-    "stream_sink_sfetl_upsert",
     "stream_tumbling_1h",
     "stream_stateful_user_agg",
     "stream_session_window",
@@ -279,8 +318,6 @@ _PRIORITY_ORDER = [
     "clean_text_normalize",
     "corpus_prep_pipeline",
     "decontaminate_ngram_overlap",
-    "dedup_cluster_bigstar",
-    "dedup_cluster_components",
     "dedup_embedding_pipeline",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
@@ -304,48 +341,11 @@ _PRIORITY_ORDER = [
     "unpivot_metrics",
     "vocab_top_terms",
     "ann_ivf_kmeans_topk",
-    "asof_pandas_merge",
-    "source_sfetl_stream_incremental",
     "triangle_count",
-    "ann_matryoshka_recall",
-    "ann_recall_metrics",
     "topk_per_group",
-    "dedup_embedding_cosine",
-    "decile_lift_table",
-    "stream_dedup_exactly_once",
-    "stream_stream_join_attribution",
-    "bfs_shortest_paths",
-    "cusum_drift_detection",
-    "exact_median_histogram",
-    "fuzzy_name_match",
-    "ivm_join_deltas",
-    "keyword_textrank",
-    "kmv_set_overlap",
-    "linkage_survivorship",
-    "multimodal_decode_stats",
-    "pareto_frontier_parts",
-    "phrase_search_positional",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_or_of_ands",
-    "q21_waiting_suppliers",
-    "q22_dormant_balance",
-    "rolling_median_7d",
     "time_weighted_average",
     "zone_map_pruned_scan",
-    "countmin_point_estimates",
-    "seasonal_anomaly_slots",
-    "asof_nearest_click",
-    "funnel_time_to_convert",
-    "multimodal_resize_stats",
     "target_encoding_smoothed",
-    "forecast_feature_matrix",
-    "group_median_twophase",
     "window_sliding_distinct",
 ]
 

@@ -13,65 +13,65 @@ from sf_etl_spark.queries import _PRIORITY_ORDER, all_queries
 DRIVER_WINDOW = 50
 
 # Queries whose driver CORRECTNESS row most needs refreshing THIS round
-# (round 15 ordering) — they must sit inside the driver's ~50-row
-# window. Rank is by information value (the r14 verdict's task 1):
-# (1) quality_gopher_repetition, the round's one NEW lane (the full
-# published SA1.1 repetition battery); (2) window_suite, the r9
-# straggler the r14 cut could not fit; (3) the ENTIRE 47-lane block
-# whose newest driver evidence is r10; (4) agms_join_size, the first
-# r11 lane, filling to 50. 1+1+47+1 = 50. Everything re-proven in
-# r11-r14 rotates behind the boundary.
+# (round 16 ordering) — they must sit inside the driver's ~50-row
+# window. Rank is by information value (the r15 verdict's task 8):
+# (1) the 16 lanes the r16 optimization round TOUCHED (dedup-cluster
+# pair, linkage_survivorship, ann_ivf_pq_trained_agreement,
+# asof_pandas_merge, and the 11 sfetl lanes riding the mockserver
+# teardown fix); (2) 34 lanes of the r11-stale block, filling to 50.
+# 16+34 = 50. Everything re-proven in r12-r15 rotates behind the
+# boundary.
 MUST_BE_IN_WINDOW = [
-    "quality_gopher_repetition",
-    "window_suite",
-    "agg_having",
-    "agg_stats_by_status",
-    "ann_cosine_topk",
-    "approx_distinct_custkeys",
-    "array_functions",
-    "arrow_batch_textstats",
-    "conditional_predicates",
-    "correlation_matrix",
-    "cube_status_priority",
-    "date_functions",
-    "dispersion_stats",
-    "distinct_flags",
-    "doc_fingerprint",
-    "embedding_stats",
-    "equidepth_histogram",
-    "feature_hashing",
-    "filter_project",
-    "join_anti",
-    "join_left_outer",
-    "join_semi",
-    "json_extract",
-    "lang_id",
-    "map_functions",
-    "math_functions",
-    "min_per_group_joinback",
-    "multimodal_frame_sample",
-    "multimodal_meta_stats",
-    "order_limit_offset",
-    "pandas_udf_zscore",
-    "pivot_returnflag",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rollup_flags",
-    "session_paths",
-    "set_ops",
-    "set_ops_all",
+    "dedup_cluster_components",
+    "dedup_cluster_bigstar",
+    "linkage_survivorship",
+    "ann_ivf_pq_trained_agreement",
+    "asof_pandas_merge",
     "source_sfetl_roundtrip",
-    "string_functions",
-    "text_quality",
-    "token_counts",
-    "udtf_bigrams",
-    "user_behavior_profile",
-    "variant_extract_orders",
-    "window_frames",
-    "window_session_dynamic_gap",
-    "agms_join_size",
+    "sink_sfetl_ingest_roundtrip",
+    "sink_sfetl_failed_results",
+    "sink_sfetl_successful_results",
+    "source_sfetl_stream_incremental",
+    "sink_sfetl_delete_roundtrip",
+    "sink_sfetl_resume_unprocessed",
+    "stream_sink_sfetl_upsert",
+    "stream_sink_sfetl_native",
+    "stream_sink_sfetl_failed_rows",
+    "stream_sink_sfetl_failed_rows_fb",
+    "ann_matryoshka_recall",
+    "ann_recall_metrics",
+    "asof_nearest_click",
+    "bfs_shortest_paths",
+    "countmin_point_estimates",
+    "cusum_drift_detection",
+    "decile_lift_table",
+    "dedup_embedding_cosine",
+    "exact_median_histogram",
+    "forecast_feature_matrix",
+    "funnel_time_to_convert",
+    "fuzzy_name_match",
+    "group_median_twophase",
+    "ivm_join_deltas",
+    "keyword_textrank",
+    "kmv_set_overlap",
+    "multimodal_decode_stats",
+    "multimodal_resize_stats",
+    "pareto_frontier_parts",
+    "phrase_search_positional",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_or_of_ands",
+    "q21_waiting_suppliers",
+    "q22_dormant_balance",
+    "rolling_median_7d",
+    "seasonal_anomaly_slots",
+    "stream_dedup_exactly_once",
+    "stream_stream_join_attribution",
 ]
 
 
