@@ -96,12 +96,13 @@ def register(
 # listed names that are not registered are ignored (so reordering
 # never hides a query).
 #
-# Round-16 window (r15 verdict task 8), 16+34 = 50: (1) the 16 lanes
-# this optimization round TOUCHED — the dedup-cluster pair (edge
-# derivation reshaped), linkage_survivorship (star verts-from-edges),
+# Round-16 window (r15 verdict task 8), 17+33 = 50: (1) the 17 lanes
+# this optimization round TOUCHED — triangle_count (pair derivation
+# reshaped), the dedup-cluster pair (edge derivation reshaped),
+# linkage_survivorship (star verts-from-edges),
 # ann_ivf_pq_trained_agreement (grouped Lloyd fold), asof_pandas_merge
 # (collision + bucket-budget guards), and the 11 sfetl sink/source/
-# stream lanes riding the mockserver teardown fix; (2) 34 lanes of the
+# stream lanes riding the mockserver teardown fix; (2) 33 lanes of the
 # r11-stale block (the standing scheme: stalest evidence first),
 # filling to 50. Below the boundary, names keep their prior RELATIVE
 # order (the rotation tool does not re-sort them); the remaining
@@ -109,6 +110,7 @@ def register(
 # comment and the matching one in tests/test_registry_order.py must
 # agree on the counts (r12 ADVICE).
 _PRIORITY_ORDER = [
+    "triangle_count",
     "dedup_cluster_components",
     "dedup_cluster_bigstar",
     "linkage_survivorship",
@@ -158,8 +160,8 @@ _PRIORITY_ORDER = [
     "rolling_median_7d",
     "seasonal_anomaly_slots",
     "stream_dedup_exactly_once",
-    "stream_stream_join_attribution",
     # --- below the driver window (auto-rotated) ---
+    "stream_stream_join_attribution",
     "quality_gopher_repetition",
     "window_suite",
     "agg_having",
@@ -341,7 +343,6 @@ _PRIORITY_ORDER = [
     "unpivot_metrics",
     "vocab_top_terms",
     "ann_ivf_kmeans_topk",
-    "triangle_count",
     "topk_per_group",
     "time_weighted_average",
     "zone_map_pruned_scan",

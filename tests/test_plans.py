@@ -856,6 +856,7 @@ _BUFFER_ALLOWLIST: dict[str, tuple[int, str]] = {
     "session_paths": (1, "per-session path; sessions terminate at 30-min gaps — per-key state, not constant-parallelism; a pathological no-gap user is the event_pattern_regex cap regime"),
     "ewma_user_value": (1, "per-user ordered fold, events-per-user (deployment retention window); unbounded-key regime = transformWithState running-stats operator (streaming/pipelines.py), this lane is its batch-checkable twin"),
     "quality_percentile_filter": (1, "value-domain-bounded: Spark's exact Percentile buffers a value->count map over INTEGER n_chars — state ~ |n_chars domain|, not row count"),
+    "triangle_count": (1, "bounded: distinct parts per order (TPC-H fan-out <= 7; same bound as array_functions) — the r16 map-side pair expansion's collect_set"),
 }
 
 
